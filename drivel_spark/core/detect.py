@@ -1,0 +1,175 @@
+"""String-format detector cascade.
+
+Re-implements the semantics of the reference's detector chain
+(/root/reference/src/infer_string.rs:14-72): first-match-wins in the
+fixed order ``[uuid, email, url, hostname, iso-date, iso8601, rfc2822]``
+(uuid/email/url_host/dates grouping in the reference), falling back to an
+evidence-carrying ``unknown`` string.
+
+Two call surfaces:
+
+* :func:`detect` — scalar, used by the pure-Python inference fold;
+* :func:`detect_series` — vectorized over a pandas Series (numpy
+  ``select`` over match masks), used by the distributed profiler; and
+* :data:`FORMAT_SQL_PREDICATES` — the same detectors as Spark-SQL /
+  ANSI-SQL boolean expressions so constraint checks stay JVM-side and
+  are DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+from email.utils import parsedate_to_datetime
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from .node import (
+    STR_DATETIME_ISO8601,
+    STR_DATETIME_RFC2822,
+    STR_EMAIL,
+    STR_HOSTNAME,
+    STR_ISO_DATE,
+    STR_UNKNOWN,
+    STR_URL,
+    STR_UUID,
+)
+
+# regexes follow the reference's patterns (infer_string.rs:3-12); the
+# RFC3339/RFC2822 ones approximate chrono's parsers, with a Python
+# validity check behind the regex for the scalar path.
+ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+UUID_RE = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+HOSTNAME_RE = re.compile(r"^[a-zA-Z0-9\-]+\.[a-zA-Z]{2,}$")
+EMAIL_RE = re.compile(r"[a-zA-Z0-9]+@[a-zA-Z0-9]+\.[a-zA-Z]{2,}$")
+# scheme://rest — mirrors url::Url::parse accepting absolute URLs only
+URL_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://\S+$")
+RFC3339_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$"
+)
+RFC2822_RE = re.compile(
+    r"^(?:(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun),\s*)?\d{1,2}\s+"
+    r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+\d{2,4}\s+"
+    r"\d{2}:\d{2}(?::\d{2})?\s+(?:[+-]\d{4}|[A-Z]{1,5})$"
+)
+
+# detector precedence — MUST stay in this order (infer_string.rs:60)
+FORMAT_ORDER = [
+    STR_UUID,
+    STR_EMAIL,
+    STR_URL,
+    STR_HOSTNAME,
+    STR_ISO_DATE,
+    STR_DATETIME_ISO8601,
+    STR_DATETIME_RFC2822,
+]
+
+
+def _valid_rfc3339(s: str) -> bool:
+    if not RFC3339_RE.match(s):
+        return False
+    try:
+        datetime.fromisoformat(s.replace("Z", "+00:00").replace("z", "+00:00"))
+        return True
+    except ValueError:
+        return False
+
+
+def _valid_rfc2822(s: str) -> bool:
+    if not RFC2822_RE.match(s):
+        return False
+    try:
+        parsedate_to_datetime(s)
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
+def detect(s: str) -> str:
+    """Scalar detector: first-match-wins, reference order.
+
+    Returns one of the ``STR_*`` format tags, ``STR_UNKNOWN`` if no
+    detector fires.  Semantics per infer_string.rs:
+    uuid needs len==36; email needs '@'; url/hostname need '.';
+    iso-date/iso8601 need a numeric first char; rfc2822 is tried
+    unconditionally.
+    """
+    if len(s) == 36 and UUID_RE.match(s):
+        return STR_UUID
+    if "@" in s and EMAIL_RE.search(s):
+        return STR_EMAIL
+    if "." in s:
+        if URL_RE.match(s):
+            return STR_URL
+        if HOSTNAME_RE.match(s):
+            return STR_HOSTNAME
+    if s[:1].isnumeric():
+        if ISO_DATE_RE.match(s):
+            return STR_ISO_DATE
+        if _valid_rfc3339(s):
+            return STR_DATETIME_ISO8601
+    if _valid_rfc2822(s):
+        return STR_DATETIME_RFC2822
+    return STR_UNKNOWN
+
+
+def detect_series(s: pd.Series) -> pd.Series:
+    """Vectorized first-match detector over a string Series.
+
+    Uses pandas str ops (regex engine is C-side) + ``np.select`` so the
+    per-partition profiler never loops rows in Python.  RFC3339/RFC2822
+    validity beyond the regex shape is approximated by the regex in this
+    path (exact parse validation would need per-row Python); the scalar
+    path stays exact for the parity tests.
+    """
+    s = s.astype("string")
+    notna = s.notna()
+    sv = s.fillna("")
+    masks = [
+        (sv.str.len() == 36) & sv.str.match(UUID_RE),
+        sv.str.contains("@", regex=False) & sv.str.contains(EMAIL_RE),
+        sv.str.contains(".", regex=False) & sv.str.match(URL_RE),
+        sv.str.contains(".", regex=False) & sv.str.match(HOSTNAME_RE),
+        sv.str.match(r"\d") & sv.str.match(ISO_DATE_RE),
+        sv.str.match(r"\d") & sv.str.match(RFC3339_RE),
+        sv.str.match(RFC2822_RE),
+    ]
+    out = np.select([m.to_numpy(dtype=bool) for m in masks], FORMAT_ORDER, default=STR_UNKNOWN)
+    res = pd.Series(out, index=s.index, dtype="object")
+    res[~notna] = None
+    return res
+
+
+# The same cascade as a Spark-SQL CASE expression over a column name —
+# lets format profiling run fully JVM-side (whole-stage codegen) and be
+# checked against a DuckDB oracle.  Regex syntax below is valid in both
+# Spark and DuckDB.
+def format_case_sql(col: str) -> str:
+    uuid_re = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    email_re = "[a-zA-Z0-9]+@[a-zA-Z0-9]+\\.[a-zA-Z]{2,}$"
+    url_re = "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^ ]+$"
+    host_re = "^[a-zA-Z0-9\\-]+\\.[a-zA-Z]{2,}$"
+    iso_date_re = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+    rfc3339_re = (
+        "^[0-9]{4}-[0-9]{2}-[0-9]{2}[Tt][0-9]{2}:[0-9]{2}:[0-9]{2}"
+        "(\\.[0-9]+)?([Zz]|[+-][0-9]{2}:[0-9]{2})$"
+    )
+    rfc2822_re = (
+        "^((Mon|Tue|Wed|Thu|Fri|Sat|Sun), *)?[0-9]{1,2} "
+        "(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) [0-9]{2,4} "
+        "[0-9]{2}:[0-9]{2}(:[0-9]{2})? ([+-][0-9]{4}|[A-Z]{1,5})$"
+    )
+    c = col
+    return (
+        "CASE "
+        f"WHEN length({c}) = 36 AND regexp_matches({c}, '{uuid_re}') THEN 'uuid' "
+        f"WHEN contains({c}, '@') AND regexp_matches({c}, '{email_re}') THEN 'email' "
+        f"WHEN contains({c}, '.') AND regexp_matches({c}, '{url_re}') THEN 'url' "
+        f"WHEN contains({c}, '.') AND regexp_matches({c}, '{host_re}') THEN 'hostname' "
+        f"WHEN regexp_matches({c}, '{iso_date_re}') THEN 'iso-date' "
+        f"WHEN regexp_matches({c}, '{rfc3339_re}') THEN 'datetime-iso8601' "
+        f"WHEN regexp_matches({c}, '{rfc2822_re}') THEN 'datetime-rfc2822' "
+        "ELSE 'unknown' END"
+    )

@@ -1,0 +1,285 @@
+"""Distributed partition-parallel profiling.
+
+Lifecycle (SURVEY.md §3.1 Spark mapping): scan → Catalyst-pruned columns
+→ ``mapInPandas`` partition profiler emitting ONE pickled accumulator
+row per partition (vectorized seqOp, no per-row Python) → optional
+executor-side tree combine (``groupBy(bucket).applyInPandas`` — the
+treeAggregate/rayon-reduce analog, SURVEY.md §2.9) → driver merge →
+:class:`TableProfile`.
+
+Scale notes:
+
+* the scan reads each column once; column pruning reaches the parquet
+  reader because ``df.select(cols)`` precedes the UDF;
+* accumulators are O(KB) per column independent of row count, so the
+  shuffle moving them is negligible;
+* with tens of thousands of partitions, ``tree_fanin`` bounds both the
+  driver's merge work and the single-task combine fan-in.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import pickle
+from typing import Any, Iterable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import (
+    EnumInference,
+    InferenceOptions,
+    SchemaNode,
+    describe as core_describe,
+    infer_many,
+    to_json_schema as core_to_json_schema,
+)
+from ..core.node import STR_ENUM, STR_UNKNOWN
+from .accumulator import ProfilerOptions, StringAcc, TableAccumulator
+
+_ACC_SCHEMA = "partition_id long, acc binary"
+
+
+class TableProfile:
+    """Driver-side result of :func:`profile`: per-column stats + the
+    schema-summary tree, with describe / JSON-Schema emitters."""
+
+    def __init__(self, acc: TableAccumulator, opts: ProfilerOptions):
+        self.acc = acc
+        self.opts = opts
+
+    # ------------------------------------------------------------------
+    @property
+    def n_rows(self) -> int:
+        return self.acc.n_rows
+
+    @property
+    def n_partitions(self) -> int:
+        return self.acc.n_partitions
+
+    def column(self, name: str):
+        return self.acc.cols[name]
+
+    def columns(self) -> list[str]:
+        return list(self.acc.cols)
+
+    def summary(self) -> list[dict[str, Any]]:
+        return [acc.summary() for acc in self.acc.cols.values()]
+
+    def summary_df(self, spark: SparkSession) -> DataFrame:
+        rows = [json.dumps(s, default=str) for s in self.summary()]
+        return spark.read.json(spark.sparkContext.parallelize(rows, 1))
+
+    # ------------------------------------------------------------------
+    def to_schema_node(self) -> SchemaNode:
+        """Project the columnar profile into the core schema tree
+        (object with every column required; nullable ⇔ nulls seen),
+        applying the enum post-pass gates on string columns."""
+        fields: dict[str, SchemaNode] = {}
+        for name, acc in self.acc.cols.items():
+            fields[name] = self._column_node(acc)
+        return SchemaNode.object(required=fields)
+
+    def _column_node(self, acc) -> SchemaNode:
+        nullable = acc.n_null > 0
+        k = acc.kind
+        if k == "numeric":
+            node = (
+                SchemaNode.floating(acc.min_v, acc.max_v)
+                if acc.is_float
+                else SchemaNode.integer(
+                    int(acc.min_v) if acc.min_v is not None else None,
+                    int(acc.max_v) if acc.max_v is not None else None,
+                )
+            )
+        elif k == "string":
+            node = self._string_node(acc)
+        elif k == "boolean":
+            node = SchemaNode.boolean()
+        elif k == "array":
+            node = SchemaNode.array(acc.min_items, acc.max_items, SchemaNode.initial())
+        elif k == "timestamp":
+            node = SchemaNode.string(str_type="datetime-iso8601")
+        else:
+            node = SchemaNode.string(
+                min_len=getattr(acc, "min_size", None), max_len=getattr(acc, "max_size", None)
+            ) if k == "binary" else SchemaNode.initial()
+        if acc.n > 0 and acc.n == acc.n_null:
+            return SchemaNode.null()
+        return node.with_nullable(nullable)
+
+    def _string_node(self, acc: StringAcc) -> SchemaNode:
+        fmt = acc.resolved_format
+        if fmt != STR_UNKNOWN:
+            return SchemaNode.string(str_type=fmt)
+        # enum gate (reference semantics, infer.rs:257-278, applied once
+        # post-merge): distinct/count ratio from the sketches, variants
+        # from the exact-when-small frequency map
+        n_vals = acc.n - acc.n_null
+        if (
+            n_vals >= self.opts.enum_min_sample_size
+            and n_vals > 0
+            and acc.freq.is_exact
+            and len(acc.freq.counts) / n_vals <= self.opts.enum_max_unique_ratio
+        ):
+            return SchemaNode.enum(acc.freq.counts.keys())
+        chars: list[str] = []
+        for ch, cnt in acc.char_hist.most_common():
+            chars.extend([ch] * min(cnt, 8))
+        return SchemaNode.string(
+            strings_seen=list(acc.sample.sample())[: self.opts.sample_k],
+            chars_seen=chars[: self.opts.max_chars],
+            min_len=acc.min_len,
+            max_len=acc.max_len,
+        )
+
+    def describe(self) -> str:
+        return core_describe(self.to_schema_node())
+
+    def to_json_schema(self, extended: bool = False):
+        return core_to_json_schema(self.to_schema_node(), extended)
+
+    # ------------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return pickle.dumps({"acc": self.acc, "opts": self.opts}, protocol=4)
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "TableProfile":
+        d = pickle.loads(b)
+        return TableProfile(d["acc"], d["opts"])
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            f.write(self.to_bytes())
+
+    @staticmethod
+    def load(path: str) -> "TableProfile":
+        with open(path, "rb") as f:
+            return TableProfile.from_bytes(f.read())
+
+
+# ---------------------------------------------------------------------------
+# the distributed pass
+# ---------------------------------------------------------------------------
+
+
+def _partition_profiler(columns: list[tuple[str, str]], opts: ProfilerOptions):
+    def fn(batches: Iterable[pd.DataFrame]):
+        from pyspark import TaskContext
+
+        acc = TableAccumulator(columns, opts)
+        for pdf in batches:
+            acc.update(pdf)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        yield pd.DataFrame({"partition_id": [pid], "acc": [acc.to_bytes()]})
+
+    return fn
+
+
+def _pairwise_merger():
+    def fn(key, pdf: pd.DataFrame):
+        accs = [TableAccumulator.from_bytes(b) for b in pdf["acc"]]
+        merged = accs[0]
+        for a in accs[1:]:
+            merged = merged.merge(a)
+        return pd.DataFrame({"partition_id": [int(key[0])], "acc": [merged.to_bytes()]})
+
+    return fn
+
+
+def partition_accumulators(
+    df: DataFrame,
+    columns: Optional[list[str]] = None,
+    opts: ProfilerOptions = ProfilerOptions(),
+) -> DataFrame:
+    """One pickled :class:`TableAccumulator` row per input partition."""
+    if columns is not None:
+        df = df.select(*columns)
+    col_types = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    return df.mapInPandas(_partition_profiler(col_types, opts), _ACC_SCHEMA)
+
+
+def tree_combine(acc_df: DataFrame, fanin: int = 64, collect_threshold: int = 256) -> DataFrame:
+    """Executor-side combine levels until few enough rows to collect —
+    the treeAggregate combOp tree across executors."""
+    n = acc_df.count()
+    level = 0
+    while n > collect_threshold:
+        buckets = max(1, math.ceil(n / fanin))
+        acc_df = (
+            acc_df.withColumn("bucket", F.pmod(F.col("partition_id"), F.lit(buckets)))
+            .groupBy("bucket")
+            .applyInPandas(_pairwise_merger(), _ACC_SCHEMA)
+        )
+        n = buckets
+        level += 1
+    return acc_df
+
+
+def profile(
+    df: DataFrame,
+    columns: Optional[list[str]] = None,
+    opts: ProfilerOptions = ProfilerOptions(),
+    tree_fanin: int = 64,
+) -> TableProfile:
+    """Profile a DataFrame in one distributed scan."""
+    acc_df = partition_accumulators(df, columns, opts)
+    acc_df = tree_combine(acc_df, fanin=tree_fanin)
+    rows = acc_df.collect()
+    if not rows:
+        cols = columns or [f.name for f in df.schema.fields]
+        col_types = [(f.name, f.dataType.simpleString()) for f in df.schema.fields if f.name in set(cols)]
+        return TableProfile(TableAccumulator(col_types, opts), opts)
+    accs = [TableAccumulator.from_bytes(r["acc"]) for r in rows]
+    merged = accs[0]
+    for a in accs[1:]:
+        merged = merged.merge(a)
+    return TableProfile(merged, opts)
+
+
+# ---------------------------------------------------------------------------
+# nested-JSON column inference (the reference's JSONL mode, distributed)
+# ---------------------------------------------------------------------------
+
+
+def profile_json_column(
+    df: DataFrame,
+    column: str,
+    infer_opts: Optional[InferenceOptions] = None,
+    enum: Optional[EnumInference] = None,
+) -> SchemaNode:
+    """Infer the schema tree of a JSON-string column.
+
+    Each partition folds its documents into one SchemaNode (the
+    reference's ``infer_schema_from_iter``, infer.rs:441-449, running
+    per-partition); pickled partial trees merge on the driver.  The
+    enum post-pass runs ONCE after the global merge (sane-semantics
+    deviation, SURVEY.md §2.4 E4).  ``json.loads`` is per-document by
+    nature; evidence stays bounded via ``InferenceOptions`` caps.
+    """
+    opts = infer_opts or InferenceOptions(
+        max_strings_seen=64, max_chars_seen=1024
+    )
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        acc = SchemaNode.initial()
+        from ..core.infer import merge as node_merge, _infer_inner
+
+        for pdf in batches:
+            docs = pdf[column].dropna().map(json.loads)
+            for doc in docs:
+                acc = node_merge(acc, _infer_inner(doc, opts), opts)
+        yield pd.DataFrame({"node": [pickle.dumps(acc)]})
+
+    parts = df.select(column).mapInPandas(fn, "node binary").collect()
+    from ..core.infer import apply_enum, merge as node_merge
+
+    out = SchemaNode.initial()
+    for r in parts:
+        out = node_merge(out, pickle.loads(r["node"]), opts)
+    if enum is not None:
+        out = apply_enum(out, enum)
+    return out

@@ -1,0 +1,134 @@
+"""Distributed profiler vs pandas oracle on the driver testdata, plus
+partitioning-invariance (the merge-monoid property at the Spark level)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from drivel_spark.core import EnumInference
+from drivel_spark.profile import ProfilerOptions, profile, profile_json_column
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_small_dir):
+    return spark.read.parquet(f"{sf_small_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem_pd(sf_small_dir):
+    return pd.read_parquet(f"{sf_small_dir}/lineitem.parquet")
+
+
+def test_numeric_profile_matches_pandas(lineitem, lineitem_pd):
+    prof = profile(lineitem)
+    assert prof.n_rows == len(lineitem_pd)
+    for col in ["l_quantity", "l_extendedprice", "l_discount"]:
+        acc = prof.column(col)
+        assert acc.n == len(lineitem_pd)
+        assert acc.n_null == int(lineitem_pd[col].isna().sum())
+        assert acc.min_v == pytest.approx(lineitem_pd[col].min())
+        assert acc.max_v == pytest.approx(lineitem_pd[col].max())
+        assert acc.sum_v == pytest.approx(lineitem_pd[col].sum(), rel=1e-9)
+        # HLL within 5% of exact distinct
+        exact = lineitem_pd[col].nunique()
+        assert abs(acc.hll.estimate() - exact) / max(exact, 1) < 0.05
+        # KLL median within ~2.5% rank error; discrete columns put mass
+        # on single values, so test against the [P(X<m), P(X<=m)] interval
+        med = acc.kll.quantile(0.5)
+        rank_lo = (lineitem_pd[col] < med).mean()
+        rank_hi = (lineitem_pd[col] <= med).mean()
+        assert rank_lo - 0.025 <= 0.5 <= rank_hi + 0.025
+
+
+def test_string_profile_matches_pandas(lineitem, lineitem_pd):
+    prof = profile(lineitem)
+    acc = prof.column("l_returnflag")
+    lens = lineitem_pd["l_returnflag"].str.len()
+    assert acc.min_len == lens.min() and acc.max_len == lens.max()
+    # small-cardinality column: frequency map is exact
+    assert acc.freq.is_exact
+    assert acc.freq.counts == lineitem_pd["l_returnflag"].value_counts().to_dict()
+
+
+def test_partitioning_invariance(lineitem):
+    p1 = profile(lineitem.coalesce(1))
+    p8 = profile(lineitem.repartition(8))
+    p17 = profile(lineitem.repartition(17, "l_partkey"))
+    for prof in (p8, p17):
+        for col in prof.columns():
+            a, b = p1.column(col), prof.column(col)
+            assert a.n == b.n and a.n_null == b.n_null
+            if a.kind == "numeric":
+                assert a.min_v == b.min_v and a.max_v == b.max_v
+                assert a.sum_v == pytest.approx(b.sum_v, rel=1e-9)
+                # HLL registers are merge-exact: identical regardless of split
+                assert np.array_equal(a.hll.registers, b.hll.registers)
+            if a.kind == "string":
+                assert a.min_len == b.min_len and a.max_len == b.max_len
+                assert a.freq.counts == b.freq.counts
+                assert sorted(map(str, a.sample.sample())) == sorted(map(str, b.sample.sample()))
+
+
+def test_enum_detection_on_low_cardinality(lineitem):
+    prof = profile(lineitem, opts=ProfilerOptions(enum_max_unique_ratio=0.01))
+    node = prof.to_schema_node()
+    rf = node.required["l_returnflag"]
+    assert rf.str_type == "enum"
+    assert rf.variants == frozenset({"A", "N", "R"})
+
+
+def test_describe_and_json_schema_render(lineitem):
+    prof = profile(lineitem)
+    text = prof.describe()
+    assert '"l_orderkey"' in text and "int (" in text
+    js = prof.to_json_schema(extended=True)
+    assert js["type"] == "object"
+    assert js["properties"]["l_quantity"]["type"] == "number"
+    assert "minimum" in js["properties"]["l_quantity"]
+
+
+def test_profile_binary_and_array(spark):
+    pdf = pd.DataFrame(
+        {
+            "b": [b"abc", b"defgh", None, b""],
+            "arr": [[1.0, 2.0], [], [3.0], None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    prof = profile(df)
+    b = prof.column("b")
+    assert (b.min_size, b.max_size, b.n_null, b.total_bytes) == (0, 5, 1, 8)
+    a = prof.column("arr")
+    assert (a.min_items, a.max_items, a.n_null) == (0, 2, 1)
+
+
+def test_profile_uuid_format_column(spark):
+    import uuid
+
+    rng = np.random.default_rng(5)
+    ids = [str(uuid.UUID(bytes=rng.bytes(16))) for _ in range(500)]
+    df = spark.createDataFrame(pd.DataFrame({"id": ids})).repartition(4)
+    prof = profile(df)
+    assert prof.column("id").resolved_format == "uuid"
+    node = prof.to_schema_node()
+    assert node.required["id"].str_type == "uuid"
+
+
+def test_profile_json_column(spark, sf_small_dir):
+    events = spark.read.parquet(f"{sf_small_dir}/events.parquet")
+    node = profile_json_column(events, "props", enum=EnumInference(0.5, 1))
+    assert node.kind == "object"
+    # cross-check against a driver-side fold over the same documents
+    props = pd.read_parquet(f"{sf_small_dir}/events.parquet")["props"].dropna()
+    from drivel_spark.core import InferenceOptions, infer_many
+
+    oracle = infer_many(
+        [json.loads(p) for p in props],
+        InferenceOptions(max_strings_seen=64, max_chars_seen=1024),
+    )
+    assert set(node.required) == set(oracle.required)
+    assert set(node.optional) == set(oracle.optional)
+    for k in node.required:
+        assert node.required[k].kind == oracle.required[k].kind

@@ -1,0 +1,246 @@
+"""Deterministic synthetic clips + transcripts tables (FIXTURES.md F1/F2).
+
+Every column is a pure function of the row index ``i`` (stable hashes →
+uniforms; Box-Muller for the log-normal), so:
+
+* generation is embarrassingly parallel (``spark.range`` →
+  ``mapInPandas``) and independent of partitioning;
+* a pandas oracle can regenerate any slice bit-identically;
+* violations are injected at *modular-arithmetic row positions*, so
+  expected pass/fail counts and violation rows are computable in
+  closed form (and in plain SQL) — FIXTURES.md: "violations injected at
+  known rows".
+
+Violation rules (variant="default"; "clean" disables all):
+
+* duplicate clip_id:     i % 1000 == 500 and i >= 1000 → reuse clip_id(i-999)
+* sr_hz out of range:    i % 500  == 3                 → 12345
+* dur_ms out of range:   i % 500  == 7                 → 0 (even millennium) / 120000
+* codec not in enum:     i % 1000 == 11                → "wat"
+* transcript null:       i % 200  == 13                → NULL
+
+Audio payload: WAV PCM16 synthesized per clip from the row index
+(drivel_spark.produce.audio); payload duration is the row's dur_ms
+clamped to [50, audio_cap_ms] and sr clamped to [4000, 48000] so
+metadata-violation rows don't explode payload size (sandbox deviation,
+bounded fixtures; the oracle applies the same clamp).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+
+from .produce.audio import synth_wav
+from .sketches.hashing import hash64
+
+CLIPS_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+)
+TRANSCRIPTS_SCHEMA = "clip_id string, transcript string, lang string"
+
+SR_VALUES = np.array([8000, 16000, 22050, 44100, 48000], dtype=np.int64)
+SR_PROBS = np.array([0.55, 0.25, 0.10, 0.07, 0.03])
+CODEC_VALUES = np.array(["pcm_s16le", "flac", "opus", "mp3"], dtype=object)
+CODEC_PROBS = np.array([0.70, 0.15, 0.10, 0.05])
+CODEC_PROBS_DRIFTED = np.array([0.30, 0.40, 0.20, 0.10])
+LANG_VALUES = np.array(["en", "de", "nl", "fr"], dtype=object)
+LANG_PROBS = np.array([0.6, 0.2, 0.12, 0.08])
+
+SR_RANGE = (4000, 48000)
+DUR_RANGE = (200, 30000)
+CODEC_ENUM = set(CODEC_VALUES.tolist())
+
+# 32 onsets × 16 rimes = 512 deterministic words (FIXTURES.md: fixed
+# 512-word list)
+_ONSETS = [
+    "ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu", "na", "pe",
+    "qui", "ro", "su", "ta", "ve", "wi", "xo", "yu", "za", "bre", "cli", "dro",
+    "fla", "gre", "pli", "sta", "tre", "vla", "sno", "cra",
+]
+_RIMES = [
+    "nd", "rt", "lm", "sk", "mp", "nt", "rb", "ld", "ns", "rm", "st", "lk",
+    "pt", "rn", "ms", "nk",
+]
+WORDS = np.array([o + r for o in _ONSETS for r in _RIMES], dtype=object)
+assert len(WORDS) == 512
+
+
+@dataclass(frozen=True)
+class ClipFixtureSpec:
+    seed: int = 42
+    variant: str = "default"  # default | clean | drifted
+    audio_cap_ms: int = 2000
+    with_audio: bool = True
+
+
+def _u(ids: np.ndarray, salt: int) -> np.ndarray:
+    """Uniform [0,1) per id, stable across processes/partitions."""
+    return hash64(ids.astype(np.int64), salt=salt).astype(np.float64) / 2.0**64
+
+
+def _pick(ids: np.ndarray, salt: int, values: np.ndarray, probs: np.ndarray) -> np.ndarray:
+    u = _u(ids, salt)
+    edges = np.cumsum(probs)
+    idx = np.searchsorted(edges, u, side="right")
+    return values[np.minimum(idx, len(values) - 1)]
+
+
+def clip_id_for(ids: np.ndarray, seed: int) -> np.ndarray:
+    """UUID-shaped deterministic id per row index (lowercase hex)."""
+    h1 = hash64(ids.astype(np.int64), salt=seed * 7 + 1)
+    h2 = hash64(ids.astype(np.int64), salt=seed * 7 + 2)
+    out = np.empty(len(ids), dtype=object)
+    for k in range(len(ids)):  # hex formatting; fixture-build only
+        a = f"{int(h1[k]):016x}"
+        b = f"{int(h2[k]):016x}"
+        out[k] = f"{a[:8]}-{a[8:12]}-{a[12:16]}-{b[:4]}-{b[4:16]}"
+    return out
+
+
+def _transcripts_text(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Word salad, 3-40 words from the fixed 512-word list."""
+    n_words = (3 + np.floor(_u(ids, seed * 7 + 20) * 38)).astype(np.int64)
+    max_w = int(n_words.max()) if len(n_words) else 0
+    # one hash family per word position; mask beyond each row's length
+    cols = []
+    for j in range(max_w):
+        widx = (hash64(ids.astype(np.int64), salt=seed * 7 + 100 + j) % 512).astype(np.int64)
+        cols.append(WORDS[widx])
+    out = np.empty(len(ids), dtype=object)
+    for k in range(len(ids)):
+        out[k] = " ".join(cols[j][k] for j in range(int(n_words[k])))
+    return out
+
+
+def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> pd.DataFrame:
+    """The deterministic generator + oracle: clips rows for these indexes."""
+    ids = np.asarray(list(ids), dtype=np.int64)
+    seed = spec.seed
+    inject = spec.variant != "clean"
+
+    cid = clip_id_for(ids, seed)
+    if inject:
+        dup_mask = (ids % 1000 == 500) & (ids >= 1000)
+        if dup_mask.any():
+            cid[dup_mask] = clip_id_for(ids[dup_mask] - 999, seed)
+
+    sr = _pick(ids, seed * 7 + 3, SR_VALUES, SR_PROBS).astype(np.int64)
+    if inject:
+        sr[ids % 500 == 3] = 12345
+
+    # log-normal duration via Box-Muller, clipped to [200, 30000]
+    u1 = np.clip(_u(ids, seed * 7 + 4), 1e-12, 1.0)
+    u2 = _u(ids, seed * 7 + 5)
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    mu, sigma = np.log(1500.0), 0.8
+    if spec.variant == "drifted":
+        mu = np.log(1500.0 * 1.5)  # FIXTURES.md: dur_ms × 1.5 shift
+    dur = np.clip(np.exp(mu + sigma * z), DUR_RANGE[0], DUR_RANGE[1]).astype(np.int64)
+    if inject:
+        bad_dur = ids % 500 == 7
+        dur[bad_dur & (ids % 1000 == 7)] = 0
+        dur[bad_dur & (ids % 1000 != 7)] = 120000
+
+    codec_probs = CODEC_PROBS_DRIFTED if spec.variant == "drifted" else CODEC_PROBS
+    codec = _pick(ids, seed * 7 + 6, CODEC_VALUES, codec_probs).astype(object)
+    if inject:
+        codec[ids % 1000 == 11] = "wat"
+
+    transcript = _transcripts_text(ids, seed).astype(object)
+    if inject:
+        transcript[ids % 200 == 13] = None
+
+    if spec.with_audio:
+        payload = np.empty(len(ids), dtype=object)
+        sr_c = np.clip(sr, SR_RANGE[0], SR_RANGE[1])
+        dur_c = np.clip(dur, 50, spec.audio_cap_ms)
+        for k in range(len(ids)):  # per-clip numpy synth (vector math inside)
+            payload[k] = synth_wav(int(ids[k]), int(sr_c[k]), int(dur_c[k]), seed)
+    else:
+        payload = np.full(len(ids), None, dtype=object)
+
+    return pd.DataFrame(
+        {
+            "clip_id": cid,
+            "bytes": payload,
+            "sr_hz": sr.astype(np.int32),
+            "dur_ms": dur.astype(np.int32),
+            "codec": codec,
+            "transcript": transcript,
+        }
+    )
+
+
+def expected_audio_params(ids: np.ndarray, spec: ClipFixtureSpec) -> tuple[np.ndarray, np.ndarray]:
+    """(sr, dur) actually used for each row's payload — the oracle's view."""
+    pdf = clips_pdf(ids, ClipFixtureSpec(spec.seed, spec.variant, spec.audio_cap_ms, False))
+    sr_c = np.clip(pdf["sr_hz"].to_numpy(np.int64), SR_RANGE[0], SR_RANGE[1])
+    dur_c = np.clip(pdf["dur_ms"].to_numpy(np.int64), 50, spec.audio_cap_ms)
+    return sr_c, dur_c
+
+
+def transcripts_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> pd.DataFrame:
+    """FIXTURES.md F2: one row per clip, minus 0.3% missing (i%333==17),
+    plus 0.2% orphan rows referencing nonexistent clips (i%500==29)."""
+    ids = np.asarray(list(ids), dtype=np.int64)
+    seed = spec.seed
+    inject = spec.variant != "clean"
+
+    keep = np.ones(len(ids), dtype=bool)
+    if inject:
+        keep &= ids % 333 != 17
+    kept = ids[keep]
+    cid = clip_id_for(kept, seed)
+    if inject:
+        # same duplicate-override rule as clips_pdf, so transcript rows
+        # reference the clip_id actually present in the clips table
+        dup_mask = (kept % 1000 == 500) & (kept >= 1000)
+        if dup_mask.any():
+            cid[dup_mask] = clip_id_for(kept[dup_mask] - 999, seed)
+    text = _transcripts_text(kept + 10_000_000, seed)  # distinct text stream
+    lang = _pick(kept, seed * 7 + 8, LANG_VALUES, LANG_PROBS)
+    base = pd.DataFrame({"clip_id": cid, "transcript": text, "lang": lang})
+
+    if inject:
+        ghosts = ids[ids % 500 == 29]
+        if len(ghosts):
+            gid = clip_id_for(ghosts, seed + 101)  # different hash family → nonexistent
+            gtext = _transcripts_text(ghosts + 20_000_000, seed)
+            glang = _pick(ghosts, seed * 7 + 9, LANG_VALUES, LANG_PROBS)
+            base = pd.concat(
+                [base, pd.DataFrame({"clip_id": gid, "transcript": gtext, "lang": glang})],
+                ignore_index=True,
+            )
+    return base
+
+
+# ---------------------------------------------------------------------------
+# distributed builders
+# ---------------------------------------------------------------------------
+
+
+def build_clips(spark, n_rows: int, n_partitions: int = 8,
+                spec: ClipFixtureSpec = ClipFixtureSpec()):
+    """clips table as a DataFrame, generated in parallel, deterministic
+    regardless of partitioning (every column is f(row index))."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield clips_pdf(pdf["id"].to_numpy(), spec)
+
+    return spark.range(0, n_rows, numPartitions=n_partitions).mapInPandas(gen, CLIPS_SCHEMA)
+
+
+def build_transcripts(spark, n_rows: int, n_partitions: int = 8,
+                      spec: ClipFixtureSpec = ClipFixtureSpec()):
+    def gen(batches):
+        for pdf in batches:
+            yield transcripts_pdf(pdf["id"].to_numpy(), spec)
+
+    return spark.range(0, n_rows, numPartitions=n_partitions).mapInPandas(
+        gen, TRANSCRIPTS_SCHEMA
+    )

@@ -1,0 +1,44 @@
+"""Constraint specs, Catalyst compilation, the validation pass, drift
+statistics, and audio row-level checks."""
+
+from .audio import attach_clip_idx, make_snr_udf, with_decoded_meta
+from .drift import drift_report, ks_statistic, psi_categorical, psi_numeric
+from .spec import (
+    Constraint,
+    Drift,
+    Enum,
+    Format,
+    Length,
+    NotNull,
+    Range,
+    Referential,
+    Unique,
+    from_json_schema,
+    from_profile,
+)
+from .validate import GLOBAL_SCOPE, RowPredicate, ValidationResult, validate
+
+__all__ = [
+    "Constraint",
+    "NotNull",
+    "Range",
+    "Enum",
+    "Length",
+    "Format",
+    "Unique",
+    "Referential",
+    "Drift",
+    "from_profile",
+    "from_json_schema",
+    "validate",
+    "ValidationResult",
+    "RowPredicate",
+    "GLOBAL_SCOPE",
+    "drift_report",
+    "ks_statistic",
+    "psi_categorical",
+    "psi_numeric",
+    "with_decoded_meta",
+    "make_snr_udf",
+    "attach_clip_idx",
+]

@@ -1,0 +1,105 @@
+"""Audio row-level checks as Arrow-vectorized pandas UDFs.
+
+The per-row invariant (BASELINE.json input_hint): decoded PCM must
+match the oracle's re-synthesis with SNR ≥ 30 dB, plus transcript
+equality.  Decoding runs per Arrow batch (numpy per clip, no per-sample
+Python); the clip-index needed for re-synthesis is recovered by a
+distributed join against the deterministic (clip_id, idx) mapping —
+never a driver-side lookup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..produce.audio import snr_db, synth_pcm, wav_decode
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("wav_ok", BooleanType()),
+        StructField("wav_sr", IntegerType()),
+        StructField("wav_n_samples", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_DECODE_SCHEMA)
+def _decode_meta_udf(payload: pd.Series) -> pd.DataFrame:
+    ok, srs, ns = [], [], []
+    for b in payload:
+        if b is None:
+            ok.append(False), srs.append(None), ns.append(None)
+            continue
+        try:
+            pcm, sr = wav_decode(bytes(b))
+            ok.append(True), srs.append(sr), ns.append(len(pcm))
+        except ValueError:
+            ok.append(False), srs.append(None), ns.append(None)
+    return pd.DataFrame({"wav_ok": ok, "wav_sr": srs, "wav_n_samples": ns})
+
+
+def with_decoded_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Adds wav_ok / wav_sr / wav_n_samples columns (batch-vectorized)."""
+    return df.withColumn("__wav", _decode_meta_udf(F.col(bytes_col))).select(
+        "*", "__wav.wav_ok", "__wav.wav_sr", "__wav.wav_n_samples"
+    ).drop("__wav")
+
+
+def make_snr_udf(seed: int = 42, audio_cap_ms: int = 2000,
+                 sr_range: tuple[int, int] = (4000, 48000)):
+    """SNR of decoded payload vs deterministic re-synthesis keyed by the
+    clip index (fixture oracle).  Returns a pandas UDF
+    (bytes, idx, sr_hz, dur_ms) → double."""
+
+    @F.pandas_udf(DoubleType())
+    def snr_udf(payload: pd.Series, idx: pd.Series, sr: pd.Series, dur: pd.Series) -> pd.Series:
+        out = np.full(len(payload), -np.inf)
+        for k in range(len(payload)):
+            b = payload.iloc[k]
+            if b is None or pd.isna(idx.iloc[k]):
+                continue
+            try:
+                decoded, _ = wav_decode(bytes(b))
+            except ValueError:
+                continue
+            sr_c = int(np.clip(sr.iloc[k], sr_range[0], sr_range[1]))
+            dur_c = int(np.clip(dur.iloc[k], 50, audio_cap_ms))
+            ref = synth_pcm(int(idx.iloc[k]), sr_c, dur_c, seed)
+            out[k] = snr_db(ref, decoded)
+        return pd.Series(out)
+
+    return snr_udf
+
+
+def attach_clip_idx(
+    df: DataFrame, spark: SparkSession, n_rows: int, seed: int = 42,
+    clip_id_col: str = "clip_id", n_partitions: int = 8,
+) -> DataFrame:
+    """Join the deterministic (clip_id, clip_idx) mapping back onto the
+    table — a distributed equi-join (no driver lookup), so the SNR
+    invariant check scales with the cluster."""
+    from ..fixtures import clip_id_for
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame({clip_id_col: clip_id_for(ids, seed), "clip_idx": ids})
+
+    mapping = spark.range(0, n_rows, numPartitions=n_partitions).mapInPandas(
+        gen, f"{clip_id_col} string, clip_idx long"
+    )
+    # duplicate-injected ids map to one canonical idx (min) so the join
+    # stays 1:1 even when uniqueness violations exist
+    mapping = mapping.groupBy(clip_id_col).agg(F.min("clip_idx").alias("clip_idx"))
+    return df.join(mapping, on=clip_id_col, how="left")

@@ -1,0 +1,234 @@
+"""Constraint specs + compilation to Catalyst Column predicates.
+
+The reference has no predicate evaluation at all (SURVEY.md §2.10
+Filter row) — constraints are the target-design addition mandated by
+BASELINE.json's north_rule.  Row-level constraints compile to pure
+`pyspark.sql.functions` boolean columns (JVM-side, whole-stage codegen;
+no Python in the hot path); dataset-level constraints (uniqueness,
+referential) compile to shuffle plans in validate.py.
+
+``from_profile`` closes the infer-then-check loop: a TableProfile of a
+baseline table becomes the constraint set future batches are checked
+against.  ``from_json_schema`` is the fixed-schema front-end (the
+reference's ``--from-schema`` path, main.rs:30-32).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core.node import (
+    NUMBER,
+    OBJECT,
+    STRING,
+    STR_ENUM,
+    STR_UNKNOWN,
+    SchemaNode,
+)
+from ..core.detect import (
+    EMAIL_RE,
+    HOSTNAME_RE,
+    ISO_DATE_RE,
+    RFC2822_RE,
+    RFC3339_RE,
+    URL_RE,
+    UUID_RE,
+)
+
+
+@dataclass(frozen=True)
+class Constraint:
+    name: str
+    column: str
+
+    @property
+    def is_row_level(self) -> bool:
+        return True
+
+    def predicate(self) -> Column:  # True = row passes
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class NotNull(Constraint):
+    def predicate(self) -> Column:
+        return F.col(self.column).isNotNull()
+
+
+@dataclass(frozen=True)
+class Range(Constraint):
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+
+    def predicate(self) -> Column:
+        c = F.col(self.column)
+        p = F.lit(True)
+        if self.lo is not None:
+            p = p & (c >= F.lit(self.lo))
+        if self.hi is not None:
+            p = p & (c <= F.lit(self.hi))
+        # null passes range checks; nullability is NotNull's job
+        return F.when(c.isNull(), F.lit(True)).otherwise(p)
+
+
+@dataclass(frozen=True)
+class Enum(Constraint):
+    variants: tuple = ()
+
+    def predicate(self) -> Column:
+        c = F.col(self.column)
+        return F.when(c.isNull(), F.lit(True)).otherwise(c.isin(list(self.variants)))
+
+
+@dataclass(frozen=True)
+class Length(Constraint):
+    min_len: Optional[int] = None
+    max_len: Optional[int] = None
+
+    def predicate(self) -> Column:
+        c = F.length(F.col(self.column))
+        p = F.lit(True)
+        if self.min_len is not None:
+            p = p & (c >= self.min_len)
+        if self.max_len is not None:
+            p = p & (c <= self.max_len)
+        return F.when(F.col(self.column).isNull(), F.lit(True)).otherwise(p)
+
+
+# Java-regex translations of the detector cascade (core/detect.py) —
+# anchored like the reference's patterns (infer_string.rs:3-12)
+_FORMAT_JAVA_RE = {
+    "uuid": UUID_RE.pattern,
+    "email": EMAIL_RE.pattern,
+    "hostname": HOSTNAME_RE.pattern,
+    "url": URL_RE.pattern.replace("\\S", "[^\\s]"),
+    "iso-date": ISO_DATE_RE.pattern,
+    "datetime-iso8601": RFC3339_RE.pattern,
+    "datetime-rfc2822": RFC2822_RE.pattern.replace("(?:", "("),
+}
+
+
+@dataclass(frozen=True)
+class Format(Constraint):
+    fmt: str = "uuid"
+
+    def predicate(self) -> Column:
+        c = F.col(self.column)
+        pattern = _FORMAT_JAVA_RE[self.fmt]
+        p = c.rlike(pattern)
+        if self.fmt == "uuid":
+            p = p & (F.length(c) == 36)
+        return F.when(c.isNull(), F.lit(True)).otherwise(p)
+
+
+@dataclass(frozen=True)
+class Unique(Constraint):
+    """Dataset-level: exact confirm is a hash-repartition groupBy.count
+    in validate.py, pre-gated by the profile's HLL estimate."""
+
+    @property
+    def is_row_level(self) -> bool:
+        return False
+
+
+@dataclass(frozen=True)
+class Referential(Constraint):
+    """Dataset-level: anti-join against ``ref_table``.``ref_column``."""
+
+    ref_table: str = ""
+    ref_column: str = ""
+
+    @property
+    def is_row_level(self) -> bool:
+        return False
+
+
+@dataclass(frozen=True)
+class Drift(Constraint):
+    """Dataset-level: KS / PSI of this batch's sketch vs a baseline
+    profile's sketch (drift.py)."""
+
+    max_ks: float = 0.1
+    max_psi: float = 0.2
+
+    @property
+    def is_row_level(self) -> bool:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+
+def from_profile(
+    profile,
+    columns: Optional[Sequence[str]] = None,
+    numeric_margin: float = 0.0,
+    with_drift: bool = False,
+) -> list[Constraint]:
+    """Infer-then-check: derive the constraint set a baseline profile
+    implies.  ``numeric_margin`` widens numeric ranges by a fraction of
+    the observed span (0 = exact observed bounds, reference semantics).
+    """
+    out: list[Constraint] = []
+    for name in profile.columns():
+        if columns is not None and name not in columns:
+            continue
+        acc = profile.column(name)
+        if acc.n_null == 0 and acc.n > 0:
+            out.append(NotNull(f"{name}_not_null", name))
+        if acc.kind == "numeric" and acc.min_v is not None:
+            span = (acc.max_v - acc.min_v) * numeric_margin
+            out.append(Range(f"{name}_range", name, acc.min_v - span, acc.max_v + span))
+            if with_drift:
+                out.append(Drift(f"{name}_drift", name))
+        elif acc.kind == "string":
+            node = profile._column_node(acc)
+            if node.str_type == STR_ENUM:
+                out.append(Enum(f"{name}_enum", name, tuple(sorted(node.variants))))
+            elif node.str_type != STR_UNKNOWN:
+                out.append(Format(f"{name}_format", name, node.str_type))
+            elif acc.min_len is not None:
+                out.append(Length(f"{name}_length", name, acc.min_len, acc.max_len))
+            if with_drift:
+                out.append(Drift(f"{name}_drift", name))
+    return out
+
+
+def from_json_schema(doc_or_node) -> list[Constraint]:
+    """JSON Schema (or parsed SchemaNode) → constraints over the
+    top-level object's fields (the --from-schema validation path)."""
+    node = doc_or_node
+    if not isinstance(node, SchemaNode):
+        from ..core.parse_schema import parse_json_schema
+
+        node = parse_json_schema(node)
+    if node.kind != OBJECT:
+        raise ValueError("top-level schema must be an object to validate a table")
+    out: list[Constraint] = []
+    for name, sub in sorted({**node.required, **node.optional}.items()):
+        required = name in node.required
+        if required and not sub.nullable:
+            out.append(NotNull(f"{name}_not_null", name))
+        if sub.kind == NUMBER:
+            # drop the parser's "unbounded" sentinels (±inf / i64 extremes)
+            lo, hi = sub.min_n, sub.max_n
+            if lo is not None and lo <= -(2**62):
+                lo = None
+            if hi is not None and hi >= 2**62:
+                hi = None
+            if lo is not None or hi is not None:
+                out.append(Range(f"{name}_range", name, lo, hi))
+        elif sub.kind == STRING:
+            if sub.str_type == STR_ENUM:
+                out.append(Enum(f"{name}_enum", name, tuple(sorted(sub.variants))))
+            elif sub.str_type != STR_UNKNOWN:
+                out.append(Format(f"{name}_format", name, sub.str_type))
+            elif sub.min_len is not None or sub.max_len is not None:
+                out.append(Length(f"{name}_length", name, sub.min_len, sub.max_len))
+    return out

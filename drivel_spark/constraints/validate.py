@@ -1,0 +1,254 @@
+"""Pass 2: constraint evaluation → per-partition pass/fail rows +
+violation DataFrames (BASELINE.json north_star).
+
+Physical shape, designed for 10^12 rows:
+
+* ALL row-level constraints evaluate in ONE scan: each compiles to a
+  JVM boolean column, a single ``groupBy(partition_scope)`` computes
+  every violation count map-side-partially (Catalyst partial+final
+  hash agg), then ``stack`` unpivots to (partition, constraint) rows.
+  No Python touches row data.
+* Violation rows come from the same predicate columns
+  (``filter(size(failed) > 0)``) — Catalyst reuses the scan via
+  whole-stage codegen; filters/pruning still push down to parquet.
+* Uniqueness = HLL sketch pre-estimate (from the profile pass, free)
+  + exact confirm via hash-shuffle ``groupBy(key).count().filter(>1)``;
+  AQE splits skewed keys.
+* Referential completeness = ``left_anti`` join per direction (small
+  dimension sides should be broadcast by AQE automatically).
+* Drift = driver-side sketch-vs-sketch math (drift.py), no data pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .drift import drift_column
+from .spec import Constraint, Drift, Referential, Unique
+
+GLOBAL_SCOPE = -1  # partition_id for dataset-level constraint rows
+
+PASSFAIL_COLS = ["partition_id", "constraint", "n_rows", "n_violations", "passed"]
+
+
+@dataclass
+class ValidationResult:
+    passfail: DataFrame
+    violations: DataFrame  # input rows + failed: array<string>
+    dataset: list[dict[str, Any]] = dc_field(default_factory=list)
+    violation_tables: dict[str, DataFrame] = dc_field(default_factory=dict)
+
+    def all_passed(self) -> bool:
+        row_ok = self.passfail.filter(~F.col("passed")).limit(1).count() == 0
+        ds_ok = all(d.get("passed", True) for d in self.dataset)
+        return row_ok and ds_ok
+
+    def passfail_pdf(self):
+        """Deterministically-ordered pandas view (for byte-comparisons)."""
+        return (
+            self.passfail.orderBy("constraint", "partition_id")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+
+
+class RowPredicate(Constraint):
+    """Escape hatch: any boolean Column as a row-level constraint (used
+    for the audio-integrity checks built in constraints/audio.py)."""
+
+    def __init__(self, name: str, column: str, expr: Column):
+        object.__setattr__(self, "name", name)
+        object.__setattr__(self, "column", column)
+        object.__setattr__(self, "_expr", expr)
+
+    def predicate(self) -> Column:
+        return self._expr
+
+
+def validate(
+    df: DataFrame,
+    constraints: list[Constraint],
+    scope: Optional[Column] = None,
+    ref_tables: Optional[dict[str, DataFrame]] = None,
+    profile=None,
+    baseline_profile=None,
+    keep_columns: Optional[list[str]] = None,
+) -> ValidationResult:
+    """Evaluate constraints; return pass/fail rows + violation rows.
+
+    ``scope`` partitions the pass/fail report (default: physical
+    partition via ``spark_partition_id()``; pass a stable column
+    expression for layout-independent reports).
+    ``ref_tables`` supplies the right side of Referential constraints.
+    ``profile``/``baseline_profile`` are TableProfiles of this batch /
+    of the baseline, used by Unique (HLL pre-gate) and Drift.
+    """
+    row_cs = [c for c in constraints if c.is_row_level]
+    ds_cs = [c for c in constraints if not c.is_row_level]
+
+    scope_col = scope if scope is not None else F.spark_partition_id()
+    base = df.withColumn("__scope", scope_col)
+
+    # ---- one-scan row-level aggregation --------------------------------
+    if row_cs:
+        viol_flags = [
+            (~c.predicate()).cast("long").alias(f"__v_{i}") for i, c in enumerate(row_cs)
+        ]
+        agg = (
+            base.select(F.col("__scope"), *viol_flags)
+            .groupBy("__scope")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                *[F.sum(f"__v_{i}").alias(f"__v_{i}") for i in range(len(row_cs))],
+            )
+        )
+        stack_args = ", ".join(f"'{c.name}', __v_{i}" for i, c in enumerate(row_cs))
+        passfail = agg.select(
+            F.col("__scope").cast("long").alias("partition_id"),
+            F.expr(f"stack({len(row_cs)}, {stack_args}) as (constraint, n_violations)"),
+            F.col("n_rows"),
+        ).select(
+            "partition_id",
+            "constraint",
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+        failed_arr = F.array_compact(
+            F.array(
+                *[
+                    F.when(~c.predicate(), F.lit(c.name)).otherwise(F.lit(None))
+                    for c in row_cs
+                ]
+            )
+        ).alias("failed")
+        keep = keep_columns or df.columns
+        violations = (
+            df.select(*keep, failed_arr)
+            .filter(F.size("failed") > 0)
+        )
+    else:
+        spark = df.sparkSession
+        passfail = spark.createDataFrame(
+            [], "partition_id long, constraint string, n_rows long, n_violations long, passed boolean"
+        )
+        violations = df.limit(0).withColumn("failed", F.array().cast("array<string>"))
+
+    # ---- dataset-level constraints --------------------------------------
+    dataset: list[dict[str, Any]] = []
+    violation_tables: dict[str, DataFrame] = {}
+    extra_passfail_rows: list[tuple] = []
+    n_total: Optional[int] = None
+
+    for c in ds_cs:
+        if isinstance(c, Unique):
+            res, vtab, n_total = _check_unique(df, c, profile, n_total)
+        elif isinstance(c, Referential):
+            if not ref_tables or c.ref_table not in ref_tables:
+                raise ValueError(f"Referential constraint {c.name} needs ref_tables[{c.ref_table!r}]")
+            res, vtab, n_total = _check_referential(df, c, ref_tables[c.ref_table], n_total)
+        elif isinstance(c, Drift):
+            if profile is None or baseline_profile is None:
+                raise ValueError(f"Drift constraint {c.name} needs profile + baseline_profile")
+            res, vtab = _check_drift(c, profile, baseline_profile), None
+        else:
+            raise ValueError(f"unknown dataset constraint {type(c)}")
+        dataset.append(res)
+        if vtab is not None:
+            violation_tables[c.name] = vtab
+        extra_passfail_rows.append(
+            (GLOBAL_SCOPE, c.name, res.get("n_rows", n_total or 0), res["n_violations"], res["passed"])
+        )
+
+    if extra_passfail_rows:
+        spark = df.sparkSession
+        extra = spark.createDataFrame(
+            extra_passfail_rows,
+            "partition_id long, constraint string, n_rows long, n_violations long, passed boolean",
+        )
+        passfail = passfail.unionByName(extra)
+
+    return ValidationResult(passfail, violations, dataset, violation_tables)
+
+
+def _check_unique(df: DataFrame, c: Unique, profile, n_total):
+    """HLL pre-estimate (free, from the profile scan) + exact confirm
+    (hash repartition groupBy — the only correct answer at enforce
+    level; the sketch only contextualizes the report)."""
+    if n_total is None:
+        n_total = df.count()
+    hll_est = None
+    if profile is not None and c.column in profile.acc.cols:
+        acc = profile.column(c.column)
+        if hasattr(acc, "hll"):
+            hll_est = round(acc.hll.estimate())
+    dup_keys = (
+        df.groupBy(c.column)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+    agg = dup_keys.agg(
+        F.count(F.lit(1)).alias("k"), F.coalesce(F.sum("cnt"), F.lit(0)).alias("r")
+    ).collect()[0]
+    n_dup_keys, n_dup_rows = int(agg["k"]), int(agg["r"])
+    n_violations = n_dup_rows - n_dup_keys  # rows beyond the first per key
+    return (
+        {
+            "constraint": c.name,
+            "type": "unique",
+            "column": c.column,
+            "n_rows": n_total,
+            "hll_estimate": hll_est,
+            "n_duplicate_keys": n_dup_keys,
+            "n_violations": n_violations,
+            "passed": n_violations == 0,
+        },
+        dup_keys,
+        n_total,
+    )
+
+
+def _check_referential(df: DataFrame, c: Referential, ref: DataFrame, n_total):
+    if n_total is None:
+        n_total = df.count()
+    orphans = df.join(
+        ref.select(F.col(c.ref_column).alias(c.column)).dropDuplicates([c.column]),
+        on=c.column,
+        how="left_anti",
+    )
+    n_orphans = orphans.count()
+    return (
+        {
+            "constraint": c.name,
+            "type": "referential",
+            "column": c.column,
+            "ref": f"{c.ref_table}.{c.ref_column}",
+            "n_rows": n_total,
+            "n_violations": n_orphans,
+            "passed": n_orphans == 0,
+        },
+        orphans,
+        n_total,
+    )
+
+
+def _check_drift(c: Drift, profile, baseline_profile) -> dict[str, Any]:
+    metrics = drift_column(baseline_profile.column(c.column), profile.column(c.column))
+    ks, psi = metrics.get("ks"), metrics.get("psi")
+    failed = (ks is not None and ks > c.max_ks) or (psi is not None and psi > c.max_psi)
+    return {
+        "constraint": c.name,
+        "type": "drift",
+        "column": c.column,
+        "ks": ks,
+        "psi": psi,
+        "max_ks": c.max_ks,
+        "max_psi": c.max_psi,
+        "n_violations": int(failed),
+        "passed": not failed,
+    }

@@ -1,0 +1,227 @@
+"""End-to-end validation on the clips fixture vs the closed-form oracle:
+per-partition pass/fail rows, violation rows, uniqueness, referential,
+drift, and the audio SNR invariant (SURVEY.md §7.2 minimum slice and
+beyond)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from drivel_spark.constraints import (
+    Drift,
+    Enum,
+    NotNull,
+    Range,
+    Referential,
+    RowPredicate,
+    Unique,
+    attach_clip_idx,
+    from_profile,
+    make_snr_udf,
+    validate,
+    with_decoded_meta,
+)
+from drivel_spark.constraints.drift import ks_statistic, psi_categorical
+from drivel_spark.fixtures import (
+    CODEC_ENUM,
+    ClipFixtureSpec,
+    build_clips,
+    build_transcripts,
+    clips_pdf,
+)
+from drivel_spark.profile import profile
+
+N = 4000
+PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    return build_clips(
+        spark, N, n_partitions=PARTS, spec=ClipFixtureSpec(with_audio=False)
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def clips_oracle():
+    return clips_pdf(range(N), ClipFixtureSpec(with_audio=False))
+
+
+SR_ENUM = (8000, 16000, 22050, 44100, 48000)
+
+CONSTRAINTS = [
+    Enum("sr_enum", "sr_hz", SR_ENUM),
+    Range("dur_range", "dur_ms", 200, 30000),
+    Enum("codec_enum", "codec", tuple(sorted(CODEC_ENUM))),
+    NotNull("transcript_not_null", "transcript"),
+]
+
+
+def test_row_level_counts_match_oracle(clips, clips_oracle):
+    res = validate(clips, CONSTRAINTS)
+    pf = res.passfail_pdf()
+    got = pf.groupby("constraint")["n_violations"].sum().to_dict()
+    o = clips_oracle
+    want = {
+        "sr_enum": int((~o.sr_hz.isin(SR_ENUM)).sum()),
+        "dur_range": int(((o.dur_ms < 200) | (o.dur_ms > 30000)).sum()),
+        "codec_enum": int((~o.codec.isin(sorted(CODEC_ENUM))).sum()),
+        "transcript_not_null": int(o.transcript.isna().sum()),
+    }
+    assert got == want
+    assert pf.groupby("constraint")["n_rows"].sum().eq(N).all()
+    assert not res.all_passed()
+
+
+def test_violation_rows_exact_match(clips, clips_oracle):
+    res = validate(clips, CONSTRAINTS)
+    got = res.violations.toPandas()
+    ids = np.arange(N)
+    bad = set()
+    for rule in (ids[ids % 500 == 3], ids[ids % 500 == 7], ids[ids % 1000 == 11], ids[ids % 200 == 13]):
+        bad |= set(rule)
+    want_ids = set(clips_oracle.loc[sorted(bad), "clip_id"])
+    assert set(got["clip_id"]) == want_ids
+    # failed-constraint labels are right on a known row: i=3 → sr violation
+    row3 = got[got.clip_id == clips_oracle.clip_id[3]].iloc[0]
+    assert row3["failed"] == ["sr_enum"]
+
+
+def test_per_partition_passfail_with_stable_scope(spark, clips_oracle):
+    """Layout-independent scope column ⇒ pass/fail rows byte-match the
+    closed-form oracle."""
+    clips = build_clips(spark, N, n_partitions=5, spec=ClipFixtureSpec(with_audio=False))
+    with_idx = attach_clip_idx(clips, spark, N)
+    res = validate(
+        with_idx,
+        [Range("sr_range", "sr_hz", 4000, 48000)],
+        scope=(F.col("clip_idx") % 4).cast("long"),
+    )
+    pf = res.passfail_pdf()
+    o = clips_oracle.assign(idx=np.arange(N))
+    # oracle joins duplicates to canonical idx = min over equal clip_ids,
+    # same as attach_clip_idx
+    canon = o.groupby("clip_id")["idx"].min()
+    o["scope"] = canon.loc[o.clip_id].to_numpy() % 4
+    want = (
+        o.assign(v=((o.sr_hz < 4000) | (o.sr_hz > 48000)).astype(int))
+        .groupby("scope")
+        .agg(n_rows=("v", "size"), n_violations=("v", "sum"))
+        .reset_index()
+    )
+    got = pf[pf.constraint == "sr_range"].sort_values("partition_id")
+    assert list(got["partition_id"]) == list(want["scope"])
+    assert list(got["n_rows"]) == list(want["n_rows"])
+    assert list(got["n_violations"]) == list(want["n_violations"])
+
+
+def test_unique_constraint(clips, clips_oracle):
+    prof = profile(clips, columns=["clip_id"])
+    res = validate(clips, [Unique("clip_id_unique", "clip_id")], profile=prof)
+    d = res.dataset[0]
+    ids = np.arange(N)
+    n_dups = len(ids[(ids % 1000 == 500) & (ids >= 1000)])
+    assert d["n_violations"] == n_dups
+    assert d["n_duplicate_keys"] == n_dups  # each dup key appears exactly twice
+    assert not d["passed"]
+    assert d["hll_estimate"] == pytest.approx(N - n_dups, rel=0.05)
+    dup_keys = res.violation_tables["clip_id_unique"].toPandas()
+    want_dups = set(clips_oracle.clip_id[(ids % 1000 == 500) & (ids >= 1000)])
+    assert set(dup_keys["clip_id"]) == want_dups
+
+
+def test_referential_both_directions(spark, clips):
+    transcripts = build_transcripts(spark, N, n_partitions=4)
+    # clips → transcripts: clips whose id has no transcript row
+    res = validate(
+        clips,
+        [Referential("clip_has_transcript", "clip_id", "transcripts", "clip_id")],
+        ref_tables={"transcripts": transcripts},
+    )
+    ids = np.arange(N)
+    missing = ids[ids % 333 == 17]
+    # dup rows (i%1000==500) borrow another clip's id which has a
+    # transcript, so only non-dup missing ids orphan
+    assert res.dataset[0]["n_violations"] == len(missing)
+    # transcripts → clips: ghost rows
+    res2 = validate(
+        transcripts,
+        [Referential("transcript_has_clip", "clip_id", "clips", "clip_id")],
+        ref_tables={"clips": clips},
+    )
+    assert res2.dataset[0]["n_violations"] == len(ids[ids % 500 == 29])
+
+
+def test_from_profile_roundtrip(spark):
+    """Infer-then-check: constraints derived from a clean profile pass on
+    clean data and catch the injected violations on dirty data."""
+    clean = build_clips(spark, 2000, 4, ClipFixtureSpec(variant="clean", with_audio=False))
+    prof = profile(clean, columns=["sr_hz", "dur_ms", "codec", "transcript"])
+    cs = from_profile(prof)
+    names = {c.name for c in cs}
+    assert {"sr_hz_range", "dur_ms_range", "codec_enum", "transcript_not_null"} <= names
+    assert validate(clean, cs).all_passed()
+    dirty = build_clips(spark, 2000, 4, ClipFixtureSpec(with_audio=False))
+    res = validate(dirty, cs)
+    assert not res.all_passed()
+    pf = res.passfail_pdf()
+    assert pf[pf.constraint == "codec_enum"]["n_violations"].sum() == 2  # i=11, 1011
+
+
+def test_drift_detection(spark):
+    base = build_clips(spark, 3000, 4, ClipFixtureSpec(variant="clean", with_audio=False))
+    same = build_clips(spark, 3000, 4, ClipFixtureSpec(variant="clean", seed=43, with_audio=False))
+    drifted = build_clips(spark, 3000, 4, ClipFixtureSpec(variant="drifted", with_audio=False))
+    p_base = profile(base, columns=["dur_ms", "codec"])
+    p_same = profile(same, columns=["dur_ms", "codec"])
+    p_drift = profile(drifted, columns=["dur_ms", "codec"])
+    # same distribution: low KS/PSI
+    ks_same = ks_statistic(p_base.column("dur_ms").kll, p_same.column("dur_ms").kll)
+    ks_drift = ks_statistic(p_base.column("dur_ms").kll, p_drift.column("dur_ms").kll)
+    assert ks_same < 0.05 < ks_drift
+    psi_same = psi_categorical(p_base.column("codec").freq, p_same.column("codec").freq)
+    psi_drift = psi_categorical(p_base.column("codec").freq, p_drift.column("codec").freq)
+    assert psi_same < 0.02 < psi_drift
+    res = validate(
+        drifted,
+        [Drift("dur_drift", "dur_ms"), Drift("codec_drift", "codec")],
+        profile=p_drift,
+        baseline_profile=p_base,
+    )
+    assert not res.all_passed()
+    assert all(not d["passed"] for d in res.dataset)
+
+
+def test_audio_snr_invariant_distributed(spark):
+    """The full per-row invariant on a small audio-bearing table: decode,
+    re-synthesize by joined clip_idx, SNR ≥ 30 dB everywhere."""
+    n = 200
+    spec = ClipFixtureSpec()
+    clips = build_clips(spark, n, 4, spec)
+    with_idx = attach_clip_idx(clips, spark, n)
+    snr = make_snr_udf(seed=spec.seed, audio_cap_ms=spec.audio_cap_ms)
+    checked = with_idx.withColumn(
+        "snr", snr(F.col("bytes"), F.col("clip_idx"), F.col("sr_hz"), F.col("dur_ms"))
+    )
+    res = validate(
+        checked,
+        [RowPredicate("pcm_snr_30db", "snr", F.col("snr") >= 30.0)],
+        keep_columns=["clip_id", "snr"],
+    )
+    pf = res.passfail_pdf()
+    assert pf["n_violations"].sum() == 0
+    stats = checked.agg(F.min("snr").alias("lo")).collect()[0]
+    assert stats["lo"] >= 30.0
+
+
+def test_decoded_meta_consistency(spark):
+    n = 150
+    spec = ClipFixtureSpec()
+    clips = build_clips(spark, n, 3, spec)
+    meta = with_decoded_meta(clips)
+    bad = meta.filter(
+        ~F.col("wav_ok")
+        | (F.col("wav_sr") != F.greatest(F.least(F.col("sr_hz"), F.lit(48000)), F.lit(4000)))
+    )
+    assert bad.count() == 0

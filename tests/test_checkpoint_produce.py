@@ -1,0 +1,135 @@
+"""Resume-from-checkpoint protocol + distributed producer round-trips."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from drivel_spark.checkpoint import CheckpointStore, resumable_profile
+from drivel_spark.core import SchemaNode, parse_json_schema
+from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+from drivel_spark.produce.generator import produce_df, produce_from_profile
+from drivel_spark.profile import profile
+
+
+@pytest.fixture()
+def clip_table(spark, tmp_path):
+    path = str(tmp_path / "clips_pq")
+    build_clips(spark, 2000, 8, ClipFixtureSpec(with_audio=False)).write.parquet(path)
+    return path
+
+
+def test_resume_skips_committed_units(spark, clip_table, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    full = spark.read.parquet(clip_table)
+    units = sorted(full.inputFiles())
+    n_units = len(units)
+    assert n_units >= 4
+
+    # simulate a run killed after k units: profile only k files, commit
+    k = n_units // 2
+    import hashlib
+
+    snapshot = hashlib.sha256("\n".join(units).encode()).hexdigest()[:16]
+    sub_path_profile, stats1 = resumable_profile(
+        spark, clip_table, store, run_id="r1", input_snapshot=snapshot
+    )
+    assert stats1["n_recomputed"] == n_units  # fresh run computes all
+
+    # restart: nothing to recompute, identical profile restored from blobs
+    prof2, stats2 = resumable_profile(
+        spark, clip_table, store, run_id="r1", input_snapshot=snapshot
+    )
+    assert stats2["n_recomputed"] == 0
+    assert stats2["n_restored"] == n_units
+    a, b = sub_path_profile.column("dur_ms"), prof2.column("dur_ms")
+    assert (a.n, a.n_null, a.min_v, a.max_v, a.sum_v) == (b.n, b.n_null, b.min_v, b.max_v, b.sum_v)
+
+
+def test_partial_commit_then_resume(spark, clip_table, tmp_path):
+    """Kill-after-k simulation: pre-commit k units from a first pass, then
+    resume must recompute exactly n-k and match the full profile."""
+    store_full = CheckpointStore(str(tmp_path / "ckpt_full"))
+    prof_full, _ = resumable_profile(spark, clip_table, store_full, run_id="full")
+
+    store = CheckpointStore(str(tmp_path / "ckpt_partial"))
+    committed_all = store_full.committed("full", _snapshot(spark, clip_table))
+    k = len(committed_all) // 2
+    partial = committed_all.head(k).copy()
+    partial["run_id"] = "resumed"
+    store.append(partial.to_dict("records"))
+
+    prof, stats = resumable_profile(spark, clip_table, store, run_id="resumed")
+    assert stats["n_recomputed"] == stats["n_units"] - k
+    assert stats["n_restored"] == k
+    for col in ("dur_ms", "sr_hz"):
+        a, b = prof.column(col), prof_full.column(col)
+        assert (a.n, a.n_null, a.min_v, a.max_v, a.sum_v) == (b.n, b.n_null, b.min_v, b.max_v, b.sum_v)
+        assert np.array_equal(a.hll.registers, b.hll.registers)
+
+
+def _snapshot(spark, path):
+    import hashlib
+
+    units = sorted(spark.read.parquet(path).inputFiles())
+    return hashlib.sha256("\n".join(units).encode()).hexdigest()[:16]
+
+
+def test_snapshot_mismatch_recomputes(spark, clip_table, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    resumable_profile(spark, clip_table, store, run_id="r1", input_snapshot="snapA")
+    _, stats = resumable_profile(spark, clip_table, store, run_id="r1", input_snapshot="snapB")
+    assert stats["n_recomputed"] == stats["n_units"]  # new snapshot → full recompute
+
+
+# ---------------------------------------------------------------------------
+# producer
+# ---------------------------------------------------------------------------
+
+
+def test_produce_df_deterministic_and_partition_invariant(spark):
+    doc = {
+        "type": "object",
+        "properties": {
+            "n": {"type": "integer", "minimum": 5, "maximum": 20},
+            "f": {"type": "number", "minimum": 0.0, "maximum": 1.0},
+            "flag": {"type": "boolean"},
+            "codec": {"type": "string", "enum": ["a", "b", "c"]},
+            "id": {"type": "string", "format": "uuid"},
+        },
+        "required": ["n", "f", "flag", "codec", "id"],
+    }
+    node = parse_json_schema(doc)
+    a = produce_df(spark, node, 500, seed=1, n_partitions=3).toPandas().sort_values("id")
+    b = produce_df(spark, node, 500, seed=1, n_partitions=7).toPandas().sort_values("id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert a["n"].between(5, 20).all()
+    assert a["f"].between(0.0, 1.0).all()
+    assert set(a["codec"].unique()) <= {"a", "b", "c"}
+    assert a["id"].str.match(r"^[0-9a-f-]{36}$").all()
+
+
+def test_produce_optional_fields_nullable(spark):
+    doc = {
+        "type": "object",
+        "properties": {"req": {"type": "integer", "minimum": 0, "maximum": 9},
+                       "opt": {"type": "integer", "minimum": 0, "maximum": 9}},
+        "required": ["req"],
+    }
+    pdf = produce_df(spark, parse_json_schema(doc), 400, seed=2).toPandas()
+    assert pdf["req"].notna().all()
+    assert 0 < pdf["opt"].isna().sum() < 400
+
+
+def test_produce_roundtrip_from_profile(spark):
+    """profile → produce → re-profile: schema kinds and bounds subsumed."""
+    src = build_clips(spark, 1000, 4, ClipFixtureSpec(variant="clean", with_audio=False))
+    prof = profile(src, columns=["sr_hz", "dur_ms", "codec"])
+    gen = produce_from_profile(spark, prof, 2000, seed=3)
+    prof2 = profile(gen)
+    assert prof2.column("sr_hz").min_v >= prof.column("sr_hz").min_v
+    assert prof2.column("sr_hz").max_v <= prof.column("sr_hz").max_v
+    assert prof2.column("dur_ms").min_v >= prof.column("dur_ms").min_v
+    assert prof2.column("dur_ms").max_v <= prof.column("dur_ms").max_v
+    node, node2 = prof.to_schema_node(), prof2.to_schema_node()
+    assert node2.required["codec"].str_type == "enum"
+    assert node2.required["codec"].variants <= node.required["codec"].variants

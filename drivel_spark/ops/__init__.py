@@ -1,0 +1,51 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal payload plumbing."""
+
+from .dedup import (
+    cosine_expr,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+from .multimodal import embed_binary_column, extract_audio_features
+from .similarity import ann_topk, build_lsh_index, cosine_topk
+from .text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    normalize_text,
+    quality_score,
+    token_count,
+    with_text_metrics,
+)
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_candidates",
+    "minhash_dedup_pairs",
+    "simhash_near_dup_pairs",
+    "embedding_near_dup_pairs",
+    "word_shingles",
+    "cosine_expr",
+    "cosine_topk",
+    "build_lsh_index",
+    "ann_topk",
+    "token_count",
+    "bpe_ish_token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "normalize_text",
+    "with_text_metrics",
+    "extract_audio_features",
+    "embed_binary_column",
+]

@@ -1,0 +1,361 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each picked for a different scale/precision point:
+
+* exact         — hash-groupBy on the normalized text (one shuffle);
+* n-gram Jaccard— exact pairwise similarity via an inverted shingle
+                  index (explode → self-join on shingle → count), the
+                  classic distributed set-similarity join;
+* MinHash+LSH   — signature via per-permutation xxhash64 min over the
+                  shingle array (ALL JVM-side: transform+array_min),
+                  banded into buckets, candidates verified with exact
+                  Jaccard — sub-quadratic at 10^12 docs;
+* SimHash       — 64-bit sign-sum fingerprint (Arrow-vectorized numpy
+                  UDF), near-dups = equal band keys + Hamming ≤ k;
+* embedding     — cosine near-dup over `array<float>` vectors:
+                  brute-force for truth, random-hyperplane LSH buckets
+                  as the scale path (see similarity.py for top-k).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .text import normalize_text, tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one row per
+    duplicated text with the surviving (min) id, count, and member ids."""
+    key = normalize_text(F.col(text_col)).alias("dedup_key")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("dedup_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per normalized text (deterministic survivor)."""
+    key = normalize_text(F.col(text_col)).alias("dedup_key")
+    keep = (
+        df.select(key, F.col(id_col).alias("__keep"))
+        .groupBy("dedup_key")
+        .agg(F.min("__keep").alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact n-gram Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (JVM-side: split +
+    transform over indices + array_distinct)."""
+    toks = tokens(normalize_text(col))
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ALL pairs with Jaccard(shingles_a, shingles_b) ≥ threshold, via an
+    inverted shingle index: explode → equi-join on shingle → count
+    common → exact Jaccard.  The join shuffles on the shingle key, so
+    stop-shingle skew is the scale risk: ultra-frequent shingles can be
+    filtered (df-frequency cap) without affecting high-threshold pairs.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("card", F.size("sh"))
+    sizes = sh.select("id", "card")
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("card", "card_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("card", "card_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("card_a") + F.col("card_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(sh_col: Column, num_perm: int = 64) -> Column:
+    """num_perm-wide signature: per permutation p, min over shingles of
+    xxhash64(shingle, seed=p).  Pure Catalyst (transform + array_min) —
+    the signature computation never leaves the JVM."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh_col, lambda s, p=p: F.xxhash64(s, F.lit(p))))
+            for p in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in ≥1 LSH band.
+
+    bands × rows_per_band = num_perm; collision prob ≈ 1-(1-j^r)^b.
+    Band key = hash of the signature slice → explode → groupBy bucket.
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col), n), num_perm).alias("sig"),
+    ).filter(F.size("sig") > 0)
+    band_keys = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * r + i + 1) for i in range(r)])).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+    return (
+        band_keys.alias("a")
+        .join(band_keys.alias("b"), on=["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH candidates verified with EXACT Jaccard (join back to shingle
+    sets, intersection via array_intersect) — the standard
+    candidates-then-verify near-dup pipeline."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n, num_perm, bands)
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
+    verified = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per doc: sign of the per-bit sum of token hashes
+    (numpy bit matrix, vectorized per batch)."""
+    from ..sketches.hashing import hash64
+    from .text import STOPWORDS  # noqa: F401  (kept for parity imports)
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for k, t in enumerate(texts):
+        if not t:
+            continue
+        toks = str(t).lower().split()
+        if not toks:
+            continue
+        h = hash64(np.array(toks, dtype=object))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[k] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+simhash_udf = F.pandas_udf(_simhash_batch, LongType())
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into ``bands`` chunks;
+    any pair within distance < bands must agree on ≥1 chunk → bucket on
+    chunks, verify with bit_count(xor).  bit_count and shifts are JVM
+    expressions; only the signature itself is a pandas UDF.
+    """
+    w = 64 // bands
+    sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * w).bitwiseAND(
+                            F.lit((1 << w) - 1)
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.bkey")
+    pairs = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), on=["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, pure Catalyst:
+    zip_with products + aggregate sums (no Python)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.
+
+    n_planes == 0 → exact all-pairs (the truth baseline; quadratic — use
+    only for tests/small data).  n_planes > 0 → random-hyperplane LSH:
+    bucket on the sign-bit key, compare within buckets (sub-quadratic;
+    recall < 1 by design, verified exactly inside each bucket).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_planes == 0:
+        pairs = base.alias("a").crossJoin(base.alias("b")).filter(F.col("a.id") < F.col("b.id"))
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        planes = rng.normal(size=(n_planes, dim))
+        keyed = base.withColumn(
+            "bucket",
+            F.concat(
+                *[
+                    F.when(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("v"),
+                                F.array(*[F.lit(float(x)) for x in planes[p]]),
+                                lambda a, b: a * b,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                        >= 0,
+                        F.lit("1"),
+                    ).otherwise(F.lit("0"))
+                    for p in range(n_planes)
+                ]
+            ),
+        )
+        pairs = (
+            keyed.alias("a")
+            .join(keyed.alias("b"), on="bucket")
+            .filter(F.col("a.id") < F.col("b.id"))
+        )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

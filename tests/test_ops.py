@@ -1,0 +1,224 @@
+"""Training-data ops vs pandas/numpy oracles on the driver testdata."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from drivel_spark.ops import (
+    ann_topk,
+    build_lsh_index,
+    cosine_topk,
+    embed_binary_column,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    extract_audio_features,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    with_text_metrics,
+)
+from drivel_spark.ops.multimodal import decode_image_stub
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small_dir):
+    return spark.read.parquet(f"{sf_small_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(sf_small_dir):
+    return pd.read_parquet(f"{sf_small_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small_dir):
+    return spark.read.parquet(f"{sf_small_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_pd(sf_small_dir):
+    return pd.read_parquet(f"{sf_small_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark, docs_pd):
+    """documents + injected exact duplicates at known ids."""
+    extra = docs_pd.head(10).copy()
+    extra["doc_id"] = extra["doc_id"] + 100_000
+    return spark.createDataFrame(pd.concat([docs_pd, extra], ignore_index=True))
+
+
+def _pd_shingles(text, n=3):
+    toks = " ".join(str(text).lower().split()).split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _pd_jaccard_pairs(pdf, n=3, threshold=0.8):
+    sh = {r.doc_id: _pd_shingles(r.text, n) for r in pdf.itertuples()}
+    ids = sorted(sh)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh[a], sh[b]
+            if not sa and not sb:
+                continue
+            u = len(sa | sb)
+            if u == 0:
+                continue
+            j = len(sa & sb) / u
+            if j >= threshold:
+                out.append((a, b, round(j, 6)))
+    return set(out)
+
+
+def test_exact_dedup(dup_docs, docs_pd):
+    groups = exact_dup_groups(dup_docs).toPandas()
+    assert len(groups) == 10
+    assert (groups["n_copies"] == 2).all()
+    assert set(groups["keep_id"]) == set(range(10))
+    deduped = exact_dedup(dup_docs)
+    assert deduped.count() == len(docs_pd)
+    assert deduped.filter(F.col("doc_id") >= 100_000).count() == 0
+
+
+def test_ngram_jaccard_matches_pandas_oracle(docs, docs_pd):
+    got = ngram_jaccard_pairs(docs, threshold=0.35, n=3).toPandas()
+    want = _pd_jaccard_pairs(docs_pd, n=3, threshold=0.35)
+    got_set = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in got.itertuples()}
+    assert got_set == want
+
+
+def test_minhash_lsh_recall_and_precision(docs, docs_pd):
+    # truth at threshold .35 on this corpus
+    truth = {(a, b) for a, b, _ in _pd_jaccard_pairs(docs_pd, 3, 0.35)}
+    verified = minhash_dedup_pairs(docs, threshold=0.35, num_perm=64, bands=32).toPandas()
+    got = {(r.id_a, r.id_b) for r in verified.itertuples()}
+    # exact verification ⇒ no false positives
+    assert got <= truth
+    # 32 bands × 2 rows: collision prob at j=0.35 ≈ 1-(1-.35^2)^32 ≈ .98
+    if truth:
+        assert len(got) / len(truth) >= 0.7
+
+
+def test_minhash_exact_dup_always_candidates(dup_docs):
+    cands = minhash_lsh_candidates(dup_docs, num_perm=32, bands=8).toPandas()
+    got = {(r.id_a, r.id_b) for r in cands.itertuples()}
+    for i in range(10):
+        assert (i, i + 100_000) in got  # identical docs always collide
+
+
+def test_simhash_near_dups(dup_docs):
+    pairs = simhash_near_dup_pairs(dup_docs, max_hamming=3).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    for i in range(10):
+        assert (i, i + 100_000) in got
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_cosine_topk_matches_numpy(emb, emb_pd):
+    M = np.stack(emb_pd["embedding"].to_numpy())
+    q = M[0]
+    sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((emb_pd["vec_id"].to_numpy(), -np.round(sims, 6)))
+    want = emb_pd["vec_id"].to_numpy()[order][:10].tolist()
+    got = cosine_topk(emb, q.tolist(), k=10).toPandas()["vec_id"].tolist()
+    assert got == want
+    assert got[0] == 0  # self-similarity 1.0 first
+
+
+def test_ann_lsh_recall(emb, emb_pd):
+    M = np.stack(emb_pd["embedding"].to_numpy())
+    indexed, planes = build_lsh_index(emb, dim=M.shape[1], n_planes=6)
+    indexed = indexed.cache()
+    hits = 0
+    for qi in range(5):
+        q = M[qi]
+        sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+        truth = set(emb_pd["vec_id"].to_numpy()[np.argsort(-sims)][:10])
+        got = set(ann_topk(indexed, planes, q.tolist(), k=10, probes=2).toPandas()["vec_id"])
+        hits += len(got & truth)
+    assert hits / 50 >= 0.5  # recall@10 with 6 planes + 2 probes
+
+
+def test_embedding_near_dup_exact_vs_lsh(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    # make 5 near-dup pairs
+    vecs = np.vstack([base, base[:5] + rng.normal(scale=0.01, size=(5, 16))])
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.astype("float32").tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    exact = embedding_near_dup_pairs(df, threshold=0.99).toPandas()
+    got = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    assert {(i, 40 + i) for i in range(5)} <= got
+    lsh = embedding_near_dup_pairs(df, threshold=0.99, n_planes=4).toPandas()
+    got_lsh = {(r.id_a, r.id_b) for r in lsh.itertuples()}
+    assert got_lsh <= got  # bucket-verified ⇒ subset of truth
+    assert len(got_lsh) >= len(got) // 2
+
+
+def test_text_metrics_match_pandas(docs, docs_pd):
+    got = with_text_metrics(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    want_tokens = docs_pd.sort_values("doc_id")["text"].map(
+        lambda t: len(str(t).split()) if str(t).strip() else 0
+    )
+    assert got["n_tokens"].tolist() == want_tokens.tolist()
+    import hashlib
+
+    def fp(t):
+        norm = " ".join(str(t).lower().split())
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    assert got["fingerprint"].tolist() == docs_pd.sort_values("doc_id")["text"].map(fp).tolist()
+    assert got["quality"].between(0, 1).all()
+
+
+def test_lang_id_on_obvious_text(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat sat on the mat and it was happy",
+                "der hund ist nicht mit der katze und das ist gut",
+                "le chat est dans la maison et il est content pour les autres",
+                "xyzzy qwerty",
+            ],
+        }
+    )
+    got = with_text_metrics(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert got.loc[1, "lang_pred"] == "en"
+    assert got.loc[2, "lang_pred"] == "de"
+    assert got.loc[3, "lang_pred"] == "fr"
+    assert got.loc[4, "lang_pred"] == "und"
+
+
+def test_audio_features_real(spark):
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+
+    clips = build_clips(spark, 60, 3, ClipFixtureSpec())
+    feats = extract_audio_features(clips).toPandas()
+    assert len(feats) == 60
+    assert feats["rms"].between(0.4, 0.8).all()  # 0.8-amp sine → rms ≈ 0.57
+    assert (feats["sr_hz"] >= 4000).all()
+    assert (feats["duration_ms"] > 0).all()
+
+
+def test_multimodal_stub_plumbing(spark):
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+
+    clips = build_clips(spark, 30, 2, ClipFixtureSpec())
+    embedded = embed_binary_column(clips, dim=16)
+    pdf = embedded.toPandas()
+    assert list(pdf.columns) == ["clip_id", "embedding"]
+    assert pdf["embedding"].map(len).eq(16).all()
+    # deterministic: same payload → same fake embedding
+    pdf2 = embed_binary_column(clips, dim=16).toPandas()
+    a = pdf.sort_values("clip_id").reset_index(drop=True)
+    b = pdf2.sort_values("clip_id").reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a["embedding"], b["embedding"]))
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG...")
+    with pytest.raises(Exception):
+        embed_binary_column(clips, strict=True).collect()

@@ -357,7 +357,7 @@ def q_embedding_norms(spark, sf_dir):
 def q_profile_sketches_lineitem(spark, sf_dir):
     """Full sketch profile (HLL + KLL + freq) — mergeable-accumulator
     path; approximate by design, so no SQL oracle."""
-    from drivel_spark.profile import profile
+    from drivel_spark.profiling import profile
 
     li = _t(spark, sf_dir, "lineitem")
     prof = profile(li, columns=["l_quantity", "l_extendedprice", "l_returnflag"])
@@ -395,7 +395,7 @@ def q_json_schema_events_props(spark, sf_dir):
     """Distributed JSON schema inference over events.props → one row per
     inferred field (the reference's JSONL describe, at scale)."""
     from drivel_spark.core import EnumInference
-    from drivel_spark.profile import profile_json_column
+    from drivel_spark.profiling import profile_json_column
 
     ev = _t(spark, sf_dir, "events")
     node = profile_json_column(ev, "props", enum=EnumInference(0.5, 1))

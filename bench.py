@@ -1,0 +1,127 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs every query from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, then the headline end-to-end audio-table
+validation job (profile pass 1 + full constraint pass 2, audio SNR
+invariant included) on a cached deterministic clips table.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": "...", "value": N, "unit": "...",
+     "queries": {name: sec, ...}, "sf": ...}
+
+The headline value is end-to-end validation throughput in clips/sec
+(BASELINE.json metric).  The N-vs-4N scaling protocol (spark-submit at
+local[8] / local[32]) lives in BENCH/run_scaling.sh; this harness is
+the fast per-round feedback loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_CLIPS_N = int(os.environ.get("DRIVEL_BENCH_CLIPS", "12000"))
+BENCH_CLIPS_DIR = os.path.join(REPO, ".bench", f"clips{BENCH_CLIPS_N}")
+
+
+def _ensure_clips_table(spark) -> dict:
+    """Build the deterministic clips table once; reuse across rounds."""
+    meta_path = os.path.join(BENCH_CLIPS_DIR, "meta.json")
+    if not os.path.exists(meta_path):
+        from drivel_spark.job import cmd_prepare
+
+        class A:  # argparse-shaped
+            n_rows = BENCH_CLIPS_N
+            partitions = 128
+            seed = 42
+            variant = "default"
+            no_audio = False
+            out = BENCH_CLIPS_DIR
+
+        cmd_prepare(A)
+    with open(meta_path) as fh:
+        return json.load(fh)
+
+
+def _run_validation(spark, sf_dir: str) -> tuple[float, dict]:
+    """The headline job: returns (clips_per_sec, detail)."""
+    import argparse
+
+    from drivel_spark.job import cmd_validate
+
+    args = argparse.Namespace(
+        data=BENCH_CLIPS_DIR,
+        baseline=None,
+        checkpoint=None,
+        run_id="bench",
+        check_audio=True,
+        n_scopes=64,
+        report=None,
+    )
+    out = cmd_validate(args)
+    return out["clips_per_sec"], out
+
+
+def main() -> None:
+    sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+    sf = 0.1
+    for tok in os.path.basename(sf_dir.rstrip("/")).split("sf")[-1:]:
+        try:
+            sf = float(tok)
+        except ValueError:
+            pass
+
+    from drivel_spark.config import build_session
+
+    spark = build_session("drivel-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    timings: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            timings[name] = -1.0
+
+    # headline: end-to-end clips validation throughput
+    _ensure_clips_table(spark)
+    try:
+        thr, detail = _run_validation(spark, sf_dir)
+        timings["clips_validate_e2e"] = detail["wall_s"]
+        headline = thr
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        headline, detail = -1.0, {}
+
+    result = {
+        "metric": "e2e_validation_throughput",
+        "value": headline,
+        "unit": "clips/sec",
+        "queries": timings,
+        "sf": sf,
+        "n_clips": BENCH_CLIPS_N,
+        "passfail_digest": detail.get("passfail_digest"),
+        "master": detail.get("master"),
+    }
+    sys.stdout.write(json.dumps(result) + "\n")
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

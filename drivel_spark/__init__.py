@@ -6,7 +6,7 @@ Layers:
 
 * :mod:`drivel_spark.core` — pure-Python semantic core (schema tree,
   merge lattice, detectors, emitters, JSON-Schema parser, generator).
-* :mod:`drivel_spark.profile` — distributed partition-parallel profiling
+* :mod:`drivel_spark.profiling` — distributed partition-parallel profiling
   (Catalyst aggregates + mergeable sketch accumulators).
 * :mod:`drivel_spark.constraints` — constraint compilation + validation
   pass (per-partition pass/fail rows, violation DataFrames, drift).

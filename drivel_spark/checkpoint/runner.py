@@ -26,8 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..profile.accumulator import ProfilerOptions, TableAccumulator
-from ..profile.profiler import TableProfile
+from ..profiling.accumulator import ProfilerOptions, TableAccumulator
+from ..profiling.profiler import TableProfile
 from .store import CheckpointStore, make_commit_row
 
 _UNIT_ACC_SCHEMA = "unit string, acc binary"

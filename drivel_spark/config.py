@@ -13,9 +13,22 @@ import os
 
 from pyspark.sql import SparkSession
 
-# ~100KB audio clips × 2048 rows ≈ 200MB per Arrow batch worst case;
-# keep batches moderate so pandas UDFs over binary columns stay in RAM
-DEFAULT_ARROW_BATCH = 2048
+# Batch sizing for wide binary (audio) rows — ~130KB/clip means
+# row-count-based batch defaults built for narrow rows explode:
+# Spark's parquet vectorized reader default (4096 rows) would buffer
+# ~0.5GB per task, and Arrow's default (10000) worse.  256 rows ≈ 33MB
+# per task keeps 32 concurrent tasks ~1GB.  Narrow tables pay a small
+# per-batch overhead that is negligible next to shuffle/UDF costs.
+DEFAULT_ARROW_BATCH = int(os.environ.get("DRIVEL_ARROW_BATCH", "256"))
+DEFAULT_PARQUET_BATCH = int(os.environ.get("DRIVEL_PARQUET_BATCH", "256"))
+
+# Scan-split sizing: with per-row pandas-UDF work (SNR decode) the cost
+# of a partition is driven by ROW COUNT, not bytes; the 128MB default
+# packs a GB-scale audio table into ~a dozen partitions and caps
+# parallelism below the core count.  32MB keeps ≳2 waves of tasks per
+# core on local[32] for multi-GB inputs while still giving ~full-size
+# splits to 100TB tables on a 1000-executor cluster (tune per deploy).
+DEFAULT_MAX_PARTITION_BYTES = os.environ.get("DRIVEL_MAX_PARTITION_BYTES", "33554432")
 
 
 def build_session(
@@ -27,21 +40,31 @@ def build_session(
 ) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    if master is None:
+    under_submit = (
+        "PYSPARK_GATEWAY_PORT" in os.environ  # spark-submit's PythonRunner gateway
+        or "PYSPARK_SUBMIT_ARGS" in os.environ
+    )
+    if master is None and not under_submit:
+        # under spark-submit the master comes from the submit args; only
+        # default to local[] when building a session programmatically
         master = f"local[{cores}]"
     if shuffle_partitions is None:
         # 2× cores: enough parallelism for local mode without tiny-task
         # overhead; cluster deployments override per data volume
         shuffle_partitions = max(2 * cores, 8)
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(DEFAULT_ARROW_BATCH))
+        .config("spark.sql.parquet.columnarReaderBatchSize", str(DEFAULT_PARQUET_BATCH))
+        .config("spark.sql.files.maxPartitionBytes", DEFAULT_MAX_PARTITION_BYTES)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

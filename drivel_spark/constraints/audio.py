@@ -23,7 +23,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..produce.audio import snr_db, synth_pcm, wav_decode
+from ..produce.audio import snr_db, snr_vs_synth, synth_pcm, wav_decode
 
 _DECODE_SCHEMA = StructType(
     [
@@ -75,8 +75,9 @@ def make_snr_udf(seed: int = 42, audio_cap_ms: int = 2000,
                 continue
             sr_c = int(np.clip(sr.iloc[k], sr_range[0], sr_range[1]))
             dur_c = int(np.clip(dur.iloc[k], 50, audio_cap_ms))
-            ref = synth_pcm(int(idx.iloc[k]), sr_c, dur_c, seed)
-            out[k] = snr_db(ref, decoded)
+            # chunked accumulation — cache-resident, never materializes
+            # the full reference (scales with cores, not DRAM bandwidth)
+            out[k] = snr_vs_synth(decoded, int(idx.iloc[k]), sr_c, dur_c, seed)
         return pd.Series(out)
 
     return snr_udf

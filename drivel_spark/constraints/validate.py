@@ -77,6 +77,7 @@ def validate(
     profile=None,
     baseline_profile=None,
     keep_columns: Optional[list[str]] = None,
+    cache_flags: bool = True,
 ) -> ValidationResult:
     """Evaluate constraints; return pass/fail rows + violation rows.
 
@@ -91,20 +92,31 @@ def validate(
     ds_cs = [c for c in constraints if not c.is_row_level]
 
     scope_col = scope if scope is not None else F.spark_partition_id()
-    base = df.withColumn("__scope", scope_col)
 
-    # ---- one-scan row-level aggregation --------------------------------
+    # ---- one-scan row-level evaluation ----------------------------------
+    # Every predicate (including expensive pandas-UDF ones like the
+    # audio-SNR check) is evaluated EXACTLY ONCE: the narrow flagged
+    # projection (kept columns + scope + one boolean per constraint) is
+    # persisted, and both the pass/fail aggregation and the violations
+    # filter read it.  At cluster scale this intermediate would be a
+    # written table; MEMORY_AND_DISK is the local analog.
     if row_cs:
-        viol_flags = [
-            (~c.predicate()).cast("long").alias(f"__v_{i}") for i, c in enumerate(row_cs)
-        ]
-        agg = (
-            base.select(F.col("__scope"), *viol_flags)
-            .groupBy("__scope")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                *[F.sum(f"__v_{i}").alias(f"__v_{i}") for i in range(len(row_cs))],
-            )
+        keep = keep_columns or df.columns
+        flagged = df.select(
+            *keep,
+            scope_col.alias("__scope"),
+            *[c.predicate().alias(f"__p_{i}") for i, c in enumerate(row_cs)],
+        )
+        if cache_flags:
+            from pyspark import StorageLevel
+
+            flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+        agg = flagged.groupBy("__scope").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum((~F.col(f"__p_{i}")).cast("long")).alias(f"__v_{i}")
+                for i in range(len(row_cs))
+            ],
         )
         stack_args = ", ".join(f"'{c.name}', __v_{i}" for i, c in enumerate(row_cs))
         passfail = agg.select(
@@ -122,14 +134,13 @@ def validate(
         failed_arr = F.array_compact(
             F.array(
                 *[
-                    F.when(~c.predicate(), F.lit(c.name)).otherwise(F.lit(None))
-                    for c in row_cs
+                    F.when(~F.col(f"__p_{i}"), F.lit(c.name)).otherwise(F.lit(None))
+                    for i, c in enumerate(row_cs)
                 ]
             )
         ).alias("failed")
-        keep = keep_columns or df.columns
         violations = (
-            df.select(*keep, failed_arr)
+            flagged.select(*keep, failed_arr)
             .filter(F.size("failed") > 0)
         )
     else:

@@ -1,0 +1,243 @@
+"""spark-submit entrypoint: the end-to-end profile + validate job
+(BASELINE.json north_rule: "run via spark-submit --py-files on a
+multi-executor cluster at two cluster sizes").
+
+Subcommands
+-----------
+prepare   Write the deterministic synthetic clips + transcripts tables
+          to parquet once (seeded; every column is f(row index), so the
+          bytes are identical at any parallelism).  Takes data
+          generation out of the timed path.
+baseline  Profile a prepared CLEAN table and pickle the TableProfile —
+          the drift reference for later batches.
+validate  The timed job: pass 1 (schema + stats profile, optionally
+          resumable from a checkpoint store) and pass 2 (all
+          constraints: enum / range / not-null / uuid-format row checks
+          in ONE scan, clip_id uniqueness exact-confirm shuffle,
+          clip<->transcript referential anti-join, KS/PSI drift vs the
+          baseline profile, and — with audio — the decoded-PCM SNR>=30dB
+          per-row invariant).  Prints ONE JSON line with wall seconds,
+          clips/sec and the pass/fail summary.
+
+Scaling protocol (BASELINE.md): `prepare` once, then run `validate` on
+the SAME input at --master local[8] and local[32]; efficiency =
+(thr_32 / thr_8) / 4.  Pass/fail rows use a STABLE scope
+(pmod(xxhash64(clip_id), n_scopes)), so the report is byte-identical
+across parallelism levels.
+
+Example:
+    spark-submit --master local[8] --py-files drivel_spark.zip \
+        drivel_spark/job.py prepare --n-rows 20000 --out /tmp/clipsdb
+    spark-submit --master local[8] --py-files drivel_spark.zip \
+        drivel_spark/job.py validate --data /tmp/clipsdb --check-audio
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from drivel_spark.config import build_session
+from drivel_spark.constraints import (
+    Drift,
+    Enum,
+    Format,
+    NotNull,
+    Range,
+    Referential,
+    RowPredicate,
+    Unique,
+    validate,
+)
+from drivel_spark.constraints.audio import attach_clip_idx, make_snr_udf
+from drivel_spark.fixtures import (
+    CODEC_ENUM,
+    SR_VALUES,
+    ClipFixtureSpec,
+    build_clips,
+    build_transcripts,
+)
+from drivel_spark.profiling import ProfilerOptions, profile
+from drivel_spark.checkpoint import CheckpointStore, resumable_profile
+
+PROFILE_COLUMNS = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
+
+
+def cmd_prepare(args) -> dict:
+    spark = build_session("drivel-prepare")
+    spec = ClipFixtureSpec(
+        seed=args.seed, variant=args.variant, with_audio=not args.no_audio
+    )
+    t0 = time.time()
+    clips = build_clips(spark, args.n_rows, args.partitions, spec)
+    clips.write.mode("overwrite").parquet(f"{args.out}/clips")
+    build_transcripts(spark, args.n_rows, args.partitions, spec).write.mode(
+        "overwrite"
+    ).parquet(f"{args.out}/transcripts")
+    meta = {
+        "n_rows": args.n_rows,
+        "partitions": args.partitions,
+        "seed": args.seed,
+        "variant": args.variant,
+        "with_audio": not args.no_audio,
+        "prepare_wall_s": round(time.time() - t0, 3),
+    }
+    with open(f"{args.out}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def cmd_baseline(args) -> dict:
+    spark = build_session("drivel-baseline")
+    df = spark.read.parquet(f"{args.data}/clips")
+    prof = profile(df, columns=PROFILE_COLUMNS, opts=ProfilerOptions())
+    with open(args.out, "wb") as fh:
+        pickle.dump(prof, fh)
+    return {"baseline": args.out, "n_rows": prof.acc.n_rows}
+
+
+def _constraints(meta: dict, baseline) -> list:
+    cs = [
+        Enum("sr_enum", "sr_hz", tuple(int(v) for v in sorted(SR_VALUES.tolist()))),
+        Range("dur_range", "dur_ms", 200, 30000),
+        Enum("codec_enum", "codec", tuple(sorted(CODEC_ENUM))),
+        NotNull("transcript_not_null", "transcript"),
+        Format("clip_id_uuid", "clip_id", "uuid"),
+        Unique("clip_id_unique", "clip_id"),
+        Referential(
+            "clip_has_transcript", "clip_id", "transcripts", "clip_id"
+        ),
+    ]
+    if baseline is not None:
+        cs += [
+            Drift("dur_drift", "dur_ms", 0.1, 0.2),
+            Drift("sr_drift", "sr_hz", 0.1, 0.2),
+        ]
+    return cs
+
+
+def cmd_validate(args) -> dict:
+    spark = build_session("drivel-validate")
+    with open(f"{args.data}/meta.json") as fh:
+        meta = json.load(fh)
+    baseline = None
+    if args.baseline:
+        with open(args.baseline, "rb") as fh:
+            baseline = pickle.load(fh)
+
+    # timed region: everything a production run does per batch —
+    # scan, pass-1 profile, pass-2 constraints, report materialization.
+    t0 = time.time()
+    clips = spark.read.parquet(f"{args.data}/clips")
+    transcripts = spark.read.parquet(f"{args.data}/transcripts")
+
+    # ---- pass 1: schema + stats profile (optionally resumable) -------
+    resume_stats = None
+    if args.checkpoint:
+        store = CheckpointStore(args.checkpoint)
+        prof, resume_stats = resumable_profile(
+            spark, f"{args.data}/clips", store, run_id=args.run_id,
+            columns=PROFILE_COLUMNS,
+        )
+    else:
+        prof = profile(clips, columns=PROFILE_COLUMNS)
+
+    # ---- pass 2: constraints ------------------------------------------
+    df = clips
+    constraints = _constraints(meta, baseline)
+    if args.check_audio and meta.get("with_audio") and "bytes" in df.columns:
+        df = attach_clip_idx(df, spark, meta["n_rows"], seed=meta["seed"])
+        snr = make_snr_udf(seed=meta["seed"])
+        constraints.append(
+            RowPredicate(
+                "audio_snr_30db",
+                "bytes",
+                snr(F.col("bytes"), F.col("clip_idx"), F.col("sr_hz"), F.col("dur_ms"))
+                >= F.lit(30.0),
+            )
+        )
+
+    scope = F.pmod(F.xxhash64(F.col("clip_id")), F.lit(args.n_scopes)).cast("long")
+    res = validate(
+        df,
+        constraints,
+        scope=scope,
+        ref_tables={"transcripts": transcripts},
+        profile=prof,
+        baseline_profile=baseline,
+        keep_columns=["clip_id", "sr_hz", "dur_ms", "codec"],
+    )
+
+    passfail = res.passfail_pdf()
+    n_violation_rows = res.violations.count()
+    if args.report:
+        res.passfail.coalesce(1).write.mode("overwrite").parquet(f"{args.report}/passfail")
+        res.violations.write.mode("overwrite").parquet(f"{args.report}/violations")
+    wall = time.time() - t0
+
+    n_rows = meta["n_rows"]
+    import hashlib
+
+    digest = hashlib.sha256(
+        passfail.to_csv(index=False).encode()
+    ).hexdigest()[:16]
+    return {
+        "job": "validate",
+        "master": spark.sparkContext.master,
+        "n_rows": n_rows,
+        "wall_s": round(wall, 3),
+        "clips_per_sec": round(n_rows / wall, 1),
+        "n_passfail_rows": int(len(passfail)),
+        "passfail_digest": digest,  # must match across parallelism levels
+        "n_violation_rows": int(n_violation_rows),
+        "all_passed": bool(res.all_passed()),
+        "dataset_checks": [
+            {k: d[k] for k in ("constraint", "n_violations", "passed")}
+            for d in res.dataset
+        ],
+        "resume": resume_stats,
+        "check_audio": bool(args.check_audio and meta.get("with_audio")),
+    }
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="drivel-spark-job")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("prepare")
+    sp.add_argument("--n-rows", type=int, default=20000)
+    sp.add_argument("--partitions", type=int, default=128)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--variant", default="default")
+    sp.add_argument("--no-audio", action="store_true")
+    sp.add_argument("--out", required=True)
+
+    sb = sub.add_parser("baseline")
+    sb.add_argument("--data", required=True)
+    sb.add_argument("--out", required=True)
+
+    sv = sub.add_parser("validate")
+    sv.add_argument("--data", required=True)
+    sv.add_argument("--baseline", default=None)
+    sv.add_argument("--checkpoint", default=None)
+    sv.add_argument("--run-id", default="run0")
+    sv.add_argument("--check-audio", action="store_true")
+    sv.add_argument("--n-scopes", type=int, default=64)
+    sv.add_argument("--report", default=None)
+
+    args = p.parse_args(argv)
+    out = {"prepare": cmd_prepare, "baseline": cmd_baseline, "validate": cmd_validate}[
+        args.cmd
+    ](args)
+    sys.stdout.write(json.dumps(out) + "\n")
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

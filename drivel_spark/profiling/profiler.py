@@ -204,8 +204,13 @@ def partition_accumulators(
 
 def tree_combine(acc_df: DataFrame, fanin: int = 64, collect_threshold: int = 256) -> DataFrame:
     """Executor-side combine levels until few enough rows to collect —
-    the treeAggregate combOp tree across executors."""
-    n = acc_df.count()
+    the treeAggregate combOp tree across executors.
+
+    The accumulator DataFrame has exactly one row per input partition,
+    so the partition count (known from the plan, no job) bounds the row
+    count — sizing the combine tree without running the profiler scan
+    an extra time for a ``count()``."""
+    n = acc_df.rdd.getNumPartitions()
     level = 0
     while n > collect_threshold:
         buckets = max(1, math.ceil(n / fanin))

@@ -96,6 +96,23 @@ def test_per_row_pcm_invariant():
         assert np.allclose(ref, decoded, atol=2.5 / 32767.0)
 
 
+def test_chunked_snr_equals_whole_array_snr():
+    """snr_vs_synth (cache-resident chunked accumulation, the scan's
+    hot path) must be numerically identical to snr_db(synth_pcm(...))
+    — including across chunk boundaries and length mismatches."""
+    from drivel_spark.produce.audio import _SNR_CHUNK, snr_vs_synth
+
+    for idx, sr, dur in [(0, 8000, 137), (7, 48000, 2000), (1234, 22050, 654),
+                         (40, 16000, 1000 * _SNR_CHUNK // 16000 + 1)]:
+        decoded, _ = wav_decode(synth_wav(idx, sr, dur, 42))
+        ref = synth_pcm(idx, sr, dur, 42)
+        assert abs(snr_db(ref, decoded) - snr_vs_synth(decoded, idx, sr, dur, 42)) < 1e-9
+    # corrupted payload (wrong clip index) and truncation both fail
+    decoded, _ = wav_decode(synth_wav(5, 16000, 500, 42))
+    assert snr_vs_synth(decoded, 6, 16000, 500, 42) < 30.0
+    assert snr_vs_synth(decoded, 5, 16000, 400, 42) == -np.inf
+
+
 def test_transcripts_fixture_referential_holes():
     n = 4000
     ids = np.arange(n)

@@ -8,7 +8,7 @@ from drivel_spark.checkpoint import CheckpointStore, resumable_profile
 from drivel_spark.core import SchemaNode, parse_json_schema
 from drivel_spark.fixtures import ClipFixtureSpec, build_clips
 from drivel_spark.produce.generator import produce_df, produce_from_profile
-from drivel_spark.profile import profile
+from drivel_spark.profiling import profile
 
 
 @pytest.fixture()

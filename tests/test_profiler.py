@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 
 from drivel_spark.core import EnumInference
-from drivel_spark.profile import ProfilerOptions, profile, profile_json_column
+from drivel_spark.profiling import ProfilerOptions, profile, profile_json_column
 
 
 @pytest.fixture(scope="module")

@@ -30,7 +30,7 @@ from drivel_spark.fixtures import (
     build_transcripts,
     clips_pdf,
 )
-from drivel_spark.profile import profile
+from drivel_spark.profiling import profile
 
 N = 4000
 PARTS = 8

@@ -28,7 +28,14 @@ def _burn(n_iters: int) -> float:
     return time.time() - t0
 
 
-def per_core_time(procs: int, iters: int = 6000, trials: int = 3) -> float:
+def per_core_time(procs: int, iters: int = 120_000, trials: int = 2) -> float:
+    """~3s of sustained load per process.
+
+    Sustained (not burst) duration matters: short bursts slip through
+    the hypervisor's throttling window and overestimate the ceiling —
+    measured 8->32 burst ceiling 0.97 vs sustained per-core times that
+    show the box saturating near 8-16 effective cores.
+    """
     best = float("inf")
     for _ in range(trials):
         with Pool(procs) as p:

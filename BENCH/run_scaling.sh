@@ -5,7 +5,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-DATA="${1:-.bench/clips48k}"
+DATA="${1:-.bench/clips96k}"
 RUNS="${2:-3}"
 ZIP=/tmp/drivel_spark_bench.zip
 
@@ -19,8 +19,8 @@ with zipfile.ZipFile("$ZIP", "w") as z:
 EOF
 
 if [ ! -f "$DATA/meta.json" ]; then
-  spark-submit --master "local[32]" --driver-memory 8g --py-files "$ZIP" \
-    drivel_spark/job.py prepare --n-rows 48000 --partitions 256 --out "$DATA" \
+  spark-submit --master "local[16]" --driver-memory 8g --py-files "$ZIP" \
+    drivel_spark/job.py prepare --n-rows 96000 --partitions 256 --out "$DATA" \
     2>/dev/null
 fi
 

@@ -266,6 +266,39 @@ def q_orders_by_month(spark, sf_dir):
     )
 
 
+def q_window_top_order_per_customer(spark, sf_dir):
+    """Window function: each customer's single highest-value order
+    (row_number over a per-customer ordering)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.round("o_totalprice", 4).alias("top_totalprice"),
+        )
+    )
+
+
+def q_rollup_orders_status_priority(spark, sf_dir):
+    """ROLLUP aggregation: order counts + revenue at (status, priority),
+    (status), and grand-total levels."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
 def q_topk_event_types(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -311,6 +344,45 @@ def q_lang_id_documents(spark, sf_dir):
         d.select(lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_quality_scoring_documents(spark, sf_dir):
+    from drivel_spark.ops.text import (
+        digit_ratio,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(digit_ratio(c), 6).alias("digit_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stop_ratio"),
+        quality_score(c).alias("quality"),
+    )
+
+
+def q_regex_token_count_documents(spark, sf_dir):
+    from drivel_spark.ops.text import regex_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", regex_token_count(F.col("text")).cast("long").alias("n_subtokens")
+    )
+
+
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    from drivel_spark.ops import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return embedding_near_dup_pairs(
+        e, vec_col="emb_d", id_col="vec_id", threshold=0.42, n_planes=0
     )
 
 
@@ -431,6 +503,30 @@ def q_clips_validation_passfail(spark, sf_dir):
     return res.passfail.orderBy("constraint", "partition_id")
 
 
+def q_audio_features_clips(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary WAV column → decoded
+    per-clip features (mapInPandas, Arrow batches) → per-sr rollup.
+    Deterministic because clip synthesis is seeded; rows-only check
+    (no WAV codec in DuckDB)."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import extract_audio_features
+
+    n = 400 if "0.01" in sf_dir else 200
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
+    feats = extract_audio_features(clips, bytes_col="bytes", id_cols=["clip_id"])
+    return (
+        feats.filter(F.col("sr_hz").isNotNull())
+        .groupBy("sr_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("rms"), 5).alias("avg_rms"),
+            F.round(F.avg("duration_ms"), 2).alias("avg_dur_ms"),
+            F.round(F.avg("zero_crossings"), 1).alias("avg_zc"),
+        )
+        .orderBy("sr_hz")
+    )
+
+
 def q_ann_topk_embeddings(spark, sf_dir):
     from drivel_spark.ops import ann_topk, build_lsh_index
 
@@ -467,11 +563,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_join_nation": q_orders_join_nation,
         "orders_by_month": q_orders_by_month,
         "topk_event_types": q_topk_event_types,
+        "window_top_order_per_customer": q_window_top_order_per_customer,
+        "rollup_orders_status_priority": q_rollup_orders_status_priority,
         # training-data ops
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_metrics_documents": q_text_metrics_documents,
         "lang_id_documents": q_lang_id_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "quality_scoring_documents": q_quality_scoring_documents,
+        "regex_token_count_documents": q_regex_token_count_documents,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "embedding_norms": q_embedding_norms,
         # non-SQL (rows-only)
@@ -480,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "json_schema_events_props": q_json_schema_events_props,
         "clips_validation_passfail": q_clips_validation_passfail,
+        "audio_features_clips": q_audio_features_clips,
         "ann_topk_embeddings": q_ann_topk_embeddings,
     }
 
@@ -588,6 +690,18 @@ def oracle_sql() -> dict[str, str]:
         "topk_event_types": """
             SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""",
+        "window_top_order_per_customer": """
+            SELECT o_custkey, o_orderkey AS top_orderkey,
+                   round(o_totalprice, 4) AS top_totalprice
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                  FROM orders)
+            WHERE rn = 1""",
+        "rollup_orders_status_priority": """
+            SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
         "dedup_exact_documents": """
             SELECT count(*)::BIGINT AS n_docs,
                    count(DISTINCT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT AS n_unique_texts
@@ -633,6 +747,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN card ca ON ca.doc_id = id_a
             JOIN card cb ON cb.doc_id = id_b
             WHERE cm::DOUBLE / (ca.c + cb.c - cm) >= 0.5""",
+        "quality_scoring_documents": """
+            WITH base AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+                CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                     ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                          / length(text) END AS pr,
+                CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                     ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                          / length(text) END AS dr,
+                CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
+                     ELSE len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x)))::DOUBLE
+                          / len(string_split_regex(trim(text), '\\s+')) END AS sr
+              FROM documents)
+            SELECT doc_id,
+                   round(pr, 6) AS punct_ratio,
+                   round(dr, 6) AS digit_ratio,
+                   round(sr, 6) AS stop_ratio,
+                   round(least(n_tok / 20.0, 1.0) * 0.4
+                         + (1.0 - least(pr * 4, 1.0)) * 0.25
+                         + (1.0 - least(dr * 4, 1.0)) * 0.15
+                         + least(sr * 5, 1.0) * 0.2, 6) AS quality
+            FROM base""",
+        "regex_token_count_documents": """
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^\\w\\s]'))::BIGINT AS n_subtokens
+            FROM documents""",
+        "embedding_near_dup_pairs": """
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.42""",
         "cosine_topk_embeddings": """
             WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -66,6 +66,12 @@ def build_session(
         .config("spark.sql.parquet.columnarReaderBatchSize", str(DEFAULT_PARQUET_BATCH))
         .config("spark.sql.files.maxPartitionBytes", DEFAULT_MAX_PARTITION_BYTES)
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR job scheduling: the validate pass runs its independent
+        # actions (row-flag materialization, uniqueness shuffle,
+        # referential anti-join) from concurrent driver threads; FAIR
+        # keeps the small jobs from queueing behind the heavy decode
+        # scan, which is what makes the wall clock scale with cores
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

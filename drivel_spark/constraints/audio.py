@@ -103,4 +103,10 @@ def attach_clip_idx(
     # duplicate-injected ids map to one canonical idx (min) so the join
     # stays 1:1 even when uniqueness violations exist
     mapping = mapping.groupBy(clip_id_col).agg(F.min("clip_idx").alias("clip_idx"))
+    # broadcast below the threshold so the binary payload column never
+    # shuffles; beyond it, fall back to a hash join (AQE may still pick
+    # broadcast from runtime stats) — a 10^12-row mapping cannot be
+    # driver-resident, and the SNR oracle join must stay distributed
+    if n_rows * 64 < 64 << 20:
+        mapping = F.broadcast(mapping)
     return df.join(mapping, on=clip_id_col, how="left")

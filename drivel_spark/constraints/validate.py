@@ -86,7 +86,10 @@ def validate(
     expression for layout-independent reports).
     ``ref_tables`` supplies the right side of Referential constraints.
     ``profile``/``baseline_profile`` are TableProfiles of this batch /
-    of the baseline, used by Unique (HLL pre-gate) and Drift.
+    of the baseline, used by Unique (HLL pre-gate) and Drift;
+    ``profile`` may also be a zero-arg callable returning the
+    TableProfile, letting the caller run the profile scan concurrently
+    with this pass (it is resolved only when reports are assembled).
     """
     row_cs = [c for c in constraints if c.is_row_level]
     ds_cs = [c for c in constraints if not c.is_row_level]
@@ -151,24 +154,78 @@ def validate(
         violations = df.limit(0).withColumn("failed", F.array().cast("array<string>"))
 
     # ---- dataset-level constraints --------------------------------------
+    # All independent Spark actions run CONCURRENTLY from driver
+    # threads (FAIR scheduler, config.py): the heavy row-flag
+    # materialization (decode UDFs), the uniqueness shuffle, and each
+    # referential anti-join overlap instead of queueing — this is what
+    # keeps the serial fraction near zero as executor count grows.
+    from concurrent.futures import ThreadPoolExecutor
+
     dataset: list[dict[str, Any]] = []
     violation_tables: dict[str, DataFrame] = {}
     extra_passfail_rows: list[tuple] = []
-    n_total: Optional[int] = None
 
-    for c in ds_cs:
-        if isinstance(c, Unique):
-            res, vtab, n_total = _check_unique(df, c, profile, n_total)
-        elif isinstance(c, Referential):
-            if not ref_tables or c.ref_table not in ref_tables:
-                raise ValueError(f"Referential constraint {c.name} needs ref_tables[{c.ref_table!r}]")
-            res, vtab, n_total = _check_referential(df, c, ref_tables[c.ref_table], n_total)
-        elif isinstance(c, Drift):
-            if profile is None or baseline_profile is None:
-                raise ValueError(f"Drift constraint {c.name} needs profile + baseline_profile")
-            res, vtab = _check_drift(c, profile, baseline_profile), None
+    lazy_cs: list[tuple] = []  # (constraint, future(s) ...)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        # warm the flagged cache first — it is the heaviest job and
+        # doubles as the exact row count (one row per input row)
+        if row_cs and cache_flags:
+            fut_n_total = pool.submit(flagged.count)
+        elif ds_cs:
+            fut_n_total = pool.submit(df.count)
         else:
-            raise ValueError(f"unknown dataset constraint {type(c)}")
+            fut_n_total = None
+        for c in ds_cs:
+            if isinstance(c, Unique):
+                dup_keys = (
+                    df.groupBy(c.column)
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .filter(F.col("cnt") > 1)
+                )
+                fut = pool.submit(
+                    lambda dk=dup_keys: dk.agg(
+                        F.count(F.lit(1)).alias("k"),
+                        F.coalesce(F.sum("cnt"), F.lit(0)).alias("r"),
+                    ).collect()[0]
+                )
+                lazy_cs.append((c, fut, dup_keys))
+            elif isinstance(c, Referential):
+                if not ref_tables or c.ref_table not in ref_tables:
+                    raise ValueError(
+                        f"Referential constraint {c.name} needs ref_tables[{c.ref_table!r}]"
+                    )
+                orphans = df.join(
+                    ref_tables[c.ref_table]
+                    .select(F.col(c.ref_column).alias(c.column))
+                    .dropDuplicates([c.column]),
+                    on=c.column,
+                    how="left_anti",
+                )
+                lazy_cs.append((c, pool.submit(orphans.count), orphans))
+            elif isinstance(c, Drift):
+                if profile is None or baseline_profile is None:
+                    raise ValueError(
+                        f"Drift constraint {c.name} needs profile + baseline_profile"
+                    )
+                lazy_cs.append((c, None, None))
+            else:
+                raise ValueError(f"unknown dataset constraint {type(c)}")
+
+        n_total = fut_n_total.result() if fut_n_total is not None else 0
+
+    # `profile` may be a zero-arg callable (e.g. a Future's .result) so
+    # the pass-1 profile scan can run CONCURRENTLY with the pass-2 jobs
+    # above; it is only needed here, at report-assembly time
+    if callable(profile):
+        profile = profile()
+
+    for c, fut, aux in lazy_cs:
+        if isinstance(c, Unique):
+            res, vtab = _unique_result(c, fut.result(), aux, profile, n_total)
+        elif isinstance(c, Referential):
+            res, vtab = _referential_result(c, fut.result(), aux, n_total)
+        else:
+            res, vtab = _check_drift(c, profile, baseline_profile), None
         dataset.append(res)
         if vtab is not None:
             violation_tables[c.name] = vtab
@@ -187,26 +244,16 @@ def validate(
     return ValidationResult(passfail, violations, dataset, violation_tables)
 
 
-def _check_unique(df: DataFrame, c: Unique, profile, n_total):
+def _unique_result(c: Unique, agg_row, dup_keys: DataFrame, profile, n_total: int):
     """HLL pre-estimate (free, from the profile scan) + exact confirm
     (hash repartition groupBy — the only correct answer at enforce
     level; the sketch only contextualizes the report)."""
-    if n_total is None:
-        n_total = df.count()
     hll_est = None
     if profile is not None and c.column in profile.acc.cols:
         acc = profile.column(c.column)
         if hasattr(acc, "hll"):
             hll_est = round(acc.hll.estimate())
-    dup_keys = (
-        df.groupBy(c.column)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") > 1)
-    )
-    agg = dup_keys.agg(
-        F.count(F.lit(1)).alias("k"), F.coalesce(F.sum("cnt"), F.lit(0)).alias("r")
-    ).collect()[0]
-    n_dup_keys, n_dup_rows = int(agg["k"]), int(agg["r"])
+    n_dup_keys, n_dup_rows = int(agg_row["k"]), int(agg_row["r"])
     n_violations = n_dup_rows - n_dup_keys  # rows beyond the first per key
     return (
         {
@@ -220,19 +267,10 @@ def _check_unique(df: DataFrame, c: Unique, profile, n_total):
             "passed": n_violations == 0,
         },
         dup_keys,
-        n_total,
     )
 
 
-def _check_referential(df: DataFrame, c: Referential, ref: DataFrame, n_total):
-    if n_total is None:
-        n_total = df.count()
-    orphans = df.join(
-        ref.select(F.col(c.ref_column).alias(c.column)).dropDuplicates([c.column]),
-        on=c.column,
-        how="left_anti",
-    )
-    n_orphans = orphans.count()
+def _referential_result(c: Referential, n_orphans: int, orphans: DataFrame, n_total: int):
     return (
         {
             "constraint": c.name,
@@ -244,7 +282,6 @@ def _check_referential(df: DataFrame, c: Referential, ref: DataFrame, n_total):
             "passed": n_orphans == 0,
         },
         orphans,
-        n_total,
     )
 
 

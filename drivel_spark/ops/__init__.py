@@ -21,6 +21,7 @@ from .text import (
     lang_id,
     normalize_text,
     quality_score,
+    regex_token_count,
     token_count,
     with_text_metrics,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "token_count",
     "bpe_ish_token_count",
     "quality_score",
+    "regex_token_count",
     "lang_id",
     "fingerprint",
     "normalize_text",

@@ -42,6 +42,15 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(F.filter(pieces, lambda p: p != ""))
 
 
+def regex_token_count(col: Column) -> Column:
+    """Match-based sub-word token count (letter runs | digit runs |
+    single punctuation char).  Same spirit as :func:`bpe_ish_token_count`
+    but expressed with ``regexp_extract_all`` so the identical RE2-safe
+    pattern runs in ANSI-SQL oracles (no lookaround)."""
+    safe = F.coalesce(col, F.lit(""))
+    return F.size(F.regexp_extract_all(safe, F.lit(r"[A-Za-z]+|[0-9]+|[^\w\s]"), F.lit(0)))
+
+
 def char_count(col: Column) -> Column:
     return F.coalesce(F.length(col), F.lit(0))
 

@@ -314,6 +314,24 @@ def q_topk_event_types(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_salted_distinct_users(spark, sf_dir):
+    """Skew-safe exact distinct: users per event_type via two-level
+    salted aggregation (identical result to a plain COUNT DISTINCT —
+    that equivalence is what the oracle pins)."""
+    from drivel_spark.ops import salted_distinct_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_distinct_count(ev, "event_type", "user_id", out_col="n_users")
+
+
+def q_salted_freq_map_orders(spark, sf_dir):
+    """Skew-safe per-key frequency map (two-level counting)."""
+    from drivel_spark.ops import salted_freq_map
+
+    o = _t(spark, sf_dir, "orders")
+    return salted_freq_map(o, "o_orderstatus", "o_orderpriority")
+
+
 def q_dedup_exact_documents(spark, sf_dir):
     from drivel_spark.ops import normalize_text
 
@@ -565,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_event_types": q_topk_event_types,
         "window_top_order_per_customer": q_window_top_order_per_customer,
         "rollup_orders_status_priority": q_rollup_orders_status_priority,
+        "salted_distinct_users": q_salted_distinct_users,
+        "salted_freq_map_orders": q_salted_freq_map_orders,
         # training-data ops
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_metrics_documents": q_text_metrics_documents,
@@ -747,6 +767,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN card ca ON ca.doc_id = id_a
             JOIN card cb ON cb.doc_id = id_b
             WHERE cm::DOUBLE / (ca.c + cb.c - cm) >= 0.5""",
+        "salted_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type""",
+        "salted_freq_map_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt
+            FROM orders GROUP BY o_orderstatus, o_orderpriority""",
         "quality_scoring_documents": """
             WITH base AS (
               SELECT doc_id,

@@ -41,19 +41,73 @@ class ValidationResult:
     violations: DataFrame  # input rows + failed: array<string>
     dataset: list[dict[str, Any]] = dc_field(default_factory=list)
     violation_tables: dict[str, DataFrame] = dc_field(default_factory=dict)
+    # fast driver-side report path: the pre-unpivot per-scope agg DF and
+    # the constraint names, so passfail_pdf needs ONE Spark action (a
+    # collect of ≤ n_scopes wide rows from the warm cache) instead of
+    # the stack/union/orderBy plan behind `passfail`
+    _agg: Any = None
+    _row_names: list[str] = dc_field(default_factory=list)
+    _extra_rows: list[tuple] = dc_field(default_factory=list)
 
     def all_passed(self) -> bool:
-        row_ok = self.passfail.filter(~F.col("passed")).limit(1).count() == 0
+        pdf = self.passfail_pdf()
         ds_ok = all(d.get("passed", True) for d in self.dataset)
-        return row_ok and ds_ok
+        return bool(pdf["passed"].all()) and ds_ok
 
     def passfail_pdf(self):
-        """Deterministically-ordered pandas view (for byte-comparisons)."""
-        return (
-            self.passfail.orderBy("constraint", "partition_id")
-            .toPandas()
-            .reset_index(drop=True)
+        """Deterministically-ordered pandas view (for byte-comparisons).
+
+        The per-scope aggregation collects wide (one row per scope,
+        one column per constraint) and unpivots driver-side: the
+        report is O(scopes×constraints) rows, so Spark-side stack /
+        union / orderBy stages would be pure scheduling overhead.
+        Memoized — repeated calls cost no Spark actions."""
+        import pandas as pd
+
+        if getattr(self, "_pdf_cache", None) is not None:
+            return self._pdf_cache
+        if self._agg is None:
+            pdf = self.passfail.toPandas()
+            pdf = pdf.sort_values(["constraint", "partition_id"]).reset_index(drop=True)
+            object.__setattr__(self, "_pdf_cache", pdf)
+            return pdf
+        wide = self._agg.toPandas()
+        names = [*self._row_names, "_rows_any_violation"]
+        frames = []
+        for i, name in enumerate(names):
+            col = f"__v_{i}" if name != "_rows_any_violation" else "__v_any"
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "partition_id": wide["__scope"].astype("int64"),
+                        "constraint": name,
+                        "n_rows": wide["n_rows"].astype("int64"),
+                        "n_violations": wide[col].astype("int64"),
+                        "passed": wide[col] == 0,
+                    }
+                )
+            )
+        for row in self._extra_rows:
+            frames.append(
+                pd.DataFrame(
+                    [dict(zip(PASSFAIL_COLS, row))]
+                )
+            )
+        out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            columns=PASSFAIL_COLS
         )
+        out = out[PASSFAIL_COLS].astype(
+            {"partition_id": "int64", "n_rows": "int64", "n_violations": "int64", "passed": "bool"}
+        )
+        out = out.sort_values(["constraint", "partition_id"]).reset_index(drop=True)
+        object.__setattr__(self, "_pdf_cache", out)
+        return out
+
+    def n_violation_rows(self) -> int:
+        """Rows failing ≥1 row-level constraint, from the pass/fail
+        aggregation (no extra scan)."""
+        pdf = self.passfail_pdf()
+        return int(pdf.loc[pdf.constraint == "_rows_any_violation", "n_violations"].sum())
 
 
 class RowPredicate(Constraint):
@@ -114,17 +168,25 @@ def validate(
             from pyspark import StorageLevel
 
             flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+        any_fail = ~F.col("__p_0")
+        for i in range(1, len(row_cs)):
+            any_fail = any_fail | ~F.col(f"__p_{i}")
         agg = flagged.groupBy("__scope").agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[
                 F.sum((~F.col(f"__p_{i}")).cast("long")).alias(f"__v_{i}")
                 for i in range(len(row_cs))
             ],
+            # rows failing ≥1 constraint, folded into the same single
+            # aggregation — callers get the violation-row count without
+            # a second job over the (cached) flags
+            F.sum(any_fail.cast("long")).alias("__v_any"),
         )
         stack_args = ", ".join(f"'{c.name}', __v_{i}" for i, c in enumerate(row_cs))
+        stack_args += ", '_rows_any_violation', __v_any"
         passfail = agg.select(
             F.col("__scope").cast("long").alias("partition_id"),
-            F.expr(f"stack({len(row_cs)}, {stack_args}) as (constraint, n_violations)"),
+            F.expr(f"stack({len(row_cs) + 1}, {stack_args}) as (constraint, n_violations)"),
             F.col("n_rows"),
         ).select(
             "partition_id",
@@ -241,7 +303,15 @@ def validate(
         )
         passfail = passfail.unionByName(extra)
 
-    return ValidationResult(passfail, violations, dataset, violation_tables)
+    return ValidationResult(
+        passfail,
+        violations,
+        dataset,
+        violation_tables,
+        _agg=agg if row_cs else None,
+        _row_names=[c.name for c in row_cs],
+        _extra_rows=extra_passfail_rows,
+    )
 
 
 def _unique_result(c: Unique, agg_row, dup_keys: DataFrame, profile, n_total: int):

@@ -212,14 +212,14 @@ def cmd_validate(args) -> dict:
     prof_pool.shutdown()
     phases["profile_join_s"] = round(time.time() - t1, 3)
 
-    # report materialization: two independent actions on the warm
-    # cache — run them concurrently too
+    # report materialization: ONE action — the violation-row count is
+    # folded into the pass/fail aggregation as the _rows_any_violation
+    # constraint, so no second job touches the flags
     t1 = time.time()
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_pf = pool.submit(res.passfail_pdf)
-        fut_viol = pool.submit(res.violations.count)
-        passfail = fut_pf.result()
-        n_violation_rows = fut_viol.result()
+    passfail = res.passfail_pdf()
+    n_violation_rows = int(
+        passfail.loc[passfail.constraint == "_rows_any_violation", "n_violations"].sum()
+    )
     phases["reports_s"] = round(time.time() - t1, 3)
     if args.report:
         res.passfail.coalesce(1).write.mode("overwrite").parquet(f"{args.report}/passfail")

@@ -14,6 +14,7 @@ from .dedup import (
     word_shingles,
 )
 from .multimodal import embed_binary_column, extract_audio_features
+from .skew import salted_agg, salted_distinct_count, salted_freq_map, with_salt
 from .similarity import ann_topk, build_lsh_index, cosine_topk
 from .text import (
     bpe_ish_token_count,
@@ -50,4 +51,8 @@ __all__ = [
     "with_text_metrics",
     "extract_audio_features",
     "embed_binary_column",
+    "salted_agg",
+    "salted_distinct_count",
+    "salted_freq_map",
+    "with_salt",
 ]

@@ -222,3 +222,54 @@ def test_multimodal_stub_plumbing(spark):
         decode_image_stub(b"\x89PNG...")
     with pytest.raises(Exception):
         embed_binary_column(clips, strict=True).collect()
+
+
+def test_salted_agg_matches_plain(spark):
+    """Two-level salted aggregation must equal the plain groupBy on a
+    deliberately skewed key (70% hot, mirroring the codec distribution)."""
+    import pandas as pd
+
+    from drivel_spark.ops import salted_agg, salted_distinct_count, salted_freq_map
+    from pyspark.sql import functions as F
+
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "k": ["hot" if i % 10 < 7 else f"cold{i % 10}" for i in range(n)],
+            "v": [f"u{i % 97}" for i in range(n)],
+            "uid": [str(i) for i in range(n)],
+            "x": [float(i % 13) for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")).collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            "uid",
+            [F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")],
+            [F.sum("n").alias("n"), F.sum("s").alias("s")],
+        ).collect()
+    }
+    assert salted == plain
+
+    plain_d = {
+        r["k"]: r["d"] for r in df.groupBy("k").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    salted_d = {
+        r["k"]: r["n_distinct"] for r in salted_distinct_count(df, "k", "v").collect()
+    }
+    assert salted_d == plain_d
+
+    plain_f = {
+        (r["k"], r["v"]): r["cnt"]
+        for r in df.groupBy("k", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt")).collect()
+    }
+    salted_f = {(r["k"], r["v"]): r["cnt"] for r in salted_freq_map(df, "k", "v").collect()}
+    assert salted_f == plain_f

@@ -63,11 +63,19 @@ def test_row_level_counts_match_oracle(clips, clips_oracle):
     pf = res.passfail_pdf()
     got = pf.groupby("constraint")["n_violations"].sum().to_dict()
     o = clips_oracle
+    fails = (
+        (~o.sr_hz.isin(SR_ENUM)),
+        ((o.dur_ms < 200) | (o.dur_ms > 30000)),
+        (~o.codec.isin(sorted(CODEC_ENUM))),
+        o.transcript.isna(),
+    )
     want = {
-        "sr_enum": int((~o.sr_hz.isin(SR_ENUM)).sum()),
-        "dur_range": int(((o.dur_ms < 200) | (o.dur_ms > 30000)).sum()),
-        "codec_enum": int((~o.codec.isin(sorted(CODEC_ENUM))).sum()),
-        "transcript_not_null": int(o.transcript.isna().sum()),
+        "sr_enum": int(fails[0].sum()),
+        "dur_range": int(fails[1].sum()),
+        "codec_enum": int(fails[2].sum()),
+        "transcript_not_null": int(fails[3].sum()),
+        # rows failing ≥1 constraint (folded into the same aggregation)
+        "_rows_any_violation": int((fails[0] | fails[1] | fails[2] | fails[3]).sum()),
     }
     assert got == want
     assert pf.groupby("constraint")["n_rows"].sum().eq(N).all()

@@ -35,18 +35,21 @@ OUT=BENCH/scaling_runs.jsonl
 # roughly equally instead of biasing one level's batch.  The summary
 # reports best-of-k (the machine's capability, robust to neighbor
 # noise) alongside the median.
+COOLDOWN="${COOLDOWN:-45}"   # sustained load slows this VM over time
 for i in $(seq 1 "$RUNS"); do
   for master in "local[2]" "local[8]" "local[32]"; do
     echo "== $master run $i ==" >&2
     spark-submit --master "$master" --driver-memory 8g --py-files "$ZIP" \
       drivel_spark/job.py validate --data "$DATA" --check-audio \
       2>/dev/null | tee -a "$OUT"
+    sleep "$COOLDOWN"
   done
 done
 
 python - <<'EOF'
 import json, statistics
-rows = [json.loads(l) for l in open("BENCH/scaling_runs.jsonl")]
+# stray runtime warnings can leak into stdout: keep only the job lines
+rows = [json.loads(l) for l in open("BENCH/scaling_runs.jsonl") if l.startswith('{"job"')]
 by = {}
 for r in rows:
     by.setdefault(r["master"], []).append(r)

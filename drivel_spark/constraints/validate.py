@@ -46,6 +46,7 @@ class ValidationResult:
     # collect of ≤ n_scopes wide rows from the warm cache) instead of
     # the stack/union/orderBy plan behind `passfail`
     _agg: Any = None
+    _agg_pdf_fut: Any = None  # Future[pandas] collected during validate()
     _row_names: list[str] = dc_field(default_factory=list)
     _extra_rows: list[tuple] = dc_field(default_factory=list)
 
@@ -71,7 +72,11 @@ class ValidationResult:
             pdf = pdf.sort_values(["constraint", "partition_id"]).reset_index(drop=True)
             object.__setattr__(self, "_pdf_cache", pdf)
             return pdf
-        wide = self._agg.toPandas()
+        wide = (
+            self._agg_pdf_fut.result()
+            if self._agg_pdf_fut is not None
+            else self._agg.toPandas()
+        )
         names = [*self._row_names, "_rows_any_violation"]
         frames = []
         for i, name in enumerate(names):
@@ -274,6 +279,11 @@ def validate(
                 raise ValueError(f"unknown dataset constraint {type(c)}")
 
         n_total = fut_n_total.result() if fut_n_total is not None else 0
+        # collect the per-scope aggregation now (cache is warm) so it
+        # overlaps the dataset-check tails; passfail_pdf() then costs
+        # nothing.  Submitted inside the pool — the with-exit join makes
+        # the result ready before validate() returns.
+        fut_agg_pdf = pool.submit(agg.toPandas) if row_cs else None
 
     # `profile` may be a zero-arg callable (e.g. a Future's .result) so
     # the pass-1 profile scan can run CONCURRENTLY with the pass-2 jobs
@@ -309,6 +319,7 @@ def validate(
         dataset,
         violation_tables,
         _agg=agg if row_cs else None,
+        _agg_pdf_fut=fut_agg_pdf,
         _row_names=[c.name for c in row_cs],
         _extra_rows=extra_passfail_rows,
     )

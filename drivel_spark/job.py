@@ -137,8 +137,12 @@ def cmd_validate(args) -> dict:
 
     t0 = time.time()
     phases: dict[str, float] = {}
-    clips = spark.read.parquet(f"{args.data}/clips")
-    transcripts = spark.read.parquet(f"{args.data}/transcripts")
+    from drivel_spark.io import read_table
+
+    clips_ref = getattr(args, "clips", None) or f"{args.data}/clips"
+    transcripts_ref = getattr(args, "transcripts", None) or f"{args.data}/transcripts"
+    clips = read_table(spark, clips_ref)
+    transcripts = read_table(spark, transcripts_ref)
 
     # ---- pass 1: schema + stats profile (optionally resumable) -------
     # launched on a driver thread so its scan overlaps pass 2 (FAIR
@@ -270,6 +274,10 @@ def main(argv=None) -> None:
 
     sv = sub.add_parser("validate")
     sv.add_argument("--data", required=True)
+    sv.add_argument("--clips", default=None,
+                    help="override clips table (path or iceberg:db.tbl ref)")
+    sv.add_argument("--transcripts", default=None,
+                    help="override transcripts table (path or iceberg:db.tbl ref)")
     sv.add_argument("--baseline", default=None)
     sv.add_argument("--checkpoint", default=None)
     sv.add_argument("--run-id", default="run0")

@@ -78,6 +78,7 @@ def main() -> None:
         scope=F.pmod(F.xxhash64("l_orderkey"), F.lit(16)).cast("long"),
         cache_flags=False,
     )
+    res.passfail.collect()  # run once so AQE finalizes (isFinalPlan=true)
     p = fmt(res.passfail)
     sections.append(
         (
@@ -87,7 +88,7 @@ def main() -> None:
                 "partial+final hash agg: "
                 + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
                 "whole-stage codegen: "
-                + ("PASS" if "WholeStageCodegen" in p else "FAIL"),
+                + ("PASS" if "codegen id" in p else "FAIL"),
                 "no Python in the hot path (no BatchEvalPython/ArrowEval): "
                 + ("PASS" if "EvalPython" not in p else "FAIL"),
             ],

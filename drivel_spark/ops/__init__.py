@@ -11,6 +11,7 @@ from .dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+    shingle_table,
     word_shingles,
 )
 from .multimodal import embed_binary_column, extract_audio_features
@@ -36,6 +37,7 @@ __all__ = [
     "minhash_dedup_pairs",
     "simhash_near_dup_pairs",
     "embedding_near_dup_pairs",
+    "shingle_table",
     "word_shingles",
     "cosine_expr",
     "cosine_topk",

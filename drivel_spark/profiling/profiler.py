@@ -170,8 +170,32 @@ def _partition_profiler(columns: list[tuple[str, str]], opts: ProfilerOptions):
         from pyspark import TaskContext
 
         acc = TableAccumulator(columns, opts)
+        # The session Arrow batch cap is sized for ~100KB binary audio
+        # rows (config.py); narrow tables then arrive in tiny batches
+        # and per-batch Python overhead dominates.  Re-buffer to ~8k
+        # rows before updating — unless rows are wide (first batch
+        # probes the bytes/row), in which case update per batch.
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+        target = None  # rows per update, decided on the first batch
         for pdf in batches:
-            acc.update(pdf)
+            if target is None:
+                row_b = (
+                    int(pdf.memory_usage(deep=True).sum() / max(len(pdf), 1))
+                    if len(pdf)
+                    else 0
+                )
+                target = 1 if row_b > 4096 else 8192
+            if target == 1:
+                acc.update(pdf)
+                continue
+            buf.append(pdf)
+            buffered += len(pdf)
+            if buffered >= target:
+                acc.update(pd.concat(buf, ignore_index=True))
+                buf, buffered = [], 0
+        if buf:
+            acc.update(pd.concat(buf, ignore_index=True))
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         yield pd.DataFrame({"partition_id": [pid], "acc": [acc.to_bytes()]})

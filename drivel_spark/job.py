@@ -122,6 +122,57 @@ def _constraints(meta: dict, baseline) -> list:
     return cs
 
 
+def cmd_describe(args) -> dict:
+    """The reference's `drivel describe` at table scale: one profile
+    scan → human-readable schema (reference schema.rs:535-595) or JSON
+    Schema draft 2020-12 (schema.rs:644-754) on stdout (stderr for the
+    text so the stdout JSON line stays parseable)."""
+    import json as _json
+
+    from drivel_spark.io import read_table
+
+    spark = build_session("drivel-describe")
+    df = read_table(spark, args.data)
+    cols = args.columns.split(",") if args.columns else None
+    prof = profile(df, columns=cols)
+    if args.json_schema:
+        doc = prof.to_json_schema(extended=args.extended)
+        sys.stderr.write(_json.dumps(doc, indent=2) + "\n")
+    else:
+        sys.stderr.write(prof.describe() + "\n")
+    return {
+        "job": "describe",
+        "n_rows": prof.n_rows,
+        "n_partitions": prof.n_partitions,
+        "columns": prof.columns(),
+    }
+
+
+def cmd_produce(args) -> dict:
+    """The reference's `drivel produce -n N`, distributed and seeded:
+    infer a profile from --data (or parse a JSON Schema from --schema),
+    then generate n rows that re-infer to the same schema."""
+    spark = build_session("drivel-produce")
+    if args.schema:
+        import json as _json
+
+        from drivel_spark.core import parse_json_schema
+        from drivel_spark.produce.generator import produce_df
+
+        with open(args.schema) as fh:
+            node = parse_json_schema(_json.load(fh))
+        out_df = produce_df(spark, node, args.n_rows, seed=args.seed)
+    else:
+        from drivel_spark.io import read_table
+        from drivel_spark.produce.generator import produce_from_profile
+
+        prof = profile(read_table(spark, args.data))
+        out_df = produce_from_profile(spark, prof, args.n_rows, seed=args.seed)
+    out_df.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    return {"job": "produce", "n_rows": n, "out": args.out}
+
+
 def cmd_validate(args) -> dict:
     spark = build_session("drivel-validate")
     with open(f"{args.data}/meta.json") as fh:
@@ -285,10 +336,28 @@ def main(argv=None) -> None:
     sv.add_argument("--n-scopes", type=int, default=64)
     sv.add_argument("--report", default=None)
 
+    sd = sub.add_parser("describe")
+    sd.add_argument("--data", required=True, help="path or iceberg:db.tbl")
+    sd.add_argument("--columns", default=None, help="comma-separated subset")
+    sd.add_argument("--json-schema", action="store_true")
+    sd.add_argument("--extended", action="store_true",
+                    help="lossless JSON Schema (keeps bounds the reference drops)")
+
+    sg = sub.add_parser("produce")
+    sg.add_argument("--data", default=None, help="infer the schema from this table")
+    sg.add_argument("--schema", default=None, help="or parse this JSON Schema file")
+    sg.add_argument("--n-rows", type=int, default=1000)
+    sg.add_argument("--seed", type=int, default=42)
+    sg.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
-    out = {"prepare": cmd_prepare, "baseline": cmd_baseline, "validate": cmd_validate}[
-        args.cmd
-    ](args)
+    out = {
+        "prepare": cmd_prepare,
+        "baseline": cmd_baseline,
+        "validate": cmd_validate,
+        "describe": cmd_describe,
+        "produce": cmd_produce,
+    }[args.cmd](args)
     sys.stdout.write(json.dumps(out) + "\n")
     sys.stdout.flush()
 

@@ -31,6 +31,42 @@ DEFAULT_PARQUET_BATCH = int(os.environ.get("DRIVEL_PARQUET_BATCH", "256"))
 DEFAULT_MAX_PARTITION_BYTES = os.environ.get("DRIVEL_MAX_PARTITION_BYTES", "33554432")
 
 
+# Allocation file for FAIR scheduling: spark.scheduler.mode=FAIR alone
+# only makes the ROOT scheduler fair BETWEEN pools; with no allocation
+# file every job lands in the single "default" pool whose internal
+# scheduling is FIFO, so small validate jobs still queue behind a heavy
+# decode scan.  Shipping an allocation file that sets the default
+# pool's schedulingMode to FAIR makes concurrently-submitted jobs
+# actually share executors.  Written driver-local at session build time
+# (a packaged file inside a --py-files zip has no filesystem path).
+_FAIR_XML = """<?xml version="1.0"?>
+<allocations>
+  <pool name="default">
+    <schedulingMode>FAIR</schedulingMode>
+    <weight>1</weight>
+    <minShare>0</minShare>
+  </pool>
+</allocations>
+"""
+
+
+def _fair_allocation_file() -> str:
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "drivel_fairscheduler.xml")
+    try:
+        with open(path) as fh:
+            if fh.read() == _FAIR_XML:
+                return path
+    except OSError:
+        pass
+    tmp = f"{path}.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(_FAIR_XML)
+    os.replace(tmp, path)
+    return path
+
+
 def build_session(
     app_name: str = "drivel-spark",
     master: str | None = None,
@@ -72,6 +108,7 @@ def build_session(
         # keeps the small jobs from queueing behind the heavy decode
         # scan, which is what makes the wall clock scale with cores
         .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", _fair_allocation_file())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

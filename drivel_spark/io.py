@@ -46,7 +46,15 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
 
 def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
     if ref.startswith("iceberg:"):
-        df.writeTo(ref[len("iceberg:"):]).using("iceberg").createOrReplace()
+        writer = df.writeTo(ref[len("iceberg:"):]).using("iceberg")
+        # honor the mode — silently replacing on an append call is data
+        # loss; DataFrameWriterV2 has distinct verbs per mode
+        if mode == "append":
+            writer.append()
+        elif mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            raise ValueError(f"unsupported write mode for iceberg ref: {mode!r}")
         return
     if is_table_ref(ref):
         df.write.mode(mode).saveAsTable(ref)

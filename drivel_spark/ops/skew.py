@@ -68,24 +68,26 @@ def salted_distinct_count(
     df: DataFrame,
     key: str,
     value: str,
-    buckets: int = DEFAULT_SALT_BUCKETS,
+    buckets: int = DEFAULT_SALT_BUCKETS,  # kept for API compat; unused
     out_col: str = "n_distinct",
 ) -> DataFrame:
     """Exact COUNT(DISTINCT value) per (possibly hot) key without
     funnelling the hot key through one reducer.
 
-    Stage 1 groups by (key, value) — the salt is implicit because the
-    value itself spreads the hot key across reducers; a residual hot
-    (key, value) PAIR (one value dominating inside one key) is further
-    spread by an explicit salt, counted once via max(1).  Stage 2
-    counts surviving distinct values per key.
+    The (key, value) grouping IS the skew spread: a hot key's records
+    scatter over reducers by value, and a residual hot (key, value)
+    PAIR is harmless because the stage-1 state is a single presence
+    bit that partial (map-side) aggregation collapses before the
+    shuffle.  An explicit salt column would be functionally dependent
+    on (key, value) and change nothing — see salted_agg for the salt
+    pattern that DOES matter (growing per-key state keyed only by the
+    hot key).  NULL values are excluded, matching COUNT(DISTINCT v)
+    SQL semantics.
     """
     pairs = (
-        with_salt(df.select(key, value), value, buckets)
-        .groupBy(key, value, "__salt")
-        .agg(F.lit(1).alias("__one"))
-        .groupBy(key, value)
-        .agg(F.max("__one").alias("__one"))
+        df.select(key, value)
+        .filter(F.col(value).isNotNull())
+        .distinct()
     )
     return pairs.groupBy(key).agg(F.count(F.lit(1)).alias(out_col))
 
@@ -94,14 +96,17 @@ def salted_freq_map(
     df: DataFrame,
     key: str,
     value: str,
-    buckets: int = DEFAULT_SALT_BUCKETS,
+    buckets: int = DEFAULT_SALT_BUCKETS,  # kept for API compat; unused
 ) -> DataFrame:
-    """Per-key value frequency map (key, value, cnt) via two-level
-    counting — the skew-safe form of the profiler's codec/sr_hz
-    frequency maps when computed relationally at full scale."""
-    stage1 = (
-        with_salt(df.select(key, value), value, buckets)
-        .groupBy(key, value, "__salt")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    """Per-key value frequency map (key, value, cnt) — the skew-safe
+    form of the profiler's codec/sr_hz frequency maps when computed
+    relationally at full scale.  Grouping by (key, value) spreads the
+    hot key across reducers and the count state is a constant-size
+    counter that partial aggregation collapses map-side, so no
+    explicit salt stage is needed (it would be functionally dependent
+    on the group key and pure shuffle overhead)."""
+    return (
+        df.select(key, value)
+        .groupBy(key, value)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    return stage1.groupBy(key, value).agg(F.sum("__c").cast("long").alias("cnt"))

@@ -26,3 +26,82 @@ def test_snapshot_fingerprint_stable_and_sensitive(spark, sf_small_dir, tmp_path
     # different content → different fingerprint
     other = snapshot_fingerprint(spark, os.path.join(sf_small_dir, "region.parquet"))
     assert other != a
+
+
+def test_read_table_catalog_routing():
+    """Ref-routing into the Spark catalog (the Iceberg path when the
+    runtime jar + catalog conf are present) — exercised with a fake
+    session so the branch runs without an Iceberg deployment."""
+    log = []
+
+    class FakeReader:
+        def table(self, name):
+            log.append(("table", name))
+            return "DF"
+
+        def parquet(self, path):
+            log.append(("parquet", path))
+            return "DF"
+
+    class FakeSpark:
+        @property
+        def read(self):
+            return FakeReader()
+
+    read_table(FakeSpark(), "iceberg:db.clips")
+    read_table(FakeSpark(), "cat.db.clips")
+    read_table(FakeSpark(), "/data/clips")
+    assert log == [
+        ("table", "db.clips"),
+        ("table", "cat.db.clips"),
+        ("parquet", "/data/clips"),
+    ]
+
+
+def test_write_table_iceberg_mode_dispatch():
+    """append must APPEND (DataFrameWriterV2.append), overwrite must
+    createOrReplace, anything else must raise (ADVICE r01: mode was
+    silently ignored → data loss on the intended-append path)."""
+    import pytest
+
+    from drivel_spark.io import write_table
+
+    calls = []
+
+    class FakeWriter:
+        def using(self, fmt):
+            calls.append(("using", fmt))
+            return self
+
+        def append(self):
+            calls.append(("append",))
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace",))
+
+    class FakeDF:
+        def writeTo(self, name):
+            calls.append(("writeTo", name))
+            return FakeWriter()
+
+    write_table(FakeDF(), "iceberg:db.clips", mode="append")
+    assert calls[-1] == ("append",)
+    write_table(FakeDF(), "iceberg:db.clips", mode="overwrite")
+    assert calls[-1] == ("createOrReplace",)
+    with pytest.raises(ValueError):
+        write_table(FakeDF(), "iceberg:db.clips", mode="ignore")
+
+
+def test_catalog_table_round_trip(spark, sf_small_dir):
+    """End-to-end catalog branch with the session's built-in catalog:
+    write_table → saveAsTable, read_table → spark.read.table.  Same
+    code path an Iceberg catalog takes (conf swap, not code swap)."""
+    from drivel_spark.io import write_table
+
+    df = read_table(spark, os.path.join(sf_small_dir, "region.parquet"))
+    spark.sql("DROP TABLE IF EXISTS default.drivel_smoke")
+    write_table(df, "default.drivel_smoke", mode="overwrite")
+    back = read_table(spark, "default.drivel_smoke")
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+    spark.sql("DROP TABLE IF EXISTS default.drivel_smoke")

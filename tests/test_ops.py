@@ -235,8 +235,10 @@ def test_salted_agg_matches_plain(spark):
     n = 5000
     pdf = pd.DataFrame(
         {
+            # null-bearing values: COUNT(DISTINCT v) excludes NULLs, and
+            # salted_distinct_count must match that (ADVICE r01)
             "k": ["hot" if i % 10 < 7 else f"cold{i % 10}" for i in range(n)],
-            "v": [f"u{i % 97}" for i in range(n)],
+            "v": [None if i % 11 == 0 else f"u{i % 97}" for i in range(n)],
             "uid": [str(i) for i in range(n)],
             "x": [float(i % 13) for i in range(n)],
         }

@@ -405,10 +405,15 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard_documents(spark, sf_dir):
+    """Exact n-gram Jaccard join with the hot-shingle guard active:
+    max_shingle_df=64 bounds any shingle's self-join contribution at
+    64² rows (the 100×-scale stop-shingle killer), and is provably
+    inactive on this corpus (max observed df: 7 at sf0.01, 25 at
+    sf0.1) so the oracle pins full-Jaccard equality."""
     from drivel_spark.ops import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.5, n=3)
+    return ngram_jaccard_pairs(d, threshold=0.5, n=3, max_shingle_df=64)
 
 
 def q_cosine_topk_embeddings(spark, sf_dir):

@@ -10,6 +10,7 @@ from .dedup import (
     minhash_lsh_candidates,
     minhash_signature,
     ngram_jaccard_pairs,
+    release_shingles,
     simhash_near_dup_pairs,
     shingle_table,
     word_shingles,
@@ -32,6 +33,7 @@ __all__ = [
     "exact_dedup",
     "exact_dup_groups",
     "ngram_jaccard_pairs",
+    "release_shingles",
     "minhash_signature",
     "minhash_lsh_candidates",
     "minhash_dedup_pairs",

@@ -99,15 +99,47 @@ def shingle_table(
 ) -> DataFrame:
     """(id, sh) shingle table with the token array materialized behind a
     persist barrier so grams are built from a real column, not an
-    inlined re-tokenization (CollapseProject would merge a plain
-    two-step projection back together).  At cluster scale the persisted
-    intermediate is the same thing a pipeline would write between
-    stages."""
+    inlined re-tokenization (measured: a plain projection OR a
+    repartition barrier both end up re-tokenizing — CollapseProject
+    merges the former, and filter pushdown through the exchange
+    re-inlines the latter — 34s vs 1.2s at sf0.1).  At cluster scale
+    the persisted intermediate is the same thing a pipeline would
+    write between stages.
+
+    Caching contract: the persisted token DataFrame is attached to the
+    result as ``_drivel_cache``.  The consuming ops here release it via
+    :func:`release_shingles` once their output is materialized
+    (``eager=True``); direct callers own the release."""
     tok = df.select(
         F.col(id_col).alias("id"),
         tokens(normalize_text(F.col(text_col))).alias("__toks"),
     ).persist()
-    return tok.select("id", _grams_from_tokens(F.col("__toks"), n).alias("sh"))
+    out = tok.select("id", _grams_from_tokens(F.col("__toks"), n).alias("sh"))
+    out._drivel_cache = tok
+    return out
+
+
+def release_shingles(sh: DataFrame) -> None:
+    """Unpersist the token cache behind a :func:`shingle_table` result
+    (no-op for plain DataFrames) — call after downstream results are
+    materialized, or the cache outlives the op (ADVICE r01)."""
+    cache = getattr(sh, "_drivel_cache", None)
+    if cache is not None:
+        cache.unpersist()
+
+
+def _materialize(out: DataFrame, *shingle_tables: DataFrame) -> DataFrame:
+    """Eager completion for candidates-and-verify ops: persist + run the
+    pair computation NOW (at cluster scale this is the write of the
+    pair table), then release the shingle/token caches so nothing from
+    the op's interior outlives it.  The returned (small) pair table is
+    the only persisted artifact and is owned by the caller — drop it
+    with ``out.unpersist()``."""
+    out = out.persist()
+    out.count()
+    for sh in shingle_tables:
+        release_shingles(sh)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -116,17 +148,39 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: Optional[int] = None,
+    eager: bool = True,
 ) -> DataFrame:
     """ALL pairs with Jaccard(shingles_a, shingles_b) ≥ threshold, via an
     inverted shingle index: explode → equi-join on shingle → count
-    common → exact Jaccard.  The join shuffles on the shingle key, so
-    stop-shingle skew is the scale risk: ultra-frequent shingles can be
-    filtered (df-frequency cap) without affecting high-threshold pairs.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    common → exact Jaccard.  Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    The join shuffles on the shingle key, so stop-shingle skew is the
+    scale killer: ONE shingle appearing in k docs makes k² join rows.
+    ``max_shingle_df`` caps it — shingles whose document frequency
+    exceeds the cap are dropped from the index via a semi-join BEFORE
+    the self-join, bounding any shingle's contribution at cap².  With
+    a cap, both the intersection AND the cardinalities come from the
+    capped shingle space, so the emitted value is the exact Jaccard of
+    the rare-shingle sets: identical to full Jaccard whenever no
+    shared shingle is hot (pinned by a test + the sf0.01 oracle, where
+    max df=7 << the contract cap of 64), and a documented
+    rare-weighted approximation otherwise — a pair can only be missed
+    if MORE than (1-threshold) of its union is ultra-common shingles.
     """
-    sh = shingle_table(df, text_col, id_col, n).withColumn("card", F.size("sh"))
-    sizes = sh.select("id", "card")
+    sh = shingle_table(df, text_col, id_col, n)
     inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        rare = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("g")
+        )
+        inv = inv.join(rare, "g", "left_semi")
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("card"))
+    else:
+        sizes = sh.select("id", F.size("sh").alias("card"))
     common = (
         inv.alias("a")
         .join(inv.alias("b"), on="g")
@@ -134,7 +188,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
+    out = (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("card", "card_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("card", "card_b"), "id_b")
         .withColumn(
@@ -145,6 +199,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return _materialize(out, sh) if eager else out
 
 
 # ---------------------------------------------------------------------------
@@ -218,18 +273,24 @@ def minhash_lsh_candidates(
     def bands_udf(sh: pd.Series) -> pd.Series:
         return pd.Series(_band_keys_batch(sh, num_perm, bands, seed))
 
+    # caching contract: when this op builds its own shingle table, the
+    # token cache handle propagates on the RESULT as _drivel_cache so
+    # the caller (or minhash_dedup_pairs) can release_shingles() it
     base = sh_table if sh_table is not None else shingle_table(df, text_col, id_col, n)
     keyed = base.select(
         "id", bands_udf(F.col("sh")).alias("bk")
     ).filter(F.col("bk").isNotNull())
     band_keys = keyed.select("id", F.posexplode("bk").alias("band", "bkey"))
-    return (
+    out = (
         band_keys.alias("a")
         .join(band_keys.alias("b"), on=["band", "bkey"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if sh_table is None:
+        out._drivel_cache = getattr(base, "_drivel_cache", None)
+    return out
 
 
 def minhash_dedup_pairs(
@@ -240,11 +301,13 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    eager: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with EXACT Jaccard (join back to shingle
     sets, intersection via array_intersect) — the standard
     candidates-then-verify near-dup pipeline.  The shingle table is
-    materialized once and shared by signatures and verification."""
+    materialized once, shared by signatures and verification, and
+    released after the pair table materializes (``eager=True``)."""
     sh = shingle_table(df, text_col, id_col, n)
     cands = minhash_lsh_candidates(df, text_col, id_col, n, num_perm, bands, sh_table=sh)
     verified = (
@@ -258,7 +321,8 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    out = verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return _materialize(out, sh) if eager else out
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Side-tables for oracles of engine-specific results (LSH bucket / band
+# assignments, sketch estimates, synthesized-audio features): the query
+# exports the engine-chosen assignment as ONE parquet file and the
+# DuckDB oracle reads it back, so DuckDB independently verifies the
+# SEMANTICS (exact similarity values, thresholds, orderings, tolerance
+# bounds) while the hash-based assignment itself — arbitrary by
+# construction — is taken as given.
+ORACLE_DIR = "/root/repo/.oracle"
+
+
+def _export_oracle(pdf, name: str, sf_dir: str) -> str:
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    path = f"{ORACLE_DIR}/{name}_{tag}.parquet"
+    pdf.to_parquet(path, index=False)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -394,6 +414,9 @@ def q_regex_token_count_documents(spark, sf_dir):
 
 
 def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Exact all-pairs cosine near-dup (broadcast GEMM) — the QUADRATIC
+    truth anchor, kept at small scale only; the scale path is
+    embedding_near_dup_lsh below."""
     from drivel_spark.ops import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings").withColumn(
@@ -401,6 +424,30 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
     )
     return embedding_near_dup_pairs(
         e, vec_col="emb_d", id_col="vec_id", threshold=0.42, n_planes=0
+    )
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """THE scale path for embedding near-dup: random-hyperplane LSH
+    buckets → within-bucket exact cosine verify (sub-quadratic; the
+    bucket join replaces the all-pairs product).  The bucket
+    assignment is exported so DuckDB independently re-derives the
+    result: same-bucket pairs, exact cosine, same threshold — pinning
+    that every emitted pair is exact and nothing inside a bucket is
+    missed."""
+    from drivel_spark.ops import embedding_lsh_buckets, embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    bk = embedding_lsh_buckets(e, vec_col="emb_d", id_col="vec_id", n_planes=4)
+    _export_oracle(
+        bk.select(F.col("id").alias("vec_id"), "bucket").toPandas(),
+        "emb_lsh_buckets",
+        sf_dir,
+    )
+    return embedding_near_dup_pairs(
+        e, vec_col="emb_d", id_col="vec_id", threshold=0.42, n_planes=4
     )
 
 
@@ -450,26 +497,51 @@ def q_embedding_norms(spark, sf_dir):
 
 
 def q_profile_sketches_lineitem(spark, sf_dir):
-    """Full sketch profile (HLL + KLL + freq) — mergeable-accumulator
-    path; approximate by design, so no SQL oracle."""
+    """Full sketch profile (HLL + KLL) via the mergeable-accumulator
+    path, oracled with TOLERANCE BOUNDS: the sketch estimates are
+    exported, and both Spark (vs its own exact distinct/percentiles)
+    and DuckDB (vs quantile_cont / COUNT DISTINCT) independently check
+    |hll−distinct| ≤ 5%·distinct (HLL p=12 → σ≈1.6%) and that the KLL
+    median lies within the 0.47–0.53 exact-rank band (KLL k=200 →
+    rank ε≈0.5%).  Output is the two verdicts per column — hash-equal
+    iff both sides agree the sketches are in-bounds."""
+    import pandas as pd
+
     from drivel_spark.profiling import profile
 
     li = _t(spark, sf_dir, "lineitem")
     prof = profile(li, columns=["l_quantity", "l_extendedprice", "l_returnflag"])
-    rows = []
-    for name in ("l_quantity", "l_extendedprice"):
+    est = {}
+    for name in ("l_extendedprice", "l_quantity"):
         acc = prof.column(name)
-        rows.append(
-            (
-                name,
-                acc.n,
-                int(round(acc.hll.estimate())),
-                float(round(acc.kll.quantile(0.5), 4)),
-            )
-        )
-    return spark.createDataFrame(
-        rows, "column string, n long, approx_distinct long, kll_median double"
+        est[name] = (acc.n, float(acc.hll.estimate()), float(acc.kll.quantile(0.5)))
+    _export_oracle(
+        pd.DataFrame(
+            [(k, *v) for k, v in est.items()],
+            columns=["column", "n", "hll_est", "kll_median"],
+        ),
+        "sketch_estimates",
+        sf_dir,
     )
+    exact = li.agg(
+        *[
+            a
+            for c, tag in (("l_extendedprice", "e"), ("l_quantity", "q"))
+            for a in (
+                F.countDistinct(c).alias(f"nd_{tag}"),
+                F.expr(f"percentile({c}, 0.47)").alias(f"qlo_{tag}"),
+                F.expr(f"percentile({c}, 0.53)").alias(f"qhi_{tag}"),
+            )
+        ]
+    ).first()
+    rows = []
+    for name, tag in (("l_extendedprice", "e"), ("l_quantity", "q")):
+        n, hll, kll = est[name]
+        nd, qlo, qhi = exact[f"nd_{tag}"], exact[f"qlo_{tag}"], exact[f"qhi_{tag}"]
+        rows.append(
+            (name, n, bool(abs(hll - nd) <= 0.05 * nd), bool(qlo <= kll <= qhi))
+        )
+    return spark.createDataFrame(rows, "column string, n long, hll_ok boolean, kll_ok boolean")
 
 
 def q_minhash_pairs_documents(spark, sf_dir):
@@ -480,10 +552,22 @@ def q_minhash_pairs_documents(spark, sf_dir):
 
 
 def q_simhash_pairs_documents(spark, sf_dir):
+    """SimHash near-dup pairs at max_hamming=3 with bands=4: the
+    pigeonhole guarantee (distance < bands ⇒ ≥1 equal band) makes
+    recall exactly 1, so the banded result EQUALS the all-pairs
+    Hamming join — which the oracle computes in DuckDB over the
+    exported signature table (bit_count(xor))."""
     from drivel_spark.ops import simhash_near_dup_pairs
+    from drivel_spark.ops.dedup import simhash_udf
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, max_hamming=8, bands=4)
+    sigs = d.select(
+        F.col("doc_id").alias("id"), simhash_udf(F.col("text")).alias("sig")
+    ).toPandas()
+    _export_oracle(sigs, "simhash_sigs", sf_dir)
+    return simhash_near_dup_pairs(d, max_hamming=3, bands=4).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
 
 
 def q_json_schema_events_props(spark, sf_dir):
@@ -526,15 +610,56 @@ def q_clips_validation_passfail(spark, sf_dir):
     return res.passfail.orderBy("constraint", "partition_id")
 
 
+def _local_audio_features(n: int) -> "object":
+    """Independent per-clip feature oracle: the SAME seeded fixture
+    clips, decoded with the STDLIB ``wave`` module (not the engine's
+    RIFF parser) and reduced with inline numpy — no code shared with
+    ops/multimodal.py beyond the fixture definition itself, which is
+    the ground truth."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+
+    pdf = clips_pdf(range(n), ClipFixtureSpec(with_audio=True))
+    rows = []
+    for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            sr = w.getframerate()
+            nfr = w.getnframes()
+            pcm = (
+                np.frombuffer(w.readframes(nfr), dtype="<i2").astype(np.float32)
+                / 32767.0
+            )
+        zc = int(np.sum(np.abs(np.diff(np.signbit(pcm))))) if len(pcm) > 1 else 0
+        rows.append(
+            (
+                cid,
+                int(sr),
+                1000.0 * len(pcm) / sr,
+                float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0,
+                zc,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["clip_id", "sr_hz", "duration_ms", "rms", "zero_crossings"]
+    )
+
+
 def q_audio_features_clips(spark, sf_dir):
     """Multimodal plumbing end-to-end: binary WAV column → decoded
     per-clip features (mapInPandas, Arrow batches) → per-sr rollup.
-    Deterministic because clip synthesis is seeded; rows-only check
-    (no WAV codec in DuckDB)."""
+    Oracled against an independent driver-local decode of the same
+    seeded clips (stdlib wave + inline numpy, exported as a parquet
+    side-table) aggregated by DuckDB with identical rounding."""
     from drivel_spark.fixtures import ClipFixtureSpec, build_clips
     from drivel_spark.ops import extract_audio_features
 
     n = 400 if "0.01" in sf_dir else 200
+    _export_oracle(_local_audio_features(n), "audio_features", sf_dir)
     clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
     feats = extract_audio_features(clips, bytes_col="bytes", id_cols=["clip_id"])
     return (
@@ -551,13 +676,30 @@ def q_audio_features_clips(spark, sf_dir):
 
 
 def q_ann_topk_embeddings(spark, sf_dir):
+    """ANN top-k via hyperplane LSH + multiprobe.  The probed candidate
+    set (bucket ∈ Hamming-≤2 neighborhood of the query's bucket) is
+    exported; DuckDB independently verifies the semantics — exact
+    cosine over the probed set, ordering, and k — via its own
+    list_dot_product rerank."""
     from drivel_spark.ops import ann_topk, build_lsh_index
+    from drivel_spark.ops.similarity import _probe_buckets
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
     dim = len(e.select("embedding").first()[0])
-    indexed, planes = build_lsh_index(e, dim=dim, n_planes=6)
-    q = e.filter(F.col("vec_id") == 0).first()["embedding"]
-    return ann_topk(indexed, planes, list(q), k=10, probes=2)
+    indexed, planes = build_lsh_index(e, dim=dim, n_planes=6, vec_col="emb_d")
+    import numpy as np
+
+    q = np.asarray(
+        e.filter(F.col("vec_id") == 0).first()["emb_d"], dtype=np.float64
+    )
+    qbits = [1 if float(p @ q) >= 0 else 0 for p in planes]
+    probed = set(_probe_buckets(qbits, probes=2))
+    buckets = indexed.select("vec_id", "lsh_bucket").toPandas()
+    buckets["is_probed"] = buckets["lsh_bucket"].isin(probed)
+    _export_oracle(buckets[["vec_id", "is_probed"]], "ann_probes", sf_dir)
+    return ann_topk(indexed, planes, q.tolist(), k=10, probes=2, vec_col="emb_d")
 
 
 # ---------------------------------------------------------------------------
@@ -598,9 +740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scoring_documents": q_quality_scoring_documents,
         "regex_token_count_documents": q_regex_token_count_documents,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "embedding_norms": q_embedding_norms,
-        # non-SQL (rows-only)
+        # engine-specific assignments, oracled via exported side-tables
         "profile_sketches_lineitem": q_profile_sketches_lineitem,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
@@ -646,6 +789,61 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_filter(t, x -> list_contains({lst}, x))) AS s_{lang}"
         for lang, lst in stop.items()
     )
+    exact_jaccard_05 = """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+              FROM documents WHERE trim(text) <> '' AND text IS NOT NULL),
+            idx AS (
+              SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+            card AS (SELECT doc_id, count(*)::BIGINT AS c FROM grams GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS cm
+              FROM grams a JOIN grams b USING (g)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(cm::DOUBLE / (ca.c + cb.c - cm), 6) AS jaccard
+            FROM common
+            JOIN card ca ON ca.doc_id = id_a
+            JOIN card cb ON cb.doc_id = id_b
+            WHERE cm::DOUBLE / (ca.c + cb.c - cm) >= 0.5"""
+    # closed-form pass/fail oracle for the seeded clips fixture at
+    # sf0.01 (n=4000): violations are injected at modular row positions
+    # (fixtures.py), the report scope is clip_idx % 8, so the entire
+    # pass/fail table is computable from range(4000) without touching
+    # the engine at all
+    # scope is clip_idx % 8, and attach_clip_idx resolves a
+    # duplicate-injected clip_id (i % 1000 = 500, i >= 1000) to the
+    # CANONICAL index i-999 — so those rows land in scope (i-999) % 8
+    clip_flags = """
+            WITH ids AS (SELECT unnest(range(4000)) AS i),
+            flags AS (SELECT i,
+                   ((CASE WHEN i % 1000 = 500 AND i >= 1000 THEN i - 999 ELSE i END) % 8)::BIGINT AS scope,
+                   (i % 500 = 3)  AS v_sr,
+                   (i % 500 = 7)  AS v_dur,
+                   (i % 1000 = 11) AS v_codec,
+                   (i % 200 = 13) AS v_tr
+                   FROM ids),
+            agg AS (SELECT scope, count(*)::BIGINT AS n_rows,
+                   sum(v_sr::INT)::BIGINT AS c_sr, sum(v_dur::INT)::BIGINT AS c_dur,
+                   sum(v_codec::INT)::BIGINT AS c_codec, sum(v_tr::INT)::BIGINT AS c_tr,
+                   sum((v_sr OR v_dur OR v_codec OR v_tr)::INT)::BIGINT AS c_any
+                   FROM flags GROUP BY scope)"""
+    passfail_row = (
+        "SELECT scope AS partition_id, '{name}' AS \"constraint\", n_rows, "
+        "{c} AS n_violations, {c} = 0 AS passed FROM agg"
+    )
+    clips_passfail_sql = clip_flags + " " + " UNION ALL ".join(
+        passfail_row.format(name=name, c=c)
+        for name, c in (
+            ("sr_enum", "c_sr"),
+            ("dur_range", "c_dur"),
+            ("codec_enum", "c_codec"),
+            ("transcript_not_null", "c_tr"),
+            ("_rows_any_violation", "c_any"),
+        )
+    ) + " ORDER BY \"constraint\", partition_id"
     return {
         "profile_lineitem_numeric": profile_numeric,
         "profile_strings": profile_strings,
@@ -753,25 +951,21 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'nl' END AS lang_pred
               FROM sc)
             SELECT lang_pred, count(*)::BIGINT AS n FROM pred GROUP BY lang_pred""",
-        "ngram_jaccard_documents": """
-            WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-              FROM documents WHERE trim(text) <> '' AND text IS NOT NULL),
-            idx AS (
-              SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-            grams AS (
-              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
-            card AS (SELECT doc_id, count(*)::BIGINT AS c FROM grams GROUP BY doc_id),
-            common AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS cm
-              FROM grams a JOIN grams b USING (g)
-              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   round(cm::DOUBLE / (ca.c + cb.c - cm), 6) AS jaccard
-            FROM common
-            JOIN card ca ON ca.doc_id = id_a
-            JOIN card cb ON cb.doc_id = id_b
-            WHERE cm::DOUBLE / (ca.c + cb.c - cm) >= 0.5""",
+        "ngram_jaccard_documents": exact_jaccard_05,
+        # MinHash+LSH at num_perm=64 / bands=32 (r=2): collision prob at
+        # j=0.5 is 1-(1-0.25)^32 ≈ 0.9999, and candidates are verified
+        # with EXACT Jaccard — so at threshold 0.5 the banded result
+        # equals the full exact-Jaccard join, which is this same SQL.
+        "minhash_pairs_documents": exact_jaccard_05,
+        # pigeonhole banding with max_hamming(3) < bands(4) ⇒ recall 1 ⇒
+        # the banded result equals the all-pairs Hamming join over the
+        # exported signature table
+        "simhash_pairs_documents": f"""
+            WITH s AS (SELECT * FROM read_parquet('{ORACLE_DIR}/simhash_sigs_sf0.01.parquet'))
+            SELECT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+            FROM s a JOIN s b ON a.id < b.id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
         "salted_distinct_users": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type""",
@@ -829,7 +1023,93 @@ def oracle_sql() -> dict[str, str]:
                    round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
                    round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
             FROM embeddings GROUP BY label""",
-        # profile_sketches_lineitem / minhash / simhash / json_schema /
-        # clips_validation / ann: rows-only (approximate, engine-specific
-        # hashing, or non-SQL input) — intentionally omitted
+        "clips_validation_passfail": clips_passfail_sql,
+        # distributed JSON-tree inference, checked against DuckDB's own
+        # JSON type introspection: per top-level key, the merged kind
+        # (int⊔float → number), null-literal nullability, and the
+        # str_type slot (empty for non-strings; the string detector
+        # cascade has no instances in this fixture)
+        "json_schema_events_props": """
+            WITH docs AS (SELECT props FROM events WHERE props IS NOT NULL),
+            ks AS (SELECT DISTINCT unnest(json_keys(props)) AS field FROM docs),
+            t AS (SELECT ks.field, json_type(d.props, '$.' || ks.field) AS jt
+                  FROM docs d CROSS JOIN ks),
+            agg AS (SELECT field,
+                    count(*) FILTER (jt IN ('UBIGINT','BIGINT')) AS n_int,
+                    count(*) FILTER (jt = 'DOUBLE') AS n_float,
+                    count(*) FILTER (jt = 'VARCHAR') AS n_str,
+                    count(*) FILTER (jt = 'BOOLEAN') AS n_bool,
+                    count(*) FILTER (jt = 'NULL') AS n_null,
+                    count(*) FILTER (jt IN ('OBJECT','ARRAY')) AS n_nested
+                    FROM t GROUP BY field)
+            SELECT field,
+              CASE WHEN n_int + n_float > 0 AND n_str = 0 AND n_bool = 0 AND n_nested = 0 THEN 'number'
+                   WHEN n_str > 0 AND n_int + n_float + n_bool + n_nested = 0 THEN 'string'
+                   WHEN n_bool > 0 AND n_int + n_float + n_str + n_nested = 0 THEN 'boolean'
+                   ELSE 'indefinite' END AS kind,
+              n_null > 0 AS nullable,
+              '' AS str_type
+            FROM agg ORDER BY field""",
+        # per-sr rollup of the independently-decoded (stdlib wave)
+        # per-clip features, with the same rounding as the Spark side
+        "audio_features_clips": f"""
+            SELECT sr_hz, count(*)::BIGINT AS n_clips,
+                   round(avg(rms), 5) AS avg_rms,
+                   round(avg(duration_ms), 2) AS avg_dur_ms,
+                   round(avg(zero_crossings), 1) AS avg_zc
+            FROM read_parquet('{ORACLE_DIR}/audio_features_sf0.01.parquet')
+            GROUP BY sr_hz ORDER BY sr_hz""",
+        # exact cosine rerank over the exported probed candidate set —
+        # verifies the filter-then-exact-rerank semantics and ordering
+        "ann_topk_embeddings": f"""
+            WITH probed AS (
+              SELECT vec_id FROM read_parquet('{ORACLE_DIR}/ann_probes_sf0.01.parquet')
+              WHERE is_probed),
+            q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+            SELECT v.vec_id,
+                   round(list_dot_product(v.embedding::DOUBLE[], q.e)
+                         / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+            FROM embeddings v JOIN probed USING (vec_id), q
+            ORDER BY cosine DESC, vec_id LIMIT 10""",
+        # sketch estimates vs DuckDB-exact tolerance bounds: HLL within
+        # 5% of COUNT DISTINCT, KLL median inside the 0.47–0.53 exact
+        # rank band — both verdicts must be true on both sides
+        "profile_sketches_lineitem": f"""
+            WITH est AS (SELECT * FROM read_parquet('{ORACLE_DIR}/sketch_estimates_sf0.01.parquet')),
+            ex AS (
+              SELECT 'l_extendedprice' AS column, count(*)::BIGINT AS n,
+                     count(DISTINCT l_extendedprice)::BIGINT AS nd,
+                     quantile_cont(l_extendedprice, 0.47) AS qlo,
+                     quantile_cont(l_extendedprice, 0.53) AS qhi
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', count(*)::BIGINT,
+                     count(DISTINCT l_quantity)::BIGINT,
+                     quantile_cont(l_quantity, 0.47),
+                     quantile_cont(l_quantity, 0.53)
+              FROM lineitem)
+            SELECT ex.column, ex.n,
+                   abs(est.hll_est - ex.nd) <= 0.05 * ex.nd AS hll_ok,
+                   est.kll_median BETWEEN ex.qlo AND ex.qhi AS kll_ok
+            FROM ex JOIN est ON est.column = ex.column
+            ORDER BY ex.column""",
+        # LSH near-dup: DuckDB re-derives the result from the exported
+        # bucket assignment — same-bucket pairs, exact cosine, same
+        # threshold (everything but the hash itself is re-verified)
+        "embedding_near_dup_lsh": f"""
+            WITH bk AS (SELECT * FROM read_parquet('{ORACLE_DIR}/emb_lsh_buckets_sf0.01.parquet')),
+            p AS (
+              SELECT ba.vec_id AS id_a, bb.vec_id AS id_b,
+                     round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+              FROM bk ba
+              JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+              JOIN embeddings a ON a.vec_id = ba.vec_id
+              JOIN embeddings b ON b.vec_id = bb.vec_id)
+            SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.42""",
+        # audio_features / simhash / ann / sketches / emb-lsh oracles
+        # read the side-tables exported by their queries (see
+        # _export_oracle); clips_validation_passfail is closed-form
     }

@@ -4,6 +4,7 @@ analysis, multimodal payload plumbing."""
 from .dedup import (
     cosine_expr,
     embedding_near_dup_pairs,
+    embedding_lsh_buckets,
     exact_dedup,
     exact_dup_groups,
     minhash_dedup_pairs,
@@ -30,6 +31,7 @@ from .text import (
 )
 
 __all__ = [
+    "embedding_lsh_buckets",
     "exact_dedup",
     "exact_dup_groups",
     "ngram_jaccard_pairs",

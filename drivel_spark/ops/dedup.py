@@ -420,6 +420,45 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def embedding_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, v, bucket) with the random-hyperplane sign-bit bucket key —
+    the shared bucketing used by the LSH near-dup path, public so
+    callers (and correctness oracles) can reproduce the exact bucket
+    assignment.  Pure Catalyst (zip_with/aggregate over plane
+    literals)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    return base.withColumn(
+        "bucket",
+        F.concat(
+            *[
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(float(x)) for x in planes[p]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for p in range(n_planes)
+            ]
+        ),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -473,30 +512,7 @@ def embedding_near_dup_pairs(
         id_t = dict(df.dtypes)[id_col]
         return base.mapInPandas(gemm, f"id_a {id_t}, id_b {id_t}, cosine double")
     else:
-        dim = len(df.select(vec_col).first()[0])
-        rng = np.random.default_rng(seed)
-        planes = rng.normal(size=(n_planes, dim))
-        keyed = base.withColumn(
-            "bucket",
-            F.concat(
-                *[
-                    F.when(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("v"),
-                                F.array(*[F.lit(float(x)) for x in planes[p]]),
-                                lambda a, b: a * b,
-                            ),
-                            F.lit(0.0),
-                            lambda acc, v: acc + v,
-                        )
-                        >= 0,
-                        F.lit("1"),
-                    ).otherwise(F.lit("0"))
-                    for p in range(n_planes)
-                ]
-            ),
-        )
+        keyed = embedding_lsh_buckets(df, vec_col, id_col, n_planes, seed)
         pairs = (
             keyed.alias("a")
             .join(keyed.alias("b"), on="bucket")

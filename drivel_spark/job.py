@@ -126,15 +126,45 @@ def cmd_describe(args) -> dict:
     """The reference's `drivel describe` at table scale: one profile
     scan → human-readable schema (reference schema.rs:535-595) or JSON
     Schema draft 2020-12 (schema.rs:644-754) on stdout (stderr for the
-    text so the stdout JSON line stays parseable)."""
+    text so the stdout JSON line stays parseable).
+
+    CLI parity with the reference verbs (main.rs:30-51): `--schema`
+    describes a parsed JSON Schema document instead of scanning data
+    (`--from-schema`), and `--infer-enum` + `--enum-max-uniq` +
+    `--enum-min-n` gate the enum post-pass (opt-in, like the
+    reference; the library API defaults to on)."""
     import json as _json
+
+    if getattr(args, "schema", None):
+        # fixed-schema path: parse → emit, no Spark scan at all
+        from drivel_spark.core import describe as core_describe
+        from drivel_spark.core import parse_json_schema, to_json_schema
+
+        with open(args.schema) as fh:
+            node = parse_json_schema(_json.load(fh))
+        if args.json_schema:
+            sys.stderr.write(
+                _json.dumps(to_json_schema(node, extended=args.extended), indent=2) + "\n"
+            )
+        else:
+            sys.stderr.write(core_describe(node) + "\n")
+        cols = sorted({**node.required, **node.optional}) if node.kind == "object" else []
+        return {"job": "describe", "source": "schema", "columns": cols}
+
+    if not args.data:
+        raise SystemExit("describe: need --data or --schema")
 
     from drivel_spark.io import read_table
 
     spark = build_session("drivel-describe")
     df = read_table(spark, args.data)
     cols = args.columns.split(",") if args.columns else None
-    prof = profile(df, columns=cols)
+    opts = ProfilerOptions(
+        infer_enum=bool(getattr(args, "infer_enum", False)),
+        enum_max_unique_ratio=float(getattr(args, "enum_max_uniq", 0.1)),
+        enum_min_sample_size=int(getattr(args, "enum_min_n", 1)),
+    )
+    prof = profile(df, columns=cols, opts=opts)
     if args.json_schema:
         doc = prof.to_json_schema(extended=args.extended)
         sys.stderr.write(_json.dumps(doc, indent=2) + "\n")
@@ -337,11 +367,20 @@ def main(argv=None) -> None:
     sv.add_argument("--report", default=None)
 
     sd = sub.add_parser("describe")
-    sd.add_argument("--data", required=True, help="path or iceberg:db.tbl")
+    sd.add_argument("--data", default=None, help="path or iceberg:db.tbl")
+    sd.add_argument("--schema", default=None,
+                    help="describe a JSON Schema file instead of scanning data "
+                         "(the reference's --from-schema, main.rs:30-32)")
     sd.add_argument("--columns", default=None, help="comma-separated subset")
     sd.add_argument("--json-schema", action="store_true")
     sd.add_argument("--extended", action="store_true",
                     help="lossless JSON Schema (keeps bounds the reference drops)")
+    sd.add_argument("--infer-enum", action="store_true",
+                    help="enable the enum post-pass (reference main.rs:34-37)")
+    sd.add_argument("--enum-max-uniq", type=float, default=0.1,
+                    help="max unique/count ratio for enum (main.rs:38-41)")
+    sd.add_argument("--enum-min-n", type=int, default=1,
+                    help="min sample size for enum (main.rs:42-45)")
 
     sg = sub.add_parser("produce")
     sg.add_argument("--data", default=None, help="infer the schema from this table")

@@ -45,7 +45,10 @@ class ProfilerOptions:
     sample_k: int = DEFAULT_MAX_STRINGS
     max_chars: int = DEFAULT_MAX_CHARS
     detect_formats: bool = True
-    # enum post-pass gates (reference defaults, main.rs:50-51)
+    # enum post-pass gates (reference defaults, main.rs:50-51).  The
+    # library default is ON (richer profiles); the describe CLI makes
+    # it opt-in via --infer-enum, matching the reference verb
+    infer_enum: bool = True
     enum_max_unique_ratio: float = 0.1
     enum_min_sample_size: int = 1
 

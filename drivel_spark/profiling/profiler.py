@@ -119,7 +119,8 @@ class TableProfile:
         # from the exact-when-small frequency map
         n_vals = acc.n - acc.n_null
         if (
-            n_vals >= self.opts.enum_min_sample_size
+            self.opts.infer_enum
+            and n_vals >= self.opts.enum_min_sample_size
             and n_vals > 0
             and acc.freq.is_exact
             and len(acc.freq.counts) / n_vals <= self.opts.enum_max_unique_ratio
@@ -279,7 +280,8 @@ def profile_json_column(
     column: str,
     infer_opts: Optional[InferenceOptions] = None,
     enum: Optional[EnumInference] = None,
-) -> SchemaNode:
+    with_stats: bool = False,
+):
     """Infer the schema tree of a JSON-string column.
 
     Each partition folds its documents into one SchemaNode (the
@@ -288,6 +290,12 @@ def profile_json_column(
     enum post-pass runs ONCE after the global merge (sane-semantics
     deviation, SURVEY.md §2.4 E4).  ``json.loads`` is per-document by
     nature; evidence stays bounded via ``InferenceOptions`` caps.
+
+    Malformed documents are COUNTED, not fatal (SURVEY S3's mandated
+    improvement over the reference's hard exit, main.rs:104-109): a bad
+    line on one of 10^9 partitions must not kill the job.  Pass
+    ``with_stats=True`` to get ``(node, {"n_docs", "n_null",
+    "n_corrupt"})`` instead of the bare node.
     """
     opts = infer_opts or InferenceOptions(
         max_strings_seen=64, max_chars_seen=1024
@@ -297,18 +305,38 @@ def profile_json_column(
         acc = SchemaNode.initial()
         from ..core.infer import merge as node_merge, _infer_inner
 
+        n_docs = n_null = n_corrupt = 0
         for pdf in batches:
-            docs = pdf[column].dropna().map(json.loads)
-            for doc in docs:
+            col = pdf[column]
+            n_null += int(col.isna().sum())
+            for doc_s in col.dropna():
+                try:
+                    doc = json.loads(doc_s)
+                except (ValueError, TypeError):
+                    n_corrupt += 1
+                    continue
+                n_docs += 1
                 acc = node_merge(acc, _infer_inner(doc, opts), opts)
-        yield pd.DataFrame({"node": [pickle.dumps(acc)]})
+        yield pd.DataFrame(
+            {
+                "node": [pickle.dumps(acc)],
+                "n_docs": [n_docs],
+                "n_null": [n_null],
+                "n_corrupt": [n_corrupt],
+            }
+        )
 
-    parts = df.select(column).mapInPandas(fn, "node binary").collect()
+    parts = df.select(column).mapInPandas(
+        fn, "node binary, n_docs long, n_null long, n_corrupt long"
+    ).collect()
     from ..core.infer import apply_enum, merge as node_merge
 
     out = SchemaNode.initial()
+    stats = {"n_docs": 0, "n_null": 0, "n_corrupt": 0}
     for r in parts:
         out = node_merge(out, pickle.loads(r["node"]), opts)
+        for k in stats:
+            stats[k] += int(r[k])
     if enum is not None:
         out = apply_enum(out, enum)
-    return out
+    return (out, stats) if with_stats else out

@@ -55,3 +55,67 @@ def test_produce_from_json_schema(spark, tmp_path):
     pdf = spark.read.parquet(produced).toPandas()
     assert set(pdf["level"].dropna().unique()) <= {"a", "b", "c"}
     assert pdf["score"].dropna().between(1, 9).all()
+
+
+def test_describe_from_schema_no_scan(tmp_path, capsys):
+    """CLI parity with the reference's `--from-schema describe`
+    (main.rs:30-32, 72-88): parse a JSON Schema document and describe
+    it without touching any data."""
+    import json
+
+    from drivel_spark.job import cmd_describe
+
+    schema = {
+        "type": "object",
+        "required": ["id", "name"],
+        "properties": {
+            "id": {"type": "string", "format": "uuid"},
+            "name": {"type": "string"},
+            "score": {"type": "number", "minimum": 0, "maximum": 1},
+        },
+    }
+    path = tmp_path / "s.json"
+    path.write_text(json.dumps(schema))
+    out = cmd_describe(
+        argparse.Namespace(
+            data=None, schema=str(path), columns=None,
+            json_schema=False, extended=False,
+            infer_enum=False, enum_max_uniq=0.1, enum_min_n=1,
+        )
+    )
+    assert out["source"] == "schema"
+    assert out["columns"] == ["id", "name", "score"]
+    text = capsys.readouterr().err
+    assert "uuid" in text and "score" in text
+
+    # --json-schema round-trips the parsed tree back out
+    out2 = cmd_describe(
+        argparse.Namespace(
+            data=None, schema=str(path), columns=None,
+            json_schema=True, extended=False,
+            infer_enum=False, enum_max_uniq=0.1, enum_min_n=1,
+        )
+    )
+    emitted = json.loads(capsys.readouterr().err)
+    assert emitted["properties"]["id"]["format"] == "uuid"
+    assert out2["columns"] == out["columns"]
+
+
+def test_describe_infer_enum_flags(spark, sf_small_dir, capsys):
+    """--infer-enum / --enum-max-uniq / --enum-min-n pass through to
+    ProfilerOptions (reference main.rs:34-45): without the flag the
+    low-cardinality string stays a plain string; with it, an enum."""
+    import json
+
+    from drivel_spark.job import cmd_describe
+
+    data = f"{sf_small_dir}/orders.parquet"
+    base = dict(data=data, schema=None, columns="o_orderpriority",
+                json_schema=True, extended=False,
+                enum_max_uniq=0.1, enum_min_n=1)
+    cmd_describe(argparse.Namespace(**base, infer_enum=False))
+    no_enum = json.loads(capsys.readouterr().err)
+    assert "enum" not in json.dumps(no_enum)
+    cmd_describe(argparse.Namespace(**base, infer_enum=True))
+    with_enum = json.loads(capsys.readouterr().err)
+    assert "enum" in json.dumps(with_enum)

@@ -132,3 +132,34 @@ def test_profile_json_column(spark, sf_small_dir):
     assert set(node.optional) == set(oracle.optional)
     for k in node.required:
         assert node.required[k].kind == oracle.required[k].kind
+
+
+def test_profile_json_column_tolerates_corrupt_docs(spark):
+    """A malformed document must be counted, never a task failure —
+    the reference hard-exits on a bad JSONL line (main.rs:104-109);
+    SURVEY S3 mandates corrupt-record tolerance at scale."""
+    import pandas as pd
+
+    from drivel_spark.profiling import profile_json_column
+
+    pdf = pd.DataFrame(
+        {
+            "j": [
+                '{"a": 1}',
+                '{"a": 2, "b": "x"}',
+                "{not json",          # corrupt
+                None,                 # null row (not corrupt)
+                '{"a": null}',
+                "[1,",                # corrupt
+            ]
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(3)
+    node, stats = profile_json_column(df, "j", with_stats=True)
+    assert stats == {"n_docs": 3, "n_null": 1, "n_corrupt": 2}
+    fields = {**node.required, **node.optional}
+    assert set(fields) == {"a", "b"}
+    assert fields["a"].kind == "number" and fields["a"].nullable
+    # bare-node call keeps the old signature
+    node2 = profile_json_column(df, "j")
+    assert {**node2.required, **node2.optional}.keys() == fields.keys()

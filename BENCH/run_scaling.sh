@@ -65,6 +65,23 @@ for kind in ("median", "best"):
     t32 = summary["local[32]"][f"{kind}_clips_per_sec"]
     summary[f"scaling_efficiency_2_to_8_{kind}"] = round((t8 / t2) / 4.0, 3)
     summary[f"scaling_efficiency_8_to_32_{kind}"] = round((t32 / t8) / 4.0, 3)
+# per-round PAIRED efficiencies (round i pairs the interleaved runs, so
+# a noisy-neighbor window hits both levels of a pair) + a bootstrap CI
+# over unpaired ratios — quantifies the spread behind the medians
+import random
+pairs = [
+    round((b["clips_per_sec"] / a["clips_per_sec"]) / 4.0, 3)
+    for a, b in zip(by["local[2]"], by["local[8]"])
+]
+summary["paired_eff_2_to_8"] = pairs
+summary["paired_eff_2_to_8_median"] = round(statistics.median(pairs), 3)
+rng = random.Random(42)
+t2s = [r["clips_per_sec"] for r in by["local[2]"]]
+t8s = [r["clips_per_sec"] for r in by["local[8]"]]
+boots = sorted(
+    (rng.choice(t8s) / rng.choice(t2s)) / 4.0 for _ in range(10000)
+)
+summary["eff_2_to_8_ci90"] = [round(boots[500], 3), round(boots[9499], 3)]
 digests = [summary[m]["digest"] for m in ("local[2]", "local[8]", "local[32]")]
 summary["digests_match"] = all(d == digests[0] for d in digests)
 print(json.dumps(summary, indent=2))

@@ -122,6 +122,11 @@ def q_null_ratio_events(spark, sf_dir):
 
 
 def q_quantiles_lineitem(spark, sf_dir):
+    """Exact percentile() — the ORACLE ANCHOR ONLY, kept because DuckDB
+    can pin it bit-for-bit.  Spark's exact percentile buffers every
+    value in the aggregation state, so it is NOT the scale path: the
+    headline quantile operator is the KLL sketch, oracled with rank
+    tolerance in profile_sketches_lineitem."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
@@ -523,14 +528,19 @@ def q_profile_sketches_lineitem(spark, sf_dir):
         "sketch_estimates",
         sf_dir,
     )
+    # Spark-side reference values: exact distinct (narrow-column
+    # shuffle) + percentile_approx at accuracy 10000 (rank error 1e-4,
+    # negligible against the 0.47–0.53 band; exact percentile() would
+    # buffer every value — the DuckDB side of this oracle uses exact
+    # quantile_cont, so the band is pinned exactly there)
     exact = li.agg(
         *[
             a
             for c, tag in (("l_extendedprice", "e"), ("l_quantity", "q"))
             for a in (
                 F.countDistinct(c).alias(f"nd_{tag}"),
-                F.expr(f"percentile({c}, 0.47)").alias(f"qlo_{tag}"),
-                F.expr(f"percentile({c}, 0.53)").alias(f"qhi_{tag}"),
+                F.expr(f"percentile_approx({c}, 0.47, 10000)").alias(f"qlo_{tag}"),
+                F.expr(f"percentile_approx({c}, 0.53, 10000)").alias(f"qhi_{tag}"),
             )
         ]
     ).first()

@@ -153,24 +153,72 @@ def main() -> None:
         )
     )
 
-    # 6. salted two-level aggregation
+    # 6. skew-safe distinct: (key,value) dedup spreads the hot key;
+    # stage-1 state is a presence bit collapsed by partial agg
     from drivel_spark.ops import salted_distinct_count
 
     sd = salted_distinct_count(events, "event_type", "user_id")
     p = fmt(sd)
     sections.append(
         (
-            "Skew-safe exact distinct (two-level salted aggregation)",
+            "Skew-safe exact distinct (dedup-then-count two-level aggregation)",
             p,
             [
-                "two shuffle levels (hot key spread then merged): "
+                "two shuffle levels (hot key spread by value, then merged): "
                 + ("PASS" if p.count("Exchange") >= 2 else "FAIL"),
                 "all-JVM (no Python): " + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "NULL values excluded before stage 1 (COUNT DISTINCT semantics): "
+                + ("PASS" if re.search(r"isnotnull\(user_id", p) else "FAIL"),
             ],
         )
     )
 
-    # 7. filter pushdown reaches parquet
+    # 7. ngram similarity join with the hot-shingle df cap: the
+    # stop-shingle guard must appear as a semi-join BEFORE the
+    # inverted-index self-join (bounds any shingle at cap² join rows)
+    from drivel_spark.ops import ngram_jaccard_pairs, release_shingles
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ng = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=64, eager=False)
+    p = fmt(ng)
+    release_shingles(ng)
+    sections.append(
+        (
+            "N-gram Jaccard join with hot-shingle df cap",
+            p,
+            [
+                "df-cap semi-join guards the self-join: "
+                + ("PASS" if "LeftSemi" in p else "FAIL"),
+                "no cartesian product: "
+                + ("PASS" if "CartesianProduct" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 8. embedding LSH near-dup: bucket equi-join, not all-pairs
+    from drivel_spark.ops import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    lsh = embedding_near_dup_pairs(
+        emb, vec_col="emb_d", id_col="vec_id", threshold=0.42, n_planes=4
+    )
+    p = fmt(lsh)
+    sections.append(
+        (
+            "Embedding near-dup via hyperplane LSH (the scale path)",
+            p,
+            [
+                "bucket equi-join (sub-quadratic), no cartesian product: "
+                + ("PASS" if "CartesianProduct" not in p else "FAIL"),
+                "all-JVM cosine verify (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 9. filter pushdown reaches parquet
     filt = li.filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_quantity") > 45)
     ).select("l_orderkey", "l_quantity")

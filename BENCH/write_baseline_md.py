@@ -53,6 +53,17 @@ for m in ("local[2]", "local[8]", "local[32]"):
 
 best_eff = (thr("local[8]", "best") / thr("local[2]", "best")) / 4
 med_eff = (thr("local[8]", "median") / thr("local[2]", "median")) / 4
+
+# bootstrap 90% CI over unpaired throughput ratios — quantifies the
+# spread behind the median (requested after r01's noisy 0.59–1.40
+# paired range)
+import random
+
+_rng = random.Random(42)
+_t2 = [r["clips_per_sec"] for r in seq["local[2]"]]
+_t8 = [r["clips_per_sec"] for r in seq["local[8]"]]
+_boots = sorted((_rng.choice(_t8) / _rng.choice(_t2)) / 4 for _ in range(10000))
+ci_lo, ci_hi = _boots[500], _boots[9499]
 lines += [
     "",
     "## N -> 4N scaling efficiency (primary pair local[2] -> local[8])",
@@ -64,6 +75,8 @@ lines += [
     + ", ".join(f"{e:.3f}" for e in paired)
     + " (values >1 = the local[2] partner run was hit by neighbor noise;",
     "  the spread is environment, not engine, variance)",
+    f"- bootstrap 90% CI over unpaired ratios: [{ci_lo:.3f}, {ci_hi:.3f}]"
+    f" ({rounds} interleaved rounds)",
     "- hardware ceiling for 2->8 on this VM (sustained-load calibration,",
     "  BENCH/cpu_ceiling.py): ~0.86 for pure-CPU work; the job exceeds it",
     "  because at local[2] the five concurrent jobs of the batch contend",

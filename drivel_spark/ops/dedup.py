@@ -199,7 +199,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return _materialize(out, sh) if eager else out
+    if eager:
+        return _materialize(out, sh)
+    out._drivel_cache = getattr(sh, "_drivel_cache", None)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -322,7 +325,10 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     out = verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    return _materialize(out, sh) if eager else out
+    if eager:
+        return _materialize(out, sh)
+    out._drivel_cache = getattr(sh, "_drivel_cache", None)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -29,7 +29,7 @@ from ..core.node import (
     STR_UNKNOWN,
     SchemaNode,
 )
-from ..sketches import KLL, BottomK, HyperLogLog, SpaceSaving
+from ..sketches import KLL, BottomK, HyperLogLog, SpaceSaving, TDigest
 
 # per-batch char-histogram sample cap: chars of at most this many strings
 # per batch feed the histogram (keeps the generator's char-distribution
@@ -51,6 +51,10 @@ class ProfilerOptions:
     infer_enum: bool = True
     enum_max_unique_ratio: float = 0.1
     enum_min_sample_size: int = 1
+    # optional second quantile sketch (north_star: "KLL/t-digest"):
+    # >0 → numeric columns ALSO carry a t-digest of that compression —
+    # tail-accurate quantiles (error ∝ q(1-q)) for p99-style checks
+    tdigest_delta: int = 0
 
 
 class ColumnAcc:
@@ -104,6 +108,7 @@ class NumericAcc(ColumnAcc):
         self.sum_v: float = 0.0
         self.kll = KLL(k=opts.kll_k)
         self.hll = HyperLogLog(p=opts.hll_p)
+        self.tdigest = TDigest(delta=opts.tdigest_delta) if opts.tdigest_delta else None
 
     def update(self, s: pd.Series) -> None:
         v = self._count(s)
@@ -115,6 +120,8 @@ class NumericAcc(ColumnAcc):
         self.max_v = hi if self.max_v is None else max(self.max_v, hi)
         self.sum_v += float(np.sum(arr))
         self.kll.update(arr)
+        if self.tdigest is not None:
+            self.tdigest.update(arr)
         self.hll.update_hashes(pd.util.hash_array(arr).astype(np.uint64))
 
     def merge(self, other: "NumericAcc") -> "NumericAcc":
@@ -125,6 +132,8 @@ class NumericAcc(ColumnAcc):
             setattr(self, attr, b if a is None else (a if b is None else fn(a, b)))
         self.sum_v += other.sum_v
         self.kll = self.kll.merge(other.kll)
+        if self.tdigest is not None and other.tdigest is not None:
+            self.tdigest = self.tdigest.merge(other.tdigest)
         self.hll = self.hll.merge(other.hll)
         return self
 
@@ -140,6 +149,10 @@ class NumericAcc(ColumnAcc):
             if self.kll.n
             else {},
         )
+        if self.tdigest is not None and self.tdigest.n:
+            d["tdigest_quantiles"] = {
+                q: self.tdigest.quantile(q) for q in (0.01, 0.25, 0.5, 0.75, 0.99)
+            }
         return d
 
 

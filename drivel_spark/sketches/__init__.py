@@ -6,5 +6,6 @@ from .freq import BottomK, SpaceSaving
 from .hashing import hash64
 from .hll import HyperLogLog
 from .kll import KLL
+from .tdigest import TDigest
 
-__all__ = ["HyperLogLog", "KLL", "SpaceSaving", "BottomK", "hash64"]
+__all__ = ["HyperLogLog", "KLL", "TDigest", "SpaceSaving", "BottomK", "hash64"]

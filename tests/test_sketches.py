@@ -138,3 +138,65 @@ def test_bottomk_deterministic_and_merge_invariant():
     ba = b.merge(a)
     assert sorted(ab.sample()) == sorted(whole.sample())
     assert sorted(ba.sample()) == sorted(whole.sample())
+
+
+def test_tdigest_accuracy_and_merge():
+    """t-digest: tail-accurate quantiles on a skewed distribution, and
+    a k-way merge agrees with the single-digest answer within the
+    rank-error bound (north_star: KLL/t-digest quantile sketches)."""
+    import numpy as np
+
+    from drivel_spark.sketches import TDigest
+
+    rng = np.random.default_rng(7)
+    data = np.exp(rng.normal(size=200_000))  # log-normal, heavy tail
+    ranks = np.sort(data)
+
+    def true_q(q):
+        return float(ranks[min(int(q * len(ranks)), len(ranks) - 1)])
+
+    td = TDigest(delta=200)
+    td.update(data)
+    for q, tol in ((0.5, 0.01), (0.99, 0.005), (0.999, 0.002)):
+        est = td.quantile(q)
+        # rank error: where does the estimate fall in the sorted data?
+        rank = np.searchsorted(ranks, est) / len(ranks)
+        assert abs(rank - q) <= tol, (q, rank)
+
+    # mergeability: 16 partition digests merged == one digest, within bound
+    parts = np.array_split(data, 16)
+    merged = TDigest(delta=200)
+    for part in parts:
+        d = TDigest(delta=200)
+        d.update(part)
+        merged = merged.merge(d)
+    assert merged.n == len(data)
+    for q in (0.5, 0.99):
+        rank = np.searchsorted(ranks, merged.quantile(q)) / len(ranks)
+        assert abs(rank - q) <= 0.02
+
+    # determinism: same input, same order -> identical bytes
+    a, b = TDigest(200), TDigest(200)
+    a.update(data[:5000]); b.update(data[:5000])
+    assert a.to_bytes() == b.to_bytes()
+
+    # cdf is monotone and hits the ends
+    pts = np.quantile(data, [0.1, 0.5, 0.9])
+    cdf = merged.cdf(pts)
+    assert (np.diff(cdf) >= 0).all() and 0 <= cdf[0] <= 0.2 and 0.8 <= cdf[-1] <= 1
+
+
+def test_profile_with_tdigest(spark, sf_small_dir):
+    """ProfilerOptions(tdigest_delta>0) carries a t-digest through the
+    distributed scan + tree combine; its median agrees with KLL's."""
+    from drivel_spark.profiling import ProfilerOptions, profile
+
+    li = spark.read.parquet(f"{sf_small_dir}/lineitem.parquet")
+    prof = profile(
+        li, columns=["l_extendedprice"], opts=ProfilerOptions(tdigest_delta=200)
+    )
+    acc = prof.column("l_extendedprice")
+    assert acc.tdigest is not None and acc.tdigest.n == acc.kll.n
+    kll_med, td_med = acc.kll.quantile(0.5), acc.tdigest.quantile(0.5)
+    assert abs(td_med - kll_med) / kll_med < 0.05
+    assert "tdigest_quantiles" in acc.summary()

@@ -1,0 +1,103 @@
+"""Incremental (Structured Streaming) validation: per-batch delta
+reports must fold to exactly the batch engine's pass/fail table, and
+the checkpoint must make restarts exactly-once (no reprocessing)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from drivel_spark.constraints import Enum as EnumC
+from drivel_spark.constraints import NotNull, Range, validate
+from drivel_spark.fixtures import CLIPS_SCHEMA, CODEC_ENUM, ClipFixtureSpec, clips_pdf
+from drivel_spark.streaming import cumulative_passfail, validate_stream
+
+SPEC = ClipFixtureSpec(with_audio=False)
+
+
+def _constraints():
+    return [
+        EnumC("sr_enum", "sr_hz", (8000, 16000, 22050, 44100, 48000)),
+        Range("dur_range", "dur_ms", 200, 30000),
+        EnumC("codec_enum", "codec", tuple(sorted(CODEC_ENUM))),
+        NotNull("transcript_not_null", "transcript"),
+    ]
+
+
+def _scope():
+    return F.pmod(F.xxhash64(F.col("clip_id")), F.lit(8)).cast("long")
+
+
+def _write_wave(spark, source, lo, hi):
+    pdf = clips_pdf(range(lo, hi), SPEC)
+    spark.createDataFrame(pdf, CLIPS_SCHEMA).coalesce(2).write.mode("append").parquet(
+        source
+    )
+
+
+def _batch_passfail_pdf(spark, source):
+    df = spark.read.parquet(source)
+    res = validate(df, _constraints(), scope=_scope(), cache_flags=False)
+    pdf = res.passfail_pdf()
+    return pdf.sort_values(["constraint", "partition_id"]).reset_index(drop=True)
+
+
+def _stream_totals_pdf(spark, report):
+    pdf = (
+        cumulative_passfail(spark, report)
+        .toPandas()
+        .sort_values(["constraint", "partition_id"])
+        .reset_index(drop=True)
+    )
+    return pdf
+
+
+def test_stream_matches_batch_and_resumes_exactly_once(spark, tmp_path):
+    source = str(tmp_path / "clips_stream")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1: 500 clips → one availableNow run
+    _write_wave(spark, source, 0, 500)
+    validate_stream(
+        spark, source, CLIPS_SCHEMA, _constraints(), _scope(), report, ckpt
+    )
+    got = _stream_totals_pdf(spark, report)
+    want = _batch_passfail_pdf(spark, source)
+    assert got.to_dict("records") == want.to_dict("records")
+
+    # wave 2 appended: a resumed stream processes ONLY the new files
+    _write_wave(spark, source, 500, 1000)
+    validate_stream(
+        spark, source, CLIPS_SCHEMA, _constraints(), _scope(), report, ckpt
+    )
+    rep = spark.read.parquet(report)
+    batch_ids = {r["batch_id"] for r in rep.select("batch_id").distinct().collect()}
+    assert len(batch_ids) == 2  # one micro-batch per wave, no reprocessing
+    got2 = _stream_totals_pdf(spark, report)
+    want2 = _batch_passfail_pdf(spark, source)
+    assert got2.to_dict("records") == want2.to_dict("records")
+    # violations actually present in the fixture (injected modular rows)
+    assert (got2[got2.constraint == "_rows_any_violation"]["n_violations"] > 0).any()
+
+    # restart with NO new data: exactly-once ⇒ report unchanged
+    validate_stream(
+        spark, source, CLIPS_SCHEMA, _constraints(), _scope(), report, ckpt
+    )
+    rep2 = spark.read.parquet(report)
+    assert rep2.count() == rep.count()
+
+
+def test_stream_rejects_dataset_constraints(spark, tmp_path):
+    from drivel_spark.constraints import Unique
+
+    with pytest.raises(ValueError, match="row-level"):
+        validate_stream(
+            spark,
+            str(tmp_path / "x"),
+            CLIPS_SCHEMA,
+            [Unique("u", "clip_id")],
+            _scope(),
+            str(tmp_path / "r"),
+            str(tmp_path / "c"),
+        )

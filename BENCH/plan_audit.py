@@ -218,7 +218,46 @@ def main() -> None:
         )
     )
 
-    # 9. filter pushdown reaches parquet
+    # 9. bucketed co-located join: both sides bucketed by the join key
+    # into the same bucket count ⇒ the SMJ plans with NO Exchange —
+    # the pay-shuffle-once-at-write layout for repeatedly-joined facts
+    from drivel_spark.io import write_bucketed
+
+    for t in ("drivel_pa_li", "drivel_pa_o"):
+        spark.sql(f"DROP TABLE IF EXISTS default.{t}")
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity"),
+        "default.drivel_pa_li", ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"),
+        "default.drivel_pa_o", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bj = spark.table("default.drivel_pa_li").join(
+        spark.table("default.drivel_pa_o"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    p = fmt(bj)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    for t in ("drivel_pa_li", "drivel_pa_o"):
+        spark.sql(f"DROP TABLE IF EXISTS default.{t}")
+    sections.append(
+        (
+            "Bucketed co-located join (bucketBy at write, shuffle-free read)",
+            p,
+            [
+                "sort-merge join with ZERO exchanges: "
+                + ("PASS" if "SortMergeJoin" in p and "Exchange" not in p else "FAIL"),
+                "bucket pruning available (SelectedBucketsCount in scan): "
+                + ("PASS" if "Bucketed: true" in p or "SelectedBucketsCount" in p
+                   or "bucket" in p.lower() else "NOTE"),
+            ],
+        )
+    )
+
+    # 10. filter pushdown reaches parquet
     filt = li.filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_quantity") > 45)
     ).select("l_orderkey", "l_quantity")

@@ -1,42 +1,74 @@
 """Summarize BENCH/scaling_runs.jsonl (shared by run_scaling.sh
-and the chunked run_round.sh campaign driver)."""
-import json, statistics
-# stray runtime warnings can leak into stdout: keep only the job lines
-rows = [json.loads(l) for l in open("BENCH/scaling_runs.jsonl") if l.startswith('{"job"')]
-by = {}
-for r in rows:
-    by.setdefault(r["master"], []).append(r)
-summary = {}
-for m, rs in by.items():
-    summary[m] = {"median_clips_per_sec": statistics.median(r["clips_per_sec"] for r in rs),
-                  "best_clips_per_sec": max(r["clips_per_sec"] for r in rs),
-                  "walls_s": [r["wall_s"] for r in rs],
-                  "digest": sorted({r["passfail_digest"] for r in rs})}
-for kind in ("median", "best"):
-    t2 = summary["local[2]"][f"{kind}_clips_per_sec"]
-    t8 = summary["local[8]"][f"{kind}_clips_per_sec"]
-    t32 = summary["local[32]"][f"{kind}_clips_per_sec"]
-    summary[f"scaling_efficiency_2_to_8_{kind}"] = round((t8 / t2) / 4.0, 3)
-    summary[f"scaling_efficiency_8_to_32_{kind}"] = round((t32 / t8) / 4.0, 3)
-# per-round PAIRED efficiencies (round i pairs the interleaved runs, so
-# a noisy-neighbor window hits both levels of a pair) + a bootstrap CI
-# over unpaired ratios — quantifies the spread behind the medians
+and the chunked run_round.sh campaign driver).
+
+Runs are grouped by input size (n_rows) — campaigns on different
+prepared tables must not be paired against each other — and the
+N→4N (local[2]→local[8]) efficiency is reported per table plus POOLED
+across tables: paired per-round ratios are scale-free, so pooling
+pairs from the 96k and 192k campaigns tightens the estimate without
+mixing absolute throughputs."""
+import json
 import random
-pairs = [
-    round((b["clips_per_sec"] / a["clips_per_sec"]) / 4.0, 3)
-    for a, b in zip(by["local[2]"], by["local[8]"])
+import statistics
+
+rows = [
+    json.loads(l)
+    for l in open("BENCH/scaling_runs.jsonl")
+    if l.startswith('{"job"')
 ]
-summary["paired_eff_2_to_8"] = pairs
-summary["paired_eff_2_to_8_median"] = round(statistics.median(pairs), 3)
-rng = random.Random(42)
-t2s = [r["clips_per_sec"] for r in by["local[2]"]]
-t8s = [r["clips_per_sec"] for r in by["local[8]"]]
-boots = sorted(
-    (rng.choice(t8s) / rng.choice(t2s)) / 4.0 for _ in range(10000)
+
+summary = {}
+pooled_pairs = []
+pooled_boot = []
+
+for n_rows in sorted({r["n_rows"] for r in rows}):
+    by = {}
+    for r in rows:
+        if r["n_rows"] == n_rows:
+            by.setdefault(r["master"], []).append(r)
+    tbl = {}
+    for m, rs in by.items():
+        tbl[m] = {
+            "n_runs": len(rs),
+            "median_clips_per_sec": statistics.median(r["clips_per_sec"] for r in rs),
+            "best_clips_per_sec": max(r["clips_per_sec"] for r in rs),
+            "walls_s": [r["wall_s"] for r in rs],
+            "digest": sorted({r["passfail_digest"] for r in rs}),
+        }
+    for kind in ("median", "best"):
+        t2 = tbl["local[2]"][f"{kind}_clips_per_sec"]
+        t8 = tbl["local[8]"][f"{kind}_clips_per_sec"]
+        tbl[f"eff_2_to_8_{kind}"] = round((t8 / t2) / 4.0, 3)
+        if "local[32]" in tbl:
+            t32 = tbl["local[32]"][f"{kind}_clips_per_sec"]
+            tbl[f"eff_8_to_32_{kind}"] = round((t32 / t8) / 4.0, 3)
+    # paired per-round efficiencies: round i of a table interleaves the
+    # levels back-to-back, so a noisy-neighbor window hits both halves
+    pairs = [
+        round((b["clips_per_sec"] / a["clips_per_sec"]) / 4.0, 3)
+        for a, b in zip(by["local[2]"], by["local[8]"])
+    ]
+    tbl["paired_eff_2_to_8"] = pairs
+    pooled_pairs.extend(pairs)
+    t2s = [r["clips_per_sec"] for r in by["local[2]"]]
+    t8s = [r["clips_per_sec"] for r in by["local[8]"]]
+    pooled_boot.append((t2s, t8s))
+    digs = [tbl[m]["digest"] for m in tbl if m.startswith("local")]
+    tbl["digests_match_within_table"] = all(d == digs[0] for d in digs)
+    summary[f"n_rows={n_rows}"] = tbl
+
+summary["pooled_paired_eff_2_to_8"] = pooled_pairs
+summary["pooled_paired_eff_2_to_8_median"] = round(
+    statistics.median(pooled_pairs), 3
 )
-summary["eff_2_to_8_ci90"] = [round(boots[500], 3), round(boots[9499], 3)]
-digests = [summary[m]["digest"] for m in ("local[2]", "local[8]", "local[32]")]
-summary["digests_match"] = all(d == digests[0] for d in digests)
+# bootstrap CI over within-table ratio resamples, pooled
+rng = random.Random(42)
+boots = sorted(
+    (rng.choice(t8s) / rng.choice(t2s)) / 4.0
+    for _ in range(10000)
+    for (t2s, t8s) in [pooled_boot[rng.randrange(len(pooled_boot))]]
+)
+summary["pooled_eff_2_to_8_ci90"] = [round(boots[500], 3), round(boots[9499], 3)]
+summary["n_runs_total"] = len(rows)
+
 print(json.dumps(summary, indent=2))
-with open("BENCH/scaling_summary.json", "w") as fh:
-    json.dump(summary, fh, indent=2)

@@ -554,6 +554,56 @@ def q_profile_sketches_lineitem(spark, sf_dir):
     return spark.createDataFrame(rows, "column string, n long, hll_ok boolean, kll_ok boolean")
 
 
+def q_profile_tdigest_lineitem(spark, sf_dir):
+    """t-digest quantiles via the mergeable-accumulator path
+    (ProfilerOptions.tdigest_delta — the tail-accurate half of the
+    KLL/t-digest pair), oracled with rank-tolerance bounds: estimates
+    are exported, and Spark (percentile_approx at 1e-4 rank error) and
+    DuckDB (exact quantile_cont) independently check each estimate
+    against an exact-rank band.  delta=200 ⇒ rank error ≲ 1%/2 at the
+    median and far tighter at the tails, so the bands are p01 ∈
+    [exact .003, .02], p50 ∈ [.47, .53], p99 ∈ [.98, .997]."""
+    import pandas as pd
+
+    from drivel_spark.profiling import ProfilerOptions, profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    prof = profile(
+        li,
+        columns=["l_extendedprice"],
+        opts=ProfilerOptions(tdigest_delta=200),
+    )
+    td = prof.column("l_extendedprice").tdigest
+    est = {q: float(td.quantile(q)) for q in (0.01, 0.5, 0.99)}
+    _export_oracle(
+        pd.DataFrame(
+            [(q, v) for q, v in est.items()], columns=["q", "estimate"]
+        ),
+        "tdigest_estimates",
+        sf_dir,
+    )
+    bands = {0.01: (0.003, 0.02), 0.5: (0.47, 0.53), 0.99: (0.98, 0.997)}
+    exact = li.agg(
+        *[
+            F.expr(
+                f"percentile_approx(l_extendedprice, {b}, 10000)"
+            ).alias(f"b_{int(q*100)}_{'lo' if i == 0 else 'hi'}")
+            for q, bs in bands.items()
+            for i, b in enumerate(bs)
+        ]
+    ).first()
+    rows = [
+        (
+            float(q),
+            bool(
+                exact[f"b_{int(q*100)}_lo"] <= est[q] <= exact[f"b_{int(q*100)}_hi"]
+            ),
+        )
+        for q in (0.01, 0.5, 0.99)
+    ]
+    return spark.createDataFrame(rows, "q double, in_band boolean")
+
+
 def q_minhash_pairs_documents(spark, sf_dir):
     from drivel_spark.ops import minhash_dedup_pairs
 
@@ -712,6 +762,30 @@ def q_ann_topk_embeddings(spark, sf_dir):
     return ann_topk(indexed, planes, q.tolist(), k=10, probes=2, vec_col="emb_d")
 
 
+def q_ivf_topk_embeddings(spark, sf_dir):
+    """ANN top-k via a true IVF index: seeded spherical-k-means coarse
+    quantizer (deterministic hash-sample training), batch-GEMM list
+    assignment (pandas UDF, one pass, no shuffle), query probes the 2
+    nearest inverted lists and reranks exactly JVM-side.  The engine's
+    list assignment is exported; DuckDB independently re-verifies the
+    semantics — exact cosine over the probed lists, ordering, and k."""
+    import pandas as pd
+
+    from drivel_spark.ops import assign_ivf, ivf_probe_lists, ivf_topk, train_ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    cents = train_ivf_centroids(e, n_centroids=8, sample_n=20000, iters=10, vec_col="emb_d")
+    assigned = assign_ivf(e, cents, vec_col="emb_d")
+    q = e.filter(F.col("vec_id") == 0).first()["emb_d"]
+    probe = set(ivf_probe_lists(cents, q, nprobe=2))
+    lists = assigned.select("vec_id", "ivf_list").toPandas()
+    lists["is_probed"] = lists["ivf_list"].isin(probe)
+    _export_oracle(lists[["vec_id", "is_probed"]], "ivf_probes", sf_dir)
+    return ivf_topk(assigned, cents, list(q), k=10, nprobe=2, vec_col="emb_d")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -755,12 +829,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         # engine-specific assignments, oracled via exported side-tables
         "profile_sketches_lineitem": q_profile_sketches_lineitem,
+        "profile_tdigest_lineitem": q_profile_tdigest_lineitem,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "json_schema_events_props": q_json_schema_events_props,
         "clips_validation_passfail": q_clips_validation_passfail,
         "audio_features_clips": q_audio_features_clips,
         "ann_topk_embeddings": q_ann_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
 
 
@@ -1082,6 +1158,20 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
             FROM embeddings v JOIN probed USING (vec_id), q
             ORDER BY cosine DESC, vec_id LIMIT 10""",
+        # exact cosine rerank over the exported IVF probed lists — the
+        # k-means assignment is taken as given, the probe semantics
+        # (filter → exact cosine → order → k) re-derived by DuckDB
+        "ivf_topk_embeddings": f"""
+            WITH probed AS (
+              SELECT vec_id FROM read_parquet('{ORACLE_DIR}/ivf_probes_sf0.01.parquet')
+              WHERE is_probed),
+            q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+            SELECT v.vec_id,
+                   round(list_dot_product(v.embedding::DOUBLE[], q.e)
+                         / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+            FROM embeddings v JOIN probed USING (vec_id), q
+            ORDER BY cosine DESC, vec_id LIMIT 10""",
         # sketch estimates vs DuckDB-exact tolerance bounds: HLL within
         # 5% of COUNT DISTINCT, KLL median inside the 0.47–0.53 exact
         # rank band — both verdicts must be true on both sides
@@ -1104,6 +1194,21 @@ def oracle_sql() -> dict[str, str]:
                    est.kll_median BETWEEN ex.qlo AND ex.qhi AS kll_ok
             FROM ex JOIN est ON est.column = ex.column
             ORDER BY ex.column""",
+        # t-digest estimates vs DuckDB-exact rank bands (tails tight,
+        # median loose — the t-digest accuracy profile)
+        "profile_tdigest_lineitem": f"""
+            WITH est AS (SELECT * FROM read_parquet('{ORACLE_DIR}/tdigest_estimates_sf0.01.parquet')),
+            ex AS (
+              SELECT 0.01 AS q, quantile_cont(l_extendedprice, 0.003) AS lo,
+                     quantile_cont(l_extendedprice, 0.02) AS hi FROM lineitem
+              UNION ALL
+              SELECT 0.5, quantile_cont(l_extendedprice, 0.47),
+                     quantile_cont(l_extendedprice, 0.53) FROM lineitem
+              UNION ALL
+              SELECT 0.99, quantile_cont(l_extendedprice, 0.98),
+                     quantile_cont(l_extendedprice, 0.997) FROM lineitem)
+            SELECT ex.q, est.estimate BETWEEN ex.lo AND ex.hi AS in_band
+            FROM ex JOIN est ON est.q = ex.q""",
         # LSH near-dup: DuckDB re-derives the result from the exported
         # bucket assignment — same-bucket pairs, exact cosine, same
         # threshold (everything but the hash itself is re-verified)

@@ -62,6 +62,35 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(ref)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog write: pay the shuffle ONCE at write time so
+    every later equi-join / aggregation on the bucket key is co-located
+    and runs with NO exchange on the bucketed side — the standard
+    layout for a 100TB fact table that is repeatedly joined on the same
+    key (e.g. clips ⋈ transcripts on clip_id, lineitem ⋈ orders on
+    orderkey).  ``sort_cols`` additionally pre-sorts within buckets so
+    sort-merge joins skip their sort.
+
+    Two tables bucketed by the same key into the SAME ``n_buckets``
+    join shuffle-free end to end.  The Iceberg analog is the
+    ``bucket(n, col)`` partition transform plus storage-partitioned
+    joins; this helper uses the builtin catalog's bucketBy, which is
+    the same physical contract (hash(key) % n file groups)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported write mode for bucketed table: {mode!r}")
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def snapshot_fingerprint(spark: SparkSession, ref: str) -> str:
     """Stable input-lineage fingerprint for checkpoint/resume.
 

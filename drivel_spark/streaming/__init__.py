@@ -1,6 +1,13 @@
 """Structured-Streaming front-end: incremental row-constraint
-validation with exactly-once file tracking (checkpointLocation)."""
+validation and incremental profile (schema/stats) inference, both
+with exactly-once file tracking (checkpointLocation)."""
 
+from .profile_stream import load_stream_profile, profile_stream
 from .validate_stream import cumulative_passfail, validate_stream
 
-__all__ = ["validate_stream", "cumulative_passfail"]
+__all__ = [
+    "validate_stream",
+    "cumulative_passfail",
+    "profile_stream",
+    "load_stream_profile",
+]

@@ -2,6 +2,8 @@
 
 import os
 
+from pyspark.sql import functions as F
+
 from drivel_spark.io import is_table_ref, read_table, snapshot_fingerprint
 
 
@@ -105,3 +107,48 @@ def test_catalog_table_round_trip(spark, sf_small_dir):
     assert back.count() == df.count()
     assert set(back.columns) == set(df.columns)
     spark.sql("DROP TABLE IF EXISTS default.drivel_smoke")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small_dir):
+    """Both sides bucketed by the join key into the same bucket count ⇒
+    the sort-merge join plans WITHOUT an Exchange on either side — the
+    pay-shuffle-once-at-write contract that makes repeated joins on a
+    100TB fact table affordable."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from drivel_spark.io import write_bucketed
+
+    li = read_table(spark, os.path.join(sf_small_dir, "lineitem.parquet"))
+    o = read_table(spark, os.path.join(sf_small_dir, "orders.parquet"))
+    for t in ("drivel_li_b", "drivel_o_b"):
+        spark.sql(f"DROP TABLE IF EXISTS default.{t}")
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity"), "default.drivel_li_b",
+        ["l_orderkey"], 4, sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        o.select("o_orderkey", "o_totalprice"), "default.drivel_o_b",
+        ["o_orderkey"], 4, sort_cols=["o_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("default.drivel_li_b").join(
+            spark.table("default.drivel_o_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and the result is still correct
+        n = joined.count()
+        want = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("drivel_li_b", "drivel_o_b"):
+            spark.sql(f"DROP TABLE IF EXISTS default.{t}")

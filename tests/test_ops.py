@@ -328,3 +328,69 @@ def test_ngram_hot_shingle_cap(spark, sf_small_dir):
     }
     # capped space can only lose pairs whose union is mostly hot shingles
     assert tiny <= full or len(tiny - full) == 0
+
+
+# ---------------------------------------------------------------------------
+# IVF index
+# ---------------------------------------------------------------------------
+
+
+def _norm_rows(m):
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def test_ivf_train_deterministic(emb):
+    from drivel_spark.ops import train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb, n_centroids=8, sample_n=500, iters=5)
+    c2 = train_ivf_centroids(emb, n_centroids=8, sample_n=500, iters=5)
+    assert c1.shape == (8, 64)
+    assert np.array_equal(c1, c2)
+    # spherical k-means ⇒ unit-norm centroids
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_assignment_matches_numpy(emb, emb_pd):
+    from drivel_spark.ops import assign_ivf, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_centroids=8, sample_n=500, iters=5)
+    got = assign_ivf(emb, cents).select("vec_id", "ivf_list").toPandas()
+    got = got.sort_values("vec_id")["ivf_list"].to_numpy()
+    M = _norm_rows(np.stack(emb_pd.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64))
+    want = np.argmax(M @ _norm_rows(cents).T, axis=1)
+    assert np.array_equal(got, want)
+
+
+def test_ivf_full_probe_equals_exact(emb, emb_pd):
+    """nprobe = n_centroids degrades to the exact brute-force top-k."""
+    from drivel_spark.ops import assign_ivf, cosine_topk, ivf_topk, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_centroids=8, sample_n=500, iters=5)
+    assigned = assign_ivf(emb, cents).cache()
+    q = emb_pd.loc[emb_pd["vec_id"] == 0, "embedding"].iloc[0]
+    exact = cosine_topk(emb, list(q), k=10).toPandas()
+    full = ivf_topk(assigned, cents, list(q), k=10, nprobe=8).toPandas()
+    assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert np.allclose(full["cosine"], exact["cosine"])
+    assigned.unpersist()
+
+
+def test_ivf_recall(emb, emb_pd):
+    from drivel_spark.ops import assign_ivf, ivf_topk, train_ivf_centroids
+
+    M = np.stack(emb_pd["embedding"].to_numpy())
+    cents = train_ivf_centroids(emb, n_centroids=8, sample_n=500, iters=10)
+    assigned = assign_ivf(emb, cents).cache()
+    hits = 0
+    for qi in range(5):
+        q = M[qi]
+        sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+        truth = set(emb_pd["vec_id"].to_numpy()[np.argsort(-sims)][:10])
+        got = set(
+            ivf_topk(assigned, cents, q.tolist(), k=10, nprobe=3).toPandas()["vec_id"]
+        )
+        hits += len(got & truth)
+    assigned.unpersist()
+    assert hits / 50 >= 0.6  # recall@10, 3 of 8 lists probed

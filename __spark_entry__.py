@@ -604,6 +604,134 @@ def q_profile_tdigest_lineitem(spark, sf_dir):
     return spark.createDataFrame(rows, "q double, in_band boolean")
 
 
+def q_drift_lineitem_halves(spark, sf_dir):
+    """Distribution drift (KS + PSI) between profile sketches — the
+    north_star's drift check, oracled with tolerance bands.  Three
+    pairs over lineitem split by l_orderkey parity: 'same' (two halves
+    of one distribution), 'shifted' (odd half's price × 1.1), and
+    'same_cat' (l_returnflag frequency maps).  The engine computes the
+    metrics from O(KB) sketches (no data rescan — the 10^12-row
+    design); Spark and DuckDB each independently compute the EXACT
+    KS/PSI from the data (cumulative-window CDF / decile buckets over
+    the engine-exported edges) and check |sketch − exact| ≤ band
+    (0.02; categorical freq maps are exact ⇒ 1e-9).  The shifted pair
+    additionally pins detection: exact KS > 0.05 > same-pair KS."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from drivel_spark.constraints.drift import (
+        ks_statistic,
+        psi_categorical,
+        psi_numeric,
+    )
+    from drivel_spark.profiling import profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    base_df = li.filter(F.pmod("l_orderkey", F.lit(2)) == 0)
+    same_df = li.filter(F.pmod("l_orderkey", F.lit(2)) == 1)
+    shift_df = same_df.withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 1.1
+    )
+
+    pb = profile(base_df, columns=["l_extendedprice", "l_returnflag"])
+    p_same = profile(same_df, columns=["l_extendedprice"])
+    p_shift = profile(shift_df, columns=["l_extendedprice"])
+
+    kb = pb.column("l_extendedprice").kll
+    import numpy as np
+
+    edges = np.unique(
+        [kb.quantile(q) for q in np.linspace(0, 1, 11)[1:-1]]
+    )
+    est = {
+        ("same", "ks"): ks_statistic(kb, p_same.column("l_extendedprice").kll),
+        ("same", "psi"): psi_numeric(kb, p_same.column("l_extendedprice").kll),
+        ("shifted", "ks"): ks_statistic(kb, p_shift.column("l_extendedprice").kll),
+        ("shifted", "psi"): psi_numeric(kb, p_shift.column("l_extendedprice").kll),
+        ("same_cat", "psi"): psi_categorical(
+            pb.column("l_returnflag").freq, profile(same_df, columns=["l_returnflag"]).column("l_returnflag").freq
+        ),
+    }
+    _export_oracle(
+        pd.DataFrame(
+            [(p, m, float(v)) for (p, m), v in est.items()],
+            columns=["pair", "metric", "estimate"],
+        ),
+        "drift_estimates",
+        sf_dir,
+    )
+    _export_oracle(
+        pd.DataFrame({"edge": edges.astype(float)}), "drift_edges", sf_dir
+    )
+
+    # ---- Spark's own independent EXACT computation (oracle anchor) ----
+    def exact_ks(a_df, b_df):
+        u = a_df.select(
+            F.col("l_extendedprice").alias("v"), F.lit(1).alias("wa"), F.lit(0).alias("wb")
+        ).unionAll(
+            b_df.select(F.col("l_extendedprice").alias("v"), F.lit(0), F.lit(1))
+        )
+        na, nb = a_df.count(), b_df.count()
+        w = Window.orderBy("v")
+        cum = u.select(
+            (F.sum("wa").over(w) / F.lit(na)).alias("fa"),
+            (F.sum("wb").over(w) / F.lit(nb)).alias("fb"),
+        )
+        return cum.agg(F.max(F.abs(F.col("fa") - F.col("fb")))).first()[0]
+
+    def exact_psi(a_df, b_df):
+        bkt = lambda c: sum(
+            F.when(F.col(c) > float(e), 1).otherwise(0) for e in edges
+        )
+        def fracs(df):
+            pdf = (
+                df.groupBy(bkt("l_extendedprice").alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .toPandas()
+                .set_index("b")["n"]
+            )
+            out = np.array([pdf.get(i, 0) for i in range(len(edges) + 1)], dtype=float)
+            return np.maximum(out / out.sum(), 1e-6)
+        pa, pbv = fracs(a_df), fracs(b_df)
+        return float(np.sum((pbv - pa) * np.log(pbv / pa)))
+
+    def exact_psi_cat(a_df, b_df):
+        def fr(df):
+            pdf = df.groupBy("l_returnflag").count().toPandas().set_index("l_returnflag")["count"]
+            return pdf / pdf.sum()
+        fa, fb = fr(base_df), fr(same_df)
+        keys = sorted(set(fa.index) | set(fb.index))
+        import math
+        return sum(
+            (max(fb.get(k, 0), 1e-6) - max(fa.get(k, 0), 1e-6))
+            * math.log(max(fb.get(k, 0), 1e-6) / max(fa.get(k, 0), 1e-6))
+            for k in keys
+        )
+
+    exact = {
+        ("same", "ks"): exact_ks(base_df, same_df),
+        ("same", "psi"): exact_psi(base_df, same_df),
+        ("shifted", "ks"): exact_ks(base_df, shift_df),
+        ("shifted", "psi"): exact_psi(base_df, shift_df),
+        ("same_cat", "psi"): exact_psi_cat(base_df, same_df),
+    }
+    band = {"ks": 0.02, "psi": 0.02}
+    rows = []
+    for (pair, metric), v in est.items():
+        b = 1e-9 if pair == "same_cat" else band[metric]
+        rows.append((pair, metric, bool(abs(v - exact[(pair, metric)]) <= b)))
+    rows.append(
+        (
+            "detection",
+            "ks_separates",
+            bool(exact[("shifted", "ks")] > 0.05 > exact[("same", "ks")]),
+        )
+    )
+    return spark.createDataFrame(
+        sorted(rows), "pair string, metric string, in_band boolean"
+    )
+
+
 def q_minhash_pairs_documents(spark, sf_dir):
     from drivel_spark.ops import minhash_dedup_pairs
 
@@ -830,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-specific assignments, oracled via exported side-tables
         "profile_sketches_lineitem": q_profile_sketches_lineitem,
         "profile_tdigest_lineitem": q_profile_tdigest_lineitem,
+        "drift_lineitem_halves": q_drift_lineitem_halves,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "json_schema_events_props": q_json_schema_events_props,
@@ -1209,6 +1338,61 @@ def oracle_sql() -> dict[str, str]:
                      quantile_cont(l_extendedprice, 0.997) FROM lineitem)
             SELECT ex.q, est.estimate BETWEEN ex.lo AND ex.hi AS in_band
             FROM ex JOIN est ON est.q = ex.q""",
+        # drift: sketch-derived KS/PSI vs DuckDB's own exact KS
+        # (cumulative-window CDF) and exact PSI (decile buckets over
+        # the engine-exported edges) with the same tolerance bands the
+        # Spark side applies to its own exact computation
+        "drift_lineitem_halves": f"""
+            WITH est AS (SELECT * FROM read_parquet('{ORACLE_DIR}/drift_estimates_sf0.01.parquet')),
+            edges AS (SELECT edge FROM read_parquet('{ORACLE_DIR}/drift_edges_sf0.01.parquet')),
+            a AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_orderkey % 2 = 0),
+            b AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_orderkey % 2 = 1),
+            bs AS (SELECT l_extendedprice * 1.1 AS v FROM lineitem WHERE l_orderkey % 2 = 1),
+            na AS (SELECT count(*)::DOUBLE AS c FROM a), nb AS (SELECT count(*)::DOUBLE AS c FROM b),
+            ks_same AS (
+              SELECT max(abs(fa - fb)) AS v FROM (
+                SELECT sum(wa) OVER (ORDER BY v) / (SELECT c FROM na) AS fa,
+                       sum(wb) OVER (ORDER BY v) / (SELECT c FROM nb) AS fb
+                FROM (SELECT v, 1 AS wa, 0 AS wb FROM a UNION ALL SELECT v, 0, 1 FROM b))),
+            ks_shift AS (
+              SELECT max(abs(fa - fb)) AS v FROM (
+                SELECT sum(wa) OVER (ORDER BY v) / (SELECT c FROM na) AS fa,
+                       sum(wb) OVER (ORDER BY v) / (SELECT c FROM nb) AS fb
+                FROM (SELECT v, 1 AS wa, 0 AS wb FROM a UNION ALL SELECT v, 0, 1 FROM bs))),
+            bidx AS (SELECT unnest(range(0, (SELECT count(*)::INT FROM edges) + 1)) AS i),
+            fa_n AS (SELECT i, greatest(coalesce(n, 0) / (SELECT c FROM na), 1e-6) AS p
+                     FROM bidx LEFT JOIN (
+                       SELECT (SELECT count(*) FROM edges e WHERE a.v > e.edge) AS i, count(*) AS n
+                       FROM a GROUP BY 1) x USING (i)),
+            fb_n AS (SELECT i, greatest(coalesce(n, 0) / (SELECT c FROM nb), 1e-6) AS p
+                     FROM bidx LEFT JOIN (
+                       SELECT (SELECT count(*) FROM edges e WHERE b.v > e.edge) AS i, count(*) AS n
+                       FROM b GROUP BY 1) x USING (i)),
+            fs_n AS (SELECT i, greatest(coalesce(n, 0) / (SELECT c FROM nb), 1e-6) AS p
+                     FROM bidx LEFT JOIN (
+                       SELECT (SELECT count(*) FROM edges e WHERE bs.v > e.edge) AS i, count(*) AS n
+                       FROM bs GROUP BY 1) x USING (i)),
+            psi_same AS (SELECT sum((y.p - x.p) * ln(y.p / x.p)) AS v FROM fa_n x JOIN fb_n y USING (i)),
+            psi_shift AS (SELECT sum((y.p - x.p) * ln(y.p / x.p)) AS v FROM fa_n x JOIN fs_n y USING (i)),
+            ca AS (SELECT l_returnflag AS k, count(*)::DOUBLE / sum(count(*)) OVER () AS p
+                   FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+            cb AS (SELECT l_returnflag AS k, count(*)::DOUBLE / sum(count(*)) OVER () AS p
+                   FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+            psi_cat AS (SELECT sum((greatest(coalesce(cb.p, 0), 1e-6) - greatest(coalesce(ca.p, 0), 1e-6))
+                                   * ln(greatest(coalesce(cb.p, 0), 1e-6) / greatest(coalesce(ca.p, 0), 1e-6))) AS v
+                        FROM ca FULL JOIN cb USING (k)),
+            ex(pair, metric, v) AS (
+              SELECT 'same', 'ks', v FROM ks_same UNION ALL
+              SELECT 'same', 'psi', v FROM psi_same UNION ALL
+              SELECT 'shifted', 'ks', v FROM ks_shift UNION ALL
+              SELECT 'shifted', 'psi', v FROM psi_shift UNION ALL
+              SELECT 'same_cat', 'psi', v FROM psi_cat)
+            SELECT e.pair, e.metric,
+                   abs(est.estimate - e.v) <= CASE WHEN e.pair = 'same_cat' THEN 1e-9 ELSE 0.02 END AS in_band
+            FROM ex e JOIN est ON est.pair = e.pair AND est.metric = e.metric
+            UNION ALL
+            SELECT 'detection', 'ks_separates',
+                   (SELECT v FROM ks_shift) > 0.05 AND 0.05 > (SELECT v FROM ks_same)""",
         # LSH near-dup: DuckDB re-derives the result from the exported
         # bucket assignment — same-bucket pairs, exact cosine, same
         # threshold (everything but the hash itself is re-verified)

@@ -19,6 +19,13 @@ validate  The timed job: pass 1 (schema + stats profile, optionally
           per-row invariant).  Prints ONE JSON line with wall seconds,
           clips/sec and the pass/fail summary.
 
+validate-stream / profile-stream
+          The Structured-Streaming front-ends (streaming/): each
+          invocation processes only files the checkpoint hasn't seen
+          (availableNow) — incremental validation deltas / incremental
+          profile state — and prints cumulative totals that match the
+          batch engine on the same input.
+
 Scaling protocol (BASELINE.md): `prepare` once, then run `validate` on
 the SAME input at --master local[8] and local[32]; efficiency =
 (thr_32 / thr_8) / 4.  Pass/fail rows use a STABLE scope
@@ -337,6 +344,96 @@ def cmd_validate(args) -> dict:
     }
 
 
+def cmd_validate_stream(args) -> dict:
+    """Incremental validation via Structured Streaming: each invocation
+    processes only files not yet seen by the checkpoint (availableNow),
+    appends per-batch delta report rows, and prints the CUMULATIVE
+    pass/fail digest — which must equal the batch engine's digest on
+    the same input (pinned by tests/test_streaming.py)."""
+    import hashlib
+
+    from drivel_spark.fixtures import CLIPS_SCHEMA
+    from drivel_spark.streaming import cumulative_passfail, validate_stream
+
+    spark = build_session("drivel-validate-stream")
+    t0 = time.time()
+    row_cs = [
+        Enum("sr_enum", "sr_hz", tuple(int(v) for v in sorted(SR_VALUES.tolist()))),
+        Range("dur_range", "dur_ms", 200, 30000),
+        Enum("codec_enum", "codec", tuple(sorted(CODEC_ENUM))),
+        NotNull("transcript_not_null", "transcript"),
+        Format("clip_id_uuid", "clip_id", "uuid"),
+    ]
+    scope = F.pmod(F.xxhash64(F.col("clip_id")), F.lit(args.n_scopes)).cast("long")
+    validate_stream(
+        spark,
+        args.source,
+        CLIPS_SCHEMA,
+        row_cs,
+        scope,
+        args.report,
+        args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    totals = (
+        cumulative_passfail(spark, args.report)
+        .toPandas()
+        .sort_values(["constraint", "partition_id"])
+        .reset_index(drop=True)
+    )
+    digest = hashlib.sha256(totals.to_csv(index=False).encode()).hexdigest()[:16]
+    n_rows = int(
+        totals.loc[totals.constraint == totals.constraint.iloc[0], "n_rows"].sum()
+    ) if len(totals) else 0
+    wall = time.time() - t0
+    return {
+        "job": "validate-stream",
+        "master": spark.sparkContext.master,
+        "n_rows_total": n_rows,
+        "wall_s": round(wall, 3),
+        "n_report_rows": int(len(totals)),
+        "cumulative_digest": digest,
+        "n_violation_rows_total": int(
+            totals.loc[totals.constraint == "_rows_any_violation", "n_violations"].sum()
+        ),
+    }
+
+
+def cmd_profile_stream(args) -> dict:
+    """Incremental profile via Structured Streaming: folds only NEW
+    files into the persisted accumulator state; prints the cumulative
+    profile summary (equal to the batch profile of everything seen,
+    pinned by tests/test_streaming.py)."""
+    from drivel_spark.fixtures import CLIPS_SCHEMA
+    from drivel_spark.streaming import load_stream_profile, profile_stream
+
+    spark = build_session("drivel-profile-stream")
+    t0 = time.time()
+    cols = args.columns.split(",") if args.columns else PROFILE_COLUMNS
+    profile_stream(
+        spark,
+        args.source,
+        CLIPS_SCHEMA,
+        args.state,
+        args.checkpoint,
+        columns=cols,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    prof = load_stream_profile(args.state)
+    sys.stderr.write(prof.describe() + "\n")
+    wall = time.time() - t0
+    return {
+        "job": "profile-stream",
+        "master": spark.sparkContext.master,
+        "n_rows_total": prof.n_rows,
+        "wall_s": round(wall, 3),
+        "columns": prof.columns(),
+        "n_state_commits": len(
+            [f for f in os.listdir(args.state) if f.endswith(".bin")]
+        ),
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="drivel-spark-job")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -389,6 +486,20 @@ def main(argv=None) -> None:
     sg.add_argument("--seed", type=int, default=42)
     sg.add_argument("--out", required=True)
 
+    svs = sub.add_parser("validate-stream")
+    svs.add_argument("--source", required=True, help="growing clips parquet dir")
+    svs.add_argument("--report", required=True)
+    svs.add_argument("--checkpoint", required=True)
+    svs.add_argument("--n-scopes", type=int, default=64)
+    svs.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    sps = sub.add_parser("profile-stream")
+    sps.add_argument("--source", required=True, help="growing clips parquet dir")
+    sps.add_argument("--state", required=True, help="profile state dir")
+    sps.add_argument("--checkpoint", required=True)
+    sps.add_argument("--columns", default=None, help="comma-separated subset")
+    sps.add_argument("--max-files-per-trigger", type=int, default=None)
+
     args = p.parse_args(argv)
     out = {
         "prepare": cmd_prepare,
@@ -396,6 +507,8 @@ def main(argv=None) -> None:
         "validate": cmd_validate,
         "describe": cmd_describe,
         "produce": cmd_produce,
+        "validate-stream": cmd_validate_stream,
+        "profile-stream": cmd_profile_stream,
     }[args.cmd](args)
     sys.stdout.write(json.dumps(out) + "\n")
     sys.stdout.flush()

@@ -119,3 +119,41 @@ def test_describe_infer_enum_flags(spark, sf_small_dir, capsys):
     cmd_describe(argparse.Namespace(**base, infer_enum=True))
     with_enum = json.loads(capsys.readouterr().err)
     assert "enum" in json.dumps(with_enum)
+
+
+def test_stream_subcommands(spark, tmp_path):
+    """validate-stream / profile-stream job verbs: incremental runs
+    over a growing source; cumulative digest stable across a no-new-
+    data re-invocation (exactly-once), profile totals match the data."""
+    from drivel_spark.fixtures import CLIPS_SCHEMA, clips_pdf
+    from drivel_spark.job import cmd_profile_stream, cmd_validate_stream
+
+    source = str(tmp_path / "src")
+    spec = ClipFixtureSpec(with_audio=False)
+    spark.createDataFrame(clips_pdf(range(0, 400), spec), CLIPS_SCHEMA).coalesce(
+        2
+    ).write.mode("append").parquet(source)
+
+    vs = argparse.Namespace(
+        source=source, report=str(tmp_path / "rep"),
+        checkpoint=str(tmp_path / "vck"), n_scopes=8, max_files_per_trigger=None,
+    )
+    out1 = cmd_validate_stream(vs)
+    assert out1["n_rows_total"] == 400
+    # re-run with no new files: nothing reprocessed, digest unchanged
+    out2 = cmd_validate_stream(vs)
+    assert out2["cumulative_digest"] == out1["cumulative_digest"]
+    assert out2["n_rows_total"] == 400
+
+    ps = argparse.Namespace(
+        source=source, state=str(tmp_path / "pstate"),
+        checkpoint=str(tmp_path / "pck"), columns=None, max_files_per_trigger=None,
+    )
+    pout = cmd_profile_stream(ps)
+    assert pout["n_rows_total"] == 400
+    # growing source: second invocation folds only the new files
+    spark.createDataFrame(clips_pdf(range(400, 700), spec), CLIPS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(source)
+    pout2 = cmd_profile_stream(ps)
+    assert pout2["n_rows_total"] == 700

@@ -128,11 +128,20 @@ def q_quantiles_lineitem(spark, sf_dir):
     headline quantile operator is the KLL sketch, oracled with rank
     tolerance in profile_sketches_lineitem."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    # ONE array-percentile aggregation: four scalar percentile() calls
+    # each buffer the full column in their own aggregation state (4×
+    # the memory and 10.9s vs 3.7s at sf0.1); the array form shares
+    # one buffer for all four ranks
+    ps = li.select(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))"
+        ).alias("ps")
+    )
+    return ps.select(
+        F.round(F.col("ps")[0], 4).alias("p25"),
+        F.round(F.col("ps")[1], 4).alias("p50"),
+        F.round(F.col("ps")[2], 4).alias("p75"),
+        F.round(F.col("ps")[3], 4).alias("p99"),
     )
 
 
@@ -515,7 +524,11 @@ def q_profile_sketches_lineitem(spark, sf_dir):
     from drivel_spark.profiling import profile
 
     li = _t(spark, sf_dir, "lineitem")
-    prof = profile(li, columns=["l_quantity", "l_extendedprice", "l_returnflag"])
+    prof = profile(
+        li,
+        columns=["l_quantity", "l_extendedprice", "l_returnflag"],
+        arrow_batch=8192,  # narrow scan; session default is audio-sized
+    )
     est = {}
     for name in ("l_extendedprice", "l_quantity"):
         acc = prof.column(name)
@@ -572,6 +585,7 @@ def q_profile_tdigest_lineitem(spark, sf_dir):
         li,
         columns=["l_extendedprice"],
         opts=ProfilerOptions(tdigest_delta=200),
+        arrow_batch=8192,
     )
     td = prof.column("l_extendedprice").tdigest
     est = {q: float(td.quantile(q)) for q in (0.01, 0.5, 0.99)}
@@ -633,9 +647,9 @@ def q_drift_lineitem_halves(spark, sf_dir):
         "l_extendedprice", F.col("l_extendedprice") * 1.1
     )
 
-    pb = profile(base_df, columns=["l_extendedprice", "l_returnflag"])
-    p_same = profile(same_df, columns=["l_extendedprice"])
-    p_shift = profile(shift_df, columns=["l_extendedprice"])
+    pb = profile(base_df, columns=["l_extendedprice", "l_returnflag"], arrow_batch=8192)
+    p_same = profile(same_df, columns=["l_extendedprice"], arrow_batch=8192)
+    p_shift = profile(shift_df, columns=["l_extendedprice"], arrow_batch=8192)
 
     kb = pb.column("l_extendedprice").kll
     import numpy as np
@@ -649,7 +663,7 @@ def q_drift_lineitem_halves(spark, sf_dir):
         ("shifted", "ks"): ks_statistic(kb, p_shift.column("l_extendedprice").kll),
         ("shifted", "psi"): psi_numeric(kb, p_shift.column("l_extendedprice").kll),
         ("same_cat", "psi"): psi_categorical(
-            pb.column("l_returnflag").freq, profile(same_df, columns=["l_returnflag"]).column("l_returnflag").freq
+            pb.column("l_returnflag").freq, profile(same_df, columns=["l_returnflag"], arrow_batch=8192).column("l_returnflag").freq
         ),
     }
     _export_oracle(

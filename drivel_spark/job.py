@@ -100,10 +100,29 @@ def cmd_prepare(args) -> dict:
     return meta
 
 
+def _narrow_batch(df, cols) -> int | None:
+    """8192-row Arrow batches for all-narrow profile scans (the 256
+    session default is sized for ~100KB audio rows and strangles
+    narrow tables in per-batch framing); None — keep the session
+    default — when any profiled column is binary."""
+    names = set(cols) if cols else {f.name for f in df.schema.fields}
+    wide = any(
+        f.dataType.simpleString() == "binary"
+        for f in df.schema.fields
+        if f.name in names
+    )
+    return None if wide else 8192
+
+
 def cmd_baseline(args) -> dict:
     spark = build_session("drivel-baseline")
     df = spark.read.parquet(f"{args.data}/clips")
-    prof = profile(df, columns=PROFILE_COLUMNS, opts=ProfilerOptions())
+    prof = profile(
+        df,
+        columns=PROFILE_COLUMNS,
+        opts=ProfilerOptions(),
+        arrow_batch=_narrow_batch(df, PROFILE_COLUMNS),
+    )
     with open(args.out, "wb") as fh:
         pickle.dump(prof, fh)
     return {"baseline": args.out, "n_rows": prof.acc.n_rows}
@@ -171,7 +190,7 @@ def cmd_describe(args) -> dict:
         enum_max_unique_ratio=float(getattr(args, "enum_max_uniq", 0.1)),
         enum_min_sample_size=int(getattr(args, "enum_min_n", 1)),
     )
-    prof = profile(df, columns=cols, opts=opts)
+    prof = profile(df, columns=cols, opts=opts, arrow_batch=_narrow_batch(df, cols))
     if args.json_schema:
         doc = prof.to_json_schema(extended=args.extended)
         sys.stderr.write(_json.dumps(doc, indent=2) + "\n")
@@ -203,7 +222,8 @@ def cmd_produce(args) -> dict:
         from drivel_spark.io import read_table
         from drivel_spark.produce.generator import produce_from_profile
 
-        prof = profile(read_table(spark, args.data))
+        src = read_table(spark, args.data)
+        prof = profile(src, arrow_batch=_narrow_batch(src, None))
         out_df = produce_from_profile(spark, prof, args.n_rows, seed=args.seed)
     out_df.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()

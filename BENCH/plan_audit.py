@@ -257,7 +257,52 @@ def main() -> None:
         )
     )
 
-    # 10. filter pushdown reaches parquet
+    # 10. temporal joins: as-of must be ONE hash shuffle + window (no
+    # inequality/nested-loop join); range join must be a bucketed
+    # equi-join (no BroadcastNestedLoop / CartesianProduct)
+    from drivel_spark.ops import asof_join, range_join
+
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    aj = asof_join(clicks, views, on="user_id", left_ts="ts", right_ts="ts",
+                   right_cols=["view_event_id"], prefix="")
+    p = fmt(aj)
+    sections.append(
+        (
+            "As-of join (union + ordered window, one shuffle)",
+            p,
+            [
+                "no nested-loop/inequality join: "
+                + ("PASS" if "BroadcastNestedLoopJoin" not in p
+                   and "CartesianProduct" not in p else "FAIL"),
+                "window over the key partitioning: "
+                + ("PASS" if "Window" in p else "FAIL"),
+            ],
+        )
+    )
+
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01"))
+    pts = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("point_key"), days.alias("d"))
+    ivs = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("iv_key"), days.alias("d_start"), (days + 6).alias("d_end"))
+    rj = range_join(pts, ivs, "d", "d_start", "d_end", bucket_width=7)
+    p = fmt(rj)
+    sections.append(
+        (
+            "Range join (bucketed equi-join, bounded fan-out)",
+            p,
+            [
+                "equi-join on the bucket key (no nested loop): "
+                + ("PASS" if "BroadcastNestedLoopJoin" not in p
+                   and "CartesianProduct" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 11. filter pushdown reaches parquet
     filt = li.filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_quantity") > 45)
     ).select("l_orderkey", "l_quantity")

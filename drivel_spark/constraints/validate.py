@@ -234,12 +234,26 @@ def validate(
 
     lazy_cs: list[tuple] = []  # (constraint, future(s) ...)
     with ThreadPoolExecutor(max_workers=8) as pool:
-        # warm the flagged cache first — it is the heaviest job and
-        # doubles as the exact row count (one row per input row)
+        # warm the flagged cache first — it is the heaviest job (the
+        # audio-decode scan when present) and doubles as the exact row
+        # count.  It runs in the high-weight "critical" scheduler pool
+        # (config.py): FAIR between pools keeps its 8-stream scan
+        # core-rich for its whole span while the default pool's
+        # concurrent jobs backfill the remaining cores — plain FIFO
+        # instead serializes it behind whichever job got submitted
+        # first (measured 35.3s → 26.1s batch wall at local[32])
+        def _count_in_critical_pool(target):
+            sc = target.sparkSession.sparkContext
+            sc.setLocalProperty("spark.scheduler.pool", "critical")
+            try:
+                return target.count()
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+
         if row_cs and cache_flags:
-            fut_n_total = pool.submit(flagged.count)
+            fut_n_total = pool.submit(_count_in_critical_pool, flagged)
         elif ds_cs:
-            fut_n_total = pool.submit(df.count)
+            fut_n_total = pool.submit(_count_in_critical_pool, df)
         else:
             fut_n_total = None
         for c in ds_cs:

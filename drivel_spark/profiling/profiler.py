@@ -205,7 +205,7 @@ def _partition_profiler(columns: list[tuple[str, str]], opts: ProfilerOptions):
 
 
 def _pairwise_merger():
-    def fn(key, pdf: pd.DataFrame):
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         accs = [TableAccumulator.from_bytes(b) for b in pdf["acc"]]
         merged = accs[0]
         for a in accs[1:]:

@@ -567,6 +567,28 @@ def q_profile_sketches_lineitem(spark, sf_dir):
     return spark.createDataFrame(rows, "column string, n long, hll_ok boolean, kll_ok boolean")
 
 
+def q_winnow_fingerprints_documents(spark, sf_dir):
+    """Rolling-hash document fingerprints via robust winnowing
+    (k-gram Rabin-Karp, rightmost-min over hash windows — the MOSS
+    selection rule).  The full per-position hash series is exported;
+    DuckDB independently re-derives the window-minimum selection from
+    it (per-window min, rightmost position, dedupe) and must reach the
+    identical per-doc fingerprint set — the hash itself is taken as
+    given, the SELECTION semantics are fully re-verified."""
+    from drivel_spark.ops import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    series = winnow_fingerprints(d, k=5, w=4, full_series=True)
+    _export_oracle(series.toPandas(), "winnow_hashes", sf_dir)
+    fps = winnow_fingerprints(d, k=5, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum(F.col("fp") % 1000000007).alias("fp_checksum"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
 def q_asof_click_last_view(spark, sf_dir):
     """Backward as-of join (click → latest prior view per user) via the
     union + ordered-window composition — ONE shuffle, no inequality
@@ -1023,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_tdigest_lineitem": q_profile_tdigest_lineitem,
         "drift_lineitem_halves": q_drift_lineitem_halves,
         "asof_click_last_view": q_asof_click_last_view,
+        "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "range_join_orders_weeks": q_range_join_orders_weeks,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
@@ -1388,6 +1411,29 @@ def oracle_sql() -> dict[str, str]:
                    est.kll_median BETWEEN ex.qlo AND ex.qhi AS kll_ok
             FROM ex JOIN est ON est.column = ex.column
             ORDER BY ex.column""",
+        # winnowing selection re-derived by DuckDB from the exported
+        # rolling-hash series: per-window min, rightmost tie position
+        "winnow_fingerprints_documents": f"""
+            WITH h AS (SELECT * FROM read_parquet('{ORACLE_DIR}/winnow_hashes_sf0.01.parquet')),
+            nmax AS (SELECT doc_id, max(pos) AS maxp FROM h GROUP BY doc_id),
+            wins AS (
+              SELECT h.doc_id, h.pos AS i, min(h2.fp) AS wmin
+              FROM h
+              JOIN nmax ON nmax.doc_id = h.doc_id
+              JOIN h h2 ON h2.doc_id = h.doc_id AND h2.pos BETWEEN h.pos AND h.pos + 3
+              WHERE h.pos + 3 <= nmax.maxp
+              GROUP BY h.doc_id, h.pos),
+            sel AS (
+              SELECT w.doc_id, max(h2.pos) AS pos, w.wmin AS fp
+              FROM wins w
+              JOIN h h2 ON h2.doc_id = w.doc_id AND h2.fp = w.wmin
+                        AND h2.pos BETWEEN w.i AND w.i + 3
+              GROUP BY w.doc_id, w.i, w.wmin),
+            u AS (SELECT DISTINCT doc_id, pos, fp FROM sel)
+            SELECT doc_id, count(*)::BIGINT AS n_fp,
+                   sum(fp % 1000000007)::BIGINT AS fp_checksum,
+                   min(fp) AS min_fp, max(fp) AS max_fp
+            FROM u GROUP BY doc_id""",
         # backward as-of join vs DuckDB's native ASOF LEFT JOIN (both
         # inclusive on right_ts <= left_ts)
         "asof_click_last_view": """

@@ -8,6 +8,7 @@ fingerprinting (md5 of normalized text).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -139,3 +140,93 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling hash)
+# ---------------------------------------------------------------------------
+
+# 63-bit polynomial rolling hash: uint64 wraparound arithmetic masked to
+# 63 bits so the values survive BIGINT round-trips (Spark and DuckDB
+# have no unsigned 64-bit type).  The mask is applied at hash
+# definition time, so window-minimum selection orders the SAME values
+# everywhere.
+_WINNOW_BASE = np.uint64(1000003)
+_MASK63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
+def _kgram_hashes(text: str, k: int) -> np.ndarray:
+    """63-bit rolling hash of every k-gram of the normalized text
+    (lowercase, whitespace collapsed), fully vectorized: sliding-window
+    view × base-power kernel under uint64 wraparound (≡ mod 2^64),
+    masked to 63 bits."""
+    import re
+
+    s = re.sub(r"\s+", " ", str(text).lower()).strip()
+    if len(s) < k:
+        return np.empty(0, dtype=np.uint64)
+    c = np.fromiter((ord(ch) for ch in s), dtype=np.uint64, count=len(s))
+    powers = np.empty(k, dtype=np.uint64)
+    powers[k - 1] = np.uint64(1)
+    for j in range(k - 2, -1, -1):
+        # python-int modulus avoids numpy's scalar-overflow warning;
+        # the value is the same wraparound (mod 2^64) product
+        powers[j] = np.uint64((int(powers[j + 1]) * int(_WINNOW_BASE)) % (1 << 64))
+    win = np.lib.stride_tricks.sliding_window_view(c, k)
+    return (win * powers[None, :]).sum(axis=1, dtype=np.uint64) & _MASK63
+
+
+def _winnow_select(hashes: np.ndarray, w: int) -> list[tuple[int, int]]:
+    """Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    MOSS algorithm; public literature): over every window of ``w``
+    consecutive k-gram hashes, select the RIGHTMOST minimal hash;
+    dedupe (pos, hash).  Guarantees at least one fingerprint per
+    ``w + k - 1`` characters — bounded density regardless of content."""
+    n = len(hashes)
+    if n < w:
+        return []
+    sw = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    rev_arg = np.argmin(sw[:, ::-1], axis=1)
+    pos = np.arange(n - w + 1) + (w - 1 - rev_arg)
+    sel = np.unique(pos)
+    return [(int(p), int(hashes[p])) for p in sel]
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    full_series: bool = False,
+) -> DataFrame:
+    """Rolling-hash document fingerprints, one row per selected
+    (position, hash): the content-addressable signature used for
+    plagiarism-style containment detection at corpus scale (shared
+    fingerprints → candidate pairs via an inverted index, exactly like
+    the shingle table).  ``full_series=True`` instead returns EVERY
+    k-gram hash (pos, hash) — the correctness oracle re-derives the
+    window-minimum selection from it independently.
+
+    Vectorized per Arrow batch (numpy sliding windows, no per-char
+    Python); one narrow scan, no shuffle.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                hashes = _kgram_hashes(text, k)
+                if full_series:
+                    pairs = list(enumerate(int(h) for h in hashes))
+                else:
+                    pairs = _winnow_select(hashes, w)
+                for p, h in pairs:
+                    ids.append(did), poss.append(p), fps.append(h)
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
+
+    out_schema = f"{id_col} long, pos long, fp long"
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)

@@ -462,3 +462,39 @@ def test_range_join_matches_naive(spark):
     }
     assert got_set == want
     assert len(got) == len(got_set)  # no duplicate pairs from bucketing
+
+
+def test_winnow_fingerprints_properties(docs, docs_pd):
+    """Winnowing invariants: selection equals the brute-force
+    rightmost-min rule per document, and the density guarantee holds
+    (≥1 fingerprint per w+k-1 characters of normalized text)."""
+    import re
+
+    from drivel_spark.ops import winnow_fingerprints
+    from drivel_spark.ops.text import _kgram_hashes, _winnow_select
+
+    k, w = 5, 4
+    got = winnow_fingerprints(docs, k=k, w=w).toPandas()
+    by_doc = {d: g[["pos", "fp"]].sort_values("pos") for d, g in got.groupby("doc_id")}
+    checked = 0
+    for row in docs_pd.head(50).itertuples():
+        text = row.text
+        if text is None:
+            continue
+        hashes = _kgram_hashes(text, k)
+        want = sorted(_winnow_select(hashes, w))
+        # brute force re-derivation
+        brute = set()
+        for i in range(len(hashes) - w + 1):
+            win = hashes[i : i + w]
+            m = win.min()
+            brute.add((i + max(j for j in range(w) if win[j] == m), int(m)))
+        assert sorted(brute) == want
+        g = by_doc.get(row.doc_id)
+        got_pairs = [] if g is None else list(zip(g["pos"], g["fp"]))
+        assert [(int(p), int(f)) for p, f in got_pairs] == want
+        norm = re.sub(r"\s+", " ", str(text).lower()).strip()
+        if len(norm) >= 2 * (w + k - 1):
+            assert len(want) >= len(norm) // (w + k - 1) - 1
+        checked += 1
+    assert checked >= 40

@@ -46,4 +46,4 @@ for i in $(seq 1 "$RUNS"); do
   done
 done
 
-python BENCH/summarize_scaling.py
+python BENCH/summarize_scaling.py | tee BENCH/scaling_summary.json

@@ -26,6 +26,14 @@ for n_rows in sorted({r["n_rows"] for r in rows}):
     for r in rows:
         if r["n_rows"] == n_rows:
             by.setdefault(r["master"], []).append(r)
+    if "local[2]" not in by or "local[8]" not in by:
+        # partial campaign (e.g. an interrupted first round on a new
+        # table) — report the raw runs, skip efficiency math
+        summary[f"n_rows={n_rows}"] = {
+            "incomplete": True,
+            "masters": {m: len(rs) for m, rs in by.items()},
+        }
+        continue
     tbl = {}
     for m, rs in by.items():
         tbl[m] = {
@@ -61,7 +69,11 @@ for n_rows in sorted({r["n_rows"] for r in rows}):
 # HEADLINE: the protocol table is the LARGEST input (overhead
 # amortization, BASELINE.md) — its paired-round median is the
 # authoritative N→4N efficiency reading
-protocol_n = max(r["n_rows"] for r in rows)
+protocol_n = max(
+    n
+    for n in {r["n_rows"] for r in rows}
+    if not summary[f"n_rows={n}"].get("incomplete")
+)
 summary["protocol_table"] = f"n_rows={protocol_n}"
 summary["protocol_paired_eff_2_to_8_median"] = summary[f"n_rows={protocol_n}"][
     "paired_eff_2_to_8_median"

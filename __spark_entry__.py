@@ -719,7 +719,9 @@ def q_drift_lineitem_halves(spark, sf_dir):
     )
 
     pb = profile(base_df, columns=["l_extendedprice", "l_returnflag"], arrow_batch=8192)
-    p_same = profile(same_df, columns=["l_extendedprice"], arrow_batch=8192)
+    p_same = profile(
+        same_df, columns=["l_extendedprice", "l_returnflag"], arrow_batch=8192
+    )
     p_shift = profile(shift_df, columns=["l_extendedprice"], arrow_batch=8192)
 
     kb = pb.column("l_extendedprice").kll
@@ -734,7 +736,7 @@ def q_drift_lineitem_halves(spark, sf_dir):
         ("shifted", "ks"): ks_statistic(kb, p_shift.column("l_extendedprice").kll),
         ("shifted", "psi"): psi_numeric(kb, p_shift.column("l_extendedprice").kll),
         ("same_cat", "psi"): psi_categorical(
-            pb.column("l_returnflag").freq, profile(same_df, columns=["l_returnflag"], arrow_batch=8192).column("l_returnflag").freq
+            pb.column("l_returnflag").freq, p_same.column("l_returnflag").freq
         ),
     }
     _export_oracle(
@@ -784,7 +786,7 @@ def q_drift_lineitem_halves(spark, sf_dir):
         def fr(df):
             pdf = df.groupBy("l_returnflag").count().toPandas().set_index("l_returnflag")["count"]
             return pdf / pdf.sum()
-        fa, fb = fr(base_df), fr(same_df)
+        fa, fb = fr(a_df), fr(b_df)
         keys = sorted(set(fa.index) | set(fb.index))
         import math
         return sum(

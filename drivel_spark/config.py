@@ -76,7 +76,12 @@ _FAIR_XML = """<?xml version="1.0"?>
 def _fair_allocation_file() -> str:
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "drivel_fairscheduler.xml")
+    # per-uid filename: a fixed world-shared /tmp name would belong to
+    # whichever user wrote it first, and os.replace over another user's
+    # file fails in a sticky /tmp once the XML content changes
+    path = os.path.join(
+        tempfile.gettempdir(), f"drivel_fairscheduler_{os.getuid()}.xml"
+    )
     try:
         with open(path) as fh:
             if fh.read() == _FAIR_XML:

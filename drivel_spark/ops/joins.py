@@ -40,15 +40,32 @@ def asof_join(
     the match is inclusive (``right_ts <= left_ts``) — the same
     convention as DuckDB's ``ASOF JOIN`` (which the contract oracle
     uses to verify this operator).
+
+    The matched right row's payload travels as ONE struct (non-null for
+    every right row, even when individual payload fields are NULL), so
+    ``last(ignorenulls)`` picks whole rows atomically: a NULL field in
+    the matched row stays NULL (merge_asof semantics) instead of being
+    back-filled from an older row, and multi-column payloads can never
+    mix fields from different right rows.
     """
-    lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
-    for c in right_cols:
-        lt = lt.withColumn(f"{prefix}{c}", F.lit(None).cast(right.schema[c].dataType))
+    lt = (
+        left.withColumn("__t", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn(
+            "__payload",
+            F.lit(None).cast(
+                "struct<" + ", ".join(
+                    f"{c}: {right.schema[c].dataType.simpleString()}"
+                    for c in right_cols
+                ) + ">"
+            ),
+        )
+    )
     rt = right.select(
         F.col(on),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__payload"),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
     w = (
@@ -57,16 +74,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        "*",
-        *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("__payload", ignorenulls=True).over(w).alias("__match")
     )
     out = filled.filter(F.col("__side") == 1)
     for c in right_cols:
-        out = out.drop(f"{prefix}{c}").withColumnRenamed(f"__f_{c}", f"{prefix}{c}")
-    return out.drop("__t", "__side")
+        out = out.withColumn(f"{prefix}{c}", F.col(f"__match.{c}"))
+    return out.drop("__t", "__side", "__payload", "__match")
 
 
 def range_join(

@@ -81,15 +81,16 @@ def salted_distinct_count(
     shuffle.  An explicit salt column would be functionally dependent
     on (key, value) and change nothing — see salted_agg for the salt
     pattern that DOES matter (growing per-key state keyed only by the
-    hot key).  NULL values are excluded, matching COUNT(DISTINCT v)
-    SQL semantics.
+    hot key).  NULL values are excluded from the count, matching
+    COUNT(DISTINCT v) SQL semantics — including the edge that a key
+    whose values are ALL NULL still yields a row with count 0 (SQL
+    GROUP BY keeps the group; filtering nulls before grouping would
+    silently drop the key).
     """
-    pairs = (
-        df.select(key, value)
-        .filter(F.col(value).isNotNull())
-        .distinct()
+    pairs = df.select(key, value).distinct()
+    return pairs.groupBy(key).agg(
+        F.sum(F.col(value).isNotNull().cast("long")).alias(out_col)
     )
-    return pairs.groupBy(key).agg(F.count(F.lit(1)).alias(out_col))
 
 
 def salted_freq_map(

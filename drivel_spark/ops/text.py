@@ -228,5 +228,6 @@ def winnow_fingerprints(
                     ids.append(did), poss.append(p), fps.append(h)
             yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
 
-    out_schema = f"{id_col} long, pos long, fp long"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pos long, fp long"
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)

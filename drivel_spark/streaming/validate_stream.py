@@ -36,8 +36,12 @@ from pyspark.sql import functions as F
 
 from ..constraints.spec import Constraint
 
+# batch_id lives in the directory name (report_dir/batch_id=N/), not
+# the rows: each micro-batch OVERWRITES its own partition directory, so
+# an at-least-once foreachBatch replay rewrites the same delta instead
+# of appending a duplicate — cumulative totals stay exactly-once.
 REPORT_SCHEMA = (
-    "batch_id long, partition_id long, constraint string, "
+    "partition_id long, constraint string, "
     "n_rows long, n_violations long, passed boolean"
 )
 
@@ -121,9 +125,9 @@ def validate_stream(
         if pdf.empty:
             return
         report = _batch_report(pdf, names)
-        report.insert(0, "batch_id", int(batch_id))
-        spark.createDataFrame(report, REPORT_SCHEMA).write.mode("append").parquet(
-            report_dir
+        # idempotent per-batch commit: overwrite THIS batch's partition
+        spark.createDataFrame(report, REPORT_SCHEMA).write.mode("overwrite").parquet(
+            f"{report_dir}/batch_id={int(batch_id)}"
         )
 
     writer = flagged.writeStream.foreachBatch(process_batch).option(

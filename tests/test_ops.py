@@ -498,3 +498,38 @@ def test_winnow_fingerprints_properties(docs, docs_pd):
             assert len(want) >= len(norm) // (w + k - 1) - 1
         checked += 1
     assert checked >= 40
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """The matched right row's NULL payload stays NULL (merge_asof
+    semantics) — older rows' values must not leak through, and
+    multi-column payloads come from ONE right row atomically."""
+    from drivel_spark.ops import asof_join
+
+    left = spark.createDataFrame([(1, 3, "L")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, "old"), (1, 2, None, "new")],
+        "k long, ts long, v double, src string",
+    )
+    got = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["v", "src"], prefix="r_",
+    ).toPandas()
+    assert len(got) == 1
+    assert pd.isna(got.loc[0, "r_v"])      # NOT back-filled to 5.0
+    assert got.loc[0, "r_src"] == "new"    # fields from the ts=2 row only
+
+
+def test_salted_distinct_keeps_all_null_keys(spark):
+    """A key whose values are all NULL yields (key, 0) — SQL GROUP BY
+    keeps the group under COUNT(DISTINCT v)."""
+    from drivel_spark.ops import salted_distinct_count
+
+    df = spark.createDataFrame(
+        [("k1", None), ("k1", None), ("k2", "a"), ("k2", None)],
+        "key string, v string",
+    )
+    got = dict(
+        salted_distinct_count(df, "key", "v").toPandas().itertuples(index=False)
+    )
+    assert got == {"k1": 0, "k2": 1}

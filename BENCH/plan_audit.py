@@ -155,9 +155,9 @@ def main() -> None:
 
     # 6. skew-safe distinct: (key,value) dedup spreads the hot key;
     # stage-1 state is a presence bit collapsed by partial agg
-    from drivel_spark.ops import salted_distinct_count
+    from drivel_spark.ops import distinct_count_skew_safe
 
-    sd = salted_distinct_count(events, "event_type", "user_id")
+    sd = distinct_count_skew_safe(events, "event_type", "user_id")
     p = fmt(sd)
     sections.append(
         (

@@ -77,10 +77,21 @@ lines += [
     "",
     "## N -> 4N scaling efficiency (primary pair local[2] -> local[8])",
     "",
-    f"- **headline (paired-round median): {paired_med:.3f}** — meets the",
-    "  >=0.8 criterion (BASELINE.json north_rule); the interleaved pairs",
-    "  are the apples-to-apples reading on this shared box",
-    f"- median-of-levels: {med_eff:.3f}; best-of-campaign: {best_eff:.3f}",
+    f"- **headline (paired-round median): {paired_med:.3f}** — "
+    + ("meets" if paired_med >= 0.8 else "MISSES")
+    + " the >=0.8 criterion (BASELINE.json north_rule) under this estimator.",
+    "  Estimator rationale: the box is shared and noise waves hit the two",
+    "  levels at different times, so only same-round interleaved pairs are",
+    "  apples-to-apples; unpaired estimators mix a quiet local[8] run with",
+    "  a noisy local[2] run (or vice versa) and understate the ratio.",
+    f"- median-of-levels: {med_eff:.3f} ("
+    + ("meets" if med_eff >= 0.8 else "misses")
+    + f" the gate); best-of-campaign: {best_eff:.3f} ("
+    + ("meets" if best_eff >= 0.8 else "misses")
+    + " the gate) —",
+    "  stated explicitly so the headline is not the only estimator shown",
+    "  against the gate (ADVICE r02): the >=0.8 claim holds under the",
+    "  paired-round estimator, and the reader can weigh the others.",
     f"- per-round paired values: "
     + ", ".join(f"{e:.3f}" for e in paired)
     + " (values >1 = the local[2] partner run was hit by neighbor noise;",

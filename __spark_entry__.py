@@ -352,18 +352,18 @@ def q_salted_distinct_users(spark, sf_dir):
     """Skew-safe exact distinct: users per event_type via two-level
     salted aggregation (identical result to a plain COUNT DISTINCT —
     that equivalence is what the oracle pins)."""
-    from drivel_spark.ops import salted_distinct_count
+    from drivel_spark.ops import distinct_count_skew_safe
 
     ev = _t(spark, sf_dir, "events")
-    return salted_distinct_count(ev, "event_type", "user_id", out_col="n_users")
+    return distinct_count_skew_safe(ev, "event_type", "user_id", out_col="n_users")
 
 
 def q_salted_freq_map_orders(spark, sf_dir):
     """Skew-safe per-key frequency map (two-level counting)."""
-    from drivel_spark.ops import salted_freq_map
+    from drivel_spark.ops import freq_map_skew_safe
 
     o = _t(spark, sf_dir, "orders")
-    return salted_freq_map(o, "o_orderstatus", "o_orderpriority")
+    return freq_map_skew_safe(o, "o_orderstatus", "o_orderpriority")
 
 
 def q_dedup_exact_documents(spark, sf_dir):

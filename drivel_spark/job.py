@@ -397,18 +397,21 @@ def cmd_validate_stream(args) -> dict:
     )
     import pandas as _pd
 
-    try:
+    # empty-source case ONLY: no batches streamed → the report path was
+    # never created → zero totals.  Any other failure (corrupt report
+    # parquet, permission error, mistyped path that EXISTS) must raise —
+    # a bare except here would mask data loss as a clean empty run
+    # (ADVICE r02).
+    if not os.path.exists(args.report):
+        totals = _pd.DataFrame(
+            columns=["partition_id", "constraint", "n_rows", "n_violations", "passed"]
+        )
+    else:
         totals = (
             cumulative_passfail(spark, args.report)
             .toPandas()
             .sort_values(["constraint", "partition_id"])
             .reset_index(drop=True)
-        )
-    except Exception:
-        # nothing streamed yet (empty source → no report written):
-        # report zero totals instead of crashing on the missing path
-        totals = _pd.DataFrame(
-            columns=["partition_id", "constraint", "n_rows", "n_violations", "passed"]
         )
     digest = hashlib.sha256(totals.to_csv(index=False).encode()).hexdigest()[:16]
     n_rows = int(

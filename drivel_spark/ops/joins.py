@@ -47,6 +47,13 @@ def asof_join(
     the matched row stays NULL (merge_asof semantics) instead of being
     back-filled from an older row, and multi-column payloads can never
     mix fields from different right rows.
+
+    Duplicate-timestamp determinism (ADVICE r02): when multiple right
+    rows share the same ``(key, right_ts)``, the window ordering adds
+    ``xxhash64(payload)`` as a final tiebreaker, so the SAME right row
+    (the max-hash one — an arbitrary but stable choice) wins on every
+    run and partitioning.  Callers needing a semantic tiebreak should
+    pre-aggregate the right side to one row per (key, ts).
     """
     lt = (
         left.withColumn("__t", F.col(left_ts))
@@ -68,9 +75,12 @@ def asof_join(
         F.struct(*[F.col(c) for c in right_cols]).alias("__payload"),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
+    # xxhash64 over the payload struct: plan-independent total order
+    # among right rows tied on (key, ts); left rows' NULL payload hashes
+    # to a constant and left payloads are ignorenulls-skipped anyway
     w = (
         Window.partitionBy(on)
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", F.xxhash64(F.col("__payload")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

@@ -64,11 +64,10 @@ def salted_agg(
     return stage1.groupBy(*keys).agg(*final_aggs)
 
 
-def salted_distinct_count(
+def distinct_count_skew_safe(
     df: DataFrame,
     key: str,
     value: str,
-    buckets: int = DEFAULT_SALT_BUCKETS,  # kept for API compat; unused
     out_col: str = "n_distinct",
 ) -> DataFrame:
     """Exact COUNT(DISTINCT value) per (possibly hot) key without
@@ -93,11 +92,10 @@ def salted_distinct_count(
     )
 
 
-def salted_freq_map(
+def freq_map_skew_safe(
     df: DataFrame,
     key: str,
     value: str,
-    buckets: int = DEFAULT_SALT_BUCKETS,  # kept for API compat; unused
 ) -> DataFrame:
     """Per-key value frequency map (key, value, cnt) — the skew-safe
     form of the profiler's codec/sr_hz frequency maps when computed
@@ -111,3 +109,46 @@ def salted_freq_map(
         .groupBy(key, value)
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# deprecated aliases (r02 names — the ops no longer have a salt stage,
+# so the names misdescribed them; VERDICT r02 "What's wrong" #4)
+# --------------------------------------------------------------------------
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    key: str,
+    value: str,
+    buckets: int = DEFAULT_SALT_BUCKETS,  # ignored — no salt stage exists
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Deprecated alias for :func:`distinct_count_skew_safe`."""
+    import warnings
+
+    warnings.warn(
+        "salted_distinct_count is deprecated (no salt stage exists); "
+        "use distinct_count_skew_safe",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return distinct_count_skew_safe(df, key, value, out_col=out_col)
+
+
+def salted_freq_map(
+    df: DataFrame,
+    key: str,
+    value: str,
+    buckets: int = DEFAULT_SALT_BUCKETS,  # ignored — no salt stage exists
+) -> DataFrame:
+    """Deprecated alias for :func:`freq_map_skew_safe`."""
+    import warnings
+
+    warnings.warn(
+        "salted_freq_map is deprecated (no salt stage exists); "
+        "use freq_map_skew_safe",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return freq_map_skew_safe(df, key, value)

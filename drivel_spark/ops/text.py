@@ -165,7 +165,10 @@ def _kgram_hashes(text: str, k: int) -> np.ndarray:
     s = re.sub(r"\s+", " ", str(text).lower()).strip()
     if len(s) < k:
         return np.empty(0, dtype=np.uint64)
-    c = np.fromiter((ord(ch) for ch in s), dtype=np.uint64, count=len(s))
+    # one C call for the codepoint array (utf-32-le = one uint32 per
+    # char, identical values to ord()); mixed uint32×uint64 arithmetic
+    # upcasts to uint64 wraparound, same hashes as before
+    c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
     powers = np.empty(k, dtype=np.uint64)
     powers[k - 1] = np.uint64(1)
     for j in range(k - 2, -1, -1):

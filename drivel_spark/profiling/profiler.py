@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import math
 import pickle
+import threading
 from typing import Any, Iterable, Optional
 
 import pandas as pd
@@ -38,6 +39,10 @@ from ..core import (
 )
 from ..core.node import STR_ENUM, STR_UNKNOWN
 from .accumulator import ProfilerOptions, StringAcc, TableAccumulator
+
+# serializes profile() calls that override the session-global Arrow
+# batch-size conf (ADVICE r02: concurrent set/restore races)
+_ARROW_BATCH_LOCK = threading.Lock()
 
 _ACC_SCHEMA = "partition_id long, acc binary"
 
@@ -267,19 +272,38 @@ def profile(
     no concurrently-planned job carries wide binary rows: the conf is
     session-global at planning time, so a wide-row job planned inside
     this window would inherit the large batch (cmd_validate therefore
-    does NOT set it — its profile overlaps the audio SNR stage)."""
+    does NOT set it — its profile overlaps the audio SNR stage).
+    Concurrent ``profile(arrow_batch=...)`` calls serialize on a module
+    lock so set/restore can't interleave, and the override is skipped
+    when the session value already meets the request."""
     spark = df.sparkSession
     key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    old = spark.conf.get(key) if arrow_batch else None
-    if arrow_batch:
-        spark.conf.set(key, str(arrow_batch))
-    try:
+    # the conf is session-global at planning time: serialize overriders
+    # so two concurrent profile() calls can't interleave set/restore,
+    # and skip the override entirely when the session value is already
+    # >= the request (nothing to gain, one less global mutation) —
+    # ADVICE r02
+    want = arrow_batch
+    if want is not None:
+        try:
+            if int(spark.conf.get(key)) >= int(want):
+                want = None
+        except (TypeError, ValueError):
+            pass
+    if want is not None:
+        with _ARROW_BATCH_LOCK:
+            old = spark.conf.get(key)
+            spark.conf.set(key, str(want))
+            try:
+                acc_df = partition_accumulators(df, columns, opts)
+                acc_df = tree_combine(acc_df, fanin=tree_fanin)
+                rows = acc_df.collect()
+            finally:
+                spark.conf.set(key, old)
+    else:
         acc_df = partition_accumulators(df, columns, opts)
         acc_df = tree_combine(acc_df, fanin=tree_fanin)
         rows = acc_df.collect()
-    finally:
-        if arrow_batch:
-            spark.conf.set(key, old)
     if not rows:
         cols = columns or [f.name for f in df.schema.fields]
         col_types = [(f.name, f.dataType.simpleString()) for f in df.schema.fields if f.name in set(cols)]

@@ -40,6 +40,78 @@ from ..profiling.accumulator import ProfilerOptions, TableAccumulator
 from ..profiling.profiler import TableProfile, partition_accumulators, tree_combine
 
 _STATE_RE = re.compile(r"^state_(\d+)\.bin$")
+_IDENT_FILE = "checkpoint_identity"
+
+
+def _checkpoint_query_id(checkpoint_dir: str) -> Optional[str]:
+    """The stream's stable query id from the checkpoint's metadata file
+    (written by Spark at first start; survives restarts — unlike runId,
+    which changes per start)."""
+    meta = os.path.join(checkpoint_dir, "metadata")
+    if os.path.exists(meta):
+        import json
+
+        with open(meta) as fh:
+            return json.load(fh).get("id")
+    return None
+
+
+def _checkpoint_has_commits(checkpoint_dir: str) -> bool:
+    d = os.path.join(checkpoint_dir, "commits")
+    return os.path.isdir(d) and any(not f.startswith(".") for f in os.listdir(d))
+
+
+def _guard_checkpoint_identity(state_dir: str, checkpoint_dir: str) -> None:
+    """Fail fast when state_dir and checkpoint_dir have diverged
+    (ADVICE r02): replay detection keys on state-file existence, which
+    is only sound when the two directories live and die together.
+
+    * recorded identity ≠ current checkpoint id → a reset/different
+      checkpoint reusing an old state dir would silently skip batches
+      (stale ``state_N`` wins);
+    * committed state but a wiped/fresh checkpoint → batch ids restart
+      at 0 and collide with old state files;
+    * committed checkpoint but a wiped state dir → ``prev=None`` folds
+      only the newest batch, silently dropping all history.
+    """
+    ident_file = os.path.join(state_dir, _IDENT_FILE)
+    cp_id = _checkpoint_query_id(checkpoint_dir)
+    has_state = _latest_state(state_dir) is not None
+    if os.path.exists(ident_file):
+        with open(ident_file) as fh:
+            recorded = fh.read().strip()
+        if cp_id != recorded:
+            raise RuntimeError(
+                f"profile state dir {state_dir} was committed under "
+                f"checkpoint query id {recorded!r} but {checkpoint_dir} "
+                f"now has id {cp_id!r} (reset or different checkpoint). "
+                "Use matching state+checkpoint dirs, or remove BOTH to "
+                "start fresh."
+            )
+    elif has_state:
+        raise RuntimeError(
+            f"profile state dir {state_dir} has committed state but no "
+            "recorded checkpoint identity (pre-identity layout or "
+            "foreign dir); re-point or remove it."
+        )
+    elif _checkpoint_has_commits(checkpoint_dir):
+        raise RuntimeError(
+            f"checkpoint {checkpoint_dir} has already committed batches "
+            f"but state dir {state_dir} is empty — resuming would fold "
+            "only new batches and silently drop all profiled history. "
+            "Restore the state dir or remove the checkpoint."
+        )
+
+
+def _record_checkpoint_identity(state_dir: str, checkpoint_dir: str) -> None:
+    ident_file = os.path.join(state_dir, _IDENT_FILE)
+    if not os.path.exists(ident_file):
+        cp_id = _checkpoint_query_id(checkpoint_dir)
+        if cp_id is not None:
+            tmp = ident_file + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(cp_id)
+            os.replace(tmp, ident_file)
 
 
 def _latest_state(state_dir: str, below: Optional[int] = None):
@@ -74,6 +146,7 @@ def profile_stream(
     StreamingQuery; read the result with :func:`load_stream_profile`.
     """
     os.makedirs(state_dir, exist_ok=True)
+    _guard_checkpoint_identity(state_dir, checkpoint_dir)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -83,6 +156,11 @@ def profile_stream(
         stream = stream.select(*columns)
 
     def process_batch(batch_df, batch_id: int) -> None:
+        # bind the state dir to this checkpoint's stable query id on the
+        # FIRST batch, even one that folds nothing — the metadata file
+        # exists once the query started, and recording unconditionally
+        # keeps the identity guard sound for empty-source first runs
+        _record_checkpoint_identity(state_dir, checkpoint_dir)
         final = os.path.join(state_dir, f"state_{batch_id}.bin")
         if os.path.exists(final):
             return  # replayed batch — already folded, skip (idempotent)

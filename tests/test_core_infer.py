@@ -98,6 +98,33 @@ def test_uuid_beats_hostname_precedence():
     assert n.str_type == STR_UUID
 
 
+def test_detect_series_matches_scalar_on_adversarial_datetimes():
+    """The vectorized path must agree with the scalar path even on
+    shape-valid / parse-invalid datetimes (VERDICT r02 missing #3):
+    regex survivors are parse-validated, not just shape-matched."""
+    import pandas as pd
+
+    from drivel_spark.core.detect import detect, detect_series
+
+    values = [
+        "2023-12-25T10:30:00Z",            # valid iso8601
+        "2024-02-30T00:00:00Z",            # Feb 30 — shape ok, parse invalid
+        "2024-02-29T00:00:00Z",            # leap day — valid
+        "2023-13-01T00:00:00+02:00",       # month 13 — parse invalid
+        "2023-12-25T10:30:61Z",            # second 61 — parse invalid
+        "2023-12-25t10:30:00z",            # lowercase t/z — valid per regex+parse
+        "Mon, 25 Dec 2023 10:30:00 +0000", # valid rfc2822
+        "Mon, 32 Dec 2023 10:30:00 +0000", # day 32 — parse invalid
+        "Fri, 30 Feb 2024 10:30:00 +0000", # Feb 30 — parse invalid
+        "2023-12-25",
+        "plainword",
+        None,
+    ]
+    got = detect_series(pd.Series(values, dtype="object"))
+    want = [detect(v) if v is not None else None for v in values]
+    assert list(got) == want
+
+
 # --- arrays / objects (infer.rs:606-1037) ------------------------------
 
 def test_infer_array_lengths():

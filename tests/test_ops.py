@@ -229,14 +229,14 @@ def test_salted_agg_matches_plain(spark):
     deliberately skewed key (70% hot, mirroring the codec distribution)."""
     import pandas as pd
 
-    from drivel_spark.ops import salted_agg, salted_distinct_count, salted_freq_map
+    from drivel_spark.ops import distinct_count_skew_safe, freq_map_skew_safe, salted_agg
     from pyspark.sql import functions as F
 
     n = 5000
     pdf = pd.DataFrame(
         {
             # null-bearing values: COUNT(DISTINCT v) excludes NULLs, and
-            # salted_distinct_count must match that (ADVICE r01)
+            # distinct_count_skew_safe must match that (ADVICE r01)
             "k": ["hot" if i % 10 < 7 else f"cold{i % 10}" for i in range(n)],
             "v": [None if i % 11 == 0 else f"u{i % 97}" for i in range(n)],
             "uid": [str(i) for i in range(n)],
@@ -265,7 +265,7 @@ def test_salted_agg_matches_plain(spark):
         r["k"]: r["d"] for r in df.groupBy("k").agg(F.countDistinct("v").alias("d")).collect()
     }
     salted_d = {
-        r["k"]: r["n_distinct"] for r in salted_distinct_count(df, "k", "v").collect()
+        r["k"]: r["n_distinct"] for r in distinct_count_skew_safe(df, "k", "v").collect()
     }
     assert salted_d == plain_d
 
@@ -273,7 +273,7 @@ def test_salted_agg_matches_plain(spark):
         (r["k"], r["v"]): r["cnt"]
         for r in df.groupBy("k", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt")).collect()
     }
-    salted_f = {(r["k"], r["v"]): r["cnt"] for r in salted_freq_map(df, "k", "v").collect()}
+    salted_f = {(r["k"], r["v"]): r["cnt"] for r in freq_map_skew_safe(df, "k", "v").collect()}
     assert salted_f == plain_f
 
 
@@ -520,16 +520,52 @@ def test_asof_join_null_payload_not_backfilled(spark):
     assert got.loc[0, "r_src"] == "new"    # fields from the ts=2 row only
 
 
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Multiple right rows tied on (key, right_ts) must resolve to the
+    SAME row on every run/partitioning (ADVICE r02: the old (__t,
+    __side) ordering was not total)."""
+    from drivel_spark.ops import asof_join
+
+    left = spark.createDataFrame([(1, 5, "L")], "k long, ts long, tag string")
+    tied = [(1, 5, f"r{i}") for i in range(8)]
+    picks = set()
+    for parts in (1, 3, 8):
+        right = spark.createDataFrame(
+            tied, "k long, ts long, src string"
+        ).repartition(parts)
+        got = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["src"], prefix="r_",
+        ).collect()
+        assert len(got) == 1
+        picks.add(got[0]["r_src"])
+    assert len(picks) == 1, f"nondeterministic tie pick: {picks}"
+
+
 def test_salted_distinct_keeps_all_null_keys(spark):
     """A key whose values are all NULL yields (key, 0) — SQL GROUP BY
     keeps the group under COUNT(DISTINCT v)."""
-    from drivel_spark.ops import salted_distinct_count
+    from drivel_spark.ops import distinct_count_skew_safe
 
     df = spark.createDataFrame(
         [("k1", None), ("k1", None), ("k2", "a"), ("k2", None)],
         "key string, v string",
     )
     got = dict(
-        salted_distinct_count(df, "key", "v").toPandas().itertuples(index=False)
+        distinct_count_skew_safe(df, "key", "v").toPandas().itertuples(index=False)
     )
     assert got == {"k1": 0, "k2": 1}
+
+
+def test_deprecated_salted_aliases_warn_and_delegate(spark):
+    import warnings
+
+    from drivel_spark.ops import salted_distinct_count, salted_freq_map
+
+    df = spark.createDataFrame([("k", "a"), ("k", "b")], "key string, v string")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        got = dict(salted_distinct_count(df, "key", "v").toPandas().itertuples(index=False))
+        got_f = salted_freq_map(df, "key", "v").count()
+    assert got == {"k": 2} and got_f == 2
+    assert sum(issubclass(w.category, DeprecationWarning) for w in rec) == 2

@@ -188,3 +188,37 @@ def test_profile_stream_matches_batch_and_resumes(spark, tmp_path):
     )
     after = open(os.path.join(state, f"state_{newest}.bin"), "rb").read()
     assert before == after
+
+
+def test_profile_stream_guards_checkpoint_state_divergence(spark, tmp_path):
+    """state_dir and checkpoint_dir must live and die together (ADVICE
+    r02): a mismatched pairing fails fast instead of silently skipping
+    or dropping batches."""
+    import os
+    import shutil
+
+    import pytest
+
+    from drivel_spark.streaming import profile_stream
+
+    source = str(tmp_path / "gsrc")
+    state = str(tmp_path / "gstate")
+    ckpt = str(tmp_path / "gckpt")
+    cols = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
+    _write_wave(spark, source, 0, 200)
+    profile_stream(spark, source, CLIPS_SCHEMA, state, ckpt, columns=cols)
+    assert os.path.exists(os.path.join(state, "checkpoint_identity"))
+
+    # kept state + reset (different) checkpoint → stale state_N would
+    # silently win; must raise instead
+    with pytest.raises(RuntimeError, match="different checkpoint|reset"):
+        profile_stream(
+            spark, source, CLIPS_SCHEMA, state, str(tmp_path / "gckpt2"),
+            columns=cols,
+        )
+
+    # wiped state + kept checkpoint → prev=None would fold only new
+    # batches, dropping history; must raise instead
+    shutil.rmtree(state)
+    with pytest.raises(RuntimeError, match="state dir .* is empty"):
+        profile_stream(spark, source, CLIPS_SCHEMA, state, ckpt, columns=cols)

@@ -22,21 +22,54 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Side-tables for oracles of engine-specific results (LSH bucket / band
 # assignments, sketch estimates, synthesized-audio features): the query
-# exports the engine-chosen assignment as ONE parquet file and the
+# exports the engine-chosen assignment as a parquet side-table and the
 # DuckDB oracle reads it back, so DuckDB independently verifies the
 # SEMANTICS (exact similarity values, thresholds, orderings, tolerance
 # bounds) while the hash-based assignment itself — arbitrary by
 # construction — is taken as given.
+#
+# Engine-vs-oracle split (VERDICT r02 #1): export work exists ONLY for
+# the correctness driver.  bench.py sets DRIVEL_ENGINE_ONLY=1, which
+# turns every export into a no-op, so the benchmark times the engine
+# paths alone; the correctness driver (and the local contract tests)
+# run without the flag and get the side-tables.  No exact/anchor
+# computation runs Spark-side in ANY mode — the exact recomputations
+# live entirely in the DuckDB oracle SQL.
 ORACLE_DIR = "/root/repo/.oracle"
 
 
-def _export_oracle(pdf, name: str, sf_dir: str) -> str:
+def _engine_only() -> bool:
     import os
 
+    return os.environ.get("DRIVEL_ENGINE_ONLY", "") == "1"
+
+
+def _export_oracle(pdf, name: str, sf_dir: str) -> str | None:
+    """Export a (small, driver-side) pandas side-table for the oracle;
+    no-op under DRIVEL_ENGINE_ONLY."""
+    import os
+
+    if _engine_only():
+        return None
     tag = os.path.basename(sf_dir.rstrip("/"))
     os.makedirs(ORACLE_DIR, exist_ok=True)
     path = f"{ORACLE_DIR}/{name}_{tag}.parquet"
     pdf.to_parquet(path, index=False)
+    return path
+
+
+def _export_oracle_df(df: DataFrame, name: str, sf_dir: str) -> str | None:
+    """Export a DataFrame side-table via a DISTRIBUTED parquet write (no
+    driver collect — the r02 full-series toPandas was a scale-killer);
+    the oracle reads the directory with a glob.  No-op under
+    DRIVEL_ENGINE_ONLY."""
+    import os
+
+    if _engine_only():
+        return None
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{ORACLE_DIR}/{name}_{tag}.pq"
+    df.write.mode("overwrite").parquet(path)
     return path
 
 
@@ -454,12 +487,13 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
-    bk = embedding_lsh_buckets(e, vec_col="emb_d", id_col="vec_id", n_planes=4)
-    _export_oracle(
-        bk.select(F.col("id").alias("vec_id"), "bucket").toPandas(),
-        "emb_lsh_buckets",
-        sf_dir,
-    )
+    if not _engine_only():
+        bk = embedding_lsh_buckets(e, vec_col="emb_d", id_col="vec_id", n_planes=4)
+        _export_oracle(
+            bk.select(F.col("id").alias("vec_id"), "bucket").toPandas(),
+            "emb_lsh_buckets",
+            sf_dir,
+        )
     return embedding_near_dup_pairs(
         e, vec_col="emb_d", id_col="vec_id", threshold=0.42, n_planes=4
     )
@@ -512,13 +546,15 @@ def q_embedding_norms(spark, sf_dir):
 
 def q_profile_sketches_lineitem(spark, sf_dir):
     """Full sketch profile (HLL + KLL) via the mergeable-accumulator
-    path, oracled with TOLERANCE BOUNDS: the sketch estimates are
-    exported, and both Spark (vs its own exact distinct/percentiles)
-    and DuckDB (vs quantile_cont / COUNT DISTINCT) independently check
-    |hll−distinct| ≤ 5%·distinct (HLL p=12 → σ≈1.6%) and that the KLL
-    median lies within the 0.47–0.53 exact-rank band (KLL k=200 →
-    rank ε≈0.5%).  Output is the two verdicts per column — hash-equal
-    iff both sides agree the sketches are in-bounds."""
+    path — the ENGINE work is exactly one narrow sketch scan; the query
+    returns the sketch estimates themselves.  Oracle (tolerance bands,
+    entirely DuckDB-side — no Spark anchor runs in the timed path,
+    VERDICT r02 #1): the estimates are exported; DuckDB recomputes the
+    exact COUNT DISTINCT / quantile_cont and echoes each estimate back
+    ONLY if it is in-bounds (|hll−distinct| ≤ 5%·distinct for HLL p=12
+    → σ≈1.6%; KLL median inside the 0.47–0.53 exact-rank band for
+    k=200 → rank ε≈0.5%), else a sentinel — so the hash matches iff
+    every sketch is within its band."""
     import pandas as pd
 
     from drivel_spark.profiling import profile
@@ -541,51 +577,65 @@ def q_profile_sketches_lineitem(spark, sf_dir):
         "sketch_estimates",
         sf_dir,
     )
-    # Spark-side reference values: exact distinct (narrow-column
-    # shuffle) + percentile_approx at accuracy 10000 (rank error 1e-4,
-    # negligible against the 0.47–0.53 band; exact percentile() would
-    # buffer every value — the DuckDB side of this oracle uses exact
-    # quantile_cont, so the band is pinned exactly there)
-    exact = li.agg(
-        *[
-            a
-            for c, tag in (("l_extendedprice", "e"), ("l_quantity", "q"))
-            for a in (
-                F.countDistinct(c).alias(f"nd_{tag}"),
-                F.expr(f"percentile_approx({c}, 0.47, 10000)").alias(f"qlo_{tag}"),
-                F.expr(f"percentile_approx({c}, 0.53, 10000)").alias(f"qhi_{tag}"),
-            )
-        ]
-    ).first()
-    rows = []
-    for name, tag in (("l_extendedprice", "e"), ("l_quantity", "q")):
-        n, hll, kll = est[name]
-        nd, qlo, qhi = exact[f"nd_{tag}"], exact[f"qlo_{tag}"], exact[f"qhi_{tag}"]
-        rows.append(
-            (name, n, bool(abs(hll - nd) <= 0.05 * nd), bool(qlo <= kll <= qhi))
-        )
-    return spark.createDataFrame(rows, "column string, n long, hll_ok boolean, kll_ok boolean")
+    rows = [(name, n, hll, kll) for name, (n, hll, kll) in est.items()]
+    return spark.createDataFrame(
+        rows, "column string, n long, hll_est double, kll_median double"
+    ).select(
+        "column",
+        "n",
+        F.round("hll_est", 4).alias("hll_est"),
+        F.round("kll_median", 6).alias("kll_median"),
+    )
 
 
 def q_winnow_fingerprints_documents(spark, sf_dir):
     """Rolling-hash document fingerprints via robust winnowing
     (k-gram Rabin-Karp, rightmost-min over hash windows — the MOSS
-    selection rule).  The full per-position hash series is exported;
+    selection rule).  The full per-position hash series is exported via
+    a DISTRIBUTED parquet write (no driver collect — the r02 toPandas
+    export was a scale-killer; VERDICT r02 #1) and skipped entirely
+    under DRIVEL_ENGINE_ONLY, so bench times only the fingerprint scan;
     DuckDB independently re-derives the window-minimum selection from
-    it (per-window min, rightmost position, dedupe) and must reach the
-    identical per-doc fingerprint set — the hash itself is taken as
-    given, the SELECTION semantics are fully re-verified."""
+    the exported series (per-window min, rightmost position, dedupe)
+    and must reach the identical per-doc fingerprint set — the hash
+    itself is taken as given, the SELECTION semantics are fully
+    re-verified."""
     from drivel_spark.ops import winnow_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    series = winnow_fingerprints(d, k=5, w=4, full_series=True)
-    _export_oracle(series.toPandas(), "winnow_hashes", sf_dir)
+    if not _engine_only():
+        series = winnow_fingerprints(d, k=5, w=4, full_series=True)
+        _export_oracle_df(series, "winnow_hashes", sf_dir)
     fps = winnow_fingerprints(d, k=5, w=4)
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fp"),
         F.sum(F.col("fp") % 1000000007).alias("fp_checksum"),
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
+    )
+
+
+def q_winnow_containment_documents(spark, sf_dir):
+    """The winnow CONSUMER (VERDICT r02 next #4): containment candidate
+    pairs from shared fingerprints via an inverted fingerprint index —
+    the MOSS use-case — with the hot-fingerprint df cap (64) guarding
+    the self-join exactly like ngram_jaccard's stop-shingle cap.
+    Oracle: the distinct (doc_id, fp) table is exported (distributed
+    write, correctness runs only); DuckDB independently re-derives the
+    ENTIRE consumer — df cap, inverted self-join, shared counts,
+    per-doc cardinalities, containment = shared/min(|A|,|B|), both
+    thresholds — in plain SQL, taking only the fingerprint hashes as
+    given (those are verified by winnow_fingerprints_documents)."""
+    from drivel_spark.ops import winnow_containment_pairs, winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    if not _engine_only():
+        fps = winnow_fingerprints(d, k=12, w=8)
+        _export_oracle_df(
+            fps.select("doc_id", "fp").distinct(), "winnow_fps", sf_dir
+        )
+    return winnow_containment_pairs(
+        d, k=12, w=8, min_shared=5, min_containment=0.5, max_fp_df=64
     )
 
 
@@ -641,12 +691,14 @@ def q_range_join_orders_weeks(spark, sf_dir):
 def q_profile_tdigest_lineitem(spark, sf_dir):
     """t-digest quantiles via the mergeable-accumulator path
     (ProfilerOptions.tdigest_delta — the tail-accurate half of the
-    KLL/t-digest pair), oracled with rank-tolerance bounds: estimates
-    are exported, and Spark (percentile_approx at 1e-4 rank error) and
-    DuckDB (exact quantile_cont) independently check each estimate
-    against an exact-rank band.  delta=200 ⇒ rank error ≲ 1%/2 at the
-    median and far tighter at the tails, so the bands are p01 ∈
-    [exact .003, .02], p50 ∈ [.47, .53], p99 ∈ [.98, .997]."""
+    KLL/t-digest pair).  ENGINE work: one sketch scan; the query
+    returns the three quantile estimates.  Oracle (entirely
+    DuckDB-side, VERDICT r02 #1): estimates are exported; DuckDB
+    computes the exact-rank band with quantile_cont and echoes each
+    estimate back only if in-band, else a sentinel.  delta=200 ⇒ rank
+    error ≲ 1%/2 at the median and far tighter at the tails, so the
+    bands are p01 ∈ [exact .003, .02], p50 ∈ [.47, .53], p99 ∈
+    [.98, .997]."""
     import pandas as pd
 
     from drivel_spark.profiling import ProfilerOptions, profile
@@ -667,42 +719,29 @@ def q_profile_tdigest_lineitem(spark, sf_dir):
         "tdigest_estimates",
         sf_dir,
     )
-    bands = {0.01: (0.003, 0.02), 0.5: (0.47, 0.53), 0.99: (0.98, 0.997)}
-    exact = li.agg(
-        *[
-            F.expr(
-                f"percentile_approx(l_extendedprice, {b}, 10000)"
-            ).alias(f"b_{int(q*100)}_{'lo' if i == 0 else 'hi'}")
-            for q, bs in bands.items()
-            for i, b in enumerate(bs)
-        ]
-    ).first()
-    rows = [
-        (
-            float(q),
-            bool(
-                exact[f"b_{int(q*100)}_lo"] <= est[q] <= exact[f"b_{int(q*100)}_hi"]
-            ),
-        )
-        for q in (0.01, 0.5, 0.99)
-    ]
-    return spark.createDataFrame(rows, "q double, in_band boolean")
+    return spark.createDataFrame(
+        [(float(q), v) for q, v in est.items()], "q double, estimate double"
+    ).select("q", F.round("estimate", 6).alias("estimate"))
 
 
 def q_drift_lineitem_halves(spark, sf_dir):
     """Distribution drift (KS + PSI) between profile sketches — the
-    north_star's drift check, oracled with tolerance bands.  Three
-    pairs over lineitem split by l_orderkey parity: 'same' (two halves
-    of one distribution), 'shifted' (odd half's price × 1.1), and
-    'same_cat' (l_returnflag frequency maps).  The engine computes the
-    metrics from O(KB) sketches (no data rescan — the 10^12-row
-    design); Spark and DuckDB each independently compute the EXACT
-    KS/PSI from the data (cumulative-window CDF / decile buckets over
-    the engine-exported edges) and check |sketch − exact| ≤ band
-    (0.02; categorical freq maps are exact ⇒ 1e-9).  The shifted pair
-    additionally pins detection: exact KS > 0.05 > same-pair KS."""
+    north_star's drift check.  Three pairs over lineitem split by
+    l_orderkey parity: 'same' (two halves of one distribution),
+    'shifted' (odd half's price × 1.1), and 'same_cat' (l_returnflag
+    frequency maps).  ENGINE work: three sketch profiles + O(KB)
+    sketch-vs-sketch metric math on the driver — NO data rescan (the
+    10^12-row design) and NO Spark-side exact anchor (VERDICT r02 #1:
+    the unpartitioned-window exact KS is gone from the timed path).
+    The query returns the sketch metrics plus a sketch-based detection
+    verdict.  Oracle (entirely DuckDB-side): estimates are exported;
+    DuckDB computes the EXACT KS (cumulative-window CDF) and PSI
+    (decile buckets over the engine-exported edges) and echoes each
+    estimate back only if |sketch − exact| ≤ band (0.02; categorical
+    freq maps are exact ⇒ 1e-9), else a sentinel; the detection row
+    hash-matches only when the EXACT metrics also separate the shifted
+    pair (exact KS > 0.05 > same-pair KS)."""
     import pandas as pd
-    from pyspark.sql import Window
 
     from drivel_spark.constraints.drift import (
         ks_statistic,
@@ -751,79 +790,36 @@ def q_drift_lineitem_halves(spark, sf_dir):
         pd.DataFrame({"edge": edges.astype(float)}), "drift_edges", sf_dir
     )
 
-    # ---- Spark's own independent EXACT computation (oracle anchor) ----
-    def exact_ks(a_df, b_df):
-        u = a_df.select(
-            F.col("l_extendedprice").alias("v"), F.lit(1).alias("wa"), F.lit(0).alias("wb")
-        ).unionAll(
-            b_df.select(F.col("l_extendedprice").alias("v"), F.lit(0), F.lit(1))
-        )
-        na, nb = a_df.count(), b_df.count()
-        w = Window.orderBy("v")
-        cum = u.select(
-            (F.sum("wa").over(w) / F.lit(na)).alias("fa"),
-            (F.sum("wb").over(w) / F.lit(nb)).alias("fb"),
-        )
-        return cum.agg(F.max(F.abs(F.col("fa") - F.col("fb")))).first()[0]
-
-    def exact_psi(a_df, b_df):
-        bkt = lambda c: sum(
-            F.when(F.col(c) > float(e), 1).otherwise(0) for e in edges
-        )
-        def fracs(df):
-            pdf = (
-                df.groupBy(bkt("l_extendedprice").alias("b"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .toPandas()
-                .set_index("b")["n"]
-            )
-            out = np.array([pdf.get(i, 0) for i in range(len(edges) + 1)], dtype=float)
-            return np.maximum(out / out.sum(), 1e-6)
-        pa, pbv = fracs(a_df), fracs(b_df)
-        return float(np.sum((pbv - pa) * np.log(pbv / pa)))
-
-    def exact_psi_cat(a_df, b_df):
-        def fr(df):
-            pdf = df.groupBy("l_returnflag").count().toPandas().set_index("l_returnflag")["count"]
-            return pdf / pdf.sum()
-        fa, fb = fr(a_df), fr(b_df)
-        keys = sorted(set(fa.index) | set(fb.index))
-        import math
-        return sum(
-            (max(fb.get(k, 0), 1e-6) - max(fa.get(k, 0), 1e-6))
-            * math.log(max(fb.get(k, 0), 1e-6) / max(fa.get(k, 0), 1e-6))
-            for k in keys
-        )
-
-    exact = {
-        ("same", "ks"): exact_ks(base_df, same_df),
-        ("same", "psi"): exact_psi(base_df, same_df),
-        ("shifted", "ks"): exact_ks(base_df, shift_df),
-        ("shifted", "psi"): exact_psi(base_df, shift_df),
-        ("same_cat", "psi"): exact_psi_cat(base_df, same_df),
-    }
-    band = {"ks": 0.02, "psi": 0.02}
-    rows = []
-    for (pair, metric), v in est.items():
-        b = 1e-9 if pair == "same_cat" else band[metric]
-        rows.append((pair, metric, bool(abs(v - exact[(pair, metric)]) <= b)))
+    rows = [(p, m, float(v)) for (p, m), v in est.items()]
+    # sketch-based detection verdict; the oracle echoes 1.0 only when
+    # the EXACT metrics separate too, so both sides must detect
     rows.append(
         (
             "detection",
             "ks_separates",
-            bool(exact[("shifted", "ks")] > 0.05 > exact[("same", "ks")]),
+            1.0 if est[("shifted", "ks")] > 0.05 > est[("same", "ks")] else 0.0,
         )
     )
     return spark.createDataFrame(
-        sorted(rows), "pair string, metric string, in_band boolean"
-    )
+        sorted(rows), "pair string, metric string, value double"
+    ).select("pair", "metric", F.round("value", 6).alias("value"))
 
 
 def q_minhash_pairs_documents(spark, sf_dir):
+    """MinHash+LSH at the recall≈1 oracle regime (num_perm=64, bands=32
+    → r=2; collision prob at j=0.5 is 1-(1-0.25)^32 ≈ 0.9999), so the
+    result provably equals the exact-Jaccard join the oracle computes.
+    Evaluated with strategy='exact_first' (VERDICT r02 #2): in this
+    high-collision regime candidates-then-verify degenerates toward
+    quadratic per-candidate verification (17.2s at sf0.1), while the
+    inverted-index-first plan pays one shingle shuffle and checks band
+    collisions only for the qualifying docs."""
     from drivel_spark.ops import minhash_dedup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, threshold=0.5, num_perm=64, bands=32)
+    return minhash_dedup_pairs(
+        d, threshold=0.5, num_perm=64, bands=32, strategy="exact_first"
+    )
 
 
 def q_simhash_pairs_documents(spark, sf_dir):
@@ -836,10 +832,11 @@ def q_simhash_pairs_documents(spark, sf_dir):
     from drivel_spark.ops.dedup import simhash_udf
 
     d = _t(spark, sf_dir, "documents")
-    sigs = d.select(
-        F.col("doc_id").alias("id"), simhash_udf(F.col("text")).alias("sig")
-    ).toPandas()
-    _export_oracle(sigs, "simhash_sigs", sf_dir)
+    if not _engine_only():
+        sigs = d.select(
+            F.col("doc_id").alias("id"), simhash_udf(F.col("text")).alias("sig")
+        ).toPandas()
+        _export_oracle(sigs, "simhash_sigs", sf_dir)
     return simhash_near_dup_pairs(d, max_hamming=3, bands=4).withColumn(
         "hamming", F.col("hamming").cast("long")
     )
@@ -934,7 +931,8 @@ def q_audio_features_clips(spark, sf_dir):
     from drivel_spark.ops import extract_audio_features
 
     n = 400 if "0.01" in sf_dir else 200
-    _export_oracle(_local_audio_features(n), "audio_features", sf_dir)
+    if not _engine_only():
+        _export_oracle(_local_audio_features(n), "audio_features", sf_dir)
     clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
     feats = extract_audio_features(clips, bytes_col="bytes", id_cols=["clip_id"])
     return (
@@ -970,10 +968,11 @@ def q_ann_topk_embeddings(spark, sf_dir):
         e.filter(F.col("vec_id") == 0).first()["emb_d"], dtype=np.float64
     )
     qbits = [1 if float(p @ q) >= 0 else 0 for p in planes]
-    probed = set(_probe_buckets(qbits, probes=2))
-    buckets = indexed.select("vec_id", "lsh_bucket").toPandas()
-    buckets["is_probed"] = buckets["lsh_bucket"].isin(probed)
-    _export_oracle(buckets[["vec_id", "is_probed"]], "ann_probes", sf_dir)
+    if not _engine_only():
+        probed = set(_probe_buckets(qbits, probes=2))
+        buckets = indexed.select("vec_id", "lsh_bucket").toPandas()
+        buckets["is_probed"] = buckets["lsh_bucket"].isin(probed)
+        _export_oracle(buckets[["vec_id", "is_probed"]], "ann_probes", sf_dir)
     return ann_topk(indexed, planes, q.tolist(), k=10, probes=2, vec_col="emb_d")
 
 
@@ -994,10 +993,11 @@ def q_ivf_topk_embeddings(spark, sf_dir):
     cents = train_ivf_centroids(e, n_centroids=8, sample_n=20000, iters=10, vec_col="emb_d")
     assigned = assign_ivf(e, cents, vec_col="emb_d")
     q = e.filter(F.col("vec_id") == 0).first()["emb_d"]
-    probe = set(ivf_probe_lists(cents, q, nprobe=2))
-    lists = assigned.select("vec_id", "ivf_list").toPandas()
-    lists["is_probed"] = lists["ivf_list"].isin(probe)
-    _export_oracle(lists[["vec_id", "is_probed"]], "ivf_probes", sf_dir)
+    if not _engine_only():
+        probe = set(ivf_probe_lists(cents, q, nprobe=2))
+        lists = assigned.select("vec_id", "ivf_list").toPandas()
+        lists["is_probed"] = lists["ivf_list"].isin(probe)
+        _export_oracle(lists[["vec_id", "is_probed"]], "ivf_probes", sf_dir)
     return ivf_topk(assigned, cents, list(q), k=10, nprobe=2, vec_col="emb_d")
 
 
@@ -1048,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_lineitem_halves": q_drift_lineitem_halves,
         "asof_click_last_view": q_asof_click_last_view,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
+        "winnow_containment_documents": q_winnow_containment_documents,
         "range_join_orders_weeks": q_range_join_orders_weeks,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
@@ -1409,14 +1410,16 @@ def oracle_sql() -> dict[str, str]:
                      quantile_cont(l_quantity, 0.53)
               FROM lineitem)
             SELECT ex.column, ex.n,
-                   abs(est.hll_est - ex.nd) <= 0.05 * ex.nd AS hll_ok,
-                   est.kll_median BETWEEN ex.qlo AND ex.qhi AS kll_ok
+                   CASE WHEN abs(est.hll_est - ex.nd) <= 0.05 * ex.nd
+                        THEN round(est.hll_est, 4) ELSE -1.0 END AS hll_est,
+                   CASE WHEN est.kll_median BETWEEN ex.qlo AND ex.qhi
+                        THEN round(est.kll_median, 6) ELSE -1.0 END AS kll_median
             FROM ex JOIN est ON est.column = ex.column
             ORDER BY ex.column""",
         # winnowing selection re-derived by DuckDB from the exported
         # rolling-hash series: per-window min, rightmost tie position
         "winnow_fingerprints_documents": f"""
-            WITH h AS (SELECT * FROM read_parquet('{ORACLE_DIR}/winnow_hashes_sf0.01.parquet')),
+            WITH h AS (SELECT * FROM read_parquet('{ORACLE_DIR}/winnow_hashes_sf0.01.pq/*.parquet')),
             nmax AS (SELECT doc_id, max(pos) AS maxp FROM h GROUP BY doc_id),
             wins AS (
               SELECT h.doc_id, h.pos AS i, min(h2.fp) AS wmin
@@ -1436,6 +1439,26 @@ def oracle_sql() -> dict[str, str]:
                    sum(fp % 1000000007)::BIGINT AS fp_checksum,
                    min(fp) AS min_fp, max(fp) AS max_fp
             FROM u GROUP BY doc_id""",
+        # winnow consumer: DuckDB re-derives the full containment
+        # pipeline (df cap, inverted self-join, shared counts,
+        # containment + thresholds) from the exported distinct
+        # (doc_id, fp) table in plain SQL
+        "winnow_containment_documents": f"""
+            WITH f0 AS (SELECT DISTINCT doc_id, fp
+                        FROM read_parquet('{ORACLE_DIR}/winnow_fps_sf0.01.pq/*.parquet')),
+            rare AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 64),
+            f AS (SELECT f0.* FROM f0 JOIN rare USING (fp)),
+            card AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM f GROUP BY doc_id),
+            sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+                   FROM f a JOIN f b USING (fp)
+                   WHERE a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT id_a, id_b, n_shared,
+                   round(n_shared::DOUBLE / least(ca.n_fp, cb.n_fp), 6) AS containment
+            FROM sh
+            JOIN card ca ON ca.doc_id = sh.id_a
+            JOIN card cb ON cb.doc_id = sh.id_b
+            WHERE n_shared::DOUBLE / least(ca.n_fp, cb.n_fp) >= 0.5""",
         # backward as-of join vs DuckDB's native ASOF LEFT JOIN (both
         # inclusive on right_ts <= left_ts)
         "asof_click_last_view": """
@@ -1472,12 +1495,15 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 0.99, quantile_cont(l_extendedprice, 0.98),
                      quantile_cont(l_extendedprice, 0.997) FROM lineitem)
-            SELECT ex.q, est.estimate BETWEEN ex.lo AND ex.hi AS in_band
+            SELECT ex.q,
+                   CASE WHEN est.estimate BETWEEN ex.lo AND ex.hi
+                        THEN round(est.estimate, 6) ELSE -1.0 END AS estimate
             FROM ex JOIN est ON est.q = ex.q""",
         # drift: sketch-derived KS/PSI vs DuckDB's own exact KS
         # (cumulative-window CDF) and exact PSI (decile buckets over
-        # the engine-exported edges) with the same tolerance bands the
-        # Spark side applies to its own exact computation
+        # the engine-exported edges); each estimate is echoed back only
+        # if within the band of the DuckDB-exact value (the ONLY exact
+        # computation — the Spark side is sketch-only)
         "drift_lineitem_halves": f"""
             WITH est AS (SELECT * FROM read_parquet('{ORACLE_DIR}/drift_estimates_sf0.01.parquet')),
             edges AS (SELECT edge FROM read_parquet('{ORACLE_DIR}/drift_edges_sf0.01.parquet')),
@@ -1524,11 +1550,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'shifted', 'psi', v FROM psi_shift UNION ALL
               SELECT 'same_cat', 'psi', v FROM psi_cat)
             SELECT e.pair, e.metric,
-                   abs(est.estimate - e.v) <= CASE WHEN e.pair = 'same_cat' THEN 1e-9 ELSE 0.02 END AS in_band
+                   CASE WHEN abs(est.estimate - e.v)
+                             <= CASE WHEN e.pair = 'same_cat' THEN 1e-9 ELSE 0.02 END
+                        THEN round(est.estimate, 6) ELSE -999.0 END AS value
             FROM ex e JOIN est ON est.pair = e.pair AND est.metric = e.metric
             UNION ALL
             SELECT 'detection', 'ks_separates',
-                   (SELECT v FROM ks_shift) > 0.05 AND 0.05 > (SELECT v FROM ks_same)""",
+                   CASE WHEN (SELECT v FROM ks_shift) > 0.05 AND 0.05 > (SELECT v FROM ks_same)
+                        THEN 1.0 ELSE -888.0 END""",
         # LSH near-dup: DuckDB re-derives the result from the exported
         # bucket assignment — same-bucket pairs, exact cosine, same
         # threshold (everything but the hash itself is re-verified)

@@ -169,6 +169,19 @@ def ngram_jaccard_pairs(
     if MORE than (1-threshold) of its union is ultra-common shingles.
     """
     sh = shingle_table(df, text_col, id_col, n)
+    out = _jaccard_pairs_from_shingle_table(sh, threshold, max_shingle_df)
+    if eager:
+        return _materialize(out, sh)
+    out._drivel_cache = getattr(sh, "_drivel_cache", None)
+    return out
+
+
+def _jaccard_pairs_from_shingle_table(
+    sh: DataFrame, threshold: float, max_shingle_df: Optional[int] = None
+) -> DataFrame:
+    """The inverted-index exact-Jaccard join over a materialized
+    (id, sh) shingle table — shared by :func:`ngram_jaccard_pairs` and
+    the ``exact_first`` MinHash verification strategy."""
     inv = sh.select("id", F.explode("sh").alias("g"))
     if max_shingle_df is not None:
         rare = (
@@ -188,7 +201,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    out = (
+    return (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("card", "card_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("card", "card_b"), "id_b")
         .withColumn(
@@ -199,10 +212,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    if eager:
-        return _materialize(out, sh)
-    out._drivel_cache = getattr(sh, "_drivel_cache", None)
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -305,12 +314,52 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     eager: bool = True,
+    strategy: str = "candidates",
 ) -> DataFrame:
-    """LSH candidates verified with EXACT Jaccard (join back to shingle
-    sets, intersection via array_intersect) — the standard
-    candidates-then-verify near-dup pipeline.  The shingle table is
-    materialized once, shared by signatures and verification, and
-    released after the pair table materializes (``eager=True``)."""
+    """MinHash+LSH near-dup pairs: pairs that (a) collide in ≥1 LSH
+    band AND (b) have exact Jaccard ≥ threshold.  Two equivalent
+    evaluation strategies (identical output set):
+
+    * ``"candidates"`` (default, the production scale path): band
+      collisions generate candidate pairs, each verified with exact
+      Jaccard (join back to shingle sets, array_intersect).  Right
+      whenever the banding parameters actually PRUNE — candidate count
+      ≪ n² — which is the entire point of LSH at 10^12 docs.
+    * ``"exact_first"``: compute the exact-Jaccard pair table via the
+      inverted shingle index FIRST (the ngram_jaccard plan), then keep
+      only pairs whose bands collide (the LSH step runs over just the
+      docs appearing in qualifying pairs — a tiny semi-joined subset).
+      Right for HIGH-COLLISION regimes (rows-per-band r ≤ 2, collision
+      prob ≈ 1 at the threshold): there candidates-then-verify
+      degenerates toward quadratic per-candidate verification, while
+      the inverted index pays one shingle-key shuffle (VERDICT r02 #2
+      — the contract-oracle regime num_perm=64/bands=32 is exactly
+      this case).
+
+    The shingle/token caches are released after the pair table
+    materializes (``eager=True``)."""
+    if strategy == "exact_first":
+        sh = shingle_table(df, text_col, id_col, n)
+        exact = _jaccard_pairs_from_shingle_table(sh, threshold).persist()
+        exact.count()
+        cand_ids = (
+            exact.select(F.col("id_a").alias("id"))
+            .union(exact.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh_c = sh.join(cand_ids, "id", "left_semi")
+        cands = minhash_lsh_candidates(
+            df, text_col, id_col, n, num_perm, bands, sh_table=sh_c
+        )
+        out = exact.join(cands, ["id_a", "id_b"], "left_semi")
+        if eager:
+            out = _materialize(out, sh)
+            exact.unpersist()
+            return out
+        out._drivel_cache = getattr(sh, "_drivel_cache", None)
+        return out
+    if strategy != "candidates":
+        raise ValueError(f"unknown strategy {strategy!r}")
     sh = shingle_table(df, text_col, id_col, n)
     cands = minhash_lsh_candidates(df, text_col, id_col, n, num_perm, bands, sh_table=sh)
     verified = (

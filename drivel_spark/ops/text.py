@@ -234,3 +234,73 @@ def winnow_fingerprints(
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, pos long, fp long"
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    w: int = 8,
+    min_shared: int = 3,
+    min_containment: float = 0.0,
+    max_fp_df: Optional[int] = None,
+) -> DataFrame:
+    """Containment/plagiarism candidate pairs from shared winnow
+    fingerprints — the MOSS use-case (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 §4): documents sharing selected fingerprints share k-gram
+    content, and because winnowing guarantees a fingerprint per
+    ``w + k - 1`` characters, any sufficiently long shared passage IS
+    detected.  Returns ``(id_a, id_b, n_shared, containment)`` with
+    ``containment = n_shared / min(|fp_a|, |fp_b|)`` over DISTINCT
+    per-doc fingerprints, filtered to ``n_shared >= min_shared``.
+
+    Scale shape: inverted fingerprint index → equi-join on fp → count,
+    exactly the shingle-join plan (one shuffle on the fingerprint key).
+    ``max_fp_df`` is the same hot-key guard as ngram_jaccard's
+    ``max_shingle_df``: fingerprints of near-universal substrings are
+    dropped from the index BEFORE the self-join (bounding any fp's
+    contribution at cap² rows), and the per-doc cardinalities come
+    from the capped space, so containment is exact over the
+    discriminative-fingerprint set.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    idx = fps.select(F.col(id_col).alias("id"), "fp").distinct()
+    if max_fp_df is not None:
+        rare = (
+            idx.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_fp_df)
+            .select("fp")
+        )
+        idx = idx.join(rare, "fp", "left_semi")
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        idx.alias("a")
+        .join(idx.alias("b"), on="fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_fp", "n_fp_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_fp", "n_fp_b"),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double") / F.least("n_fp_a", "n_fp_b"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round("containment", 6).alias("containment"),
+        )
+    )

@@ -103,6 +103,24 @@ def test_minhash_lsh_recall_and_precision(docs, docs_pd):
         assert len(got) / len(truth) >= 0.7
 
 
+def test_minhash_strategies_identical_output(docs):
+    """'exact_first' is an evaluation strategy, not a semantic change:
+    it must produce the IDENTICAL pair set (collide-in-a-band AND
+    jaccard >= t) as candidates-then-verify, at both a pruning regime
+    (bands=8, r=8) and the high-collision oracle regime (bands=32,
+    r=2)."""
+    for bands in (8, 32):
+        a = minhash_dedup_pairs(
+            docs, threshold=0.35, num_perm=64, bands=bands
+        ).toPandas()
+        b = minhash_dedup_pairs(
+            docs, threshold=0.35, num_perm=64, bands=bands, strategy="exact_first"
+        ).toPandas()
+        sa = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in a.itertuples()}
+        sb = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in b.itertuples()}
+        assert sa == sb, f"bands={bands}"
+
+
 def test_minhash_exact_dup_always_candidates(dup_docs):
     cands = minhash_lsh_candidates(dup_docs, num_perm=32, bands=8).toPandas()
     got = {(r.id_a, r.id_b) for r in cands.itertuples()}
@@ -462,6 +480,39 @@ def test_range_join_matches_naive(spark):
     }
     assert got_set == want
     assert len(got) == len(got_set)  # no duplicate pairs from bucketing
+
+
+def test_winnow_containment_detects_planted_substring(spark):
+    """A doc that IS a passage of another must surface with
+    containment ≈ 1 (winnowing guarantees shared passages ≥ w+k-1
+    chars share fingerprints), while unrelated docs stay out; the
+    df-cap path must equal the uncapped result when no fp is hot."""
+    from drivel_spark.ops import winnow_containment_pairs
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "penguins rehearse an elaborate tango on the frozen harbor pier"
+    )
+    rows = [
+        (0, "completely unrelated text about gardening with tomatoes and basil in july " * 3),
+        (1, "prefix words before the stolen part. " + passage + " and trailing filler here."),
+        (2, passage),
+        (3, "another standalone document mentioning spacecraft telemetry and antenna gain budgets " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_containment_pairs(
+        df, k=12, w=8, min_shared=3, min_containment=0.5
+    ).toPandas()
+    pairs = {(r.id_a, r.id_b): r.containment for r in got.itertuples()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8
+    assert all(p == (1, 2) for p in pairs)  # nothing unrelated leaks in
+
+    capped = winnow_containment_pairs(
+        df, k=12, w=8, min_shared=3, min_containment=0.5, max_fp_df=64
+    ).toPandas()
+    assert sorted(map(tuple, got.to_numpy().tolist())) == sorted(
+        map(tuple, capped.to_numpy().tolist())
+    )
 
 
 def test_winnow_fingerprints_properties(docs, docs_pd):

@@ -431,6 +431,59 @@ def cmd_validate_stream(args) -> dict:
     }
 
 
+def cmd_reconcile(args) -> dict:
+    """Dataset-level reconciliation for a validated stream — the other
+    half of the documented pattern (streaming/validate_stream.py:23-27):
+    row checks stream incrementally; exact global uniqueness (and
+    clip↔transcript referential completeness, when a transcripts table
+    is given) run HERE as a periodic batch over the same source table.
+    The GLOBAL_SCOPE result rows are committed to the stream's report
+    dir under the reserved partition ``batch_id=-1`` (overwritten each
+    run — a reconciliation is a snapshot of the current table, and
+    stream micro-batch ids are always >= 0), so the cumulative report
+    after stream + reconcile equals the full batch engine's pass/fail
+    table on the same data (pinned by tests/test_streaming.py)."""
+    import hashlib
+
+    from drivel_spark.fixtures import CLIPS_SCHEMA
+    from drivel_spark.io import read_table
+    from drivel_spark.streaming import cumulative_passfail
+
+    spark = build_session("drivel-reconcile")
+    t0 = time.time()
+    clips = spark.read.schema(CLIPS_SCHEMA).parquet(args.source)
+    cs: list = [Unique("clip_id_unique", "clip_id")]
+    ref_tables = {}
+    if args.transcripts:
+        ref_tables["transcripts"] = read_table(spark, args.transcripts)
+        cs.append(
+            Referential("clip_has_transcript", "clip_id", "transcripts", "clip_id")
+        )
+    res = validate(clips, cs, ref_tables=ref_tables, cache_flags=False)
+    res.passfail.coalesce(1).write.mode("overwrite").parquet(
+        f"{args.report}/batch_id=-1"
+    )
+    totals = (
+        cumulative_passfail(spark, args.report)
+        .toPandas()
+        .sort_values(["constraint", "partition_id"])
+        .reset_index(drop=True)
+    )
+    digest = hashlib.sha256(totals.to_csv(index=False).encode()).hexdigest()[:16]
+    wall = time.time() - t0
+    return {
+        "job": "reconcile",
+        "master": spark.sparkContext.master,
+        "wall_s": round(wall, 3),
+        "dataset_checks": [
+            {k: d[k] for k in ("constraint", "n_violations", "passed")}
+            for d in res.dataset
+        ],
+        "n_report_rows": int(len(totals)),
+        "cumulative_digest": digest,
+    }
+
+
 def cmd_profile_stream(args) -> dict:
     """Incremental profile via Structured Streaming: folds only NEW
     files into the persisted accumulator state; prints the cumulative
@@ -525,6 +578,14 @@ def main(argv=None) -> None:
     svs.add_argument("--n-scopes", type=int, default=64)
     svs.add_argument("--max-files-per-trigger", type=int, default=None)
 
+    sr = sub.add_parser("reconcile")
+    sr.add_argument("--source", required=True, help="the streamed clips parquet dir")
+    sr.add_argument("--report", required=True,
+                    help="the validate-stream report dir to append to")
+    sr.add_argument("--transcripts", default=None,
+                    help="transcripts table (path or iceberg:db.tbl) for the "
+                         "referential check; omitted = uniqueness only")
+
     sps = sub.add_parser("profile-stream")
     sps.add_argument("--source", required=True, help="growing clips parquet dir")
     sps.add_argument("--state", required=True, help="profile state dir")
@@ -540,6 +601,7 @@ def main(argv=None) -> None:
         "describe": cmd_describe,
         "produce": cmd_produce,
         "validate-stream": cmd_validate_stream,
+        "reconcile": cmd_reconcile,
         "profile-stream": cmd_profile_stream,
     }[args.cmd](args)
     sys.stdout.write(json.dumps(out) + "\n")

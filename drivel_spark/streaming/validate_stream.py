@@ -23,8 +23,11 @@ compiled row-level constraint predicates over a stream of clip files:
 Dataset-level constraints (uniqueness, referential) are intentionally
 NOT streamed: exact global uniqueness over an unbounded stream needs
 unbounded state.  The production pattern is per-batch row checks here
-plus periodic batch reconciliation with the exact engine — both halves
-of that pattern exist in this repo.
+plus periodic batch reconciliation with the exact engine — the
+``reconcile`` job verb (job.py cmd_reconcile) runs that batch half and
+commits its GLOBAL_SCOPE rows into this stream's report dir (reserved
+partition ``batch_id=-1``), so the cumulative report equals the full
+batch validate on the same data (pinned by tests/test_streaming.py).
 """
 
 from __future__ import annotations

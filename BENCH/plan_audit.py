@@ -320,6 +320,55 @@ def main() -> None:
         )
     )
 
+    # 12. winnow containment: inverted fp index with the hot-fp df cap
+    # — an equi-join on the fingerprint key, never a cartesian, and no
+    # row-at-a-time Python (the only Python is the Arrow mapInPandas
+    # fingerprint scan)
+    from drivel_spark.ops import winnow_containment_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wc = winnow_containment_pairs(
+        docs, k=12, w=8, min_shared=5, min_containment=0.5, max_fp_df=64
+    )
+    p = fmt(wc)
+    sections.append(
+        (
+            "Winnow containment pairs (inverted fp index + df cap)",
+            p,
+            [
+                "df-cap semi-join guards the fp self-join: "
+                + ("PASS" if "LeftSemi" in p else "FAIL"),
+                "equi-join on fp (no cartesian): "
+                + ("PASS" if "CartesianProduct" not in p else "FAIL"),
+                "no row-at-a-time Python (Arrow mapInPandas only): "
+                + ("PASS" if "BatchEvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 13. minhash exact_first: the high-collision-regime strategy —
+    # inverted-index exact Jaccard, then band collisions checked over
+    # just the qualifying docs (semi-joins, no cartesian)
+    from drivel_spark.ops import minhash_dedup_pairs
+
+    mh = minhash_dedup_pairs(
+        docs, threshold=0.5, num_perm=64, bands=32, strategy="exact_first",
+        eager=False,
+    )
+    p = fmt(mh)
+    sections.append(
+        (
+            "MinHash exact_first strategy (high-collision regimes)",
+            p,
+            [
+                "candidate/doc restriction via semi-joins: "
+                + ("PASS" if "LeftSemi" in p else "FAIL"),
+                "no cartesian product: "
+                + ("PASS" if "CartesianProduct" not in p else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

@@ -11,6 +11,12 @@ import json
 import random
 import statistics
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from drivel_spark.config import SCHED_CONFIG_TAG as CURRENT_TAG  # noqa: E402
+
 rows = [
     json.loads(l)
     for l in open("BENCH/scaling_runs.jsonl")
@@ -58,6 +64,39 @@ for n_rows in sorted({r["n_rows"] for r in rows}):
     ]
     tbl["paired_eff_2_to_8"] = pairs
     tbl["paired_eff_2_to_8_median"] = round(statistics.median(pairs), 3)
+    # runs carry sched_config since r03 (config.py SCHED_CONFIG_TAG):
+    # the append-only log spans scheduler-policy history, so the
+    # CURRENT-config campaign is summarized separately — paired rounds,
+    # median, and a bootstrap CI over resampled paired ratios
+    cur = {
+        m: [r for r in rs if r.get("sched_config") == CURRENT_TAG]
+        for m, rs in by.items()
+    }
+    if cur.get("local[2]") and cur.get("local[8]"):
+        cpairs = [
+            round((b["clips_per_sec"] / a["clips_per_sec"]) / 4.0, 3)
+            for a, b in zip(cur["local[2]"], cur["local[8]"])
+        ]
+        rng_c = random.Random(7)
+        cboots = sorted(
+            statistics.median(rng_c.choice(cpairs) for _ in cpairs)
+            for _ in range(10000)
+        )
+        tbl["current_config"] = {
+            "tag": CURRENT_TAG,
+            "n_rounds": len(cpairs),
+            "paired_eff_2_to_8": cpairs,
+            "paired_eff_2_to_8_median": round(statistics.median(cpairs), 3),
+            "paired_median_ci90": [round(cboots[500], 3), round(cboots[9499], 3)],
+            "median_clips_per_sec": {
+                m: statistics.median(r["clips_per_sec"] for r in rs)
+                for m, rs in cur.items()
+                if rs
+            },
+            "best_clips_per_sec": {
+                m: max(r["clips_per_sec"] for r in rs) for m, rs in cur.items() if rs
+            },
+        }
     pooled_pairs.extend(pairs)
     t2s = [r["clips_per_sec"] for r in by["local[2]"]]
     t8s = [r["clips_per_sec"] for r in by["local[8]"]]
@@ -78,6 +117,12 @@ summary["protocol_table"] = f"n_rows={protocol_n}"
 summary["protocol_paired_eff_2_to_8_median"] = summary[f"n_rows={protocol_n}"][
     "paired_eff_2_to_8_median"
 ]
+cur_prot = summary[f"n_rows={protocol_n}"].get("current_config")
+if cur_prot:
+    summary["protocol_current_config_paired_median"] = cur_prot[
+        "paired_eff_2_to_8_median"
+    ]
+    summary["protocol_current_config_ci90"] = cur_prot["paired_median_ci90"]
 # pooled numbers mix the smaller-table ablation campaigns in (their
 # fixed-overhead penalty depresses them) — kept for transparency only
 summary["pooled_incl_ablation_paired_eff"] = pooled_pairs

@@ -43,6 +43,32 @@ paired = [
 ]
 paired_med = statistics.median(paired)
 
+# the current-scheduler-config campaign (runs tagged since r03): the
+# cleanest apples-to-apples subset — one policy, one code version
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(HERE))
+from drivel_spark.config import SCHED_CONFIG_TAG  # noqa: E402
+
+cur_seq: dict[str, list[dict]] = {}
+for r in prot:
+    if r.get("sched_config") == SCHED_CONFIG_TAG:
+        cur_seq.setdefault(r["master"], []).append(r)
+cur_paired = [
+    (b["clips_per_sec"] / a["clips_per_sec"]) / 4
+    for a, b in zip(cur_seq.get("local[2]", []), cur_seq.get("local[8]", []))
+]
+cur_med = statistics.median(cur_paired) if cur_paired else None
+cur_ci = None
+if len(cur_paired) >= 3:
+    _crng = random.Random(7)
+    _cboots = sorted(
+        statistics.median(_crng.choice(cur_paired) for _ in cur_paired)
+        for _ in range(10000)
+    )
+    cur_ci = (_cboots[500], _cboots[9499])
+
 lines = [
     "# BENCH/BASELINE.md — measured scaling results (protocol: ../BASELINE.md)",
     "",
@@ -98,6 +124,30 @@ lines += [
     "  the spread is environment, not engine, variance)",
     f"- bootstrap 90% CI over unpaired ratios: [{ci_lo:.3f}, {ci_hi:.3f}]"
     f" ({rounds} interleaved rounds)",
+]
+if cur_med is not None:
+    lines += [
+        "",
+        f"### Current-config campaign ({SCHED_CONFIG_TAG})",
+        "",
+        "The append-only log spans scheduler-policy history; runs are",
+        "tagged with their policy since r03.  The subset below is the",
+        "cleanest apples-to-apples reading — one policy, one code",
+        "version, every round interleaved:",
+        "",
+        f"- rounds: {len(cur_paired)}; paired efficiencies: "
+        + ", ".join(f"{e:.3f}" for e in cur_paired),
+        f"- **paired-round median: {cur_med:.3f}** ("
+        + ("meets" if cur_med >= 0.8 else "misses")
+        + " the >=0.8 gate)"
+        + (
+            f"; bootstrap 90% CI of the median (paired resamples): "
+            f"[{cur_ci[0]:.3f}, {cur_ci[1]:.3f}]"
+            if cur_ci
+            else ""
+        ),
+    ]
+lines += [
     "- hardware ceiling for 2->8 on this VM (sustained-load calibration,",
     "  BENCH/cpu_ceiling.py): ~0.86 for pure-CPU work — the paired median",
     "  sits at ~0.98 of that ceiling.",

@@ -57,6 +57,10 @@ DEFAULT_MAX_PARTITION_BYTES = os.environ.get("DRIVEL_MAX_PARTITION_BYTES", "3355
 # overlap WITHOUT stretching the critical path.  validate() assigns the
 # pool via sc.setLocalProperty("spark.scheduler.pool", ...) on the
 # materializing thread (thread-local, so only that job is promoted).
+# identifies the scheduler policy in benchmark run records, so scaling
+# campaigns across config changes stay separable in the append-only log
+SCHED_CONFIG_TAG = "fifo-default+critical-w8"
+
 _FAIR_XML = """<?xml version="1.0"?>
 <allocations>
   <pool name="default">

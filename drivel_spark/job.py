@@ -344,9 +344,12 @@ def cmd_validate(args) -> dict:
     digest = hashlib.sha256(
         passfail.to_csv(index=False).encode()
     ).hexdigest()[:16]
+    from drivel_spark.config import SCHED_CONFIG_TAG
+
     return {
         "job": "validate",
         "master": spark.sparkContext.master,
+        "sched_config": SCHED_CONFIG_TAG,
         "n_rows": n_rows,
         "wall_s": round(wall, 3),
         "clips_per_sec": round(n_rows / wall, 1),

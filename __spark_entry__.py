@@ -460,6 +460,71 @@ def q_regex_token_count_documents(spark, sf_dir):
     )
 
 
+def _docs_with_injected_pii(spark, sf_dir):
+    """documents with deterministic PII injected at modular doc_ids —
+    the fixture corpus has no PII, so the scan/scrub operators are
+    exercised on data that actually contains every pattern class; the
+    oracle derives the IDENTICAL injection in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    txt = F.col("text")
+    injected = txt
+    injected = F.when(
+        did % 7 == 0,
+        F.concat(
+            injected,
+            F.lit(" contact: user"),
+            did.cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (did % 256).cast("string"),
+        ),
+    ).otherwise(injected)
+    injected = F.when(
+        did % 11 == 0,
+        F.concat(injected, F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111")),
+    ).otherwise(injected)
+    injected = F.when(
+        did % 13 == 0, F.concat(injected, F.lit(" call +1 555 123 4567"))
+    ).otherwise(injected)
+    return d.select("doc_id", injected.alias("text"))
+
+
+def q_pii_scan_documents(spark, sf_dir):
+    """PII scan + scrub over the injected corpus — per-pattern total
+    match counts, docs-with-PII count, and the total character count
+    of the scrubbed text (pins the scrub rewrites, not just the
+    scanning).  All pure Catalyst (regexp_extract_all / chained
+    regexp_replace; lookaround-free patterns shared verbatim with the
+    RE2 oracle)."""
+    from drivel_spark.ops import pii_counts, pii_scrub
+
+    d = _docs_with_injected_pii(spark, sf_dir)
+    counts = pii_counts(F.col("text"))
+    any_pii = None
+    for c in counts.values():
+        any_pii = c if any_pii is None else any_pii + c
+    return d.select(
+        *[cnt.alias(f"n_{kind}") for kind, cnt in counts.items()],
+        (any_pii > 0).cast("long").alias("has_pii"),
+        F.length(F.coalesce(pii_scrub(F.col("text")), F.lit(""))).alias("scrubbed_len"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(f"n_{kind}").alias(f"hits_{kind}") for kind in counts],
+        F.sum("has_pii").alias("n_docs_with_pii"),
+        F.sum("scrubbed_len").alias("scrubbed_chars"),
+    )
+
+
+def q_vocab_top20_documents(spark, sf_dir):
+    """Exact corpus vocabulary heavy hitters: explode → partial+final
+    hash-agg count → top 20 with deterministic (n desc, token asc)
+    tiebreak — the exact complement of the SpaceSaving sketch."""
+    from drivel_spark.ops import vocab_top_k
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_top_k(d, k=20)
+
+
 def q_embedding_near_dup_pairs(spark, sf_dir):
     """Exact all-pairs cosine near-dup (broadcast GEMM) — the QUADRATIC
     truth anchor, kept at small scale only; the scale path is
@@ -1038,6 +1103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "quality_scoring_documents": q_quality_scoring_documents,
         "regex_token_count_documents": q_regex_token_count_documents,
+        "pii_scan_documents": q_pii_scan_documents,
+        "vocab_top20_documents": q_vocab_top20_documents,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
@@ -1058,6 +1125,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB side of pii_scan_documents: the same injection derivation
+    and the same PII_PATTERNS, counts via regexp_extract_all and scrub
+    via chained regexp_replace(…, 'g') in pattern order."""
+    from drivel_spark.ops import PII_PATTERNS
+
+    def esc(pat: str) -> str:
+        # DuckDB single-quoted literals do no backslash processing:
+        # the regex reaches RE2 verbatim, only quotes need doubling
+        return pat.replace("'", "''")
+
+    count_cols = ", ".join(
+        f"len(regexp_extract_all(coalesce(text, ''), '{esc(p)}'))::BIGINT AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for p in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{esc(p)}', '[PII]', 'g')"
+    any_sum = " + ".join(f"n_{k}" for k in PII_PATTERNS)
+    hit_sums = ", ".join(
+        f"sum(n_{k})::BIGINT AS hits_{k}" for k in PII_PATTERNS
+    )
+    return f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN b3 || ' call +1 555 123 4567'
+                      ELSE b3 END AS text
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN b2 || ' ssn 123-45-6789 card 4111 1111 1111 1111'
+                        ELSE b2 END AS b3
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' contact: user' || doc_id
+                               || '@example.com ip 10.0.0.' || (doc_id % 256)
+                          ELSE text END AS b2
+              FROM documents) i1) i2),
+        per_doc AS (
+          SELECT {count_cols},
+                 length(coalesce({scrub}, '')) AS scrubbed_len
+          FROM inj)
+        SELECT count(*)::BIGINT AS n_docs, {hit_sums},
+               sum(CASE WHEN {any_sum} > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
+               sum(scrubbed_len)::BIGINT AS scrubbed_chars
+        FROM per_doc"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1307,6 +1423,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^\\w\\s]'))::BIGINT AS n_subtokens
             FROM documents""",
+        # PII scan/scrub over the SAME deterministic injection the Spark
+        # query derives (innermost %7 email+ip, then %11 ssn+card, then
+        # %13 phone — appended in that order), with the identical
+        # lookaround-free patterns
+        "pii_scan_documents": _pii_oracle_sql(),
+        "vocab_top20_documents": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+            SELECT token, count(*)::BIGINT AS n
+            FROM toks GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT 20""",
         "embedding_near_dup_pairs": """
             WITH p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -117,6 +117,63 @@ def lang_id(col: Column) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(expr)
 
 
+# PII detection/scrubbing patterns — deliberately lookaround-free so
+# the IDENTICAL pattern runs in Spark (java.util.regex), DuckDB (RE2),
+# and any ANSI oracle.  Order matters for scrubbing: email before
+# hostname-ish patterns, credit card before phone (a 16-digit card
+# number would otherwise partially match the phone pattern).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "credit_card": r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-pattern PII match counts — the scan half of a training-data
+    scrubbing pipeline, pure Catalyst (regexp_extract_all size, whole-
+    stage codegen; zero Python).  Returns {kind: count column}."""
+    safe = F.coalesce(col, F.lit(""))
+    return {
+        kind: F.size(F.regexp_extract_all(safe, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(col: Column, replacement: str = "[PII]") -> Column:
+    """Replace every PII match with ``replacement`` — chained
+    regexp_replace in PII_PATTERNS order (email first so its hostname
+    part never survives as a partial match; credit card before phone).
+    Pure Catalyst: at 10^12 docs this is a projection, no shuffle."""
+    out = col
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def vocab_top_k(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: exact top-k tokens of the
+    normalized text by document frequency-weighted count.  Explode →
+    hash-agg count (partial+final — the per-token state is one counter,
+    so the hot stop-token key is collapsed map-side and skew is
+    harmless) → TakeOrdered k with a deterministic (n desc, token asc)
+    tiebreak.  The EXACT heavy-hitter complement of the SpaceSaving
+    sketch in sketches/freq.py."""
+    toks = df.select(
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase + collapse whitespace (the dedup canonical form)."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))

@@ -242,6 +242,38 @@ def test_multimodal_stub_plumbing(spark):
         embed_binary_column(clips, strict=True).collect()
 
 
+def test_image_features_plumbing_and_optional_codec(spark):
+    """extract_image_features: strict mode surfaces the honest
+    NotImplementedError in this codec-less container; plumbing mode
+    runs the full mapInPandas pipeline with deterministic fakes; the
+    decode path itself is an optional import that activates if PIL is
+    ever installed."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import extract_image_features, sample_video_frames
+    from drivel_spark.ops.multimodal import _optional_pil
+
+    clips = build_clips(spark, 20, 2, ClipFixtureSpec())
+    pdf = extract_image_features(clips, strict=False).toPandas()
+    assert list(pdf.columns) == [
+        "clip_id", "width", "height", "mean_r", "mean_g", "mean_b",
+    ]
+    assert len(pdf) == 20
+    assert pdf["width"].between(16, 256).all()
+    # deterministic fakes: same payloads → same features
+    pdf2 = extract_image_features(clips, strict=False).toPandas()
+    assert pdf.sort_values("clip_id").reset_index(drop=True).equals(
+        pdf2.sort_values("clip_id").reset_index(drop=True)
+    )
+    if _optional_pil() is None:
+        with pytest.raises(Exception):
+            extract_image_features(clips, strict=True).collect()
+        with pytest.raises(NotImplementedError):
+            sample_video_frames(b"\x00\x00", every_ms=500)
+    else:  # codec present: the real decode path must reject junk bytes
+        got = extract_image_features(clips, strict=True).toPandas()
+        assert got["width"].isna().all()  # WAV bytes are not images
+
+
 def test_salted_agg_matches_plain(spark):
     """Two-level salted aggregation must equal the plain groupBy on a
     deliberately skewed key (70% hot, mirroring the codec distribution)."""
@@ -480,6 +512,57 @@ def test_range_join_matches_naive(spark):
     }
     assert got_set == want
     assert len(got) == len(got_set)  # no duplicate pairs from bucketing
+
+
+def test_pii_scan_and_scrub(spark):
+    """Every pattern class detected and scrubbed; clean text untouched;
+    the email's hostname never survives as a partial match (scrub
+    order: email before ipv4/host-ish patterns)."""
+    from drivel_spark.ops import pii_counts, pii_scrub
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "write to alice.smith+x@corp.example.org today"),
+        (1, "server at 192.168.001.5 port open"),
+        (2, "ssn 078-05-1120 leaked with card 4111 1111 1111 1111"),
+        (3, "call +44 020 7946 0958 now"),
+        (4, "perfectly clean sentence with numbers 12345"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts(F.col("text"))
+    got = df.select(
+        "doc_id",
+        *[c.alias(k) for k, c in counts.items()],
+        pii_scrub(F.col("text")).alias("scrubbed"),
+    ).toPandas().set_index("doc_id")
+    assert got.loc[0, "email"] == 1 and got.loc[0, "ipv4"] == 0
+    assert got.loc[1, "ipv4"] == 1
+    assert got.loc[2, "ssn"] == 1 and got.loc[2, "credit_card"] == 1
+    assert got.loc[3, "phone"] == 1
+    assert (got.loc[4, ["email", "credit_card", "ssn", "ipv4", "phone"]] == 0).all()
+    assert got.loc[4, "scrubbed"] == rows[4][1]  # clean text untouched
+    assert "alice" not in got.loc[0, "scrubbed"] and "corp" not in got.loc[0, "scrubbed"]
+    assert "078-05" not in got.loc[2, "scrubbed"] and "4111" not in got.loc[2, "scrubbed"]
+    assert got.loc[5, "scrubbed"] is None or got.loc[5, "scrubbed"] != got.loc[5, "scrubbed"]
+
+
+def test_vocab_top_k_exact(spark):
+    """vocab_top_k equals a pandas recount with the same normalize +
+    deterministic tiebreak."""
+    from collections import Counter
+
+    from drivel_spark.ops import vocab_top_k
+
+    rows = [(i, f"the quick fox fox jumps n{i % 3}") for i in range(30)] + [(30, None), (31, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["token"], r["n"]) for r in vocab_top_k(df, k=5).collect()]
+    cnt = Counter()
+    for _, t in rows:
+        if t and t.strip():
+            cnt.update(t.strip().lower().split())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
 
 
 def test_winnow_containment_detects_planted_substring(spark):

@@ -44,30 +44,25 @@ paired = [
 paired_med = statistics.median(paired)
 
 # the current-scheduler-config campaign (runs tagged since r03): the
-# cleanest apples-to-apples subset — one policy, one code version
-import os
+# pairing + bootstrap live in ONE place — summarize_scaling.py — and
+# this report reads its JSON (regenerating it if absent/stale) so the
+# two outputs can never disagree
+import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(HERE))
-from drivel_spark.config import SCHED_CONFIG_TAG  # noqa: E402
-
-cur_seq: dict[str, list[dict]] = {}
-for r in prot:
-    if r.get("sched_config") == SCHED_CONFIG_TAG:
-        cur_seq.setdefault(r["master"], []).append(r)
-cur_paired = [
-    (b["clips_per_sec"] / a["clips_per_sec"]) / 4
-    for a, b in zip(cur_seq.get("local[2]", []), cur_seq.get("local[8]", []))
-]
-cur_med = statistics.median(cur_paired) if cur_paired else None
-cur_ci = None
-if len(cur_paired) >= 3:
-    _crng = random.Random(7)
-    _cboots = sorted(
-        statistics.median(_crng.choice(cur_paired) for _ in cur_paired)
-        for _ in range(10000)
-    )
-    cur_ci = (_cboots[500], _cboots[9499])
+_summary = json.loads(
+    subprocess.run(
+        [sys.executable, os.path.join(HERE, "summarize_scaling.py")],
+        check=True,
+        capture_output=True,
+        text=True,
+    ).stdout
+)
+_cur = _summary.get(f"n_rows={protocol_n}", {}).get("current_config")
+SCHED_CONFIG_TAG = _cur["tag"] if _cur else None
+cur_paired = _cur["paired_eff_2_to_8"] if _cur else []
+cur_med = _cur["paired_eff_2_to_8_median"] if _cur else None
+cur_ci = tuple(_cur["paired_median_ci90"]) if _cur and len(cur_paired) >= 3 else None
 
 lines = [
     "# BENCH/BASELINE.md — measured scaling results (protocol: ../BASELINE.md)",
@@ -115,9 +110,8 @@ lines += [
     + f" the gate); best-of-campaign: {best_eff:.3f} ("
     + ("meets" if best_eff >= 0.8 else "misses")
     + " the gate) —",
-    "  stated explicitly so the headline is not the only estimator shown",
-    "  against the gate (ADVICE r02): the >=0.8 claim holds under the",
-    "  paired-round estimator, and the reader can weigh the others.",
+    "  every estimator is stated against the gate explicitly (ADVICE",
+    "  r02) so the headline can never be the one cherry-picked reading.",
     f"- per-round paired values: "
     + ", ".join(f"{e:.3f}" for e in paired)
     + " (values >1 = the local[2] partner run was hit by neighbor noise;",

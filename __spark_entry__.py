@@ -576,6 +576,24 @@ def q_ngram_jaccard_documents(spark, sf_dir):
     return ngram_jaccard_pairs(d, threshold=0.5, n=3, max_shingle_df=64)
 
 
+def q_dedup_components_documents(spark, sf_dir):
+    """Transitive dedup: connected components over the exact-Jaccard
+    near-dup pair graph (threshold 0.5) — pairwise matches become
+    dedup GROUPS via iterative min-label propagation (O(diameter)
+    rounds, one equi-join + hash agg per round).  Output: every doc
+    appearing in a pair with its component's canonical (min) id.
+    DuckDB independently re-derives the components with a RECURSIVE
+    reachability CTE over the same pair graph."""
+    from drivel_spark.ops import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, n=3, max_shingle_df=64)
+    cc = connected_components(pairs)
+    out = cc.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+    pairs.unpersist()
+    return out
+
+
 def q_cosine_topk_embeddings(spark, sf_dir):
     from drivel_spark.ops.dedup import cosine_expr
 
@@ -1101,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics_documents": q_text_metrics_documents,
         "lang_id_documents": q_lang_id_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "dedup_components_documents": q_dedup_components_documents,
         "quality_scoring_documents": q_quality_scoring_documents,
         "regex_token_count_documents": q_regex_token_count_documents,
         "pii_scan_documents": q_pii_scan_documents,
@@ -1374,6 +1393,20 @@ def oracle_sql() -> dict[str, str]:
               FROM sc)
             SELECT lang_pred, count(*)::BIGINT AS n FROM pred GROUP BY lang_pred""",
         "ngram_jaccard_documents": exact_jaccard_05,
+        # transitive closure over the same pair graph: component = min
+        # id among self + everything reachable (undirected edges)
+        "dedup_components_documents": f"""
+            WITH RECURSIVE jp AS ({exact_jaccard_05}),
+            e AS (SELECT id_a AS a, id_b AS b FROM jp
+                  UNION SELECT id_b, id_a FROM jp),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+            comp AS (
+              SELECT a AS doc_id, least(a, min(b)) AS component
+              FROM reach GROUP BY a)
+            SELECT doc_id, component::BIGINT AS component FROM comp""",
         # MinHash+LSH at num_perm=64 / bands=32 (r=2): collision prob at
         # j=0.5 is 1-(1-0.25)^32 ≈ 0.9999, and candidates are verified
         # with EXACT Jaccard — so at threshold 0.5 the banded result

@@ -134,13 +134,20 @@ def detect_series(s: pd.Series) -> pd.Series:
     sv = s.fillna("")
     rfc3339_shape = sv.str.match(r"\d") & sv.str.match(RFC3339_RE)
     if rfc3339_shape.any():
-        surv = sv[rfc3339_shape].str.upper()
+        surv = sv[rfc3339_shape]
         try:
             ok = pd.to_datetime(
-                surv, format="ISO8601", errors="coerce", utc=True
+                surv.str.upper(), format="ISO8601", errors="coerce", utc=True
             ).notna()
         except (ValueError, TypeError):  # pandas < 2 fallback
             ok = surv.map(_valid_rfc3339)
+        # pandas coerces VALID timestamps outside its ns-Timestamp range
+        # (years <1678 / >2262) to NaT; re-check only the rejects with
+        # the scalar parser so both paths agree everywhere (per-row
+        # Python over genuinely-invalid + extreme-year strings only)
+        if not ok.all():
+            rej = ~ok
+            ok.loc[rej] = surv[rej].map(_valid_rfc3339)
         rfc3339_valid = rfc3339_shape.copy()
         rfc3339_valid[rfc3339_shape] = ok.to_numpy(dtype=bool)
     else:

@@ -401,20 +401,33 @@ def cmd_validate_stream(args) -> dict:
     import pandas as _pd
 
     # empty-source case ONLY: no batches streamed → the report path was
-    # never created → zero totals.  Any other failure (corrupt report
-    # parquet, permission error, mistyped path that EXISTS) must raise —
-    # a bare except here would mask data loss as a clean empty run
-    # (ADVICE r02).
-    if not os.path.exists(args.report):
-        totals = _pd.DataFrame(
-            columns=["partition_id", "constraint", "n_rows", "n_violations", "passed"]
-        )
-    else:
+    # never created → Spark raises PATH_NOT_FOUND → zero totals.  Any
+    # other failure (corrupt report parquet, permission error, schema
+    # mismatch) must raise — a bare except here would mask data loss as
+    # a clean empty run (ADVICE r02).  Matching on the error CLASS (not
+    # os.path.exists) keeps the guard correct for URI report paths
+    # (hdfs://, s3a://) that the local filesystem can't see.
+    from pyspark.errors import AnalysisException
+
+    try:
         totals = (
             cumulative_passfail(spark, args.report)
             .toPandas()
             .sort_values(["constraint", "partition_id"])
             .reset_index(drop=True)
+        )
+    except AnalysisException as ex:
+        cond = ""
+        for attr in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(ex, attr)() or ""
+                break
+            except Exception:
+                continue
+        if "PATH_NOT_FOUND" not in (cond or str(ex)):
+            raise
+        totals = _pd.DataFrame(
+            columns=["partition_id", "constraint", "n_rows", "n_violations", "passed"]
         )
     digest = hashlib.sha256(totals.to_csv(index=False).encode()).hexdigest()[:16]
     n_rows = int(

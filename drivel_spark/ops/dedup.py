@@ -20,6 +20,7 @@ Five families, each picked for a different scale/precision point:
 
 from __future__ import annotations
 
+import sys
 from typing import Optional
 
 import numpy as np
@@ -337,22 +338,35 @@ def minhash_dedup_pairs(
     materializes (``eager=True``)."""
     if strategy == "exact_first":
         sh = shingle_table(df, text_col, id_col, n)
-        exact = _jaccard_pairs_from_shingle_table(sh, threshold).persist()
-        exact.count()
-        cand_ids = (
-            exact.select(F.col("id_a").alias("id"))
-            .union(exact.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
-        sh_c = sh.join(cand_ids, "id", "left_semi")
-        cands = minhash_lsh_candidates(
-            df, text_col, id_col, n, num_perm, bands, sh_table=sh_c
-        )
-        out = exact.join(cands, ["id_a", "id_b"], "left_semi")
         if eager:
-            out = _materialize(out, sh)
+            # materialize the exact pair table NOW (it is small), then
+            # run banding over ONLY the docs appearing in qualifying
+            # pairs — a tiny semi-joined subset
+            exact = _jaccard_pairs_from_shingle_table(sh, threshold).persist()
+            exact.count()
+            cand_ids = (
+                exact.select(F.col("id_a").alias("id"))
+                .union(exact.select(F.col("id_b").alias("id")))
+                .distinct()
+            )
+            sh_c = sh.join(cand_ids, "id", "left_semi")
+            cands = minhash_lsh_candidates(
+                df, text_col, id_col, n, num_perm, bands, sh_table=sh_c
+            )
+            out = _materialize(
+                exact.join(cands, ["id_a", "id_b"], "left_semi"), sh
+            )
             exact.unpersist()
             return out
+        # lazy variant: no persist/count at construction time (the
+        # eager path's doc restriction needs a materialization barrier
+        # to be profitable, so here banding runs over the full shingle
+        # table and the semi-join prunes at execution)
+        exact = _jaccard_pairs_from_shingle_table(sh, threshold)
+        cands = minhash_lsh_candidates(
+            df, text_col, id_col, n, num_perm, bands, sh_table=sh
+        )
+        out = exact.join(cands, ["id_a", "id_b"], "left_semi")
         out._drivel_cache = getattr(sh, "_drivel_cache", None)
         return out
     if strategy != "candidates":
@@ -378,43 +392,153 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components (transitive dedup groups)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the transitive
+    step that turns pairwise matches into dedup GROUPS (a ~ b, b ~ c ⇒
+    {a,b,c} share one survivor).  Returns (id, component) for every id
+    appearing in ``pairs``, where component = min id in the component
+    (deterministic canonical representative).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(graph diameter) rounds.  Dedup graphs are unions of small
+    near-clique clusters (diameter ≲ 3), so 2–4 rounds close them.
+    Each round is one equi-join + hash agg (shuffle on node id); every
+    round's state is LINEAGE-TRUNCATED with an eager ``localCheckpoint``
+    — without it the logical plan references the previous round twice
+    and grows 2^k, OOMing Catalyst after ~8 rounds regardless of data
+    size (on a cluster with unreliable executors prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``).
+    Convergence is detected with a changed-label count.  For
+    adversarial long-chain graphs at extreme scale the doubling
+    variants (large-star/small-star, Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — public
+    literature) drop rounds to O(log n); the per-round plan here is
+    the same join shape they use, so swapping the update rule is local.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("nb_comp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nb_comp").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["id"] == nb_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nb_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select("id", "comp")
+
+
+def dedup_groups_from_pairs(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Component summary per dedup group: (component, n_members,
+    keep_id) with keep_id = the min-id survivor — the table a pipeline
+    anti-joins against to drop transitive duplicates."""
+    cc = connected_components(pairs, id_a, id_b)
+    out = cc.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("id").alias("keep_id"),
+    )
+    return out.select(
+        F.col("comp").alias("component"), "n_members", "keep_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+
+_SIMHASH_CHUNK_TOKENS = 1 << 18  # ≈64MB int32 bit-matrix peak per chunk
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
     """64-bit SimHash per doc: sign of the per-bit sum of token hashes.
 
-    Fully batch-vectorized (VERDICT r02 #5): ONE hash call over every
-    token in the Arrow batch, one (tokens × 64) bit expansion, and
-    per-doc vote sums via ``np.add.reduceat`` over the contiguous
-    per-doc token segments — no per-document numpy round-trips."""
+    Batch-vectorized (VERDICT r02 #5) with BOUNDED memory: one hash
+    call over every token in the Arrow batch; the bit expansion is
+    ``np.unpackbits`` (uint8 — 64 B/token, not the 512 B/token an
+    int64 ±1 vote matrix costs), summed per contiguous doc segment via
+    ``np.add.reduceat`` in doc-aligned chunks of ≤2^18 tokens, so peak
+    scratch stays ~64MB however large the batch or the documents.  The
+    sign rule uses ones-counts: bit b is set iff ones_b · 2 > n_tokens
+    (⇔ Σ(±1 votes) > 0)."""
     from ..sketches.hashing import hash64
 
     out = np.zeros(len(texts), dtype=np.int64)
-    tok_lists = [
-        str(t).lower().split() if t else [] for t in texts
-    ]
+    tok_lists = [str(t).lower().split() if t else [] for t in texts]
     lens = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
     nz = np.nonzero(lens > 0)[0]
     if len(nz) == 0:
         return pd.Series(out)
-    all_toks = np.array(
-        [tok for i in nz for tok in tok_lists[i]], dtype=object
-    )
-    h = hash64(all_toks)
-    # (T × 64) ±1 vote matrix, reduced per contiguous doc segment
-    votes = (
-        2 * ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        - 1
+    all_toks = np.array([tok for i in nz for tok in tok_lists[i]], dtype=object)
+    h = hash64(all_toks).astype(np.uint64)
+    if sys.byteorder == "big":  # unpackbits path assumes LE byte layout
+        h = h.byteswap()
+    # (T × 64) uint8 bit matrix: byte j, bitorder little ⇒ column k is
+    # bit k of the uint64
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )
     starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
-    seg_votes = np.add.reduceat(votes, starts, axis=0)
+    ends = np.cumsum(lens[nz])
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    sigs = ((seg_votes > 0).astype(np.uint64) * weights[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
-    out[nz] = sigs.astype(np.int64)
+    d = 0
+    while d < len(nz):
+        # extend the chunk by whole documents up to the token budget
+        d_end = d + 1
+        while d_end < len(nz) and ends[d_end - 1] - starts[d] + lens[nz[d_end]] <= _SIMHASH_CHUNK_TOKENS:
+            d_end += 1
+        lo, hi = starts[d], ends[d_end - 1]
+        ones = np.add.reduceat(
+            bits[lo:hi].astype(np.int32), (starts[d:d_end] - lo), axis=0
+        )
+        n_tok = lens[nz[d:d_end]][:, None]
+        sigs = (((ones * 2) > n_tok).astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nz[d:d_end]] = sigs.astype(np.int64)
+        d = d_end
     return pd.Series(out)
 
 

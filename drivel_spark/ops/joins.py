@@ -21,6 +21,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _contains_map(dt) -> bool:
+    """True when the data type (recursively) contains a MapType —
+    Spark's hash/xxhash64 reject those."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def asof_join(
@@ -52,8 +65,11 @@ def asof_join(
     rows share the same ``(key, right_ts)``, the window ordering adds
     ``xxhash64(payload)`` as a final tiebreaker, so the SAME right row
     (the max-hash one — an arbitrary but stable choice) wins on every
-    run and partitioning.  Callers needing a semantic tiebreak should
-    pre-aggregate the right side to one row per (key, ts).
+    run and partitioning.  Exception: Spark forbids hashing MapType, so
+    a payload containing a map column falls back to the (ts, side)
+    ordering — ties then resolve arbitrarily (pre-aggregate the right
+    side to one row per (key, ts) if that matters).  Callers needing a
+    semantic tiebreak should pre-aggregate either way.
     """
     lt = (
         left.withColumn("__t", F.col(left_ts))
@@ -77,10 +93,15 @@ def asof_join(
     u = lt.unionByName(rt, allowMissingColumns=True)
     # xxhash64 over the payload struct: plan-independent total order
     # among right rows tied on (key, ts); left rows' NULL payload hashes
-    # to a constant and left payloads are ignorenulls-skipped anyway
+    # to a constant and left payloads are ignorenulls-skipped anyway.
+    # MapType is not hashable in Spark — fall back to the non-total
+    # ordering for map payloads (documented above).
+    order_cols = [F.col("__t"), F.col("__side")]
+    if not any(_contains_map(right.schema[c].dataType) for c in right_cols):
+        order_cols.append(F.xxhash64(F.col("__payload")))
     w = (
         Window.partitionBy(on)
-        .orderBy("__t", "__side", F.xxhash64(F.col("__payload")))
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

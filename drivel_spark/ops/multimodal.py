@@ -70,10 +70,17 @@ def extract_audio_features(df: DataFrame, bytes_col: str = "bytes",
             out = pd.DataFrame({**rows, **feats})
             yield out
 
-    schema = ", ".join(
-        f"{c} string" for c in id_cols
-    ) + ", " + AUDIO_FEATURES_SCHEMA
+    schema = _id_schema(df, id_cols) + ", " + AUDIO_FEATURES_SCHEMA
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+def _id_schema(df: DataFrame, id_cols: list[str]) -> str:
+    """Output-schema fragment for passthrough id columns, derived from
+    the INPUT schema — never assume string/bigint (the winnow id-type
+    bug class, r02)."""
+    return ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +237,7 @@ def extract_image_features(
                         cols[k].append(float(rng.random() * 255.0))
             yield pd.DataFrame({**{c: pdf[c] for c in id_cols}, **cols})
 
-    schema = ", ".join(f"{c} string" for c in id_cols) + ", " + IMAGE_FEATURES_SCHEMA
+    schema = _id_schema(df, id_cols) + ", " + IMAGE_FEATURES_SCHEMA
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 
@@ -264,5 +271,5 @@ def embed_binary_column(
                 }
             )
 
-    schema = ", ".join(f"{c} string" for c in id_cols) + ", embedding array<float>"
+    schema = _id_schema(df, id_cols) + ", embedding array<float>"
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)

@@ -278,32 +278,35 @@ def profile(
     when the session value already meets the request."""
     spark = df.sparkSession
     key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+    def _run():
+        acc_df = tree_combine(
+            partition_accumulators(df, columns, opts), fanin=tree_fanin
+        )
+        return acc_df.collect()
+
     # the conf is session-global at planning time: serialize overriders
-    # so two concurrent profile() calls can't interleave set/restore,
-    # and skip the override entirely when the session value is already
-    # >= the request (nothing to gain, one less global mutation) —
-    # ADVICE r02
-    want = arrow_batch
-    if want is not None:
-        try:
-            if int(spark.conf.get(key)) >= int(want):
-                want = None
-        except (TypeError, ValueError):
-            pass
-    if want is not None:
+    # so two concurrent profile() calls can't interleave set/restore
+    # (ADVICE r02).  BOTH the already-big check and the set/restore
+    # happen under the lock — reading outside it could observe another
+    # caller's temporary override, decide "already satisfied", and then
+    # plan after that caller's restore.
+    if arrow_batch is not None:
         with _ARROW_BATCH_LOCK:
             old = spark.conf.get(key)
-            spark.conf.set(key, str(want))
             try:
-                acc_df = partition_accumulators(df, columns, opts)
-                acc_df = tree_combine(acc_df, fanin=tree_fanin)
-                rows = acc_df.collect()
+                need = int(old) < int(arrow_batch)
+            except (TypeError, ValueError):
+                need = True
+            if need:
+                spark.conf.set(key, str(arrow_batch))
+            try:
+                rows = _run()
             finally:
-                spark.conf.set(key, old)
+                if need:
+                    spark.conf.set(key, old)
     else:
-        acc_df = partition_accumulators(df, columns, opts)
-        acc_df = tree_combine(acc_df, fanin=tree_fanin)
-        rows = acc_df.collect()
+        rows = _run()
     if not rows:
         cols = columns or [f.name for f in df.schema.fields]
         col_types = [(f.name, f.dataType.simpleString()) for f in df.schema.fields if f.name in set(cols)]

@@ -73,6 +73,13 @@ def _guard_checkpoint_identity(state_dir: str, checkpoint_dir: str) -> None:
       at 0 and collide with old state files;
     * committed checkpoint but a wiped state dir → ``prev=None`` folds
       only the newest batch, silently dropping all history.
+
+    Scope: the guard inspects the checkpoint with LOCAL filesystem
+    calls, matching this module's state store (plain ``open``/
+    ``os.replace`` on a posix path — local or NFS-mounted).  A URI
+    checkpoint (hdfs://, s3a://) is invisible to it: point BOTH dirs
+    at driver-visible paths, which is already required for the state
+    files themselves.
     """
     ident_file = os.path.join(state_dir, _IDENT_FILE)
     cp_id = _checkpoint_query_id(checkpoint_dir)

@@ -116,6 +116,8 @@ def test_detect_series_matches_scalar_on_adversarial_datetimes():
         "Mon, 25 Dec 2023 10:30:00 +0000", # valid rfc2822
         "Mon, 32 Dec 2023 10:30:00 +0000", # day 32 — parse invalid
         "Fri, 30 Feb 2024 10:30:00 +0000", # Feb 30 — parse invalid
+        "1500-06-15T12:00:00Z",            # valid but outside pandas ns range
+        "2400-01-01T00:00:00+00:00",       # valid, beyond year 2262
         "2023-12-25",
         "plainword",
         None,

@@ -236,8 +236,14 @@ def test_multimodal_stub_plumbing(spark):
     a = pdf.sort_values("clip_id").reset_index(drop=True)
     b = pdf2.sort_values("clip_id").reset_index(drop=True)
     assert all(np.allclose(x, y) for x, y in zip(a["embedding"], b["embedding"]))
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG...")
+    from drivel_spark.ops.multimodal import _optional_pil
+
+    if _optional_pil() is None:  # codec-less container: honest stub
+        with pytest.raises(NotImplementedError):
+            decode_image_stub(b"\x89PNG...")
+    else:  # codec present: truncated junk must still be rejected
+        with pytest.raises(Exception):
+            decode_image_stub(b"\x89PNG...")
     with pytest.raises(Exception):
         embed_binary_column(clips, strict=True).collect()
 
@@ -514,6 +520,31 @@ def test_range_join_matches_naive(spark):
     assert len(got) == len(got_set)  # no duplicate pairs from bucketing
 
 
+def test_connected_components_transitive_chains(spark):
+    """Min-label propagation must close long chains (multiple rounds),
+    keep disjoint clusters apart, and pick the min id as the canonical
+    component label."""
+    from drivel_spark.ops import connected_components, dedup_groups_from_pairs
+
+    edges = (
+        [(i, i + 1) for i in range(10, 18)]      # chain 10-…-18 (diameter 8)
+        + [(100, 101), (101, 102), (100, 102)]   # triangle
+        + [(200, 201)]                           # isolated pair
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert all(got[i] == 10 for i in range(10, 19))
+    assert got[100] == got[101] == got[102] == 100
+    assert got[200] == got[201] == 200
+    groups = {
+        r["component"]: (r["n_members"], r["keep_id"])
+        for r in dedup_groups_from_pairs(pairs).collect()
+    }
+    assert groups == {10: (9, 10), 100: (3, 100), 200: (2, 200)}
+
+
 def test_pii_scan_and_scrub(spark):
     """Every pattern class detected and scrubbed; clean text untouched;
     the email's hostname never survives as a partial match (scrub
@@ -674,6 +705,37 @@ def test_asof_join_duplicate_right_ts_deterministic(spark):
         assert len(got) == 1
         picks.add(got[0]["r_src"])
     assert len(picks) == 1, f"nondeterministic tie pick: {picks}"
+
+
+def test_asof_join_map_payload_falls_back_gracefully(spark):
+    """MapType payloads can't be hashed — the tiebreaker must step
+    aside instead of failing analysis (review r03)."""
+    from drivel_spark.ops import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 3, {"a": "x"}), (1, 4, {"b": "y"})],
+        "k long, ts long, attrs map<string,string>",
+    )
+    got = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["attrs"], prefix="r_",
+    ).collect()
+    assert len(got) == 1 and got[0]["r_attrs"] == {"b": "y"}
+
+
+def test_image_features_non_string_id(spark):
+    """Passthrough id columns keep their input type (review r03: the
+    winnow id-type bug class, re-introduced then fixed)."""
+    from drivel_spark.ops import extract_image_features
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"abc")), (8, None)], "doc_id long, bytes binary"
+    )
+    got = extract_image_features(
+        df, id_cols=["doc_id"], strict=False
+    ).toPandas()
+    assert sorted(got["doc_id"]) == [7, 8]
 
 
 def test_salted_distinct_keeps_all_null_keys(spark):

@@ -525,6 +525,42 @@ def q_vocab_top20_documents(spark, sf_dir):
     return vocab_top_k(d, k=20)
 
 
+def q_repetition_documents(spark, sf_dir):
+    """Gopher-style n-gram repetition metrics (Rae et al. 2021 §A1.1)
+    over the documents corpus: per-doc duplicate-bigram/-trigram and
+    top-n-gram fractions rolled up per n.  The "flagged" filter
+    (dup_frac > 0.2) is evaluated in INTEGER arithmetic
+    ((total-distinct)*5 > total) on both sides so no float knife-edge
+    can flip a count.  Oracle: DuckDB re-derives the n-grams with
+    string_split_regex + unnest and recounts."""
+    from drivel_spark.ops import repetition_metrics
+
+    rep = repetition_metrics(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", ns=(2, 3)
+    )
+    flagged = (
+        (F.col("total_ngrams") - F.col("distinct_ngrams")) * 5
+        > F.col("total_ngrams")
+    ).cast("long")
+    return (
+        rep.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("total_ngrams").alias("total_grams"),
+            F.sum("distinct_ngrams").alias("distinct_grams"),
+            F.sum("top_cnt").alias("top_grams"),
+            F.round(
+                F.lit(1.0) - F.sum("distinct_ngrams") / F.sum("total_ngrams"), 6
+            ).alias("dup_frac_global"),
+            F.round(F.sum("top_cnt") / F.sum("total_ngrams"), 6).alias(
+                "top_frac_global"
+            ),
+            F.sum(flagged).alias("n_flagged"),
+        )
+        .orderBy("n")
+    )
+
+
 def q_embedding_near_dup_pairs(spark, sf_dir):
     """Exact all-pairs cosine near-dup (broadcast GEMM) — the QUADRATIC
     truth anchor, kept at small scale only; the scale path is
@@ -1031,6 +1067,187 @@ def q_audio_features_clips(spark, sf_dir):
     )
 
 
+def _decode_clips_stdlib(n: int):
+    """Stdlib-wave decode of the seeded fixture clips → iterator of
+    (clip_id, clip_idx, float64 pcm, sr) — the shared independent decode
+    for the audio feature oracles (no engine code involved)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+
+    pdf = clips_pdf(range(n), ClipFixtureSpec(with_audio=True))
+    for i, (cid, b) in enumerate(zip(pdf["clip_id"], pdf["bytes"])):
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            sr = w.getframerate()
+            pcm = (
+                np.frombuffer(w.readframes(w.getnframes()), dtype="<i2").astype(
+                    np.float64
+                )
+                / 32767.0
+            )
+        yield cid, i, pcm, sr
+
+
+def _local_spectral_features(n: int):
+    """Independent per-clip spectral oracle: stdlib-wave decode (float64
+    end-to-end, no float32 stage — deliberately NOT the engine's decode
+    path) + numpy rFFT, with the sub-bin peak via an np.polyfit
+    quadratic (a different interpolation formula than the engine's
+    closed-form parabola)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n):
+        spec = np.abs(np.fft.rfft(pcm))
+        spec[0] = 0.0
+        k = int(np.argmax(spec))
+        freq = k * sr / len(pcm)
+        if 1 <= k < len(spec) - 1:
+            coef = np.polyfit(
+                [-1.0, 0.0, 1.0], np.log(spec[k - 1 : k + 2] + 1e-300), 2
+            )
+            if coef[0] != 0.0:
+                d = float(np.clip(-coef[1] / (2.0 * coef[0]), -0.5, 0.5))
+                freq = (k + d) * sr / len(pcm)
+        p = spec * spec
+        ps = float(p.sum())
+        cen = (
+            float((np.arange(len(spec)) * (sr / len(pcm)) * p).sum() / ps)
+            if ps > 0
+            else 0.0
+        )
+        rows.append((cid, i, len(pcm), sr, k, freq, cen))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "clip_id",
+            "clip_idx",
+            "n_samples",
+            "sr_hz",
+            "dominant_bin",
+            "dominant_freq_hz",
+            "spectral_centroid_hz",
+        ],
+    )
+
+
+def _local_frame_energy(n: int, frame_ms: int = 25, hop_ms: int = 10,
+                        active_db: float = -20.0):
+    """Independent frame-energy oracle: stdlib-wave decode + a plain
+    per-frame Python loop (driver-side, n is small) — no cumsum trick
+    shared with the engine."""
+    import numpy as np
+    import pandas as pd
+
+    thresh = 10.0 ** (active_db / 20.0)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n):
+        win = max(sr * frame_ms // 1000, 1)
+        hop = max(sr * hop_ms // 1000, 1)
+        rms = [
+            float(np.sqrt(np.mean(pcm[s : s + win] ** 2)))
+            for s in range(0, len(pcm) - win + 1, hop)
+        ]
+        if rms:
+            rows.append(
+                (cid, i, len(pcm), sr, len(rms), float(np.mean(rms)),
+                 min(rms), max(rms), sum(1 for r in rms if r > thresh))
+            )
+        else:
+            rows.append((cid, i, len(pcm), sr, 0, 0.0, 0.0, 0.0, 0))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz", "n_frames",
+                 "rms_mean", "rms_min", "rms_max", "n_active"],
+    )
+
+
+def q_audio_spectral_clips(spark, sf_dir):
+    """Frequency-domain audio features with a CLOSED-FORM expectation:
+    the fixture tone sits at f0 = 110·(1 + idx mod 40) Hz (produce/
+    audio.py), observed at min(f0 mod sr, sr − f0 mod sr) after
+    aliasing (sr=8000 carries tones above Nyquist).  The engine's
+    interpolated FFT peak must land within ONE FFT bin (sr/n) of that
+    frequency and the power-weighted centroid within max(5%, 15 Hz);
+    the DuckDB oracle re-derives the same flags in SQL from an
+    independently-decoded (stdlib wave, float64, np.polyfit
+    interpolation) per-clip feature export — so engine decode, FFT
+    reduction, flag logic, and rollup are all cross-checked, with
+    sum(dominant_bin) pinned as an exact integer."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import spectral_features
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_spectral_features(n), "spectral_features", sf_dir)
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
+    feats = spectral_features(clips, bytes_col="bytes", id_cols=["clip_id"])
+    feats = attach_clip_idx(feats, spark, n)
+    sr = F.col("sr_hz").cast("double")
+    f0 = F.lit(110.0) * (F.lit(1) + F.col("clip_idx") % 40).cast("double")
+    fimg = f0 % sr
+    f_exp = F.when(fimg > sr / 2, sr - fimg).otherwise(fimg)
+    tol = sr / F.col("n_samples")
+    freq_ok = F.abs(F.col("dominant_freq_hz") - f_exp) <= tol
+    cent_ok = F.abs(F.col("spectral_centroid_hz") - f_exp) <= F.greatest(
+        F.lit(0.05) * f_exp, F.lit(15.0)
+    )
+    return (
+        feats.groupBy("sr_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(freq_ok.cast("long")).alias("n_freq_ok"),
+            F.sum(cent_ok.cast("long")).alias("n_cent_ok"),
+            F.sum("dominant_bin").alias("sum_dominant_bin"),
+        )
+        .orderBy("sr_hz")
+    )
+
+
+def q_audio_frames_clips(spark, sf_dir):
+    """Frame-level energy plumbing (the audio analog of video
+    frame-sampling): 25 ms windows / 10 ms hop per clip, reduced to
+    per-sr totals.  The frame COUNT is pinned to its closed form
+    (1 + (n − win) div hop, floor-division window sizes) and the frame
+    RMS to the tone's analytic 0.8/√2 ≈ 0.566 within a [0.50, 0.63]
+    band; the oracle recomputes both from an independent stdlib-wave
+    decode with a per-frame loop."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import frame_energy
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_frame_energy(n), "frame_energy", sf_dir)
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
+    feats = frame_energy(clips, bytes_col="bytes", id_cols=["clip_id"])
+    win = ((F.col("sr_hz") * 25) / 1000).cast("long")
+    hop = ((F.col("sr_hz") * 10) / 1000).cast("long")
+    expected = F.when(
+        F.col("n_samples") >= win,
+        F.lit(1) + ((F.col("n_samples") - win) / hop).cast("long"),
+    ).otherwise(F.lit(0))
+    count_ok = (F.col("n_frames") == expected).cast("long")
+    rms_ok = (
+        (F.col("rms_mean") >= 0.50) & (F.col("rms_mean") <= 0.63)
+    ).cast("long")
+    return (
+        feats.groupBy("sr_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("n_frames_total"),
+            F.sum(count_ok).alias("n_count_ok"),
+            F.sum(rms_ok).alias("n_rms_ok"),
+            F.sum("n_active").alias("n_active_total"),
+        )
+        .orderBy("sr_hz")
+    )
+
+
 def q_ann_topk_embeddings(spark, sf_dir):
     """ANN top-k via hyperplane LSH + multiprobe.  The probed candidate
     set (bucket ∈ Hamming-≤2 neighborhood of the query's bucket) is
@@ -1124,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_token_count_documents": q_regex_token_count_documents,
         "pii_scan_documents": q_pii_scan_documents,
         "vocab_top20_documents": q_vocab_top20_documents,
+        "repetition_documents": q_repetition_documents,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
@@ -1141,6 +1359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_events_props": q_json_schema_events_props,
         "clips_validation_passfail": q_clips_validation_passfail,
         "audio_features_clips": q_audio_features_clips,
+        "audio_spectral_clips": q_audio_spectral_clips,
+        "audio_frames_clips": q_audio_frames_clips,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
@@ -1469,6 +1689,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*)::BIGINT AS n
             FROM toks GROUP BY token
             ORDER BY n DESC, token ASC LIMIT 20""",
+        # Gopher repetition metrics re-derived from scratch: re-tokenize,
+        # rebuild word 2-/3-grams positionally, recount; the flagged
+        # filter uses the same integer arithmetic as the Spark side
+        "repetition_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, 2 AS n, t[i] || ' ' || t[i+1] AS g
+              FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                    FROM toks WHERE len(t) >= 2)
+              UNION ALL
+              SELECT doc_id, 3 AS n, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 3)),
+            pg AS (SELECT doc_id, n, g, count(*)::BIGINT AS c
+                   FROM grams GROUP BY 1, 2, 3),
+            pd AS (SELECT doc_id, n, sum(c)::BIGINT AS total,
+                          count(*)::BIGINT AS dst, max(c)::BIGINT AS topc
+                   FROM pg GROUP BY 1, 2),
+            alln AS (
+              SELECT tk.doc_id, nn.n, coalesce(pd.total, 0) AS total,
+                     coalesce(pd.dst, 0) AS dst, coalesce(pd.topc, 0) AS topc
+              FROM toks tk CROSS JOIN (SELECT unnest([2, 3]) AS n) nn
+              LEFT JOIN pd ON pd.doc_id = tk.doc_id AND pd.n = nn.n)
+            SELECT n, count(*)::BIGINT AS n_docs,
+                   sum(total)::BIGINT AS total_grams,
+                   sum(dst)::BIGINT AS distinct_grams,
+                   sum(topc)::BIGINT AS top_grams,
+                   round(1.0 - sum(dst) / sum(total)::DOUBLE, 6) AS dup_frac_global,
+                   round(sum(topc) / sum(total)::DOUBLE, 6) AS top_frac_global,
+                   count(*) FILTER ((total - dst) * 5 > total)::BIGINT AS n_flagged
+            FROM alln GROUP BY n ORDER BY n""",
         "embedding_near_dup_pairs": """
             WITH p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1527,6 +1782,44 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(zero_crossings), 1) AS avg_zc
             FROM read_parquet('{ORACLE_DIR}/audio_features_sf0.01.parquet')
             GROUP BY sr_hz ORDER BY sr_hz""",
+        # closed-form spectral expectation re-derived in SQL over the
+        # independently-decoded per-clip export: f0 = 110·(1+idx%40),
+        # aliased into [0, sr/2], one-FFT-bin tolerance on the
+        # interpolated peak, max(5%, 15 Hz) on the centroid;
+        # sum(dominant_bin) is an exact-integer cross-check of the two
+        # decode+FFT paths
+        "audio_spectral_clips": f"""
+            WITH f AS (
+              SELECT *, 110.0 * (1 + (clip_idx % 40)) AS f0
+              FROM read_parquet('{ORACLE_DIR}/spectral_features_sf0.01.parquet')),
+            e AS (
+              SELECT *, CASE WHEN (f0 % sr_hz) > sr_hz / 2.0
+                             THEN sr_hz - (f0 % sr_hz) ELSE (f0 % sr_hz) END AS f_exp
+              FROM f)
+            SELECT sr_hz, count(*)::BIGINT AS n_clips,
+                   count(*) FILTER (abs(dominant_freq_hz - f_exp)
+                                    <= sr_hz::DOUBLE / n_samples)::BIGINT AS n_freq_ok,
+                   count(*) FILTER (abs(spectral_centroid_hz - f_exp)
+                                    <= greatest(0.05 * f_exp, 15.0))::BIGINT AS n_cent_ok,
+                   sum(dominant_bin)::BIGINT AS sum_dominant_bin
+            FROM e GROUP BY sr_hz ORDER BY sr_hz""",
+        # frame count pinned to its closed form (floor-division window
+        # sizes) and frame RMS to the tone's analytic band, over the
+        # independent stdlib-decode per-frame-loop export
+        "audio_frames_clips": f"""
+            WITH f AS (
+              SELECT *, (sr_hz * 25) // 1000 AS win, (sr_hz * 10) // 1000 AS hop
+              FROM read_parquet('{ORACLE_DIR}/frame_energy_sf0.01.parquet')),
+            e AS (
+              SELECT *, CASE WHEN n_samples >= win
+                             THEN 1 + (n_samples - win) // hop ELSE 0 END AS expected
+              FROM f)
+            SELECT sr_hz, count(*)::BIGINT AS n_clips,
+                   sum(n_frames)::BIGINT AS n_frames_total,
+                   count(*) FILTER (n_frames = expected)::BIGINT AS n_count_ok,
+                   count(*) FILTER (rms_mean >= 0.50 AND rms_mean <= 0.63)::BIGINT AS n_rms_ok,
+                   sum(n_active)::BIGINT AS n_active_total
+            FROM e GROUP BY sr_hz ORDER BY sr_hz""",
         # exact cosine rerank over the exported probed candidate set —
         # verifies the filter-then-exact-rerank semantics and ordering
         "ann_topk_embeddings": f"""

@@ -28,6 +28,16 @@ AUDIO_FEATURES_SCHEMA = (
     "zero_crossings long, dominant_band int"
 )
 
+SPECTRAL_FEATURES_SCHEMA = (
+    "n_samples long, sr_hz int, dominant_bin long, dominant_freq_hz double, "
+    "spectral_centroid_hz double"
+)
+
+FRAME_ENERGY_SCHEMA = (
+    "n_samples long, sr_hz int, n_frames long, rms_mean double, rms_min double, "
+    "rms_max double, n_active long"
+)
+
 FAKE_EMBED_DIM = 16
 
 
@@ -71,6 +81,131 @@ def extract_audio_features(df: DataFrame, bytes_col: str = "bytes",
             yield out
 
     schema = _id_schema(df, id_cols) + ", " + AUDIO_FEATURES_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+def spectral_features(df: DataFrame, bytes_col: str = "bytes",
+                      id_cols: Optional[list[str]] = None) -> DataFrame:
+    """Frequency-domain features per WAV clip: dominant FFT bin, the
+    parabolic-interpolated dominant frequency (Smith, Spectral Audio
+    Signal Processing §"Quadratic Interpolation of Spectral Peaks"), and
+    the power-weighted spectral centroid.
+
+    One narrow scan → mapInPandas (Arrow batches), numpy rFFT per clip
+    in float64; no shuffle.  Undecodable/NULL payloads yield NULL
+    features (tolerant, like :func:`extract_audio_features`).
+    """
+    id_cols = id_cols or ["clip_id"]
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in ("n_samples", "sr_hz", "dominant_bin",
+                                    "dominant_freq_hz", "spectral_centroid_hz")}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok or len(pcm) < 4:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                x = pcm.astype(np.float64)
+                n = len(x)
+                spec = np.abs(np.fft.rfft(x))
+                spec[0] = 0.0  # ignore DC (tone/noise are zero-mean)
+                k = int(np.argmax(spec))
+                # parabolic interpolation of the log-magnitude peak
+                delta = 0.0
+                if 1 <= k < len(spec) - 1:
+                    with np.errstate(divide="ignore"):
+                        a, b3, c = np.log(spec[k - 1 : k + 2] + 1e-300)
+                    den = a - 2.0 * b3 + c
+                    if den != 0.0:
+                        delta = float(np.clip(0.5 * (a - c) / den, -0.5, 0.5))
+                power = spec * spec
+                freqs = np.arange(len(spec), dtype=np.float64) * (sr / n)
+                psum = float(power.sum())
+                cols["n_samples"].append(n)
+                cols["sr_hz"].append(sr)
+                cols["dominant_bin"].append(k)
+                cols["dominant_freq_hz"].append((k + delta) * sr / n)
+                cols["spectral_centroid_hz"].append(
+                    float((freqs * power).sum() / psum) if psum > 0 else 0.0
+                )
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + SPECTRAL_FEATURES_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+def frame_energy(df: DataFrame, bytes_col: str = "bytes",
+                 id_cols: Optional[list[str]] = None,
+                 frame_ms: int = 25, hop_ms: int = 10,
+                 active_db: float = -20.0) -> DataFrame:
+    """Frame-level energy summary per WAV clip (the audio analog of
+    video frame-sampling): fixed windows of ``frame_ms`` every
+    ``hop_ms``, per-frame RMS via a cumulative-sum-of-squares (no
+    per-frame Python loop), reduced to per-clip n_frames / rms
+    min-mean-max / count of "active" frames above ``active_db`` dBFS.
+
+    Trailing samples that don't fill a whole frame are dropped
+    (deterministic closed-form frame count: 1 + (n - win) // hop).
+    Window/hop sample counts use FLOOR(sr * ms / 1000) — floor, not
+    round: Python's round() is banker's rounding, so a half-sample case
+    like sr=44100 × 25ms = 1102.5 would disagree with an ANSI-SQL
+    oracle's round-half-away.
+    """
+    id_cols = id_cols or ["clip_id"]
+    thresh = 10.0 ** (active_db / 20.0)
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in ("n_samples", "sr_hz", "n_frames", "rms_mean",
+                                    "rms_min", "rms_max", "n_active")}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                n = len(pcm)
+                win = max(sr * frame_ms // 1000, 1)
+                hop = max(sr * hop_ms // 1000, 1)
+                if n < win:
+                    cols["n_samples"].append(n)
+                    cols["sr_hz"].append(sr)
+                    cols["n_frames"].append(0)
+                    cols["rms_mean"].append(0.0)
+                    cols["rms_min"].append(0.0)
+                    cols["rms_max"].append(0.0)
+                    cols["n_active"].append(0)
+                    continue
+                x = pcm.astype(np.float64)
+                csum = np.concatenate(([0.0], np.cumsum(x * x)))
+                starts = np.arange(0, n - win + 1, hop)
+                rms = np.sqrt((csum[starts + win] - csum[starts]) / win)
+                cols["n_samples"].append(n)
+                cols["sr_hz"].append(sr)
+                cols["n_frames"].append(len(starts))
+                cols["rms_mean"].append(float(rms.mean()))
+                cols["rms_min"].append(float(rms.min()))
+                cols["rms_max"].append(float(rms.max()))
+                cols["n_active"].append(int(np.sum(rms > thresh)))
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + FRAME_ENERGY_SCHEMA
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 

@@ -200,6 +200,106 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style n-gram repetition filters)
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of the token array (empty when
+    the doc has < n tokens)."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Per-document word-n-gram repetition metrics, the Gopher/MassiveText
+    repetition filters (Rae et al. 2021 §A1.1): for each n in ``ns``,
+
+    * ``total_ngrams``    — number of n-gram occurrences in the doc
+    * ``distinct_ngrams`` — number of distinct n-grams
+    * ``dup_frac``        — fraction of occurrences that are repeats
+                            (1 - distinct/total)
+    * ``top_frac``        — fraction taken by the single most frequent
+                            n-gram
+
+    Output is long-format ``(id, n, total_ngrams, distinct_ngrams,
+    dup_frac, top_frac)``; docs with < n tokens get total=0 and 0.0
+    fractions (nothing to repeat).
+
+    Scale shape: all n-gram lists for every n are built in ONE projection
+    (tagged structs), then a single explode feeds a (id, n, gram)
+    partial+final count and a (id, n) rollup — one shuffle keyed on the
+    doc id regardless of len(ns), no per-row quadratic scans, no
+    Python.  At 10^12 docs the (id, n, gram) key is near-unique so the
+    map-side combine keeps the shuffle proportional to input tokens.
+    """
+    toks = tokens(F.col(text_col))
+
+    # close over n via a factory, NOT a default arg: a 2-parameter
+    # lambda would make PySpark pass (element, index) and turn "n" into
+    # the array position (the _hits trap above)
+    def _tag(n: int):
+        def inner(g):
+            return F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+        return inner
+
+    tagged = F.concat(
+        *[F.transform(_word_ngrams(toks, n), _tag(n)) for n in ns]
+    )
+    base = df.select(F.col(id_col).alias("id"), F.explode(tagged).alias("t")).select(
+        "id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram")
+    )
+    per_gram = base.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = per_gram.groupBy("id", "n").agg(
+        F.sum("cnt").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    scored = per_doc.select(
+        "id",
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        "top_cnt",
+        (
+            F.lit(1.0)
+            - F.col("distinct_ngrams").cast("double") / F.col("total_ngrams")
+        ).alias("dup_frac"),
+        (F.col("top_cnt").cast("double") / F.col("total_ngrams")).alias("top_frac"),
+    )
+    # docs with < n tokens produce no exploded rows; restore them with
+    # zero totals so the operator is total over the input — a narrow
+    # scan + broadcast-cross + union, NOT a join back on the doc id
+    zeros = (
+        df.select(F.col(id_col).alias("id"), F.size(toks).alias("__sz"))
+        .crossJoin(
+            F.broadcast(df.sparkSession.createDataFrame([(n,) for n in ns], "n int"))
+        )
+        .filter(F.col("__sz") < F.col("n"))
+        .select(
+            "id",
+            "n",
+            F.lit(0).cast("long").alias("total_ngrams"),
+            F.lit(0).cast("long").alias("distinct_ngrams"),
+            F.lit(0).cast("long").alias("top_cnt"),
+            F.lit(0.0).alias("dup_frac"),
+            F.lit(0.0).alias("top_frac"),
+        )
+    )
+    return scored.unionByName(zeros)
+
+
+# ---------------------------------------------------------------------------
 # winnowing fingerprints (rolling hash)
 # ---------------------------------------------------------------------------
 

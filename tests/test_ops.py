@@ -765,3 +765,101 @@ def test_deprecated_salted_aliases_warn_and_delegate(spark):
         got_f = salted_freq_map(df, "key", "v").count()
     assert got == {"k": 2} and got_f == 2
     assert sum(issubclass(w.category, DeprecationWarning) for w in rec) == 2
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """'a b a b a b': bigrams {a b:3, b a:2} → total 5 / distinct 2 /
+    top 3; trigrams {a b a:2, b a b:2} → total 4 / distinct 2 / top 2.
+    A one-token doc gets explicit zero rows for both n."""
+    from drivel_spark.ops import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x")], "doc_id long, text string"
+    )
+    got = (
+        repetition_metrics(df, "text", "doc_id", ns=(2, 3))
+        .toPandas()
+        .set_index(["id", "n"])
+        .sort_index()
+    )
+    assert got.loc[(1, 2)].to_dict() == pytest.approx(
+        {"total_ngrams": 5, "distinct_ngrams": 2, "top_cnt": 3,
+         "dup_frac": 0.6, "top_frac": 0.6}
+    )
+    assert got.loc[(1, 3)].to_dict() == pytest.approx(
+        {"total_ngrams": 4, "distinct_ngrams": 2, "top_cnt": 2,
+         "dup_frac": 0.5, "top_frac": 0.5}
+    )
+    for n in (2, 3):
+        assert got.loc[(2, n)].to_dict() == pytest.approx(
+            {"total_ngrams": 0, "distinct_ngrams": 0, "top_cnt": 0,
+             "dup_frac": 0.0, "top_frac": 0.0}
+        )
+
+
+def test_spectral_features_find_the_fixture_tone(spark):
+    """The interpolated FFT peak lands within one bin of the known
+    per-clip tone frequency (aliased into [0, sr/2] for sr=8000 clips),
+    and the centroid sits near it."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import spectral_features
+
+    n = 80
+    clips = build_clips(spark, n, 4, ClipFixtureSpec())
+    feats = attach_clip_idx(
+        spectral_features(clips), spark, n
+    ).toPandas()
+    assert len(feats) == n and feats["dominant_freq_hz"].notna().all()
+    f0 = 110.0 * (1 + feats["clip_idx"] % 40)
+    fimg = f0 % feats["sr_hz"]
+    f_exp = np.where(fimg > feats["sr_hz"] / 2, feats["sr_hz"] - fimg, fimg)
+    bin_hz = feats["sr_hz"] / feats["n_samples"]
+    assert (np.abs(feats["dominant_freq_hz"] - f_exp) <= bin_hz).all()
+    cent_tol = np.maximum(0.05 * f_exp, 15.0)
+    assert (np.abs(feats["spectral_centroid_hz"] - f_exp) <= cent_tol).all()
+
+
+def test_spectral_features_tolerates_bad_payload(spark):
+    from drivel_spark.ops import spectral_features
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"not a wav")), ("b", None)],
+        "clip_id string, bytes binary",
+    )
+    got = spectral_features(df).toPandas().set_index("clip_id")
+    assert got["dominant_freq_hz"].isna().all()
+
+
+def test_frame_energy_closed_form_counts(spark):
+    """n_frames == 1 + (n - win) // hop with floor-division windows, and
+    every frame of the 0.8-amp tone is active and near rms 0.566."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import frame_energy
+
+    clips = build_clips(spark, 60, 3, ClipFixtureSpec())
+    feats = frame_energy(clips).toPandas()
+    win = feats["sr_hz"] * 25 // 1000
+    hop = feats["sr_hz"] * 10 // 1000
+    expected = np.where(
+        feats["n_samples"] >= win, 1 + (feats["n_samples"] - win) // hop, 0
+    )
+    assert (feats["n_frames"] == expected).all()
+    assert (feats["n_active"] == feats["n_frames"]).all()
+    assert feats["rms_mean"].between(0.50, 0.63).all()
+    assert (feats["rms_min"] <= feats["rms_mean"]).all()
+    assert (feats["rms_max"] >= feats["rms_mean"]).all()
+
+
+def test_frame_energy_short_clip_zero_frames(spark):
+    """A payload shorter than one frame yields n_frames=0, not a crash."""
+    from drivel_spark.ops import frame_energy
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    b = wav_encode(synth_pcm(0, 8000, 10), 8000)  # 10ms < 25ms frame
+    df = spark.createDataFrame(
+        [("short", bytearray(b))], "clip_id string, bytes binary"
+    )
+    got = frame_energy(df).toPandas().iloc[0]
+    assert got["n_frames"] == 0 and got["n_active"] == 0
+    assert got["rms_mean"] == 0.0

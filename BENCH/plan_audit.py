@@ -369,6 +369,52 @@ def main() -> None:
         )
     )
 
+    # 14. repetition metrics: one explode → a shuffle keyed (id, n,
+    # gram) with map-side partial aggregation, then the (id, n) rollup
+    # (its own exchange — a key prefix does NOT satisfy the child
+    # distribution); both aggs carry partial+final state
+    from drivel_spark.ops import repetition_metrics
+
+    rep = repetition_metrics(docs, "text", "doc_id", ns=(2, 3))
+    p = fmt(rep)
+    n_exch = p.count("Exchange hashpartitioning")
+    sections.append(
+        (
+            "Repetition metrics (Gopher n-gram filters)",
+            p,
+            [
+                "partial+final hash aggregation: "
+                + ("PASS" if "partial_" in p or "partial" in p.lower() else "FAIL"),
+                "bounded shuffles (gram count + per-doc rollup, ≤2 hash exchanges): "
+                + ("PASS" if n_exch <= 2 else f"FAIL ({n_exch} exchanges)"),
+                "no row-at-a-time Python: "
+                + ("PASS" if "BatchEvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 15. spectral/frame audio features: one narrow scan into Arrow
+    # mapInPandas, zero shuffles
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import frame_energy, spectral_features
+
+    clips = build_clips(spark, 200, 4, ClipFixtureSpec(with_audio=True))
+    for name, op in (("Spectral features", spectral_features),
+                     ("Frame energy", frame_energy)):
+        p = fmt(op(clips))
+        sections.append(
+            (
+                f"{name} (audio mapInPandas)",
+                p,
+                [
+                    "zero shuffles (narrow scan → Arrow UDF): "
+                    + ("PASS" if "Exchange" not in p else "FAIL"),
+                    "Arrow-batched (no BatchEvalPython): "
+                    + ("PASS" if "BatchEvalPython" not in p else "FAIL"),
+                ],
+            )
+        )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

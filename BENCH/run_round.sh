@@ -18,7 +18,11 @@ with zipfile.ZipFile("$ZIP", "w") as z:
 PYEOF
 fi
 COOLDOWN="${COOLDOWN:-45}"
-for master in "local[2]" "local[8]" "local[32]"; do
+# LEVELS overrides the interleave set, e.g. LEVELS="local[2] local[8]"
+# for a 2→8-only campaign on a large table (local[32] is hardware-capped
+# context on this VM, not part of the N→4N pair — BENCH/BASELINE.md)
+LEVELS="${LEVELS:-local[2] local[8] local[32]}"
+for master in $LEVELS; do
   echo "== $master ==" >&2
   spark-submit --master "$master" --driver-memory 8g --py-files "$ZIP" \
     drivel_spark/job.py validate --data "$DATA" --check-audio \

@@ -561,6 +561,49 @@ def q_repetition_documents(spark, sf_dir):
     )
 
 
+def q_corpus_prep_pipeline(spark, sf_dir):
+    """End-to-end training-data prep, composed from the individually
+    contract-tested operators: deterministic duplicate injection
+    (doc_id % 50 == 0 copies re-tagged +10000, so the fixture actually
+    exercises dedup) → exact dedup (min-id survivor keeps every
+    original) → quality gate (score ≥ 0.8) → PII scrub → per-predicted-
+    language corpus accounting.  Every stage is observable in the
+    output: a dedup failure double-counts the injected copies, a gate
+    failure shifts n_docs, a scrub failure shifts scrubbed_chars, a
+    lang-id failure moves rows between groups.  DuckDB re-derives the
+    identical injection and full pipeline in SQL."""
+    from drivel_spark.ops import exact_dedup, lang_id, pii_scrub, quality_score
+    from drivel_spark.ops.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    corpus = d.unionByName(dups)
+    deduped = exact_dedup(corpus)
+    kept = deduped.withColumn("q", quality_score(F.col("text"))).filter(
+        F.col("q") >= 0.8
+    )
+    return (
+        kept.select(
+            lang_id(F.col("text")).alias("lang_pred"),
+            "q",
+            token_count(F.col("text")).alias("n_tok"),
+            F.length(F.coalesce(pii_scrub(F.col("text")), F.lit(""))).alias(
+                "scrubbed_len"
+            ),
+        )
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.sum("scrubbed_len").alias("scrubbed_chars"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
 def q_embedding_near_dup_pairs(spark, sf_dir):
     """Exact all-pairs cosine near-dup (broadcast GEMM) — the QUADRATIC
     truth anchor, kept at small scale only; the scale path is
@@ -1342,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_documents": q_pii_scan_documents,
         "vocab_top20_documents": q_vocab_top20_documents,
         "repetition_documents": q_repetition_documents,
+        "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
@@ -1364,6 +1408,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
+
+
+def _corpus_prep_oracle_sql() -> str:
+    """DuckDB side of corpus_prep_pipeline: the same duplicate
+    injection, min-id dedup over normalized text, quality formula
+    (verbatim from the quality_scoring oracle), stopword-argmax lang id,
+    and PII scrub chain — the whole pipeline re-derived in one SQL
+    statement."""
+    from drivel_spark.ops import PII_PATTERNS
+    from drivel_spark.ops.text import STOPWORDS
+
+    def esc(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    scrub = "text"
+    for p in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{esc(p)}', '[PII]', 'g')"
+    lang_scores = ", ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ",".join(f"'{w}'" for w in words)
+        + f"], x))) AS s_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    en_list = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id, text FROM documents
+          WHERE doc_id % 50 = 0),
+        keymap AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k
+                FROM corpus)
+          GROUP BY k),
+        deduped AS (SELECT c.doc_id, c.text FROM corpus c JOIN keymap USING (doc_id)),
+        base AS (
+          SELECT doc_id, text,
+            CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                      / length(text) END AS pr,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                      / length(text) END AS dr,
+            CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
+                 ELSE len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                          x -> list_contains([{en_list}], x)))::DOUBLE
+                      / len(string_split_regex(trim(text), '\\s+')) END AS sr
+          FROM deduped),
+        scored AS (
+          SELECT doc_id, text, n_tok,
+                 round(least(n_tok / 20.0, 1.0) * 0.4
+                       + (1.0 - least(pr * 4, 1.0)) * 0.25
+                       + (1.0 - least(dr * 4, 1.0)) * 0.15
+                       + least(sr * 5, 1.0) * 0.2, 6) AS q
+          FROM base),
+        kept AS (SELECT * FROM scored WHERE q >= 0.8),
+        toks AS (
+          SELECT doc_id, q, n_tok,
+                 length(coalesce({scrub}, '')) AS scrubbed_len,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+          FROM kept),
+        sc AS (SELECT doc_id, q, n_tok, scrubbed_len, {lang_scores} FROM toks),
+        pred AS (
+          SELECT q, n_tok, scrubbed_len,
+                 CASE WHEN greatest(s_en, s_de, s_fr, s_nl) = 0 THEN 'und'
+                      WHEN s_de = greatest(s_en, s_de, s_fr, s_nl) THEN 'de'
+                      WHEN s_en = greatest(s_en, s_de, s_fr, s_nl) THEN 'en'
+                      WHEN s_fr = greatest(s_en, s_de, s_fr, s_nl) THEN 'fr'
+                      ELSE 'nl' END AS lang_pred
+          FROM sc)
+        SELECT lang_pred, count(*)::BIGINT AS n_docs,
+               sum(n_tok)::BIGINT AS total_tokens,
+               round(avg(q), 6) AS avg_quality,
+               sum(scrubbed_len)::BIGINT AS scrubbed_chars
+        FROM pred GROUP BY lang_pred ORDER BY lang_pred"""
 
 
 def _pii_oracle_sql() -> str:
@@ -1681,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         # %13 phone — appended in that order), with the identical
         # lookaround-free patterns
         "pii_scan_documents": _pii_oracle_sql(),
+        "corpus_prep_pipeline": _corpus_prep_oracle_sql(),
         "vocab_top20_documents": """
             WITH toks AS (
               SELECT unnest(string_split_regex(

@@ -83,6 +83,8 @@ lines = [
     "|---|---|---|---|",
 ]
 for m in ("local[2]", "local[8]", "local[32]"):
+    if m not in seq:
+        continue  # large-table campaigns interleave only the N→4N pair
     walls = ", ".join(f"{r['wall_s']:.1f}" for r in seq[m])
     lines.append(f"| {m} | {walls} | {thr(m,'median'):.1f} | {thr(m,'best'):.1f} |")
 
@@ -141,16 +143,38 @@ if cur_med is not None:
             else ""
         ),
     ]
-lines += [
-    "- hardware ceiling for 2->8 on this VM (sustained-load calibration,",
-    "  BENCH/cpu_ceiling.py): ~0.86 for pure-CPU work — the paired median",
-    "  sits at ~0.98 of that ceiling.",
+try:
+    _ceil = json.load(open(os.path.join(HERE, "cpu_ceiling_r03.json")))
+    _ceil_line = (
+        f"- same-day hardware context (BENCH/cpu_ceiling_paired.py, "
+        f"{_ceil['rounds']} paired rounds): pure-CPU 2->8 per-core ratio "
+        f"median {_ceil['median']:.2f}, spread "
+        f"[{_ceil['min']:.2f}, {_ceil['max']:.2f}] — the box shows no"
+    )
+    lines_ceiling = [
+        _ceil_line,
+        "  per-core throttle penalty from 2->8 busy cores, but aggregate",
+        "  noise waves swing even identical back-to-back probes by the",
+        "  published spread; r02's sustained one-shot calibration read",
+        "  ~0.86 under that day's load (BENCH/cpu_ceiling.py).",
+    ]
+except FileNotFoundError:
+    lines_ceiling = [
+        "- hardware ceiling for 2->8 on this VM (sustained-load calibration,",
+        "  BENCH/cpu_ceiling.py): ~0.86 for pure-CPU work.",
+    ]
+lines += lines_ceiling + [
     "",
-    "The box is shared: wall times vary up to 1.6x in waves that hit",
-    "high-core levels disproportionately (a 30-core-idle local[2] run is",
-    "nearly immune to neighbors).  Levels therefore run interleaved per",
-    "round with cooldown, and the per-round paired numbers are the",
-    "apples-to-apples reading.",
+    "The box is shared: wall times vary in waves — up to 1.6x run-to-run",
+    "during the r02 campaign, up to 2.7x between back-to-back identical",
+    "runs during r03.  Mitigations, in order of leverage: (1) the",
+    "protocol table is sized so every run is long enough to integrate",
+    "over multiple waves (the r02 10-round campaign's weakness was",
+    "~55s local[8] walls sitting inside single waves); (2) levels run",
+    "interleaved per round, alternating which level goes first (ABBA)",
+    "so cache warmth and intra-round wave trends cancel; (3) the",
+    "per-round paired values are the apples-to-apples reading and the",
+    "median over rounds is the headline.",
 ]
 if abl_ns:
     lines += [
@@ -158,11 +182,14 @@ if abl_ns:
         "## Smaller-table ablation",
         "",
         f"Campaign(s) on {', '.join(f'{n:,}' for n in abl_ns)}-clip tables are",
-        "retained in the log: an Amdahl fit to the best-of walls shows the",
-        "fixed per-job cost (~15s: session + planning + python-worker",
-        "spin-up) is ~12% of a small table's local[2] wall vs ~2% at the",
-        "protocol size, which alone depresses apparent efficiency — the",
-        "quantified reason the protocol table is the large one.",
+        "retained in the log: an Amdahl fit to the best-of walls shows a",
+        "fixed per-job cost of ~15-18s (planning + python-worker spin-up +",
+        "first-scan warmup) that a 4N-core run cannot parallelize — at 96k",
+        "clips it is ~12% of the local[2] wall, at 192k ~9% of the",
+        "local[8] wall (capping 2->8 efficiency at ~0.77 even with perfect",
+        "parallel scaling), and at the protocol size it shrinks enough to",
+        "lift the cap above 0.9 — the quantified reason the protocol",
+        "table is the large one.",
     ]
 lines += [
     "",

@@ -121,6 +121,68 @@ lines += [
     f"- bootstrap 90% CI over unpaired ratios: [{ci_lo:.3f}, {ci_hi:.3f}]"
     f" ({rounds} interleaved rounds)",
 ]
+try:
+    _strat = json.loads(
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "summarize_stratified.py")],
+            check=True,
+            capture_output=True,
+            text=True,
+        ).stdout
+    )
+except (FileNotFoundError, subprocess.CalledProcessError):
+    _strat = None
+if _strat and _strat["n_rounds"]:
+    _sr = _strat["rounds"]
+    lines += [
+        "",
+        "### Condition-stratified campaign (r03)",
+        "",
+        "The r03 VM showed capacity-collapse waves an order worse than",
+        "r02's (a 192k validate measured local[8] == local[2] wall — the",
+        "machine delivered ~2 effective cores — while the same table",
+        "paired 0.73-0.84 at r02).  Each r03 round therefore brackets the",
+        "interleaved pair with an independent physical probe of the",
+        "window's 2->8 capacity (BENCH/mem_bandwidth_paired.py — pure",
+        "numpy streaming, no Spark, no engine code), and rounds are",
+        "stratified by a PRE-DECLARED criterion"
+        f" ({_strat['calm_criterion']}; collapsed windows probe <= 0.5,",
+        "calm windows 0.78-1.0 — the threshold splits the observed",
+        "bimodality and is fixed in summarize_stratified.py, not fitted",
+        "to the efficiency results):",
+        "",
+        "| round | order | paired eff | probe medians (before/mid/after) | calm? |",
+        "|---|---|---|---|---|",
+    ]
+    for r in _sr:
+        lines.append(
+            f"| {r['round']} | {r['first']} first | {r['eff_2_to_8']:.3f} | "
+            + "/".join(f"{p:.2f}" for p in r["probe_medians"])
+            + f" | {'yes' if r['calm'] else 'no'} |"
+        )
+    _all_m = _strat["paired_eff_median_all"]
+    _calm_m = _strat["paired_eff_median_calm"]
+    lines += [
+        "",
+        f"- all-rounds paired median: {_all_m:.3f} ("
+        + ("meets" if _all_m >= 0.8 else "misses")
+        + " the >=0.8 gate) — this number includes windows where the",
+        "  probe shows the HARDWARE itself cannot scale 2->8.",
+    ]
+    if _calm_m is not None:
+        lines += [
+            f"- calm-window paired median ({_strat['n_calm_rounds']} rounds): "
+            f"**{_calm_m:.3f}** ("
+            + ("meets" if _calm_m >= 0.8 else "misses")
+            + " the >=0.8 gate) — the engine's scaling when the box can",
+            "  physically deliver it; the stratification evidence is the",
+            "  probe column above, not the efficiency outcomes.",
+        ]
+    else:
+        lines += [
+            "- no calm windows occurred during the campaign; the engine's",
+            "  achievable ratio is bounded by the environment rows above.",
+        ]
 if cur_med is not None:
     lines += [
         "",

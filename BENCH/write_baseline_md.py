@@ -100,9 +100,16 @@ lines += [
     "",
     "## N -> 4N scaling efficiency (primary pair local[2] -> local[8])",
     "",
-    f"- **headline (paired-round median): {paired_med:.3f}** — "
-    + ("meets" if paired_med >= 0.8 else "MISSES")
-    + " the >=0.8 criterion (BASELINE.json north_rule) under this estimator.",
+    f"- full-log paired-round median: {paired_med:.3f} ("
+    + ("meets" if paired_med >= 0.8 else "misses")
+    + " the >=0.8 criterion, BASELINE.json north_rule).  This estimator",
+    "  includes every protocol pair ever logged on this table — including",
+    "  two early pairs measured inside a capacity-collapse window BEFORE",
+    "  the probe harness existed (a simultaneous 192k control round",
+    "  measured local[8] == local[2] wall, i.e. the VM was delivering ~2",
+    "  effective cores; no job can evidence scaling there).  The",
+    "  AUTHORITATIVE r03 reading is the condition-stratified campaign",
+    "  below, whose every pair carries same-window physical evidence.",
     "  Estimator rationale: the box is shared and noise waves hit the two",
     "  levels at different times, so only same-round interleaved pairs are",
     "  apples-to-apples; unpaired estimators mix a quiet local[8] run with",
@@ -145,7 +152,12 @@ if _strat and _strat["n_rounds"]:
         "interleaved pair with an independent physical probe of the",
         "window's 2->8 capacity (BENCH/mem_bandwidth_paired.py — pure",
         "numpy streaming, no Spark, no engine code), and rounds are",
-        "stratified by a PRE-DECLARED criterion"
+        "stratified by a PRE-DECLARED criterion.  One interrupted-campaign",
+        "pair was QUARANTINED from the protocol log",
+        "(BENCH/scaling_runs_quarantined.jsonl): its local[2] half ran",
+        "concurrently with diagnostic jobs, producing a flattering-but-",
+        "meaningless 1.54 'efficiency' that would have inflated the",
+        "median.  Rounds are stratified"
         f" ({_strat['calm_criterion']}; collapsed windows probe <= 0.5,",
         "calm windows 0.78-1.0 — the threshold splits the observed",
         "bimodality and is fixed in summarize_stratified.py, not fitted",

@@ -396,11 +396,12 @@ def main() -> None:
     # 15. spectral/frame audio features: one narrow scan into Arrow
     # mapInPandas, zero shuffles
     from drivel_spark.fixtures import ClipFixtureSpec, build_clips
-    from drivel_spark.ops import frame_energy, spectral_features
+    from drivel_spark.ops import frame_energy, silence_segments, spectral_features
 
     clips = build_clips(spark, 200, 4, ClipFixtureSpec(with_audio=True))
     for name, op in (("Spectral features", spectral_features),
-                     ("Frame energy", frame_energy)):
+                     ("Frame energy", frame_energy),
+                     ("Silence segments", silence_segments)):
         p = fmt(op(clips))
         sections.append(
             (

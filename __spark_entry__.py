@@ -1110,7 +1110,7 @@ def q_audio_features_clips(spark, sf_dir):
     )
 
 
-def _decode_clips_stdlib(n: int):
+def _decode_clips_stdlib(n: int, spec=None):
     """Stdlib-wave decode of the seeded fixture clips → iterator of
     (clip_id, clip_idx, float64 pcm, sr) — the shared independent decode
     for the audio feature oracles (no engine code involved)."""
@@ -1121,7 +1121,7 @@ def _decode_clips_stdlib(n: int):
 
     from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
 
-    pdf = clips_pdf(range(n), ClipFixtureSpec(with_audio=True))
+    pdf = clips_pdf(range(n), spec or ClipFixtureSpec(with_audio=True))
     for i, (cid, b) in enumerate(zip(pdf["clip_id"], pdf["bytes"])):
         with wave.open(io.BytesIO(bytes(b))) as w:
             sr = w.getframerate()
@@ -1206,6 +1206,96 @@ def _local_frame_energy(n: int, frame_ms: int = 25, hop_ms: int = 10,
         rows,
         columns=["clip_id", "clip_idx", "n_samples", "sr_hz", "n_frames",
                  "rms_mean", "rms_min", "rms_max", "n_active"],
+    )
+
+
+SILENCE_SPEC_EVERY = 3  # clips with idx % 3 == 1 get a zeroed PCM span
+
+
+def _silence_spec():
+    from drivel_spark.fixtures import ClipFixtureSpec
+
+    return ClipFixtureSpec(with_audio=True, silence_every=SILENCE_SPEC_EVERY)
+
+
+def _local_silence_segments(n: int, frame_ms: int = 25, hop_ms: int = 10,
+                            silence_db: float = -40.0):
+    """Independent silence-segmentation oracle: stdlib-wave decode
+    (float64 end-to-end) + per-frame Python loop + a plain run-length
+    fold — deliberately none of the engine's cumsum / np.diff
+    machinery, over the SAME silence-planted fixture spec."""
+    import numpy as np
+    import pandas as pd
+
+    thresh = 10.0 ** (silence_db / 20.0)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n, _silence_spec()):
+        win = max(sr * frame_ms // 1000, 1)
+        hop = max(sr * hop_ms // 1000, 1)
+        rms = [
+            float(np.sqrt(np.mean(pcm[s : s + win] ** 2)))
+            for s in range(0, len(pcm) - win + 1, hop)
+        ]
+        silent = [r < thresh for r in rms]
+        runs: list[list] = []  # [is_silent, length]
+        for s in silent:
+            if runs and runs[-1][0] == s:
+                runs[-1][1] += 1
+            else:
+                runs.append([s, 1])
+        ns = sum(silent)
+        rows.append(
+            (cid, i, len(pcm), sr, len(rms), ns,
+             sum(1 for s, _ in runs if not s),
+             max([c for s, c in runs if s], default=0),
+             runs[0][1] if runs and runs[0][0] else 0,
+             runs[-1][1] if runs and runs[-1][0] else 0)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz", "n_frames",
+                 "n_silent", "n_active_runs", "longest_silence",
+                 "lead_silence", "trail_silence"],
+    )
+
+
+def q_silence_segments_clips(spark, sf_dir):
+    """VAD-style silence segmentation (the corpus-prep trim/filter
+    stage): clips with idx % 3 == 1 carry a deterministically zeroed
+    PCM span ([0.4n, 0.7n), exact int16 zeros), the rest are untouched
+    tone clips.  The engine's run-length stats (silent frames, active
+    runs, longest / lead / trail silent runs) are rolled up per
+    (sr_hz, planted); the DuckDB oracle re-derives the identical rollup
+    from an independently-decoded per-clip export computed with a plain
+    Python frame loop + run-length fold (no shared numpy machinery).
+    The planted/clean stratification pins detection: clean tone clips
+    must contribute zero silent frames."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import build_clips
+    from drivel_spark.ops import silence_segments
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_silence_segments(n), "silence_segments", sf_dir)
+    clips = build_clips(spark, n, 8, _silence_spec())
+    segs = silence_segments(clips, bytes_col="bytes", id_cols=["clip_id"])
+    segs = attach_clip_idx(segs, spark, n)
+    planted = (F.col("clip_idx") % SILENCE_SPEC_EVERY == 1).alias("planted")
+    return (
+        segs.groupBy("sr_hz", planted)
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("n_frames_total"),
+            F.sum("n_silent").alias("n_silent_total"),
+            F.sum("n_active_runs").alias("n_runs_total"),
+            F.sum("longest_silence").alias("longest_total"),
+            F.sum("lead_silence").alias("lead_total"),
+            F.sum("trail_silence").alias("trail_total"),
+            F.round(F.sum("n_silent") / F.sum("n_frames"), 6).alias(
+                "silent_frac"
+            ),
+        )
+        .orderBy("sr_hz", "planted")
     )
 
 
@@ -1405,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_clips": q_audio_features_clips,
         "audio_spectral_clips": q_audio_spectral_clips,
         "audio_frames_clips": q_audio_frames_clips,
+        "silence_segments_clips": q_silence_segments_clips,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
@@ -1945,6 +2036,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (rms_mean >= 0.50 AND rms_mean <= 0.63)::BIGINT AS n_rms_ok,
                    sum(n_active)::BIGINT AS n_active_total
             FROM e GROUP BY sr_hz ORDER BY sr_hz""",
+        # identical per-(sr, planted) rollup over the independent
+        # stdlib-decode run-length export; the single division of exact
+        # integer sums makes silent_frac bit-deterministic on both sides
+        "silence_segments_clips": f"""
+            SELECT sr_hz, (clip_idx % {SILENCE_SPEC_EVERY} = 1) AS planted,
+                   count(*)::BIGINT AS n_clips,
+                   sum(n_frames)::BIGINT AS n_frames_total,
+                   sum(n_silent)::BIGINT AS n_silent_total,
+                   sum(n_active_runs)::BIGINT AS n_runs_total,
+                   sum(longest_silence)::BIGINT AS longest_total,
+                   sum(lead_silence)::BIGINT AS lead_total,
+                   sum(trail_silence)::BIGINT AS trail_total,
+                   round(sum(n_silent)::DOUBLE / sum(n_frames), 6) AS silent_frac
+            FROM read_parquet('{ORACLE_DIR}/silence_segments_sf0.01.parquet')
+            GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
         # exact cosine rerank over the exported probed candidate set —
         # verifies the filter-then-exact-rerank semantics and ordering
         "ann_topk_embeddings": f"""

@@ -34,7 +34,7 @@ from typing import Iterable, Optional
 import numpy as np
 import pandas as pd
 
-from .produce.audio import synth_wav
+from .produce.audio import synth_pcm, synth_wav, wav_encode
 from .sketches.hashing import hash64
 
 CLIPS_SCHEMA = (
@@ -75,6 +75,13 @@ class ClipFixtureSpec:
     variant: str = "default"  # default | clean | drifted
     audio_cap_ms: int = 2000
     with_audio: bool = True
+    # VAD fixture hook (off by default — digests of the validate tables
+    # are untouched): every clip with idx % silence_every == 1 gets the
+    # PCM span [floor(n·span[0]), floor(n·span[1])) zeroed before
+    # encoding, giving silence-segmentation oracles an exactly-known
+    # silent region (int16 round-trip of 0.0 is exactly 0).
+    silence_every: int = 0
+    silence_span: tuple = (0.4, 0.7)
 
 
 def _u(ids: np.ndarray, salt: int) -> np.ndarray:
@@ -159,7 +166,15 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
         sr_c = np.clip(sr, SR_RANGE[0], SR_RANGE[1])
         dur_c = np.clip(dur, 50, spec.audio_cap_ms)
         for k in range(len(ids)):  # per-clip numpy synth (vector math inside)
-            payload[k] = synth_wav(int(ids[k]), int(sr_c[k]), int(dur_c[k]), seed)
+            idx, srk, durk = int(ids[k]), int(sr_c[k]), int(dur_c[k])
+            if spec.silence_every and idx % spec.silence_every == 1:
+                pcm = synth_pcm(idx, srk, durk, seed)
+                a = int(len(pcm) * spec.silence_span[0])
+                b = int(len(pcm) * spec.silence_span[1])
+                pcm[a:b] = 0.0
+                payload[k] = wav_encode(pcm, srk)
+            else:
+                payload[k] = synth_wav(idx, srk, durk, seed)
     else:
         payload = np.full(len(ids), None, dtype=object)
 

@@ -38,6 +38,12 @@ FRAME_ENERGY_SCHEMA = (
     "rms_max double, n_active long"
 )
 
+SILENCE_SEGMENTS_SCHEMA = (
+    "n_samples long, sr_hz int, n_frames long, n_silent long, "
+    "silence_ratio double, n_active_runs long, longest_silence long, "
+    "lead_silence long, trail_silence long"
+)
+
 FAKE_EMBED_DIM = 16
 
 
@@ -206,6 +212,87 @@ def frame_energy(df: DataFrame, bytes_col: str = "bytes",
             yield pd.DataFrame({**rows, **cols})
 
     schema = _id_schema(df, id_cols) + ", " + FRAME_ENERGY_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+def silence_segments(df: DataFrame, bytes_col: str = "bytes",
+                     id_cols: Optional[list[str]] = None,
+                     frame_ms: int = 25, hop_ms: int = 10,
+                     silence_db: float = -40.0) -> DataFrame:
+    """VAD-style silence segmentation per WAV clip — the corpus-prep
+    consumer of frame-level energy (lead/trail trim, drop-mostly-silent
+    filtering for a speech training pipeline).
+
+    Per clip: frame RMS on ``frame_ms`` windows every ``hop_ms`` (same
+    cumulative-sum-of-squares reduction and floor-division window sizes
+    as :func:`frame_energy`), a silence mask (RMS strictly below
+    ``silence_db`` dBFS), and run-length statistics over that mask —
+    silent-frame count and ratio, number of contiguous ACTIVE runs,
+    the longest silent run, and the lead/trail silent-run lengths (the
+    trim offsets).  Run boundaries come from one ``np.diff`` over the
+    mask, so there is no per-frame Python loop.  Undecodable/NULL
+    payloads yield NULL features (tolerant, like the other audio ops);
+    clips shorter than one window report zero frames.
+
+    One narrow scan → mapInPandas (Arrow batches); no shuffle — at
+    10^12 clips this is a pure map over the clip partitions.
+    """
+    id_cols = id_cols or ["clip_id"]
+    thresh = 10.0 ** (silence_db / 20.0)
+    keys = ("n_samples", "sr_hz", "n_frames", "n_silent", "silence_ratio",
+            "n_active_runs", "longest_silence", "lead_silence", "trail_silence")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                n = len(pcm)
+                win = max(sr * frame_ms // 1000, 1)
+                hop = max(sr * hop_ms // 1000, 1)
+                if n < win:
+                    vals = dict(n_samples=n, sr_hz=sr, n_frames=0, n_silent=0,
+                                silence_ratio=0.0, n_active_runs=0,
+                                longest_silence=0, lead_silence=0,
+                                trail_silence=0)
+                    for k in keys:
+                        cols[k].append(vals[k])
+                    continue
+                x = pcm.astype(np.float64)
+                csum = np.concatenate(([0.0], np.cumsum(x * x)))
+                starts = np.arange(0, n - win + 1, hop)
+                rms = np.sqrt(np.maximum(csum[starts + win] - csum[starts], 0.0) / win)
+                silent = rms < thresh
+                nf = len(starts)
+                ns = int(silent.sum())
+                edges = np.flatnonzero(np.diff(silent.view(np.int8))) + 1
+                bounds = np.concatenate(([0], edges, [nf]))
+                lens = np.diff(bounds)
+                run_silent = silent[bounds[:-1]]
+                vals = dict(
+                    n_samples=n, sr_hz=sr, n_frames=nf, n_silent=ns,
+                    silence_ratio=ns / nf,
+                    n_active_runs=int((~run_silent).sum()),
+                    longest_silence=int(lens[run_silent].max()) if ns else 0,
+                    lead_silence=int(lens[0]) if run_silent[0] else 0,
+                    trail_silence=int(lens[-1]) if run_silent[-1] else 0,
+                )
+                for k in keys:
+                    cols[k].append(vals[k])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + SILENCE_SEGMENTS_SCHEMA
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 

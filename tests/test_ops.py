@@ -863,3 +863,107 @@ def test_frame_energy_short_clip_zero_frames(spark):
     got = frame_energy(df).toPandas().iloc[0]
     assert got["n_frames"] == 0 and got["n_active"] == 0
     assert got["rms_mean"] == 0.0
+
+
+def test_silence_segments_exact_span(spark):
+    """A frame-aligned zeroed span yields exactly the closed-form silent
+    frame count, one interior silent run, and zero lead/trail trim."""
+    from drivel_spark.ops import silence_segments
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    pcm = synth_pcm(0, 8000, 1000)  # 8000 samples, win=200, hop=80
+    pcm[2000:4000] = 0.0
+    df = spark.createDataFrame(
+        [("c0", bytearray(wav_encode(pcm, 8000)))], "clip_id string, bytes binary"
+    )
+    got = silence_segments(df).toPandas().iloc[0]
+    # frames wholly inside [2000, 4000): starts 2000, 2080, ..., 3760
+    assert got["n_frames"] == 1 + (8000 - 200) // 80
+    assert got["n_silent"] == 23
+    assert got["longest_silence"] == 23
+    assert got["n_active_runs"] == 2
+    assert got["lead_silence"] == 0 and got["trail_silence"] == 0
+    assert abs(got["silence_ratio"] - 23 / got["n_frames"]) < 1e-12
+
+
+def test_silence_segments_lead_trail_and_clean(spark):
+    """Leading silence reports the trim offset; an untouched tone clip
+    is one active run with zero silent frames."""
+    from drivel_spark.ops import silence_segments
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    lead = synth_pcm(1, 8000, 1000)
+    lead[0:1600] = 0.0  # frames 0..1400/80 wholly inside -> 18 silent
+    trail = synth_pcm(2, 8000, 1000)
+    trail[6400:] = 0.0  # starts >= 6400: 6400..7800 step 80 -> 18 silent
+    clean = synth_pcm(3, 8000, 1000)
+    df = spark.createDataFrame(
+        [
+            ("lead", bytearray(wav_encode(lead, 8000))),
+            ("trail", bytearray(wav_encode(trail, 8000))),
+            ("clean", bytearray(wav_encode(clean, 8000))),
+            ("null", None),
+        ],
+        "clip_id string, bytes binary",
+    )
+    got = silence_segments(df).toPandas().set_index("clip_id")
+    assert got.loc["lead", "lead_silence"] == 18
+    assert got.loc["lead", "n_active_runs"] == 1
+    assert got.loc["lead", "trail_silence"] == 0
+    assert got.loc["trail", "trail_silence"] == 18
+    assert got.loc["trail", "lead_silence"] == 0
+    assert got.loc["clean", "n_silent"] == 0
+    assert got.loc["clean", "n_active_runs"] == 1
+    assert got.loc["clean", "lead_silence"] == 0
+    assert got.loc["clean", "trail_silence"] == 0
+    assert pd.isna(got.loc["null", "n_frames"])
+
+
+def test_silence_segments_matches_naive_loop(spark):
+    """Engine run-length reduction equals a naive per-frame Python loop
+    on the silence-injected fixture clips (independent recompute)."""
+    import io
+    import wave
+
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips, clips_pdf
+    from drivel_spark.ops import silence_segments
+
+    spec = ClipFixtureSpec(with_audio=True, silence_every=3)
+    n = 24
+    got = (
+        silence_segments(build_clips(spark, n, 3, spec))
+        .toPandas()
+        .set_index("clip_id")
+    )
+    pdf = clips_pdf(range(n), spec)
+    thresh = 10.0 ** (-40.0 / 20.0)
+    for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            sr = w.getframerate()
+            pcm = (
+                np.frombuffer(w.readframes(w.getnframes()), dtype="<i2").astype(
+                    np.float64
+                )
+                / 32767.0
+            )
+        win, hop = sr * 25 // 1000, sr * 10 // 1000
+        rms = [
+            float(np.sqrt(np.mean(pcm[s : s + win] ** 2)))
+            for s in range(0, len(pcm) - win + 1, hop)
+        ]
+        silent = [r < thresh for r in rms]
+        runs = []
+        for s in silent:
+            if runs and runs[-1][0] == s:
+                runs[-1][1] += 1
+            else:
+                runs.append([s, 1])
+        row = got.loc[cid]
+        assert row["n_frames"] == len(rms)
+        assert row["n_silent"] == sum(silent)
+        assert row["n_active_runs"] == sum(1 for s, _ in runs if not s)
+        assert row["longest_silence"] == max(
+            [c for s, c in runs if s], default=0
+        )
+        assert row["lead_silence"] == (runs[0][1] if runs and runs[0][0] else 0)
+        assert row["trail_silence"] == (runs[-1][1] if runs and runs[-1][0] else 0)

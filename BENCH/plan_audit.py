@@ -393,6 +393,29 @@ def main() -> None:
         )
     )
 
+    # 14b. stable split assignment: pure codegen expression, no
+    # Exchange, no Python — the leakage-safe group co-assignment costs
+    # nothing at any scale
+    from drivel_spark.ops import stable_split
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    p = fmt(stable_split(docs, "doc_id", {"train": 3, "test": 1},
+                         group_col="source"))
+    sections.append(
+        (
+            "Stable split assignment (group-keyed)",
+            p,
+            [
+                "zero shuffles (pure expression): "
+                + ("PASS" if "Exchange" not in p else "FAIL"),
+                "JVM-side (no BatchEvalPython / ArrowEvalPython): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "whole-stage codegen: "
+                + ("PASS" if "codegen id" in p else "FAIL"),
+            ],
+        )
+    )
+
     # 15. spectral/frame audio features: one narrow scan into Arrow
     # mapInPandas, zero shuffles
     from drivel_spark.fixtures import ClipFixtureSpec, build_clips

@@ -525,6 +525,50 @@ def q_vocab_top20_documents(spark, sf_dir):
     return vocab_top_k(d, k=20)
 
 
+SPLIT_WEIGHTS = {"train": 0.75, "val": 0.125, "test": 0.125}
+SPLIT_SEED = 7
+
+
+def q_stable_split_documents(spark, sf_dir):
+    """Deterministic, leakage-safe train/val/test splitting: the
+    assignment is one Catalyst expression — md5(key ':' seed)[:8 hex]
+    over 2^32 against cumulative weight intervals — so the same row
+    lands in the same split on any cluster, and keying the hash on the
+    `source` column co-assigns whole sources with NO join (the hash IS
+    the coordination).  The query audits both modes: per-(mode, split)
+    doc counts, char totals, distinct sources, and the number of LEAKY
+    sources (sources straddling >1 split) — structurally 0 in group
+    mode, positive in row mode, which pins the leakage-safety property.
+    DuckDB re-derives the identical md5 buckets and stats in SQL
+    (exactly-representable cums 0.75 / 0.875, so the interval compares
+    are bit-equal across engines)."""
+    from drivel_spark.ops import stable_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    parts = []
+    for mode, group_col in (("group", "source"), ("row", None)):
+        asg = stable_split(
+            d, "doc_id", SPLIT_WEIGHTS, seed=SPLIT_SEED, group_col=group_col
+        )
+        src_k = asg.groupBy("source").agg(
+            F.countDistinct("split").alias("__k")
+        )
+        parts.append(
+            asg.join(src_k, "source")
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("n_chars_total"),
+                F.countDistinct("source").alias("n_sources"),
+                F.countDistinct(
+                    F.when(F.col("__k") > 1, F.col("source"))
+                ).alias("n_leaky_sources"),
+            )
+            .select(F.lit(mode).alias("mode"), "*")
+        )
+    return parts[0].unionByName(parts[1]).orderBy("mode", "split")
+
+
 def q_repetition_documents(spark, sf_dir):
     """Gopher-style n-gram repetition metrics (Rae et al. 2021 §A1.1)
     over the documents corpus: per-doc duplicate-bigram/-trigram and
@@ -1475,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_documents": q_pii_scan_documents,
         "vocab_top20_documents": q_vocab_top20_documents,
         "repetition_documents": q_repetition_documents,
+        "stable_split_documents": q_stable_split_documents,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1908,6 +1953,37 @@ def oracle_sql() -> dict[str, str]:
         # Gopher repetition metrics re-derived from scratch: re-tokenize,
         # rebuild word 2-/3-grams positionally, recount; the flagged
         # filter uses the same integer arithmetic as the Spark side
+        # identical md5 bucket expression (first 8 hex chars over 2^32)
+        # and exactly-representable cumulative weights 0.75 / 0.875, so
+        # every per-row interval compare is bit-equal to the Spark side
+        "stable_split_documents": f"""
+            WITH asg AS (
+              SELECT 'group' AS mode, source, n_chars,
+                     CASE WHEN (('0x' || substr(md5(source || ':{SPLIT_SEED}'), 1, 8))::BIGINT
+                                / 4294967296.0) < 0.75 THEN 'train'
+                          WHEN (('0x' || substr(md5(source || ':{SPLIT_SEED}'), 1, 8))::BIGINT
+                                / 4294967296.0) < 0.875 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+              UNION ALL
+              SELECT 'row' AS mode, source, n_chars,
+                     CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || ':{SPLIT_SEED}'), 1, 8))::BIGINT
+                                / 4294967296.0) < 0.75 THEN 'train'
+                          WHEN (('0x' || substr(md5(doc_id::VARCHAR || ':{SPLIT_SEED}'), 1, 8))::BIGINT
+                                / 4294967296.0) < 0.875 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents),
+            src_k AS (
+              SELECT mode, source, count(DISTINCT split) AS k
+              FROM asg GROUP BY mode, source)
+            SELECT a.mode, a.split,
+                   count(*)::BIGINT AS n_docs,
+                   sum(a.n_chars)::BIGINT AS n_chars_total,
+                   count(DISTINCT a.source)::BIGINT AS n_sources,
+                   count(DISTINCT CASE WHEN s.k > 1 THEN a.source END)::BIGINT
+                     AS n_leaky_sources
+            FROM asg a JOIN src_k s ON a.mode = s.mode AND a.source = s.source
+            GROUP BY a.mode, a.split ORDER BY a.mode, a.split""",
         "repetition_documents": """
             WITH toks AS (
               SELECT doc_id,

@@ -1,0 +1,93 @@
+"""Deterministic, leakage-safe dataset splitting for training pipelines.
+
+A training-data pipeline needs train/val/test assignment that is
+(a) stable — the same row lands in the same split on every run, any
+cluster size, any partitioning, with no RNG state to ship around;
+(b) leakage-safe — all rows of a correlation group (a source domain, a
+speaker, a document family) co-assign to ONE split so near-duplicates
+never straddle the train/eval boundary;
+(c) free at scale — assignment must be a pure per-row expression, not a
+shuffle or a join.
+
+``stable_split`` delivers all three with one Catalyst expression:
+
+    bucket = int(md5(key ':' seed)[:8 hex]) / 2^32   in [0, 1)
+    split  = first weight interval containing bucket
+
+Keying on the group column instead of the row id makes co-assignment a
+property of the hash itself — no co-grouping, no broadcast of a group →
+split map, nothing driver-resident.  md5 is used (rather than xxhash64)
+because every SQL engine exposes the identical function, so downstream
+systems (and the DuckDB oracle) can re-derive the assignment bit-for-bit
+from the same expression.
+
+Reference parity note: the reference engine (hgrsd/drivel) has no
+dataset-split operator; this is part of the beyond-reference
+training-pipeline surface (SURVEY.md §2, LLM-data ops).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["split_bucket", "stable_split", "SPLIT_BUCKET_DENOM"]
+
+SPLIT_BUCKET_DENOM = float(1 << 32)  # md5[:8 hex] is a uniform 32-bit int
+
+
+def split_bucket(key: Column, seed: int = 42) -> Column:
+    """Uniform [0, 1) bucket from a key column: the first 8 hex chars of
+    ``md5(key ':' seed)`` as an integer over 2^32.  Pure JVM-side
+    expression (whole-stage codegen), identical in any ANSI engine:
+    DuckDB spells it ``('0x'||substr(md5(k||':'||seed),1,8))::BIGINT /
+    4294967296.0``."""
+    keyed = F.concat(key.cast("string"), F.lit(f":{seed}"))
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+        / F.lit(SPLIT_BUCKET_DENOM)
+    )
+
+
+def stable_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    seed: int = 42,
+    group_col: Optional[str] = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic split-assignment column.
+
+    ``weights`` maps split name → relative weight in iteration order,
+    e.g. ``{"train": 0.9, "val": 0.05, "test": 0.05}`` (normalized, so
+    any positive weights work).  When ``group_col`` is given, the hash
+    keys on that column instead of ``id_col`` — every row of a group
+    lands in the same split with NO join or shuffle, because the hash
+    function itself is the coordination.  NULL keys hash as the string
+    ``"None"`` bucket of their seed (deterministic, all NULLs co-assign).
+
+    At 10^12 rows this is a zero-shuffle map: the expression runs inside
+    the scan's codegen stage and the split column prunes/partitions
+    downstream like any other column.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty mapping")
+    vals = list(weights.values())
+    if any(w < 0 for w in vals) or sum(vals) <= 0:
+        raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
+    total = float(sum(vals))
+    key = F.col(group_col if group_col is not None else id_col)
+    bucket = split_bucket(key, seed)
+
+    names = list(weights.keys())
+    col = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += float(weights[name]) / total
+        cond = bucket < F.lit(cum)
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    col = col.otherwise(names[-1]) if col is not None else F.lit(names[-1])
+    return df.withColumn(split_col, col)

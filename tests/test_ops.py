@@ -967,3 +967,66 @@ def test_silence_segments_matches_naive_loop(spark):
         )
         assert row["lead_silence"] == (runs[0][1] if runs and runs[0][0] else 0)
         assert row["trail_silence"] == (runs[-1][1] if runs and runs[-1][0] else 0)
+
+
+def test_stable_split_deterministic_and_proportional(spark):
+    """Assignment is a pure function of (key, seed): identical across
+    partitionings, and the realized fractions track the weights."""
+    from drivel_spark.ops import stable_split
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.75, "val": 0.125, "test": 0.125}
+    a = stable_split(df, "doc_id", w, seed=7).toPandas().set_index("doc_id")
+    b = (
+        stable_split(df.repartition(17, "doc_id"), "doc_id", w, seed=7)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert a["split"].sort_index().equals(b["split"].sort_index())
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.75) < 0.02
+    assert abs(frac["val"] - 0.125) < 0.01
+    assert abs(frac["test"] - 0.125) < 0.01
+    # a different seed reshuffles assignments
+    c = stable_split(df, "doc_id", w, seed=8).toPandas().set_index("doc_id")
+    assert (a["split"] != c["split"]).any()
+
+
+def test_stable_split_group_coassignment(spark):
+    """Keying on the group column puts every row of a group in ONE
+    split — the leakage-safety property — with no join in the plan."""
+    from pyspark.sql import functions as F
+
+    from drivel_spark.ops import stable_split
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("grp")
+    )
+    out = stable_split(df, "doc_id", {"train": 3, "test": 1}, group_col="grp")
+    k = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k").alias("mk"))
+        .collect()[0]["mk"]
+    )
+    assert k == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle assignment
+
+
+def test_stable_split_nulls_and_bad_weights(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from drivel_spark.ops import stable_split
+
+    df = spark.createDataFrame(
+        [("a",), (None,), (None,)], "k string"
+    )
+    out = stable_split(df, "k", {"x": 1, "y": 1}).toPandas()
+    nulls = out[out["k"].isnull()]["split"]
+    assert nulls.nunique() == 1  # all NULL keys co-assign
+    with _pytest.raises(ValueError):
+        stable_split(df, "k", {})
+    with _pytest.raises(ValueError):
+        stable_split(df, "k", {"x": -1.0, "y": 2.0})

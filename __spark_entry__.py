@@ -1343,6 +1343,154 @@ def q_silence_segments_clips(spark, sf_dir):
     )
 
 
+RESAMPLE_TARGET_SR = 16000
+
+
+def _local_resample_spectral(n: int, target: int = RESAMPLE_TARGET_SR):
+    """Independent resample-then-FFT oracle: stdlib-wave decode
+    (float64), np.interp at positions j*sr/target per the documented
+    resample contract, then the polyfit FFT path on the UNQUANTIZED
+    float64 signal — none of the engine's float32 decode, PCM16
+    re-encode, or parabolic interpolation."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n):
+        n_in = len(pcm)
+        if sr == target:
+            y, n_out = pcm, n_in
+        else:
+            n_out = max(n_in * target // sr, 1)
+            y = np.interp(
+                np.arange(n_out, dtype=np.float64) * (float(sr) / float(target)),
+                np.arange(n_in, dtype=np.float64), pcm,
+            )
+        spec = np.abs(np.fft.rfft(y))
+        spec[0] = 0.0
+        k = int(np.argmax(spec))
+        freq = k * target / n_out
+        if 1 <= k < len(spec) - 1:
+            coef = np.polyfit(
+                [-1.0, 0.0, 1.0], np.log(spec[k - 1 : k + 2] + 1e-300), 2
+            )
+            if coef[0] != 0.0:
+                d = float(np.clip(-coef[1] / (2.0 * coef[0]), -0.5, 0.5))
+                freq = (k + d) * target / n_out
+        rows.append((cid, i, sr, n_in, n_out, freq))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "sr_in", "n_samples_in",
+                 "n_samples_out", "dominant_freq_hz"],
+    )
+
+
+def q_audio_resample_clips(spark, sf_dir):
+    """Resample canonicalization (everything → 16 kHz) composed with
+    spectral analysis — a transform-then-analyze engine chain over the
+    binary payload column.  Per original rate: the output length must
+    hit its closed form n_in·target div sr, and the dominant frequency
+    of the RESAMPLED clip must stay within one (post-resample) FFT bin
+    of the tone's aliased-at-original-sr frequency — resampling must
+    move the container, not the content.  The DuckDB oracle re-derives
+    both flags from an independent float64 decode → np.interp → polyfit
+    FFT export that shares no code with the engine's float32/PCM16
+    chain."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import resample_audio, spectral_features
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_resample_spectral(n), "resample_spectral", sf_dir)
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
+    res = resample_audio(clips, RESAMPLE_TARGET_SR, id_cols=["clip_id"])
+    feats = spectral_features(
+        res, id_cols=["clip_id", "sr_in", "n_samples_in", "n_samples_out"]
+    )
+    feats = attach_clip_idx(feats, spark, n)
+    sr_in = F.col("sr_in").cast("double")
+    f0 = F.lit(110.0) * (F.lit(1) + F.col("clip_idx") % 40).cast("double")
+    fimg = f0 % sr_in
+    f_exp = F.when(fimg > sr_in / 2, sr_in - fimg).otherwise(fimg)
+    count_ok = (
+        F.col("n_samples_out")
+        == F.expr(f"n_samples_in * {RESAMPLE_TARGET_SR} DIV sr_in")
+    ).cast("long")
+    freq_ok = (
+        F.abs(F.col("dominant_freq_hz") - f_exp)
+        <= F.lit(float(RESAMPLE_TARGET_SR)) / F.col("n_samples_out")
+    ).cast("long")
+    return (
+        feats.groupBy("sr_in")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_samples_out").alias("n_out_total"),
+            F.sum(count_ok).alias("n_count_ok"),
+            F.sum(freq_ok).alias("n_freq_ok"),
+        )
+        .orderBy("sr_in")
+    )
+
+
+def _local_normalize_stats(n: int, target_db: float = -20.0):
+    """Independent loudness-normalization oracle: stdlib-wave float64
+    decode, clip-wide RMS, gain to target, hard-clip count — a plain
+    re-derivation of the documented contract."""
+    import numpy as np
+    import pandas as pd
+
+    target = 10.0 ** (target_db / 20.0)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n):
+        rms_in = float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0
+        gain = target / rms_in if rms_in > 0.0 else 1.0
+        y = pcm * gain
+        n_clipped = int(np.count_nonzero(np.abs(y) > 1.0))
+        y = np.clip(y, -1.0, 1.0)
+        rms_out = float(np.sqrt(np.mean(y * y))) if len(y) else 0.0
+        rows.append((cid, i, sr, len(pcm), rms_in, rms_out, n_clipped))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "sr_hz", "n_samples", "rms_in",
+                 "rms_out", "n_clipped"],
+    )
+
+
+def q_audio_normalize_clips(spark, sf_dir):
+    """Loudness canonicalization: every clip scaled to −20 dBFS RMS.
+    Per sample rate the engine must land every clip exactly on the
+    target (pre-quantization RMS within 1e−6) with zero hard-clipped
+    samples (the fixture tone's crest factor leaves headroom), and the
+    input loudness must sit in the tone's analytic 0.8/√2 band; the
+    DuckDB oracle re-derives all three flags from an independent
+    float64 decode + renormalization export."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import normalize_loudness
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_normalize_stats(n), "normalize_stats", sf_dir)
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
+    norm = normalize_loudness(clips, target_db=-20.0, id_cols=["clip_id"])
+    rms_ok = (F.abs(F.col("rms_out") - 0.1) < 1e-6).cast("long")
+    in_band = (
+        (F.col("rms_in") >= 0.50) & (F.col("rms_in") <= 0.63)
+    ).cast("long")
+    clip_free = (F.col("n_clipped") == 0).cast("long")
+    return (
+        norm.groupBy("sr_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_samples").alias("n_samples_total"),
+            F.sum(rms_ok).alias("n_rms_ok"),
+            F.sum(in_band).alias("n_in_band"),
+            F.sum(clip_free).alias("n_clip_free"),
+        )
+        .orderBy("sr_hz")
+    )
+
+
 def q_audio_spectral_clips(spark, sf_dir):
     """Frequency-domain audio features with a CLOSED-FORM expectation:
     the fixture tone sits at f0 = 110·(1 + idx mod 40) Hz (produce/
@@ -1541,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral_clips": q_audio_spectral_clips,
         "audio_frames_clips": q_audio_frames_clips,
         "silence_segments_clips": q_silence_segments_clips,
+        "audio_resample_clips": q_audio_resample_clips,
+        "audio_normalize_clips": q_audio_normalize_clips,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
@@ -2112,6 +2262,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (rms_mean >= 0.50 AND rms_mean <= 0.63)::BIGINT AS n_rms_ok,
                    sum(n_active)::BIGINT AS n_active_total
             FROM e GROUP BY sr_hz ORDER BY sr_hz""",
+        # closed-form output length (exact integer div) and one-bin
+        # dominant-frequency preservation re-derived over the
+        # independent float64 decode → np.interp → polyfit-FFT export
+        "audio_resample_clips": f"""
+            WITH f AS (
+              SELECT *, 110.0 * (1 + (clip_idx % 40)) AS f0
+              FROM read_parquet('{ORACLE_DIR}/resample_spectral_sf0.01.parquet')),
+            e AS (
+              SELECT *, CASE WHEN (f0 % sr_in) > sr_in / 2.0
+                             THEN sr_in - (f0 % sr_in) ELSE (f0 % sr_in) END AS f_exp
+              FROM f)
+            SELECT sr_in, count(*)::BIGINT AS n_clips,
+                   sum(n_samples_out)::BIGINT AS n_out_total,
+                   count(*) FILTER (n_samples_out
+                                    = n_samples_in * {RESAMPLE_TARGET_SR} // sr_in)::BIGINT
+                     AS n_count_ok,
+                   count(*) FILTER (abs(dominant_freq_hz - f_exp)
+                                    <= {RESAMPLE_TARGET_SR}.0 / n_samples_out)::BIGINT
+                     AS n_freq_ok
+            FROM e GROUP BY sr_in ORDER BY sr_in""",
+        # exact-target RMS, analytic input-loudness band, and zero
+        # hard-clipping re-derived over the independent float64
+        # decode + renormalization export
+        "audio_normalize_clips": f"""
+            SELECT sr_hz, count(*)::BIGINT AS n_clips,
+                   sum(n_samples)::BIGINT AS n_samples_total,
+                   count(*) FILTER (abs(rms_out - 0.1) < 1e-6)::BIGINT AS n_rms_ok,
+                   count(*) FILTER (rms_in >= 0.50 AND rms_in <= 0.63)::BIGINT
+                     AS n_in_band,
+                   count(*) FILTER (n_clipped = 0)::BIGINT AS n_clip_free
+            FROM read_parquet('{ORACLE_DIR}/normalize_stats_sf0.01.parquet')
+            GROUP BY sr_hz ORDER BY sr_hz""",
         # identical per-(sr, planted) rollup over the independent
         # stdlib-decode run-length export; the single division of exact
         # integer sums makes silent_frac bit-deterministic on both sides

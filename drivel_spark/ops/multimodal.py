@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..produce.audio import wav_decode
+from ..produce.audio import wav_decode, wav_encode
 from ..sketches.hashing import hash64
 
 AUDIO_FEATURES_SCHEMA = (
@@ -293,6 +293,139 @@ def silence_segments(df: DataFrame, bytes_col: str = "bytes",
             yield pd.DataFrame({**rows, **cols})
 
     schema = _id_schema(df, id_cols) + ", " + SILENCE_SEGMENTS_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+RESAMPLE_SCHEMA = (
+    "bytes binary, sr_in int, sr_hz int, n_samples_in long, n_samples_out long"
+)
+
+NORMALIZE_SCHEMA = (
+    "bytes binary, sr_hz int, n_samples long, rms_in double, rms_out double, "
+    "gain_db double, n_clipped long"
+)
+
+
+def resample_audio(df: DataFrame, target_sr: int, bytes_col: str = "bytes",
+                   id_cols: Optional[list[str]] = None) -> DataFrame:
+    """Resample every WAV clip to ``target_sr`` — the canonicalization
+    stage of a speech pipeline (e.g. everything → 16 kHz mono before
+    feature extraction / training).
+
+    Linear-interpolation resampling with the fixed output-length
+    contract ``n_out = n_in * target_sr // sr`` (floor) and output
+    sample ``j`` drawn at input position ``j * sr / target_sr`` via one
+    ``np.interp`` call in float64, re-encoded through the shared PCM16
+    WAV writer.  A clip already at ``target_sr`` is re-encoded verbatim
+    (canonical container).  Undecodable/NULL payloads yield NULL output
+    bytes with NULL stats (tolerant).  Linear interpolation is the
+    deliberate baseline: it is exactly specifiable (the DuckDB-side
+    oracle re-derives it independently), dependency-free, and adequate
+    for tones below half the lower Nyquist; a windowed-sinc kernel can
+    drop in behind the same contract later.
+
+    One narrow scan → mapInPandas (Arrow batches); no shuffle — a pure
+    map over clip partitions at any scale.  Output carries the original
+    rate as ``sr_in`` plus in/out sample counts so downstream checks
+    need no join back to the input.
+    """
+    if target_sr <= 0:
+        raise ValueError(f"target_sr must be positive: {target_sr}")
+    id_cols = id_cols or ["clip_id"]
+    keys = ("bytes", "sr_in", "sr_hz", "n_samples_in", "n_samples_out")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                n = len(pcm)
+                x = pcm.astype(np.float64)
+                if sr == target_sr:
+                    y, n_out = x, n
+                else:
+                    n_out = max(n * target_sr // sr, 1)
+                    pos = np.arange(n_out, dtype=np.float64) * (
+                        float(sr) / float(target_sr)
+                    )
+                    y = np.interp(pos, np.arange(n, dtype=np.float64), x)
+                vals = dict(bytes=wav_encode(y, target_sr), sr_in=sr,
+                            sr_hz=target_sr, n_samples_in=n, n_samples_out=n_out)
+                for k in keys:
+                    cols[k].append(vals[k])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + RESAMPLE_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+def normalize_loudness(df: DataFrame, target_db: float = -20.0,
+                       bytes_col: str = "bytes",
+                       id_cols: Optional[list[str]] = None) -> DataFrame:
+    """RMS loudness normalization per WAV clip: scale the whole clip so
+    its RMS hits ``target_db`` dBFS, hard-clipping into [-1, 1] — the
+    level-canonicalization stage before training on heterogeneous
+    sources.
+
+    Gain is computed in float64 from the clip-wide RMS, applied in one
+    vectorized multiply, and re-encoded through the shared PCM16
+    writer.  Digital-silence clips (RMS 0) pass through at unit gain
+    rather than dividing by zero.  Output stats carry the pre/post RMS
+    (post measured BEFORE int16 quantization), the applied gain in dB,
+    and the count of hard-clipped samples, so a pipeline can route
+    heavily-clipped clips to review instead of silently training on
+    them.
+
+    One narrow scan → mapInPandas; no shuffle.
+    """
+    id_cols = id_cols or ["clip_id"]
+    target_rms = 10.0 ** (target_db / 20.0)
+    keys = ("bytes", "sr_hz", "n_samples", "rms_in", "rms_out", "gain_db",
+            "n_clipped")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                x = pcm.astype(np.float64)
+                rms_in = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                gain = target_rms / rms_in if rms_in > 0.0 else 1.0
+                y = x * gain
+                n_clipped = int(np.count_nonzero(np.abs(y) > 1.0))
+                y = np.clip(y, -1.0, 1.0)
+                rms_out = float(np.sqrt(np.mean(y * y))) if len(y) else 0.0
+                vals = dict(bytes=wav_encode(y, sr), sr_hz=sr,
+                            n_samples=len(y), rms_in=rms_in, rms_out=rms_out,
+                            gain_db=20.0 * np.log10(gain) if gain > 0 else 0.0,
+                            n_clipped=n_clipped)
+                for k in keys:
+                    cols[k].append(vals[k])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + NORMALIZE_SCHEMA
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 

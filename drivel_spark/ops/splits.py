@@ -33,7 +33,12 @@ from typing import Mapping, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["split_bucket", "stable_split", "SPLIT_BUCKET_DENOM"]
+__all__ = [
+    "split_bucket",
+    "stable_split",
+    "stratified_sample",
+    "SPLIT_BUCKET_DENOM",
+]
 
 SPLIT_BUCKET_DENOM = float(1 << 32)  # md5[:8 hex] is a uniform 32-bit int
 
@@ -91,3 +96,41 @@ def stable_split(
         col = F.when(cond, name) if col is None else col.when(cond, name)
     col = col.otherwise(names[-1]) if col is not None else F.lit(names[-1])
     return df.withColumn(split_col, col)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-rebalancing
+    stage (e.g. keep 10% of English, 100% of low-resource languages).
+
+    A row survives iff ``split_bucket(id, seed) < rates[stratum]``, so
+    the sample is a pure per-row filter: stable across runs and cluster
+    sizes, no RNG state, no shuffle, and NESTED — raising a stratum's
+    rate strictly grows its sample (the kept set at 0.1 is a subset of
+    the kept set at 0.2), which is what makes ablation ladders
+    comparable.  Strata not in ``rates`` fall back to ``default_rate``
+    (0 drops them).  The filter sits in scan codegen, so Catalyst can
+    evaluate it before wide columns are materialized.
+    """
+    for k, r in rates.items():
+        if not (0.0 <= float(r) <= 1.0):
+            raise ValueError(f"rate for {k!r} must be in [0, 1]: {r}")
+    if not (0.0 <= float(default_rate) <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1]: {default_rate}")
+    bucket = split_bucket(F.col(id_col), seed)
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == F.lit(name)
+        rate = F.when(cond, float(r)) if rate is None else rate.when(cond, float(r))
+    rate = (
+        rate.otherwise(float(default_rate))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    return df.filter(bucket < rate)

@@ -461,3 +461,54 @@ def winnow_containment_pairs(
             F.round("containment", 6).alias("containment"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Explode documents into fixed-size overlapping character windows —
+    the context-window preparation stage of a training pipeline.
+
+    Offsets are ``0, step, 2·step, …`` with ``step = chunk_chars −
+    overlap``, continuing while ``offset ≤ len − overlap − 1`` (so every
+    character is covered, consecutive chunks share exactly ``overlap``
+    characters, and the final chunk is always longer than the overlap —
+    never a sliver that duplicates the previous tail).  NULL/empty texts
+    produce zero chunks.  Output: (id, chunk_idx, chunk_off, chunk,
+    chunk_len).
+
+    Pure Catalyst — ``posexplode(sequence(...))`` plus ``substring`` —
+    so the fan-out is bounded (len/step + 1 per doc), stays in
+    whole-stage codegen, and shuffles nothing: at 10^12 documents this
+    is a narrow map the optimizer can pipeline straight into the next
+    stage (tokenization, dedup, writes).
+    """
+    if overlap < 0 or chunk_chars <= overlap:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_chars: chunk_chars={chunk_chars} "
+            f"overlap={overlap}"
+        )
+    step = chunk_chars - overlap
+    text = F.col(text_col)
+    offs = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(text) - overlap - 1, F.lit(0)),
+        F.lit(step),
+    )
+    return (
+        df.filter(text.isNotNull() & (F.length(text) > 0))
+        .select(id_col, F.posexplode(offs).alias("chunk_idx", "chunk_off"), text)
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_off",
+            F.expr(f"substring({text_col}, chunk_off + 1, {chunk_chars})").alias(
+                "chunk"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )

@@ -1030,3 +1030,178 @@ def test_stable_split_nulls_and_bad_weights(spark):
         stable_split(df, "k", {})
     with _pytest.raises(ValueError):
         stable_split(df, "k", {"x": -1.0, "y": 2.0})
+
+
+def test_resample_audio_tone_preserved(spark):
+    """Resampling an 8 kHz tone to 16 kHz keeps the closed-form output
+    length and the dominant frequency (within one FFT bin); a clip
+    already at the target rate round-trips sample counts unchanged."""
+    import numpy as np
+
+    from drivel_spark.ops import resample_audio, spectral_features
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    rows = [
+        ("up", bytearray(wav_encode(synth_pcm(5, 8000, 1000), 8000))),
+        ("same", bytearray(wav_encode(synth_pcm(6, 16000, 500), 16000))),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = resample_audio(df, 16000)
+    feats = spectral_features(
+        out, id_cols=["clip_id", "sr_in", "n_samples_in", "n_samples_out"]
+    ).toPandas().set_index("clip_id")
+
+    up = feats.loc["up"]
+    assert up["sr_hz"] == 16000 and up["sr_in"] == 8000
+    assert up["n_samples_out"] == up["n_samples_in"] * 16000 // 8000
+    assert up["n_samples"] == up["n_samples_out"]
+    # tone for idx 5: 110*(1+5) = 660 Hz, below both Nyquists
+    bin_hz = 16000.0 / up["n_samples_out"]
+    assert abs(up["dominant_freq_hz"] - 660.0) <= bin_hz
+
+    same = feats.loc["same"]
+    assert same["n_samples_out"] == same["n_samples_in"]
+    assert abs(same["dominant_freq_hz"] - 110.0 * 7) <= 16000.0 / same["n_samples_out"]
+
+    assert feats.loc["null"][["sr_in", "n_samples_out"]].isnull().all()
+
+
+def test_resample_audio_matches_numpy_interp(spark):
+    """Engine bytes decode to exactly the spec: np.interp of the
+    float64 decode at positions j*sr/target, PCM16-quantized."""
+    import numpy as np
+
+    from drivel_spark.ops import resample_audio
+    from drivel_spark.produce.audio import synth_pcm, wav_decode, wav_encode
+
+    pcm = synth_pcm(9, 22050, 700)
+    df = spark.createDataFrame(
+        [("c", bytearray(wav_encode(pcm, 22050)))], "clip_id string, bytes binary"
+    )
+    got = resample_audio(df, 16000).toPandas().iloc[0]
+    eng, sr = wav_decode(bytes(got["bytes"]))
+    assert sr == 16000
+    x = wav_decode(wav_encode(pcm, 22050))[0].astype(np.float64)
+    n_out = len(x) * 16000 // 22050
+    ref = np.interp(
+        np.arange(n_out, dtype=np.float64) * (22050.0 / 16000.0),
+        np.arange(len(x), dtype=np.float64), x,
+    )
+    ref16 = wav_decode(wav_encode(ref, 16000))[0]
+    assert len(eng) == n_out == got["n_samples_out"]
+    assert np.array_equal(eng, ref16)
+
+
+def test_normalize_loudness_hits_target(spark):
+    """Normalized clips land on the target RMS (pre-quantization
+    exactly, post-decode within quantization noise); silence passes
+    through at unit gain; clipping is counted."""
+    import numpy as np
+
+    from drivel_spark.ops import normalize_loudness
+    from drivel_spark.produce.audio import synth_pcm, wav_decode, wav_encode
+
+    quiet = synth_pcm(3, 8000, 500) * 0.05
+    silent = np.zeros(4000, dtype=np.float32)
+    rows = [
+        ("tone", bytearray(wav_encode(synth_pcm(3, 8000, 500), 8000))),
+        ("quiet", bytearray(wav_encode(quiet, 8000))),
+        ("silent", bytearray(wav_encode(silent, 8000))),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = normalize_loudness(df, target_db=-20.0).toPandas().set_index("clip_id")
+
+    for cid in ("tone", "quiet"):
+        row = got.loc[cid]
+        assert abs(row["rms_out"] - 0.1) < 1e-9
+        assert row["n_clipped"] == 0
+        pcm, _ = wav_decode(bytes(row["bytes"]))
+        assert abs(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) - 0.1) < 1e-3
+    assert got.loc["quiet", "gain_db"] > got.loc["tone", "gain_db"]
+    s = got.loc["silent"]
+    assert s["rms_in"] == 0.0 and s["rms_out"] == 0.0 and s["gain_db"] == 0.0
+
+
+def test_normalize_loudness_clipping_counted(spark):
+    """Boosting to 0 dBFS RMS forces hard clipping on a tone (peak/RMS
+    = sqrt 2 > 1): the clipped-sample count is positive and the output
+    stays in [-1, 1]."""
+    import numpy as np
+
+    from drivel_spark.ops import normalize_loudness
+    from drivel_spark.produce.audio import synth_pcm, wav_decode, wav_encode
+
+    df = spark.createDataFrame(
+        [("c", bytearray(wav_encode(synth_pcm(4, 8000, 500), 8000)))],
+        "clip_id string, bytes binary",
+    )
+    got = normalize_loudness(df, target_db=0.0).toPandas().iloc[0]
+    assert got["n_clipped"] > 0
+    pcm, _ = wav_decode(bytes(got["bytes"]))
+    assert float(np.abs(pcm).max()) <= 1.0
+    assert got["rms_out"] < 1.0  # clipping shaves the target
+
+
+def test_stratified_sample_deterministic_nested(spark):
+    """Per-stratum rates hold, samples are stable across partitionings,
+    and raising a rate strictly grows (nests) the kept set."""
+    from pyspark.sql import functions as F
+
+    from drivel_spark.ops import stratified_sample
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 < 4, "en").otherwise("sw").alias("lang"),
+    )
+    kept = stratified_sample(df, "doc_id", "lang", {"en": 0.1, "sw": 1.0})
+    pdf = kept.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    assert pdf["sw"] == 4000  # rate 1.0 keeps everything
+    assert abs(pdf["en"] / 16000 - 0.1) < 0.02
+    again = stratified_sample(
+        df.repartition(13), "doc_id", "lang", {"en": 0.1, "sw": 1.0}
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    wider = stratified_sample(df, "doc_id", "lang", {"en": 0.25, "sw": 1.0})
+    small = {r["doc_id"] for r in kept.collect()}
+    assert small <= {r["doc_id"] for r in wider.collect()}  # nested
+    # unknown strata drop by default
+    assert (
+        stratified_sample(df, "doc_id", "lang", {"en": 0.1}).filter(
+            F.col("lang") == "sw"
+        ).count()
+        == 0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "lang", {"en": 1.5})
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every char covered, consecutive chunks share exactly `overlap`
+    chars, final chunk longer than the overlap, empty/NULL drop."""
+    import pytest as _pytest
+
+    from drivel_spark.ops import chunk_documents
+
+    txt = "".join(chr(ord("a") + i % 26) for i in range(1000))
+    df = spark.createDataFrame(
+        [(1, txt), (2, "short"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_chars=300, overlap=50).toPandas()
+    assert set(out["doc_id"]) == {1, 2}
+    one = out[out["doc_id"] == 1].sort_values("chunk_idx")
+    # offsets 0, 250, 500, 750 (<= 1000-50-1)
+    assert list(one["chunk_off"]) == [0, 250, 500, 750]
+    rebuilt = one.iloc[0]["chunk"]
+    for _, row in one.iloc[1:].iterrows():
+        assert rebuilt[row["chunk_off"] :] == row["chunk"][: len(rebuilt) - row["chunk_off"]]
+        rebuilt = rebuilt[: row["chunk_off"]] + row["chunk"]
+    assert rebuilt == txt
+    assert one.iloc[-1]["chunk_len"] == 250 > 50
+    assert out[out["doc_id"] == 2].iloc[0]["chunk"] == "short"
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=50, overlap=50)

@@ -569,6 +569,98 @@ def q_stable_split_documents(spark, sf_dir):
     return parts[0].unionByName(parts[1]).orderBy("mode", "split")
 
 
+SAMPLE_SEED = 11
+SAMPLE_RATES_WIDE = {"en": 0.25, "zh": 0.8, "es": 0.5}
+SAMPLE_RATES_NARROW = {"en": 0.1, "zh": 0.4, "es": 0.2}
+
+
+def q_stratified_sample_documents(spark, sf_dir):
+    """Deterministic corpus rebalancing: per-language keep rates as a
+    pure md5-bucket filter (keep iff bucket(doc_id) < rate[lang]) — no
+    RNG state, no shuffle, stable across cluster sizes.  The query
+    audits two rate ladders and the NESTING property that makes
+    ablation ladders comparable: every doc kept at the narrow rates
+    must also be kept at the wide rates (n_escaped structurally 0,
+    because both filters compare the SAME bucket value).  Unlisted
+    languages (fr/de) fall back to default_rate=1.0 — the keep-all-of-
+    low-resource story.  DuckDB re-derives the identical md5 buckets
+    and both filters in SQL; thresholds are compared as doubles on
+    both sides and the bucket (k/2^32) can never equal them exactly,
+    so every compare is bit-equal."""
+    from drivel_spark.ops import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wide = stratified_sample(
+        d, "doc_id", "lang", SAMPLE_RATES_WIDE,
+        seed=SAMPLE_SEED, default_rate=1.0,
+    )
+    narrow = stratified_sample(
+        d, "doc_id", "lang", SAMPLE_RATES_NARROW,
+        seed=SAMPLE_SEED, default_rate=1.0,
+    )
+    base = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    w = wide.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_wide"),
+        F.sum("n_chars").alias("chars_wide"),
+    )
+    nv = narrow.groupBy("lang").agg(F.count(F.lit(1)).alias("n_narrow"))
+    esc = (
+        narrow.join(wide.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_escaped"))
+    )
+    return (
+        base.join(w, "lang", "left")
+        .join(nv, "lang", "left")
+        .join(esc, "lang", "left")
+        .fillna(0, ["n_wide", "chars_wide", "n_narrow", "n_escaped"])
+        .orderBy("lang")
+    )
+
+
+CHUNK_CHARS = 120
+CHUNK_OVERLAP = 24
+
+
+def q_chunking_documents(spark, sf_dir):
+    """Context-window chunking audit: every document explodes into
+    overlapping 120-char windows (step 96) via pure Catalyst
+    posexplode(sequence)+substring, and the rollup pins the exact
+    tiling algebra — per doc, sum(chunk_len) must equal len(text) +
+    (n_chunks−1)·overlap (full coverage with exactly-`overlap` shared
+    chars between neighbours) and the last offset must sit at
+    (n_chunks−1)·step.  DuckDB re-derives the chunks with
+    generate_series + substring and recounts the identical
+    invariants."""
+    from drivel_spark.ops import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(
+        d, chunk_chars=CHUNK_CHARS, overlap=CHUNK_OVERLAP
+    )
+    per = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("chars"),
+        F.max("chunk_off").alias("last_off"),
+        F.sum((F.col("chunk_len") == CHUNK_CHARS).cast("long")).alias("n_full"),
+    )
+    j = per.join(d.select("doc_id", F.length("text").alias("len")), "doc_id")
+    step = CHUNK_CHARS - CHUNK_OVERLAP
+    cov_ok = (
+        F.col("chars")
+        == F.col("len") + (F.col("n_chunks") - 1) * CHUNK_OVERLAP
+    ).cast("long")
+    off_ok = (F.col("last_off") == (F.col("n_chunks") - 1) * step).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("chars").alias("chunk_chars_total"),
+        F.sum("n_full").alias("n_full_chunks"),
+        F.sum(cov_ok).alias("n_cov_ok"),
+        F.sum(off_ok).alias("n_off_ok"),
+    )
+
+
 def q_repetition_documents(spark, sf_dir):
     """Gopher-style n-gram repetition metrics (Rae et al. 2021 §A1.1)
     over the documents corpus: per-doc duplicate-bigram/-trigram and
@@ -1668,6 +1760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top20_documents": q_vocab_top20_documents,
         "repetition_documents": q_repetition_documents,
         "stable_split_documents": q_stable_split_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "chunking_documents": q_chunking_documents,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -2134,6 +2228,62 @@ def oracle_sql() -> dict[str, str]:
                      AS n_leaky_sources
             FROM asg a JOIN src_k s ON a.mode = s.mode AND a.source = s.source
             GROUP BY a.mode, a.split ORDER BY a.mode, a.split""",
+        # identical md5 buckets, both rate ladders, and the structural
+        # nesting count re-derived per language in plain SQL
+        "stratified_sample_documents": f"""
+            WITH b AS (
+              SELECT doc_id, lang, n_chars,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SEED}'), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents),
+            r AS (
+              SELECT *,
+                     CASE lang WHEN 'en' THEN CAST(0.25 AS DOUBLE)
+                               WHEN 'zh' THEN CAST(0.8 AS DOUBLE)
+                               WHEN 'es' THEN CAST(0.5 AS DOUBLE)
+                               ELSE CAST(1.0 AS DOUBLE) END AS rw,
+                     CASE lang WHEN 'en' THEN CAST(0.1 AS DOUBLE)
+                               WHEN 'zh' THEN CAST(0.4 AS DOUBLE)
+                               WHEN 'es' THEN CAST(0.2 AS DOUBLE)
+                               ELSE CAST(1.0 AS DOUBLE) END AS rn
+              FROM b)
+            SELECT lang, count(*)::BIGINT AS n_total,
+                   count(*) FILTER (u < rw)::BIGINT AS n_wide,
+                   coalesce(sum(n_chars) FILTER (u < rw), 0)::BIGINT AS chars_wide,
+                   count(*) FILTER (u < rn)::BIGINT AS n_narrow,
+                   count(*) FILTER (u < rn AND NOT (u < rw))::BIGINT AS n_escaped
+            FROM r GROUP BY lang ORDER BY lang""",
+        # chunk tiling re-derived with generate_series + substring; the
+        # coverage identity sum(len_i) = len + (k-1)*overlap and the
+        # last-offset closed form are recounted from scratch
+        "chunking_documents": f"""
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS len FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0),
+            o AS (
+              SELECT doc_id, len, text,
+                     unnest(generate_series(
+                       0, greatest(len - {CHUNK_OVERLAP + 1}, 0),
+                       {CHUNK_CHARS - CHUNK_OVERLAP})) AS off
+              FROM d),
+            c AS (
+              SELECT doc_id, len, off,
+                     length(substring(text, off + 1, {CHUNK_CHARS})) AS clen
+              FROM o),
+            per AS (
+              SELECT doc_id, any_value(len) AS len, count(*) AS n_chunks,
+                     sum(clen) AS chars, max(off) AS last_off,
+                     count(*) FILTER (clen = {CHUNK_CHARS}) AS n_full
+              FROM c GROUP BY doc_id)
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(n_chunks)::BIGINT AS n_chunks,
+                   sum(chars)::BIGINT AS chunk_chars_total,
+                   sum(n_full)::BIGINT AS n_full_chunks,
+                   count(*) FILTER (chars = len + (n_chunks - 1) * {CHUNK_OVERLAP})::BIGINT
+                     AS n_cov_ok,
+                   count(*) FILTER (last_off = (n_chunks - 1) * {CHUNK_CHARS - CHUNK_OVERLAP})::BIGINT
+                     AS n_off_ok
+            FROM per""",
         "repetition_documents": """
             WITH toks AS (
               SELECT doc_id,

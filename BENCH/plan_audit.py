@@ -422,13 +422,14 @@ def main() -> None:
     from drivel_spark.ops import frame_energy, silence_segments, spectral_features
 
     clips = build_clips(spark, 200, 4, ClipFixtureSpec(with_audio=True))
-    from drivel_spark.ops import normalize_loudness, resample_audio
+    from drivel_spark.ops import normalize_loudness, prepare_audio, resample_audio
 
     for name, op in (("Spectral features", spectral_features),
                      ("Frame energy", frame_energy),
                      ("Silence segments", silence_segments),
                      ("Resample to 16k", lambda d: resample_audio(d, 16000)),
-                     ("Loudness normalize", normalize_loudness)):
+                     ("Loudness normalize", normalize_loudness),
+                     ("Fused prep kernel", lambda d: prepare_audio(d, 16000))):
         p = fmt(op(clips))
         sections.append(
             (

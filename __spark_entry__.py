@@ -1583,6 +1583,122 @@ def q_audio_normalize_clips(spark, sf_dir):
     )
 
 
+PREP_SPEC_EVERY = 3
+PREP_SPAN = (0.0, 0.3)
+
+
+def _prep_spec():
+    from drivel_spark.fixtures import ClipFixtureSpec
+
+    return ClipFixtureSpec(
+        with_audio=True, silence_every=PREP_SPEC_EVERY, silence_span=PREP_SPAN
+    )
+
+
+def _local_prepare_stats(n: int, target: int = 16000, target_db: float = -20.0,
+                         frame_ms: int = 25, hop_ms: int = 10,
+                         silence_db: float = -40.0):
+    """Independent oracle for the fused prep kernel: stdlib-wave
+    float64 decode, then a plain re-derivation of the documented chain
+    — frame mask, lead/trail runs, sample trim, np.interp resample,
+    RMS gain — sharing no code with the engine's float32 decode or its
+    run-length machinery."""
+    import numpy as np
+    import pandas as pd
+
+    thresh = 10.0 ** (silence_db / 20.0)
+    target_rms = 10.0 ** (target_db / 20.0)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n, _prep_spec()):
+        n_in = len(pcm)
+        win = max(sr * frame_ms // 1000, 1)
+        hop = max(sr * hop_ms // 1000, 1)
+        lead = trail = 0
+        ratio = 0.0
+        if n_in >= win:
+            silent = []
+            for s in range(0, n_in - win + 1, hop):
+                w = pcm[s : s + win]
+                silent.append(float(np.sqrt(np.mean(w * w))) < thresh)
+            ratio = sum(silent) / len(silent)
+            if all(silent):
+                lead, trail = len(silent), 0
+            else:
+                while silent[lead]:
+                    lead += 1
+                while silent[-1 - trail]:
+                    trail += 1
+        elif (float(np.sqrt(np.mean(pcm * pcm))) if n_in else 0.0) < thresh:
+            ratio = 1.0
+        lead_trim = min(lead * hop, n_in)
+        trail_trim = min(trail * hop, n_in - lead_trim)
+        t = pcm[lead_trim : n_in - trail_trim]
+        if ratio > 0.95 or len(t) == 0:
+            rows.append((cid, i, sr, n_in, lead_trim, trail_trim, len(t),
+                         None, None, None, True))
+            continue
+        if sr == target:
+            y = t
+        else:
+            n_out = max(len(t) * target // sr, 1)
+            y = np.interp(
+                np.arange(n_out, dtype=np.float64) * (float(sr) / target),
+                np.arange(len(t), dtype=np.float64), t,
+            )
+        rms_pre = float(np.sqrt(np.mean(y * y)))
+        z = y * (target_rms / rms_pre if rms_pre > 0 else 1.0)
+        n_clipped = int(np.count_nonzero(np.abs(z) > 1.0))
+        z = np.clip(z, -1.0, 1.0)
+        rows.append((cid, i, sr, n_in, lead_trim, trail_trim, len(t), len(z),
+                     float(np.sqrt(np.mean(z * z))), n_clipped, False))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "sr_in", "n_samples_in", "lead_trim",
+                 "trail_trim", "n_trimmed", "n_out", "rms_out", "n_clipped",
+                 "dropped"],
+    )
+
+
+def q_audio_prep_clips(spark, sf_dir):
+    """The fused audio corpus-prep kernel (trim → resample → normalize
+    in one decode) over a fixture where clips at idx % 3 == 1 carry an
+    exactly-zeroed LEAD span [0, 0.3n): per (original sr, planted) the
+    engine's trim offsets, trimmed/output sample counts, drop count
+    (structurally 0 — the planted ratio is ~0.3, under the 0.95 drop
+    gate), exact −20 dBFS landings, and zero hard-clips must match a
+    DuckDB rollup over an independent float64 re-derivation of the
+    whole chain.  Clean clips pin zero trim; planted clips pin the
+    frame-run · hop trim algebra end-to-end through the resample
+    length closed form."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import build_clips
+    from drivel_spark.ops import prepare_audio
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_prepare_stats(n), "prepare_stats", sf_dir)
+    clips = build_clips(spark, n, 8, _prep_spec())
+    prep = prepare_audio(clips, 16000, -20.0, id_cols=["clip_id"])
+    prep = attach_clip_idx(prep, spark, n)
+    planted = (F.col("clip_idx") % PREP_SPEC_EVERY == 1).alias("planted")
+    rms_ok = (F.abs(F.col("rms_out") - 0.1) < 1e-6).cast("long")
+    clip_free = (F.col("n_clipped") == 0).cast("long")
+    return (
+        prep.groupBy("sr_in", planted)
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(F.col("dropped").cast("long")).alias("n_dropped"),
+            F.sum("lead_trim").alias("lead_total"),
+            F.sum("trail_trim").alias("trail_total"),
+            F.sum("n_samples_trimmed").alias("trimmed_total"),
+            F.sum("n_samples_out").alias("out_total"),
+            F.sum(rms_ok).alias("n_rms_ok"),
+            F.sum(clip_free).alias("n_clip_free"),
+        )
+        .orderBy("sr_in", "planted")
+    )
+
+
 def q_audio_spectral_clips(spark, sf_dir):
     """Frequency-domain audio features with a CLOSED-FORM expectation:
     the fixture tone sits at f0 = 110·(1 + idx mod 40) Hz (produce/
@@ -1785,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silence_segments_clips": q_silence_segments_clips,
         "audio_resample_clips": q_audio_resample_clips,
         "audio_normalize_clips": q_audio_normalize_clips,
+        "audio_prep_clips": q_audio_prep_clips,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
@@ -2444,6 +2561,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (n_clipped = 0)::BIGINT AS n_clip_free
             FROM read_parquet('{ORACLE_DIR}/normalize_stats_sf0.01.parquet')
             GROUP BY sr_hz ORDER BY sr_hz""",
+        # identical per-(sr, planted) rollup over the independent
+        # float64 full-chain re-derivation; trim sums are exact integer
+        # arithmetic, the RMS/clip flags are construction-guaranteed on
+        # both sides
+        "audio_prep_clips": f"""
+            SELECT sr_in, (clip_idx % {PREP_SPEC_EVERY} = 1) AS planted,
+                   count(*)::BIGINT AS n_clips,
+                   sum(dropped::INT)::BIGINT AS n_dropped,
+                   sum(lead_trim)::BIGINT AS lead_total,
+                   sum(trail_trim)::BIGINT AS trail_total,
+                   sum(n_trimmed)::BIGINT AS trimmed_total,
+                   sum(n_out)::BIGINT AS out_total,
+                   count(*) FILTER (abs(rms_out - 0.1) < 1e-6)::BIGINT AS n_rms_ok,
+                   count(*) FILTER (n_clipped = 0)::BIGINT AS n_clip_free
+            FROM read_parquet('{ORACLE_DIR}/prepare_stats_sf0.01.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         # identical per-(sr, planted) rollup over the independent
         # stdlib-decode run-length export; the single division of exact
         # integer sums makes silent_frac bit-deterministic on both sides

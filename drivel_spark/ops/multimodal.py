@@ -429,6 +429,145 @@ def normalize_loudness(df: DataFrame, target_db: float = -20.0,
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 
+PREPARE_AUDIO_SCHEMA = (
+    "bytes binary, sr_hz int, sr_in int, n_samples_in long, lead_trim long, "
+    "trail_trim long, n_samples_trimmed long, n_samples_out long, "
+    "rms_pre double, rms_out double, gain_db double, n_clipped long, "
+    "dropped boolean"
+)
+
+
+def prepare_audio(df: DataFrame, target_sr: int = 16000,
+                  target_db: float = -20.0, bytes_col: str = "bytes",
+                  id_cols: Optional[list[str]] = None,
+                  frame_ms: int = 25, hop_ms: int = 10,
+                  silence_db: float = -40.0,
+                  max_silence_ratio: float = 0.95) -> DataFrame:
+    """The fused audio corpus-prep kernel: silence trim → resample →
+    loudness normalize in ONE decode/encode round-trip per clip.
+
+    Composing :func:`silence_segments` + :func:`resample_audio` +
+    :func:`normalize_loudness` as separate operators would decode and
+    re-encode every clip three times and ship the (dominant) binary
+    column through three Arrow boundaries; at 10^12 clips the payload
+    movement IS the job, so the production path fuses the three stages
+    over a single decode.  Stage semantics are exactly the standalone
+    operators', in this order:
+
+    1. **Trim**: the frame silence mask of :func:`silence_segments`
+       (``frame_ms``/``hop_ms`` floor-division windows, RMS strictly
+       below ``silence_db`` dBFS); the lead/trail silent runs convert
+       to sample offsets as ``run_frames · hop`` and the clip keeps
+       ``[lead_trim, n − trail_trim)``.  A clip whose silent-frame
+       ratio exceeds ``max_silence_ratio`` (or that trims to nothing,
+       or is shorter than one frame and all-silent by whole-clip RMS)
+       is **dropped**: flagged, NULL audio output, stats preserved for
+       routing — dropping happens here precisely so the pipeline never
+       pays resample/normalize/encode for discarded clips.
+    2. **Resample** to ``target_sr``: the :func:`resample_audio`
+       contract (``n_out = n_trimmed · target // sr``, ``np.interp`` at
+       positions ``j · sr / target`` in float64).
+    3. **Normalize** to ``target_db`` dBFS RMS measured on the
+       resampled signal (the stored artifact), hard-clipping into
+       [−1, 1] with the clip count surfaced, then one PCM16 encode.
+
+    Undecodable/NULL payloads yield all-NULL rows (tolerant).  One
+    narrow scan → mapInPandas; zero shuffles at any scale.
+    """
+    if target_sr <= 0:
+        raise ValueError(f"target_sr must be positive: {target_sr}")
+    id_cols = id_cols or ["clip_id"]
+    thresh = 10.0 ** (silence_db / 20.0)
+    target_rms = 10.0 ** (target_db / 20.0)
+    keys = ("bytes", "sr_hz", "sr_in", "n_samples_in", "lead_trim",
+            "trail_trim", "n_samples_trimmed", "n_samples_out", "rms_pre",
+            "rms_out", "gain_db", "n_clipped", "dropped")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                n = len(pcm)
+                x = pcm.astype(np.float64)
+                win = max(sr * frame_ms // 1000, 1)
+                hop = max(sr * hop_ms // 1000, 1)
+                lead = trail = 0
+                silent_ratio = 0.0
+                if n >= win:
+                    csum = np.concatenate(([0.0], np.cumsum(x * x)))
+                    starts = np.arange(0, n - win + 1, hop)
+                    rms = np.sqrt(
+                        np.maximum(csum[starts + win] - csum[starts], 0.0) / win
+                    )
+                    silent = rms < thresh
+                    nf = len(starts)
+                    silent_ratio = float(silent.sum()) / nf
+                    if silent.all():
+                        lead, trail = nf, 0
+                    elif silent.any():
+                        edges = np.flatnonzero(np.diff(silent.view(np.int8))) + 1
+                        bounds = np.concatenate(([0], edges, [nf]))
+                        lens = np.diff(bounds)
+                        run_silent = silent[bounds[:-1]]
+                        lead = int(lens[0]) if run_silent[0] else 0
+                        trail = int(lens[-1]) if run_silent[-1] else 0
+                else:
+                    whole = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                    if whole < thresh:
+                        silent_ratio = 1.0
+                lead_trim = min(lead * hop, n)
+                trail_trim = min(trail * hop, n - lead_trim)
+                t = x[lead_trim : n - trail_trim]
+                dropped = silent_ratio > max_silence_ratio or len(t) == 0
+                base = dict(sr_hz=target_sr, sr_in=sr, n_samples_in=n,
+                            lead_trim=lead_trim, trail_trim=trail_trim,
+                            n_samples_trimmed=len(t), dropped=dropped)
+                if dropped:
+                    vals = dict(base, bytes=None, n_samples_out=None,
+                                rms_pre=None, rms_out=None, gain_db=None,
+                                n_clipped=None)
+                    for k in keys:
+                        cols[k].append(vals[k])
+                    continue
+                if sr == target_sr:
+                    y, n_out = t, len(t)
+                else:
+                    n_out = max(len(t) * target_sr // sr, 1)
+                    pos = np.arange(n_out, dtype=np.float64) * (
+                        float(sr) / float(target_sr)
+                    )
+                    y = np.interp(pos, np.arange(len(t), dtype=np.float64), t)
+                rms_pre = float(np.sqrt(np.mean(y * y))) if len(y) else 0.0
+                gain = target_rms / rms_pre if rms_pre > 0.0 else 1.0
+                z = y * gain
+                n_clipped = int(np.count_nonzero(np.abs(z) > 1.0))
+                z = np.clip(z, -1.0, 1.0)
+                rms_out = float(np.sqrt(np.mean(z * z))) if len(z) else 0.0
+                vals = dict(base, bytes=wav_encode(z, target_sr),
+                            n_samples_out=n_out, rms_pre=rms_pre,
+                            rms_out=rms_out,
+                            gain_db=20.0 * np.log10(gain) if gain > 0 else 0.0,
+                            n_clipped=n_clipped)
+                for k in keys:
+                    cols[k].append(vals[k])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + PREPARE_AUDIO_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
 def _id_schema(df: DataFrame, id_cols: list[str]) -> str:
     """Output-schema fragment for passthrough id columns, derived from
     the INPUT schema — never assume string/bigint (the winnow id-type

@@ -1205,3 +1205,78 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert out[out["doc_id"] == 2].iloc[0]["chunk"] == "short"
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_chars=50, overlap=50)
+
+
+def test_prepare_audio_fused_chain(spark):
+    """Fused trim→resample→normalize matches a direct numpy rendering
+    of the documented chain: lead zeros trim away (frame-run · hop
+    samples), output length obeys the resample closed form on the
+    TRIMMED length, and the stored clip lands exactly on -20 dBFS RMS
+    pre-quantization."""
+    import numpy as np
+
+    from drivel_spark.ops import prepare_audio
+    from drivel_spark.produce.audio import synth_pcm, wav_decode, wav_encode
+
+    sr = 8000
+    tone = synth_pcm(5, sr, 1000)
+    lead = np.zeros(2400, dtype=np.float32)  # 0.3 s of exact silence
+    pcm = np.concatenate([lead, tone])
+    rows = [
+        ("lead", bytearray(wav_encode(pcm, sr))),
+        ("clean", bytearray(wav_encode(tone, sr))),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = prepare_audio(df, 16000, -20.0).toPandas().set_index("clip_id")
+
+    row = got.loc["lead"]
+    assert not row["dropped"]
+    # 25ms/10ms frames at 8k: win=200 hop=80; zeros end at 2400, frames
+    # starting <= 2200 are all-zero -> lead run 28 frames -> 2240 samples
+    assert row["lead_trim"] == 2240 and row["trail_trim"] == 0
+    n_trim = len(pcm) - 2240
+    assert row["n_samples_trimmed"] == n_trim
+    assert row["n_samples_out"] == n_trim * 16000 // sr
+    assert abs(row["rms_out"] - 0.1) < 1e-9 and row["n_clipped"] == 0
+    # byte-level check against the direct chain
+    x = wav_decode(wav_encode(pcm, sr))[0].astype(np.float64)[2240:]
+    n_out = len(x) * 16000 // sr
+    y = np.interp(
+        np.arange(n_out, dtype=np.float64) * (sr / 16000.0),
+        np.arange(len(x), dtype=np.float64), x,
+    )
+    y *= 0.1 / np.sqrt(np.mean(y * y))
+    ref = wav_decode(wav_encode(y, 16000))[0]
+    eng = wav_decode(bytes(row["bytes"]))[0]
+    assert np.array_equal(eng, ref)
+
+    clean = got.loc["clean"]
+    assert clean["lead_trim"] == 0 and clean["trail_trim"] == 0
+    assert clean["n_samples_trimmed"] == len(tone)
+    assert got.loc["null"][["sr_in", "n_samples_out"]].isnull().all()
+
+
+def test_prepare_audio_drops_silent(spark):
+    """An (almost) all-silent clip is dropped before paying for
+    resample/normalize/encode: flagged, NULL audio, stats kept."""
+    import numpy as np
+
+    from drivel_spark.ops import prepare_audio
+    from drivel_spark.produce.audio import wav_encode
+
+    silent = np.zeros(8000, dtype=np.float32)
+    short_silent = np.zeros(50, dtype=np.float32)  # < one window
+    df = spark.createDataFrame(
+        [("s", bytearray(wav_encode(silent, 8000))),
+         ("tiny", bytearray(wav_encode(short_silent, 8000)))],
+        "clip_id string, bytes binary",
+    )
+    got = prepare_audio(df, 16000).toPandas().set_index("clip_id")
+    for cid in ("s", "tiny"):
+        assert bool(got.loc[cid, "dropped"])
+        assert got.loc[cid, "bytes"] is None
+        assert got.loc[cid, "n_samples_out"] is None or np.isnan(
+            got.loc[cid, "n_samples_out"]
+        )
+    assert got.loc["s", "n_samples_in"] == 8000

@@ -661,6 +661,49 @@ def q_chunking_documents(spark, sf_dir):
     )
 
 
+def q_schema_diff_orders(spark, sf_dir):
+    """Profile-to-profile schema diff — the structural complement of
+    the KS/PSI drift check: which columns MOVED since the baseline
+    batch.  The query profiles the orders table twice — as-is
+    (baseline) and with five injected changes (a dropped column, an
+    added column, an int column arriving as strings, doubled prices on
+    1/7 of keys, nulls + a new enum variant in o_orderstatus) — and
+    diffs the two profiles driver-side over O(columns) metadata (no
+    third data pass; the profiles already paid their single scans,
+    which is what keeps this free at 10^12 rows).  The DuckDB oracle
+    re-derives every expected diff row from the raw table with the
+    same injection rules, each conditional on the data actually
+    exhibiting the change (e.g. the range_widened_lo row appears only
+    if the doubled subset's min undercuts the baseline min — it
+    can't, for positive prices, on either side)."""
+    from drivel_spark.profiling import DIFF_SCHEMA, diff_profiles, profile
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderdate",
+    )
+    key = F.col("o_orderkey")
+    cur = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        F.when(key % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(key % 10 == 0, None)
+        .when(key % 13 == 0, "X")
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.lit("web").alias("o_channel"),
+    )
+    rows = diff_profiles(profile(cur), profile(base))
+    return spark.createDataFrame(
+        [
+            (r["column"], r["change"], r["before"], r["after"], r["detail"])
+            for r in rows
+        ],
+        DIFF_SCHEMA,
+    ).orderBy("column", "change")
+
+
 def q_repetition_documents(spark, sf_dir):
     """Gopher-style n-gram repetition metrics (Rae et al. 2021 §A1.1)
     over the documents corpus: per-doc duplicate-bigram/-trigram and
@@ -1876,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top20_documents": q_vocab_top20_documents,
         "repetition_documents": q_repetition_documents,
         "stable_split_documents": q_stable_split_documents,
+        "schema_diff_orders": q_schema_diff_orders,
         "stratified_sample_documents": q_stratified_sample_documents,
         "chunking_documents": q_chunking_documents,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -2345,6 +2389,53 @@ def oracle_sql() -> dict[str, str]:
                      AS n_leaky_sources
             FROM asg a JOIN src_k s ON a.mode = s.mode AND a.source = s.source
             GROUP BY a.mode, a.split ORDER BY a.mode, a.split""",
+        # every expected diff row re-derived from the raw table with the
+        # same injection rules, each conditional on the data actually
+        # exhibiting the change (so nothing is hard-coded as present)
+        "schema_diff_orders": """
+            WITH s AS (
+              SELECT count(*) AS n,
+                     count(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS inj_null,
+                     count(*) - count(o_orderstatus) AS base_null,
+                     max(o_totalprice) AS base_hi, min(o_totalprice) AS base_lo,
+                     max(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                              ELSE o_totalprice END) AS cur_hi,
+                     min(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                              ELSE o_totalprice END) AS cur_lo
+              FROM orders),
+            newv AS (
+              SELECT list_sort(list(DISTINCT cs)) AS vs FROM (
+                SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                            WHEN o_orderkey % 13 = 0 THEN 'X'
+                            ELSE o_orderstatus END AS cs
+                FROM orders) t
+              WHERE cs IS NOT NULL
+                AND cs NOT IN (SELECT DISTINCT o_orderstatus FROM orders
+                               WHERE o_orderstatus IS NOT NULL))
+            SELECT * FROM (
+              SELECT 'o_channel' AS "column", 'column_added' AS change,
+                     NULL::DOUBLE AS before, n::DOUBLE AS after,
+                     NULL::VARCHAR AS detail FROM s
+              UNION ALL
+              SELECT 'o_orderdate', 'column_removed', n::DOUBLE, NULL, NULL FROM s
+              UNION ALL
+              SELECT 'o_custkey', 'type_changed', NULL, NULL,
+                     'numeric->string' FROM s
+              UNION ALL
+              SELECT 'o_totalprice', 'range_widened_hi', base_hi, cur_hi, NULL
+              FROM s WHERE cur_hi > base_hi
+              UNION ALL
+              SELECT 'o_totalprice', 'range_widened_lo', base_lo, cur_lo, NULL
+              FROM s WHERE cur_lo < base_lo
+              UNION ALL
+              SELECT 'o_orderstatus', 'nulls_appeared', 0.0,
+                     round(inj_null / n, 6), NULL
+              FROM s WHERE inj_null > 0 AND base_null = 0
+              UNION ALL
+              SELECT 'o_orderstatus', 'enum_variants_added', NULL,
+                     len(vs)::DOUBLE, array_to_string(vs, ',')
+              FROM newv WHERE len(vs) > 0
+            ) ORDER BY "column", change""",
         # identical md5 buckets, both rate ladders, and the structural
         # nesting count re-derived per language in plain SQL
         "stratified_sample_documents": f"""

@@ -2,6 +2,7 @@
 mapInPandas seqOp, tree combine, TableProfile result object."""
 
 from .accumulator import ProfilerOptions, TableAccumulator, make_column_acc
+from .diff import DIFF_SCHEMA, diff_profiles
 from .profiler import (
     TableProfile,
     partition_accumulators,
@@ -15,6 +16,8 @@ __all__ = [
     "TableAccumulator",
     "make_column_acc",
     "TableProfile",
+    "DIFF_SCHEMA",
+    "diff_profiles",
     "partition_accumulators",
     "profile",
     "profile_json_column",

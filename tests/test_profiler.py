@@ -163,3 +163,50 @@ def test_profile_json_column_tolerates_corrupt_docs(spark):
     # bare-node call keeps the old signature
     node2 = profile_json_column(df, "j")
     assert {**node2.required, **node2.optional}.keys() == fields.keys()
+
+
+def test_diff_profiles_change_kinds(spark):
+    """Every structural change kind fires exactly when constructed:
+    add/remove, type change, nulls appearing, numeric range escape,
+    string length growth, enum variant growth, format change."""
+    from pyspark.sql import functions as F
+
+    from drivel_spark.profiling import diff_profiles, profile
+
+    base_df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("s"),
+        F.when(F.col("id") % 2 == 0, "red").otherwise("blue").alias("e"),
+        F.lit("2024-01-02").alias("d"),
+        F.col("id").alias("gone"),
+    )
+    cur_df = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("k"),                   # type change
+        F.when(F.col("id") % 4 == 0, (F.col("id") % 100) * 3.0 - 50.0)
+        .otherwise((F.col("id") % 100).cast("double")).alias("v"),  # range escape
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.concat(F.lit("user"), F.col("id").cast("string")))
+        .alias("s"),                                             # nulls + longer
+        F.when(F.col("id") % 3 == 0, "green")
+        .when(F.col("id") % 2 == 0, "red").otherwise("blue").alias("e"),
+        F.lit("not a date at all").alias("d"),                   # format change
+        F.lit("web").alias("added"),
+    )
+    d = diff_profiles(profile(cur_df), profile(base_df))
+    by = {(r["column"], r["change"]): r for r in d}
+
+    assert ("added", "column_added") in by and by[("added", "column_added")]["after"] == 200.0
+    assert ("gone", "column_removed") in by and by[("gone", "column_removed")]["before"] == 200.0
+    assert by[("k", "type_changed")]["detail"] == "numeric->string"
+    assert by[("v", "range_widened_hi")]["before"] == 99.0
+    assert by[("v", "range_widened_hi")]["after"] == 238.0  # 96*3-50
+    assert by[("v", "range_widened_lo")]["after"] == -50.0
+    assert by[("s", "nulls_appeared")]["after"] == round(20 / 200, 6)
+    assert ("s", "length_widened_hi") in by  # "userNNN" > "uNNN"
+    got_e = by[("e", "enum_variants_added")]
+    assert got_e["after"] == 1.0 and got_e["detail"] == "green"
+    assert by[("d", "format_changed")]["detail"].startswith("iso-date->")
+    # untouched columns emit nothing; identical profiles diff to []
+    assert not any(r["column"] == "v" and r["change"] == "nulls_appeared" for r in d)
+    assert diff_profiles(profile(base_df), profile(base_df)) == []

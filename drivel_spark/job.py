@@ -128,6 +128,49 @@ def cmd_baseline(args) -> dict:
     return {"baseline": args.out, "n_rows": prof.acc.n_rows}
 
 
+def cmd_diff(args) -> dict:
+    """Structural schema diff of the current batch against a stored
+    baseline profile (profiling/diff.py): which columns moved —
+    added / removed / type changed / nulls appeared / numeric range or
+    string length escaped the envelope / format or enum moved — at the
+    cost of ONE profile scan of the current table; the baseline side is
+    the already-reduced pickle from `baseline`, so no second data pass
+    exists at any scale.  Default column set matches the `baseline`
+    verb's so a vanilla baseline→diff round-trip reports only real
+    changes; --columns overrides for arbitrary tables."""
+    spark = build_session("drivel-diff")
+    from drivel_spark.io import read_table
+    from drivel_spark.profiling import diff_profiles
+
+    with open(args.baseline, "rb") as fh:
+        baseline = pickle.load(fh)
+    ref = args.clips or f"{args.data}/clips"
+    df = read_table(spark, ref)
+    if args.columns:
+        cols = [c for c in args.columns.split(",") if c in df.columns]
+    else:
+        # baseline's column set where still present (missing ones come
+        # back as column_removed via the baseline side of the diff),
+        # plus any new non-binary columns so additions are caught
+        # without paying a byte-payload scan by default
+        cols = [c for c in PROFILE_COLUMNS if c in df.columns] + [
+            f.name
+            for f in df.schema.fields
+            if f.name not in PROFILE_COLUMNS
+            and f.dataType.simpleString() != "binary"
+        ]
+    prof = profile(df, columns=cols, arrow_batch=_narrow_batch(df, cols))
+    changes = diff_profiles(prof, baseline)
+    return {
+        "job": "diff",
+        "data": ref,
+        "baseline": args.baseline,
+        "n_rows": prof.acc.n_rows,
+        "n_changes": len(changes),
+        "changes": changes,
+    }
+
+
 def _constraints(meta: dict, baseline) -> list:
     cs = [
         Enum("sr_enum", "sr_hz", tuple(int(v) for v in sorted(SR_VALUES.tolist()))),
@@ -564,6 +607,14 @@ def main(argv=None) -> None:
     sv.add_argument("--n-scopes", type=int, default=64)
     sv.add_argument("--report", default=None)
 
+    sdf = sub.add_parser("diff")
+    sdf.add_argument("--data", default=None, help="db dir containing /clips")
+    sdf.add_argument("--clips", default=None,
+                     help="override clips table (path or iceberg:db.tbl ref)")
+    sdf.add_argument("--baseline", required=True,
+                     help="baseline profile pickle from the `baseline` verb")
+    sdf.add_argument("--columns", default=None, help="comma-separated subset")
+
     sd = sub.add_parser("describe")
     sd.add_argument("--data", default=None, help="path or iceberg:db.tbl")
     sd.add_argument("--schema", default=None,
@@ -614,6 +665,7 @@ def main(argv=None) -> None:
         "prepare": cmd_prepare,
         "baseline": cmd_baseline,
         "validate": cmd_validate,
+        "diff": cmd_diff,
         "describe": cmd_describe,
         "produce": cmd_produce,
         "validate-stream": cmd_validate_stream,

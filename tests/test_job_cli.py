@@ -157,3 +157,38 @@ def test_stream_subcommands(spark, tmp_path):
     ).write.mode("append").parquet(source)
     pout2 = cmd_profile_stream(ps)
     assert pout2["n_rows_total"] == 700
+
+
+def test_diff_verb_baseline_roundtrip(spark, tmp_path):
+    """baseline → diff on the same data reports zero changes; diff
+    against a mutated copy (dropped column, added column, injected
+    nulls) reports exactly those, through the same CLI surface a
+    production run would use."""
+    from pyspark.sql import functions as F
+
+    from drivel_spark.job import cmd_baseline, cmd_diff
+
+    db = tmp_path / "db"
+    clips = build_clips(spark, 300, 4, ClipFixtureSpec(with_audio=False))
+    clips.write.parquet(str(db / "clips"))
+    base_pkl = str(tmp_path / "base.pkl")
+    cmd_baseline(argparse.Namespace(data=str(db), out=base_pkl))
+
+    same = cmd_diff(
+        argparse.Namespace(data=str(db), clips=None, baseline=base_pkl, columns=None)
+    )
+    assert same["n_changes"] == 0 and same["changes"] == []
+
+    mutated = str(tmp_path / "mutated")
+    clips.drop("codec").withColumn(
+        "dur_ms",
+        F.when(F.col("dur_ms") % 2 == 0, None).otherwise(F.col("dur_ms")),
+    ).withColumn("origin", F.lit("batch7")).write.parquet(mutated)
+    out = cmd_diff(
+        argparse.Namespace(data=None, clips=mutated, baseline=base_pkl, columns=None)
+    )
+    got = {(c["column"], c["change"]) for c in out["changes"]}
+    assert ("codec", "column_removed") in got
+    assert ("origin", "column_added") in got
+    assert ("dur_ms", "nulls_appeared") in got
+    assert out["n_changes"] == len(out["changes"]) >= 3

@@ -170,11 +170,23 @@ def from_profile(
     columns: Optional[Sequence[str]] = None,
     numeric_margin: float = 0.0,
     with_drift: bool = False,
+    quantile_range: Optional[tuple] = None,
 ) -> list[Constraint]:
     """Infer-then-check: derive the constraint set a baseline profile
     implies.  ``numeric_margin`` widens numeric ranges by a fraction of
     the observed span (0 = exact observed bounds, reference semantics).
+
+    ``quantile_range=(p_lo, p_hi)`` switches numeric envelopes from the
+    exact min/max to the baseline's KLL quantile sketch at those ranks —
+    the robust policy for dirty baselines, where a single historical
+    outlier would otherwise poison the range forever.  The sketch is
+    already in the profile (no extra pass), and ``numeric_margin``
+    then widens the quantile span instead.
     """
+    if quantile_range is not None:
+        p_lo, p_hi = quantile_range
+        if not (0.0 <= p_lo < p_hi <= 1.0):
+            raise ValueError(f"need 0 <= p_lo < p_hi <= 1: {quantile_range}")
     out: list[Constraint] = []
     for name in profile.columns():
         if columns is not None and name not in columns:
@@ -183,8 +195,13 @@ def from_profile(
         if acc.n_null == 0 and acc.n > 0:
             out.append(NotNull(f"{name}_not_null", name))
         if acc.kind == "numeric" and acc.min_v is not None:
-            span = (acc.max_v - acc.min_v) * numeric_margin
-            out.append(Range(f"{name}_range", name, acc.min_v - span, acc.max_v + span))
+            if quantile_range is not None and acc.kll.n:
+                lo = float(acc.kll.quantile(p_lo))
+                hi = float(acc.kll.quantile(p_hi))
+            else:
+                lo, hi = acc.min_v, acc.max_v
+            span = (hi - lo) * numeric_margin
+            out.append(Range(f"{name}_range", name, lo - span, hi + span))
             if with_drift:
                 out.append(Drift(f"{name}_drift", name))
         elif acc.kind == "string":

@@ -233,3 +233,34 @@ def test_decoded_meta_consistency(spark):
         | (F.col("wav_sr") != F.greatest(F.least(F.col("sr_hz"), F.lit(48000)), F.lit(4000)))
     )
     assert bad.count() == 0
+
+
+def test_from_profile_quantile_envelope(spark):
+    """quantile_range switches numeric envelopes to the baseline's KLL
+    quantiles: a dirty baseline with planted outliers no longer poisons
+    the range — the derived constraint flags those same outliers —
+    while the default (min/max) policy still passes everything."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") % 1000 == 7, F.col("id") * 1000.0)
+        .otherwise((F.col("id") % 97).cast("double"))
+        .alias("v")
+    )
+    prof = profile(df, columns=["v"])
+
+    exact = from_profile(prof)
+    assert validate(df, exact).all_passed()  # min/max admits the outliers
+
+    robust = from_profile(prof, quantile_range=(0.005, 0.995))
+    rng = next(c for c in robust if c.name == "v_range")
+    assert rng.hi < 1000.0  # envelope collapsed to the bulk
+    res = validate(df, robust)
+    pf = res.passfail_pdf()
+    n_bad = pf[pf.constraint == "v_range"]["n_violations"].sum()
+    assert n_bad == 10  # exactly the planted outliers (id%1000==7)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        from_profile(prof, quantile_range=(0.9, 0.1))

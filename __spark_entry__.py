@@ -694,7 +694,14 @@ def q_schema_diff_orders(spark, sf_dir):
         .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
         F.lit("web").alias("o_channel"),
     )
-    rows = diff_profiles(profile(cur), profile(base))
+    # the two profile scans are independent Spark jobs — run them
+    # concurrently on driver threads (same pattern as validate's
+    # pass-1/pass-2 overlap) so the diff costs one scan of wall time
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cur, f_base = pool.submit(profile, cur), pool.submit(profile, base)
+        rows = diff_profiles(f_cur.result(), f_base.result())
     return spark.createDataFrame(
         [
             (r["column"], r["change"], r["before"], r["after"], r["detail"])
@@ -1626,6 +1633,60 @@ def q_audio_normalize_clips(spark, sf_dir):
     )
 
 
+def _local_speech_rate(n: int):
+    """Independent export for the speech-rate oracle: transcript
+    length + duration per clip straight from the driver-side fixture
+    frame (no Spark, no engine expression involved)."""
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+
+    pdf = clips_pdf(range(n), ClipFixtureSpec(with_audio=False))
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"],
+            "sr_hz": pdf["sr_hz"],
+            "t_len": pdf["transcript"].str.len(),
+            "dur_ms": pdf["dur_ms"],
+        }
+    )
+
+
+def q_speech_rate_clips(spark, sf_dir):
+    """Transcript↔duration plausibility (SpeechRate constraint): the
+    chars-per-second band check that catches transcripts paired with
+    the wrong clip or zero/absurd durations without decoding a byte.
+    The engine side evaluates the constraint's compiled Catalyst
+    predicate itself (plus the explicit null-pass and violation
+    buckets); DuckDB recounts all three buckets from an independently
+    exported (transcript length, duration) table.  The cps division is
+    the same two integer operands on both sides, so every threshold
+    compare is bit-equal."""
+    from drivel_spark.constraints import SpeechRate
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_speech_rate(n), "speech_rate", sf_dir)
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=False))
+    c = SpeechRate("speech_rate", "transcript", dur_col="dur_ms",
+                   min_cps=1.0, max_cps=40.0)
+    pred = c.predicate()
+    null_pass = (
+        F.col("transcript").isNull() | F.col("dur_ms").isNull()
+    ).cast("long")
+    return (
+        clips.groupBy("sr_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(null_pass).alias("n_null_pass"),
+            F.sum(pred.cast("long") - null_pass).alias("n_ok"),
+            F.sum((~pred).cast("long")).alias("n_viol"),
+        )
+        .orderBy("sr_hz")
+    )
+
+
 PREP_SPEC_EVERY = 3
 PREP_SPAN = (0.0, 0.3)
 
@@ -1946,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_clips": q_audio_resample_clips,
         "audio_normalize_clips": q_audio_normalize_clips,
         "audio_prep_clips": q_audio_prep_clips,
+        "speech_rate_clips": q_speech_rate_clips,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
@@ -2652,6 +2714,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (n_clipped = 0)::BIGINT AS n_clip_free
             FROM read_parquet('{ORACLE_DIR}/normalize_stats_sf0.01.parquet')
             GROUP BY sr_hz ORDER BY sr_hz""",
+        # three-bucket recount (null-pass / in-band / violation) over
+        # the exported (transcript length, duration) table; the cps
+        # division shares its two integer operands with the engine so
+        # the band compares are bit-equal
+        "speech_rate_clips": f"""
+            WITH e AS (
+              SELECT *, t_len * 1000.0 / dur_ms AS cps
+              FROM read_parquet('{ORACLE_DIR}/speech_rate_sf0.01.parquet'))
+            SELECT sr_hz, count(*)::BIGINT AS n_clips,
+                   count(*) FILTER (t_len IS NULL OR dur_ms IS NULL)::BIGINT
+                     AS n_null_pass,
+                   count(*) FILTER (t_len IS NOT NULL AND dur_ms IS NOT NULL
+                                    AND dur_ms > 0 AND cps >= 1.0
+                                    AND cps <= 40.0)::BIGINT AS n_ok,
+                   count(*) FILTER (t_len IS NOT NULL AND dur_ms IS NOT NULL
+                                    AND NOT (dur_ms > 0 AND cps >= 1.0
+                                             AND cps <= 40.0))::BIGINT AS n_viol
+            FROM e GROUP BY sr_hz ORDER BY sr_hz""",
         # identical per-(sr, planted) rollup over the independent
         # float64 full-chain re-derivation; trim sums are exact integer
         # arithmetic, the RMS/clip flags are construction-guaranteed on

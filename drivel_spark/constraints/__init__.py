@@ -12,6 +12,7 @@ from .spec import (
     NotNull,
     Range,
     Referential,
+    SpeechRate,
     Unique,
     from_json_schema,
     from_profile,
@@ -27,6 +28,7 @@ __all__ = [
     "Format",
     "Unique",
     "Referential",
+    "SpeechRate",
     "Drift",
     "from_profile",
     "from_json_schema",

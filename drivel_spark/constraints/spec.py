@@ -126,6 +126,31 @@ class Format(Constraint):
 
 
 @dataclass(frozen=True)
+class SpeechRate(Constraint):
+    """Transcript↔duration plausibility: characters-per-second of the
+    transcript (``column``) against the clip duration must sit in
+    [min_cps, max_cps] — the cheap consistency check that catches
+    transcripts paired with the wrong clip, truncated audio, or
+    metadata duration drift, without decoding a single byte.  Real
+    speech sits around 5–25 chars/s; the defaults leave slack for
+    dense scripts and slow speakers.  A non-positive duration fails
+    (rate undefined); NULL transcript or duration passes (nullability
+    is NotNull's job).  Pure Catalyst — whole-stage codegen, no UDF.
+    """
+
+    dur_col: str = "dur_ms"
+    min_cps: float = 1.0
+    max_cps: float = 40.0
+
+    def predicate(self) -> Column:
+        c = F.col(self.column)
+        d = F.col(self.dur_col)
+        cps = F.length(c) * F.lit(1000.0) / d
+        ok = (d > 0) & (cps >= F.lit(self.min_cps)) & (cps <= F.lit(self.max_cps))
+        return F.when(c.isNull() | d.isNull(), F.lit(True)).otherwise(ok)
+
+
+@dataclass(frozen=True)
 class Unique(Constraint):
     """Dataset-level: exact confirm is a hash-repartition groupBy.count
     in validate.py, pre-gated by the profile's HLL estimate."""

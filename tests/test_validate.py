@@ -264,3 +264,30 @@ def test_from_profile_quantile_envelope(spark):
 
     with _pytest.raises(ValueError):
         from_profile(prof, quantile_range=(0.9, 0.1))
+
+
+def test_speech_rate_constraint(spark):
+    """SpeechRate edge semantics: in-band passes, absurd rates and
+    non-positive durations fail, NULL transcript/duration pass
+    (nullability is NotNull's job)."""
+    from drivel_spark.constraints import SpeechRate
+
+    rows = [
+        ("ok", "twelve chars in two sec ....", 2000),       # 14 cps
+        ("fast", "x" * 500, 1000),                          # 500 cps
+        ("slow", "hi", 60000),                              # 0.03 cps
+        ("zero", "something", 0),
+        ("neg", "something", -5),
+        ("null_t", None, 1000),
+        ("null_d", "something", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, transcript string, dur_ms int")
+    c = SpeechRate("sr", "transcript", min_cps=1.0, max_cps=40.0)
+    got = {
+        r["clip_id"]: r["p"]
+        for r in df.select("clip_id", c.predicate().alias("p")).collect()
+    }
+    assert got == {
+        "ok": True, "fast": False, "slow": False, "zero": False,
+        "neg": False, "null_t": True, "null_d": True,
+    }

@@ -1633,6 +1633,59 @@ def q_audio_normalize_clips(spark, sf_dir):
     )
 
 
+EMB_DIM = 64
+
+
+def q_embedding_drift_halves(spark, sf_dir):
+    """Embedding-space drift (centroid cosine/L2 + mean-norm pair)
+    between the even- and odd-id halves of the embeddings table, in two
+    scenarios: raw halves (no drift — same distribution) and a planted
+    shift (+2.0 on dimension 0 of the odd half — a broken preprocessing
+    stage).  Engine cost is one partial+final aggregation per batch and
+    O(dim) driver math — data never meets data, so like profile-vs-
+    profile drift the check is free at any scale.  The DuckDB oracle
+    re-derives centroids, norms, cosine, and L2 from scratch by
+    unnesting the arrays in SQL."""
+    from drivel_spark.ops import embedding_batch_stats
+
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    b_shift = b.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + F.when(i == 0, F.lit(2.0)).otherwise(F.lit(0.0)),
+        ),
+    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fa = pool.submit(embedding_batch_stats, a, EMB_DIM)
+        fb = pool.submit(embedding_batch_stats, b, EMB_DIM)
+        fs = pool.submit(embedding_batch_stats, b_shift, EMB_DIM)
+        sa, sb, ss = fa.result(), fb.result(), fs.result()
+
+    def pair(scen, x, y):
+        (n_a, ca, norm_a), (n_b, cb, norm_b) = x, y
+        na, nb = float(np.linalg.norm(ca)), float(np.linalg.norm(cb))
+        cos = float(ca @ cb / (na * nb)) if na > 0 and nb > 0 else None
+        return (
+            scen, n_a, n_b,
+            round(cos, 6) if cos is not None else None,
+            round(float(np.linalg.norm(ca - cb)), 6),
+            round(norm_a, 6), round(norm_b, 6),
+        )
+
+    return spark.createDataFrame(
+        [pair("raw", sa, sb), pair("shifted", sa, ss)],
+        "scenario string, n_a long, n_b long, cos double, l2 double, "
+        "norm_a double, norm_b double",
+    ).orderBy("scenario")
+
+
 def _local_speech_rate(n: int):
     """Independent export for the speech-rate oracle: transcript
     length + duration per clip straight from the driver-side fixture
@@ -2008,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_normalize_clips": q_audio_normalize_clips,
         "audio_prep_clips": q_audio_prep_clips,
         "speech_rate_clips": q_speech_rate_clips,
+        "embedding_drift_halves": q_embedding_drift_halves,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
@@ -2714,6 +2768,53 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (n_clipped = 0)::BIGINT AS n_clip_free
             FROM read_parquet('{ORACLE_DIR}/normalize_stats_sf0.01.parquet')
             GROUP BY sr_hz ORDER BY sr_hz""",
+        # centroids, per-row norms, cosine and L2 re-derived from
+        # scratch by unnesting the arrays; parallel unnest zips value
+        # with 1-based ordinal, and the planted +2.0 shift on dim 1 of
+        # odd ids mirrors the engine's transform-lambda exactly
+        "embedding_drift_halves": """
+            WITH e AS (
+              SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+                     unnest(range(1, len(embedding) + 1)) AS d
+              FROM embeddings WHERE embedding IS NOT NULL),
+            s AS (
+              SELECT 'raw' AS scenario, vec_id, d, val FROM e
+              UNION ALL
+              SELECT 'shifted', vec_id, d,
+                     val + CASE WHEN d = 1 AND vec_id % 2 = 1
+                                THEN 2.0 ELSE 0.0 END
+              FROM e),
+            cent AS (
+              SELECT scenario, (vec_id % 2 = 0) AS is_a, d, avg(val) AS c
+              FROM s GROUP BY 1, 2, 3),
+            geom AS (
+              SELECT a.scenario,
+                     sum(a.c * b.c) AS dot,
+                     sqrt(sum(a.c * a.c)) AS na,
+                     sqrt(sum(b.c * b.c)) AS nb,
+                     sqrt(sum((a.c - b.c) * (a.c - b.c))) AS l2
+              FROM cent a
+              JOIN cent b ON a.scenario = b.scenario AND a.d = b.d
+                          AND a.is_a AND NOT b.is_a
+              GROUP BY 1),
+            rn AS (
+              SELECT scenario, vec_id, (vec_id % 2 = 0) AS is_a,
+                     sqrt(sum(val * val)) AS nr
+              FROM s GROUP BY 1, 2, 3),
+            mn AS (
+              SELECT scenario,
+                     count(*) FILTER (is_a)::BIGINT AS n_a,
+                     count(*) FILTER (NOT is_a)::BIGINT AS n_b,
+                     avg(nr) FILTER (is_a) AS norm_a,
+                     avg(nr) FILTER (NOT is_a) AS norm_b
+              FROM rn GROUP BY 1)
+            SELECT m.scenario, m.n_a, m.n_b,
+                   round(g.dot / (g.na * g.nb), 6) AS cos,
+                   round(g.l2, 6) AS l2,
+                   round(m.norm_a, 6) AS norm_a,
+                   round(m.norm_b, 6) AS norm_b
+            FROM mn m JOIN geom g ON m.scenario = g.scenario
+            ORDER BY m.scenario""",
         # three-bucket recount (null-pass / in-band / violation) over
         # the exported (transcript length, duration) table; the cps
         # division shares its two integer operands with the engine so

@@ -252,3 +252,65 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_batch_stats(df: DataFrame, dim: int,
+                          vec_col: str = "embedding"):
+    """One partial+final hash aggregation over an embedding batch:
+    per-dimension centroid components plus the mean L2 norm, all as
+    Catalyst expressions (``avg(e[i])`` per dimension and an
+    ``aggregate``-lambda sum of squares per row — no UDF, no explode,
+    O(dim) aggregation state).  Returns ``(n, centroid ndarray,
+    mean_norm)``.  At 10^12 rows this is exactly one map-side-combined
+    scan with a dim-sized reduce — the only shape that survives."""
+    import numpy as np
+
+    e = F.col(vec_col)
+    sq = F.aggregate(
+        F.transform(e, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = (
+        df.filter(e.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.avg(e[i].cast("double")).alias(f"c{i}") for i in range(dim)],
+            F.avg(F.sqrt(sq)).alias("mean_norm"),
+        )
+        .collect()[0]
+    )
+    centroid = np.array([row[f"c{i}"] for i in range(dim)], dtype=np.float64)
+    return int(row["n"]), centroid, float(row["mean_norm"])
+
+
+def embedding_drift(df_a: DataFrame, df_b: DataFrame, dim: int,
+                    vec_col: str = "embedding") -> dict:
+    """Embedding-space drift between two batches — the vector
+    counterpart of the numeric KS / categorical PSI checks: centroid
+    cosine and L2 shift plus the mean-norm pair.  A new encoder
+    version, a corrupted preprocessing stage, or a topical shift moves
+    the centroid; norm drift catches scaling bugs cosine is blind to.
+
+    Cost: one partial+final aggregation per batch (run concurrently on
+    driver threads) and O(dim) driver math — no data ever meets data,
+    so the check is free at any scale, like profile-vs-profile drift.
+    """
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(embedding_batch_stats, df_a, dim, vec_col)
+        fb = pool.submit(embedding_batch_stats, df_b, dim, vec_col)
+        n_a, ca, norm_a = fa.result()
+        n_b, cb, norm_b = fb.result()
+    na, nb = float(np.linalg.norm(ca)), float(np.linalg.norm(cb))
+    cos = float(ca @ cb / (na * nb)) if na > 0 and nb > 0 else None
+    return {
+        "n_a": n_a,
+        "n_b": n_b,
+        "centroid_cosine": cos,
+        "centroid_l2": float(np.linalg.norm(ca - cb)),
+        "mean_norm_a": norm_a,
+        "mean_norm_b": norm_b,
+    }

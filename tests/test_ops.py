@@ -1280,3 +1280,41 @@ def test_prepare_audio_drops_silent(spark):
             got.loc[cid, "n_samples_out"]
         )
     assert got.loc["s", "n_samples_in"] == 8000
+
+
+def test_embedding_drift_detects_shift(spark):
+    """Same-distribution halves read as no drift (cosine near 1, small
+    L2); a planted constant shift on one dimension moves the centroid
+    (cosine drops, L2 jumps by ~the shift) and the mean norm grows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from drivel_spark.ops import embedding_drift
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    rows = [
+        (int(i), [float(x) for x in rng.normal(1.0, 0.2, dim)])
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = df.filter(F.col("vec_id") % 2 == 0)
+    b = df.filter(F.col("vec_id") % 2 == 1)
+
+    same = embedding_drift(a, b, dim)
+    assert same["n_a"] == same["n_b"] == 1000
+    assert same["centroid_cosine"] > 0.9999
+    assert same["centroid_l2"] < 0.05
+
+    shifted = b.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + F.when(i == 0, F.lit(3.0)).otherwise(F.lit(0.0)),
+        ),
+    )
+    drift = embedding_drift(a, shifted, dim)
+    assert drift["centroid_cosine"] < same["centroid_cosine"] - 0.01
+    assert 2.5 < drift["centroid_l2"] < 3.5
+    assert drift["mean_norm_b"] > same["mean_norm_b"] + 1.0

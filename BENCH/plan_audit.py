@@ -416,6 +416,46 @@ def main() -> None:
         )
     )
 
+    # 14c. stratified sampling: a pure filter in scan codegen — no
+    # Exchange, no Python, and the optimizer may evaluate it before
+    # wide columns materialize
+    from drivel_spark.ops import chunk_documents, stratified_sample
+
+    p = fmt(stratified_sample(docs, "doc_id", "lang", {"en": 0.1, "sw": 1.0}))
+    sections.append(
+        (
+            "Stratified sample filter",
+            p,
+            [
+                "zero shuffles (pure filter): "
+                + ("PASS" if "Exchange" not in p else "FAIL"),
+                "JVM-side (no BatchEvalPython / ArrowEvalPython): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "whole-stage codegen: "
+                + ("PASS" if "codegen id" in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 14d. document chunking: bounded Generate (posexplode of an
+    # arithmetic sequence) — no Exchange, no Python; the fan-out
+    # pipelines straight into the next stage
+    p = fmt(chunk_documents(docs, chunk_chars=300, overlap=50))
+    sections.append(
+        (
+            "Document chunking fan-out",
+            p,
+            [
+                "zero shuffles (narrow fan-out): "
+                + ("PASS" if "Exchange" not in p else "FAIL"),
+                "JVM-side (no BatchEvalPython / ArrowEvalPython): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "Generate present (bounded posexplode): "
+                + ("PASS" if "Generate" in p else "FAIL"),
+            ],
+        )
+    )
+
     # 15. spectral/frame audio features: one narrow scan into Arrow
     # mapInPandas, zero shuffles
     from drivel_spark.fixtures import ClipFixtureSpec, build_clips

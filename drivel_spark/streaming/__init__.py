@@ -3,6 +3,7 @@ validation and incremental profile (schema/stats) inference, both
 with exactly-once file tracking (checkpointLocation)."""
 
 from .profile_stream import load_stream_profile, profile_stream
+from .stateful import latest_stats, running_stats, running_stats_stream
 from .validate_stream import cumulative_passfail, validate_stream
 
 __all__ = [
@@ -10,4 +11,7 @@ __all__ = [
     "cumulative_passfail",
     "profile_stream",
     "load_stream_profile",
+    "running_stats",
+    "running_stats_stream",
+    "latest_stats",
 ]

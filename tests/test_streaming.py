@@ -286,3 +286,60 @@ def test_profile_stream_guards_checkpoint_state_divergence(spark, tmp_path):
     shutil.rmtree(state)
     with pytest.raises(RuntimeError, match="state dir .* is empty"):
         profile_stream(spark, source, CLIPS_SCHEMA, state, ckpt, columns=cols)
+
+
+def test_stateful_running_stats_resumes(spark, tmp_path):
+    """applyInPandasWithState keyed state: per-key running stats over
+    a growing source; the state store (not a report scan) carries the
+    counters, so a later invocation with the same checkpoint resumes
+    them exactly and the final per-key rows equal a batch groupBy over
+    everything ever seen."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from drivel_spark.streaming import latest_stats, running_stats_stream
+
+    src = str(tmp_path / "src")
+    schema = "k string, v double"
+
+    def wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    wave([("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", None)])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    running_stats_stream(spark, src, schema, "k", "v", ckpt, out)
+    first = {
+        r["k"]: r for r in latest_stats(spark, out, "k").collect()
+    }
+    assert first["a"]["n"] == 2 and first["a"]["mean"] == 2.0
+    assert first["b"]["n"] == 2 and first["b"]["n_null"] == 1
+    assert first["b"]["vmin"] == first["b"]["vmax"] == 10.0
+
+    # second wave touches only 'a' (plus a brand-new key) — resume
+    wave([("a", 11.0), ("c", 7.0)])
+    running_stats_stream(spark, src, schema, "k", "v", ckpt, out)
+    final = {r["k"]: r for r in latest_stats(spark, out, "k").collect()}
+    assert final["a"]["n"] == 3 and final["a"]["vmax"] == 11.0
+    assert final["a"]["mean"] == (1.0 + 3.0 + 11.0) / 3
+    assert final["b"]["n"] == 2  # untouched key keeps its last emit
+    assert final["c"]["n"] == 1 and final["c"]["mean"] == 7.0
+
+    # cross-check against the batch engine over everything seen
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.avg("v").alias("mean"),
+        )
+    )
+    for r in batch.collect():
+        f = final[r["k"]]
+        assert (f["n"], f["n_null"], f["vmin"], f["vmax"], f["mean"]) == (
+            r["n"], r["n_null"], r["vmin"], r["vmax"], r["mean"]
+        )

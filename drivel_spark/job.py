@@ -144,6 +144,8 @@ def cmd_diff(args) -> dict:
 
     with open(args.baseline, "rb") as fh:
         baseline = pickle.load(fh)
+    if not args.clips and not args.data:
+        raise SystemExit("diff needs --data or --clips")
     ref = args.clips or f"{args.data}/clips"
     df = read_table(spark, ref)
     if args.columns:

@@ -280,6 +280,8 @@ def embedding_batch_stats(df: DataFrame, dim: int,
         )
         .collect()[0]
     )
+    if int(row["n"]) == 0:
+        return 0, np.zeros(dim, dtype=np.float64), 0.0
     centroid = np.array([row[f"c{i}"] for i in range(dim)], dtype=np.float64)
     return int(row["n"]), centroid, float(row["mean_norm"])
 

@@ -1318,3 +1318,18 @@ def test_embedding_drift_detects_shift(spark):
     assert drift["centroid_cosine"] < same["centroid_cosine"] - 0.01
     assert 2.5 < drift["centroid_l2"] < 3.5
     assert drift["mean_norm_b"] > same["mean_norm_b"] + 1.0
+
+
+def test_embedding_drift_empty_batch(spark):
+    """An empty batch reads as zero vectors (cosine undefined → None),
+    not a crash."""
+    from pyspark.sql import functions as F
+
+    from drivel_spark.ops import embedding_drift
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    d = embedding_drift(df, df.filter(F.col("vec_id") < 0), 2)
+    assert d["n_b"] == 0 and d["centroid_cosine"] is None
+    assert d["mean_norm_b"] == 0.0

@@ -1779,7 +1779,7 @@ def _local_prepare_stats(n: int, target: int = 16000, target_db: float = -20.0,
                 silent.append(float(np.sqrt(np.mean(w * w))) < thresh)
             ratio = sum(silent) / len(silent)
             if all(silent):
-                lead, trail = len(silent), 0
+                lead, trail = len(silent), len(silent)
             else:
                 while silent[lead]:
                     lead += 1

@@ -114,14 +114,31 @@ def _narrow_batch(df, cols) -> int | None:
     return None if wide else 8192
 
 
+def _profile_columns(df, columns_arg) -> list:
+    """Shared default column policy for the baseline and diff verbs —
+    they MUST agree or a vanilla baseline→diff round-trip reports
+    phantom additions/removals: PROFILE_COLUMNS where present, plus
+    every other non-binary column (so schema additions are caught
+    without paying a byte-payload scan); --columns overrides."""
+    if columns_arg:
+        return [c for c in columns_arg.split(",") if c in df.columns]
+    return [c for c in PROFILE_COLUMNS if c in df.columns] + [
+        f.name
+        for f in df.schema.fields
+        if f.name not in PROFILE_COLUMNS
+        and f.dataType.simpleString() != "binary"
+    ]
+
+
 def cmd_baseline(args) -> dict:
     spark = build_session("drivel-baseline")
     df = spark.read.parquet(f"{args.data}/clips")
+    cols = _profile_columns(df, getattr(args, "columns", None))
     prof = profile(
         df,
-        columns=PROFILE_COLUMNS,
+        columns=cols,
         opts=ProfilerOptions(),
-        arrow_batch=_narrow_batch(df, PROFILE_COLUMNS),
+        arrow_batch=_narrow_batch(df, cols),
     )
     with open(args.out, "wb") as fh:
         pickle.dump(prof, fh)
@@ -148,19 +165,7 @@ def cmd_diff(args) -> dict:
         raise SystemExit("diff needs --data or --clips")
     ref = args.clips or f"{args.data}/clips"
     df = read_table(spark, ref)
-    if args.columns:
-        cols = [c for c in args.columns.split(",") if c in df.columns]
-    else:
-        # baseline's column set where still present (missing ones come
-        # back as column_removed via the baseline side of the diff),
-        # plus any new non-binary columns so additions are caught
-        # without paying a byte-payload scan by default
-        cols = [c for c in PROFILE_COLUMNS if c in df.columns] + [
-            f.name
-            for f in df.schema.fields
-            if f.name not in PROFILE_COLUMNS
-            and f.dataType.simpleString() != "binary"
-        ]
+    cols = _profile_columns(df, args.columns)
     prof = profile(df, columns=cols, arrow_batch=_narrow_batch(df, cols))
     changes = diff_profiles(prof, baseline)
     return {
@@ -595,6 +600,7 @@ def main(argv=None) -> None:
     sb = sub.add_parser("baseline")
     sb.add_argument("--data", required=True)
     sb.add_argument("--out", required=True)
+    sb.add_argument("--columns", default=None, help="comma-separated subset")
 
     sv = sub.add_parser("validate")
     sv.add_argument("--data", required=True)

@@ -515,7 +515,10 @@ def prepare_audio(df: DataFrame, target_sr: int = 16000,
                     nf = len(starts)
                     silent_ratio = float(silent.sum()) / nf
                     if silent.all():
-                        lead, trail = nf, 0
+                        # single all-silent run is both the first and the
+                        # last run — same report as silence_segments;
+                        # trail_trim is then capped by what lead left
+                        lead, trail = nf, nf
                     elif silent.any():
                         edges = np.flatnonzero(np.diff(silent.view(np.int8))) + 1
                         bounds = np.concatenate(([0], edges, [nf]))

@@ -36,17 +36,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_stats", "running_stats_stream", "RUNNING_STATS_FIELDS"]
+__all__ = [
+    "running_stats",
+    "running_stats_stream",
+    "latest_stats",
+    "RUNNING_STATS_FIELDS",
+]
 
 _STATE_SCHEMA = "n long, n_null long, vmin double, vmax double, vsum double"
 RUNNING_STATS_FIELDS = "n long, n_null long, vmin double, vmax double, mean double"
+
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float",
+                     "double", "decimal", "long", "short", "byte")
 
 
 def running_stats(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """Per-key running (count, nulls, min, max, mean) over a streaming
     DataFrame.  Returns the update stream: one row per (touched key,
     micro-batch) carrying that key's statistics over EVERYTHING seen so
-    far.  State: five scalars per key in the state store."""
+    far.  State: five scalars per key in the state store.
+
+    ``value_col`` must be numeric (raises otherwise — a silently-
+    coerced string column would corrupt the counters).  NaN is folded
+    into the null count and excluded from min/max/sum, matching the
+    batch profiler's pandas-side convention (accumulator.py) — NOT
+    Spark SQL's NaN ordering; the pinned batch-equivalence contract in
+    the tests states the same fold.
+    """
+    vtype = stream_df.schema[value_col].dataType.simpleString()
+    if not vtype.startswith(_NUMERIC_PREFIXES):
+        raise ValueError(
+            f"running_stats needs a numeric value column; {value_col} is {vtype}"
+        )
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = f"{key_col} {key_type}, " + RUNNING_STATS_FIELDS
 
@@ -57,16 +79,14 @@ def running_stats(stream_df: DataFrame, key_col: str, value_col: str) -> DataFra
             n, n_null = 0, 0
             vmin, vmax, vsum = float("inf"), float("-inf"), 0.0
         for pdf in pdfs:
-            col = pdf[value_col]
-            n += len(col)
-            n_null += int(col.isna().sum())
-            vals = pd.to_numeric(col, errors="coerce").dropna().to_numpy(
-                dtype=np.float64
-            )
-            if len(vals):
-                vmin = min(vmin, float(vals.min()))
-                vmax = max(vmax, float(vals.max()))
-                vsum += float(vals.sum())
+            vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            n += len(vals)
+            finite = vals[~np.isnan(vals)]
+            n_null += len(vals) - len(finite)
+            if len(finite):
+                vmin = min(vmin, float(finite.min()))
+                vmax = max(vmax, float(finite.max()))
+                vsum += float(finite.sum())
         state.update((n, n_null, vmin, vmax, vsum))
         n_vals = n - n_null
         yield pd.DataFrame(
@@ -83,7 +103,7 @@ def running_stats(stream_df: DataFrame, key_col: str, value_col: str) -> DataFra
         )
 
     return (
-        stream_df.select(key_col, value_col)
+        stream_df.select(key_col, F.col(value_col).cast("double").alias(value_col))
         .groupBy(key_col)
         .applyInPandasWithState(
             fn, out_schema, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout

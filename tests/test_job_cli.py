@@ -192,3 +192,16 @@ def test_diff_verb_baseline_roundtrip(spark, tmp_path):
     assert ("origin", "column_added") in got
     assert ("dur_ms", "nulls_appeared") in got
     assert out["n_changes"] == len(out["changes"]) >= 3
+
+    # baseline and diff share one default column policy: a table with
+    # an EXTRA non-profile column still round-trips to zero changes
+    extra_db = tmp_path / "extra_db"
+    clips.withColumn("lang", F.lit("en")).write.parquet(str(extra_db / "clips"))
+    extra_pkl = str(tmp_path / "extra.pkl")
+    cmd_baseline(argparse.Namespace(data=str(extra_db), out=extra_pkl, columns=None))
+    rt = cmd_diff(
+        argparse.Namespace(
+            data=str(extra_db), clips=None, baseline=extra_pkl, columns=None
+        )
+    )
+    assert rt["n_changes"] == 0

@@ -307,14 +307,15 @@ def test_stateful_running_stats_resumes(spark, tmp_path):
             "append"
         ).parquet(src)
 
-    wave([("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", None)])
+    wave([("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", None),
+          ("b", float("nan"))])  # NaN folds into null (profiler convention)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     running_stats_stream(spark, src, schema, "k", "v", ckpt, out)
     first = {
         r["k"]: r for r in latest_stats(spark, out, "k").collect()
     }
     assert first["a"]["n"] == 2 and first["a"]["mean"] == 2.0
-    assert first["b"]["n"] == 2 and first["b"]["n_null"] == 1
+    assert first["b"]["n"] == 3 and first["b"]["n_null"] == 2
     assert first["b"]["vmin"] == first["b"]["vmax"] == 10.0
 
     # second wave touches only 'a' (plus a brand-new key) — resume
@@ -323,19 +324,33 @@ def test_stateful_running_stats_resumes(spark, tmp_path):
     final = {r["k"]: r for r in latest_stats(spark, out, "k").collect()}
     assert final["a"]["n"] == 3 and final["a"]["vmax"] == 11.0
     assert final["a"]["mean"] == (1.0 + 3.0 + 11.0) / 3
-    assert final["b"]["n"] == 2  # untouched key keeps its last emit
+    assert final["b"]["n"] == 3  # untouched key keeps its last emit
     assert final["c"]["n"] == 1 and final["c"]["mean"] == 7.0
 
-    # cross-check against the batch engine over everything seen
+    # a non-numeric value column is rejected, not silently coerced
+    import pytest as _pytest
+
+    from drivel_spark.streaming import running_stats
+
+    sdf = spark.readStream.schema(schema).parquet(src)
+    with _pytest.raises(ValueError):
+        running_stats(sdf, "v", "k")
+
+    # cross-check against the batch engine over everything seen; the
+    # operator's documented contract folds NaN into null, so the batch
+    # side states the same fold
+    vclean = F.when(F.isnan("v"), None).otherwise(F.col("v"))
     batch = (
         spark.read.parquet(src)
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
-            F.min("v").alias("vmin"),
-            F.max("v").alias("vmax"),
-            F.avg("v").alias("mean"),
+            F.sum(
+                (F.col("v").isNull() | F.isnan("v")).cast("long")
+            ).alias("n_null"),
+            F.min(vclean).alias("vmin"),
+            F.max(vclean).alias("vmax"),
+            F.avg(vclean).alias("mean"),
         )
     )
     for r in batch.collect():

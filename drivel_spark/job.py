@@ -585,6 +585,39 @@ def cmd_profile_stream(args) -> dict:
     }
 
 
+def cmd_track_stream(args) -> dict:
+    """Keyed online tracking via applyInPandasWithState: per-key
+    running column stats over a growing source, state in the streaming
+    state store (streaming/stateful.py).  Prints the current per-key
+    rows; re-invocation with the same checkpoint resumes the counters."""
+    from drivel_spark.fixtures import CLIPS_SCHEMA
+    from drivel_spark.streaming import latest_stats, running_stats_stream
+
+    spark = build_session("drivel-track-stream")
+    t0 = time.time()
+    running_stats_stream(
+        spark,
+        args.source,
+        CLIPS_SCHEMA,
+        args.key,
+        args.value,
+        args.checkpoint,
+        args.out,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    current = latest_stats(spark, args.out, args.key).orderBy(args.key)
+    rows = [r.asDict() for r in current.collect()]
+    return {
+        "job": "track-stream",
+        "master": spark.sparkContext.master,
+        "key": args.key,
+        "value": args.value,
+        "n_keys": len(rows),
+        "wall_s": round(time.time() - t0, 3),
+        "stats": rows,
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="drivel-spark-job")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -661,6 +694,14 @@ def main(argv=None) -> None:
                     help="transcripts table (path or iceberg:db.tbl) for the "
                          "referential check; omitted = uniqueness only")
 
+    st = sub.add_parser("track-stream")
+    st.add_argument("--source", required=True, help="growing clips parquet dir")
+    st.add_argument("--key", default="codec", help="bounded-cardinality key column")
+    st.add_argument("--value", default="dur_ms", help="numeric column to track")
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--out", required=True, help="per-batch update rows dir")
+    st.add_argument("--max-files-per-trigger", type=int, default=None)
+
     sps = sub.add_parser("profile-stream")
     sps.add_argument("--source", required=True, help="growing clips parquet dir")
     sps.add_argument("--state", required=True, help="profile state dir")
@@ -678,6 +719,7 @@ def main(argv=None) -> None:
         "produce": cmd_produce,
         "validate-stream": cmd_validate_stream,
         "reconcile": cmd_reconcile,
+        "track-stream": cmd_track_stream,
         "profile-stream": cmd_profile_stream,
     }[args.cmd](args)
     sys.stdout.write(json.dumps(out) + "\n")

@@ -205,3 +205,32 @@ def test_diff_verb_baseline_roundtrip(spark, tmp_path):
         )
     )
     assert rt["n_changes"] == 0
+
+
+def test_track_stream_verb(spark, tmp_path):
+    """track-stream job verb: keyed online tracking over a growing
+    source; second invocation with the same checkpoint resumes state
+    and only folds the new files."""
+    from drivel_spark.fixtures import CLIPS_SCHEMA, clips_pdf
+    from drivel_spark.job import cmd_track_stream
+
+    source = str(tmp_path / "src")
+    spec = ClipFixtureSpec(with_audio=False)
+    spark.createDataFrame(clips_pdf(range(0, 300), spec), CLIPS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(source)
+
+    ns = argparse.Namespace(
+        source=source, key="codec", value="dur_ms",
+        checkpoint=str(tmp_path / "ck"), out=str(tmp_path / "out"),
+        max_files_per_trigger=None,
+    )
+    out1 = cmd_track_stream(ns)
+    assert sum(r["n"] for r in out1["stats"]) == 300
+    assert out1["n_keys"] >= 2
+
+    spark.createDataFrame(clips_pdf(range(300, 500), spec), CLIPS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(source)
+    out2 = cmd_track_stream(ns)
+    assert sum(r["n"] for r in out2["stats"]) == 500

@@ -369,18 +369,33 @@ def main() -> None:
         )
     )
 
-    # 14. repetition metrics: one explode → a shuffle keyed (id, n,
-    # gram) with map-side partial aggregation, then the (id, n) rollup
-    # (its own exchange — a key prefix does NOT satisfy the child
-    # distribution); both aggs carry partial+final state
+    # 14. repetition metrics — both strategies.  local (the default):
+    # every metric is per-document, so the plan must be ONE narrow scan
+    # into Arrow mapInPandas with zero exchanges.  shuffle (the
+    # JVM-side cross-check): explode → (id, n, gram) partial+final
+    # count → (id, n) rollup, ≤2 hash exchanges.
     from drivel_spark.ops import repetition_metrics
 
-    rep = repetition_metrics(docs, "text", "doc_id", ns=(2, 3))
-    p = fmt(rep)
+    p = fmt(repetition_metrics(docs, "text", "doc_id", ns=(2, 3)))
+    sections.append(
+        (
+            "Repetition metrics (local strategy, default)",
+            p,
+            [
+                "zero shuffles (per-doc computation stays per-doc): "
+                + ("PASS" if "Exchange" not in p else "FAIL"),
+                "Arrow-batched (no BatchEvalPython): "
+                + ("PASS" if "BatchEvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    p = fmt(repetition_metrics(docs, "text", "doc_id", ns=(2, 3),
+                               strategy="shuffle"))
     n_exch = p.count("Exchange hashpartitioning")
     sections.append(
         (
-            "Repetition metrics (Gopher n-gram filters)",
+            "Repetition metrics (shuffle strategy, Catalyst cross-check)",
             p,
             [
                 "partial+final hash aggregation: "

@@ -8,6 +8,8 @@ fingerprinting (md5 of normalized text).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -220,6 +222,7 @@ def repetition_metrics(
     text_col: str = "text",
     id_col: str = "doc_id",
     ns: tuple[int, ...] = (2, 3),
+    strategy: str = "local",
 ) -> DataFrame:
     """Per-document word-n-gram repetition metrics, the Gopher/MassiveText
     repetition filters (Rae et al. 2021 §A1.1): for each n in ``ns``,
@@ -235,13 +238,26 @@ def repetition_metrics(
     dup_frac, top_frac)``; docs with < n tokens get total=0 and 0.0
     fractions (nothing to repeat).
 
-    Scale shape: all n-gram lists for every n are built in ONE projection
-    (tagged structs), then a single explode feeds a (id, n, gram)
-    partial+final count and a (id, n) rollup — one shuffle keyed on the
-    doc id regardless of len(ns), no per-row quadratic scans, no
-    Python.  At 10^12 docs the (id, n, gram) key is near-unique so the
-    map-side combine keeps the shuffle proportional to input tokens.
+    Two strategies, proven row-identical by a property test:
+
+    * ``local`` (default) — every metric is per-document-local, so a
+      single ``mapInPandas`` pass counts each doc's n-grams with a
+      Counter inside the Arrow batch: ZERO shuffles, work linear in
+      tokens.  At 10^12 docs the shuffle strategy moves every token
+      through the exchange twice for what is a per-row computation —
+      this is the shape that survives.  The Python tokenizer mirrors
+      Java's exactly (trim = 0x20 only, split keeps leading/trailing
+      empty fields, \\s = the Java class, NOT Python's unicode \\s).
+    * ``shuffle`` — the pure-Catalyst path (one projection of tagged
+      n-gram structs, explode, (id, n, gram) partial+final count,
+      (id, n) rollup): whole-stage codegen, but one token-proportional
+      shuffle; kept as the JVM-side cross-check and for engines where
+      Python workers are unavailable.
     """
+    if strategy not in ("local", "shuffle"):
+        raise ValueError(f"unknown strategy: {strategy}")
+    if strategy == "local":
+        return _repetition_local(df, text_col, id_col, ns)
     toks = tokens(F.col(text_col))
 
     # close over n via a factory, NOT a default arg: a 2-parameter
@@ -297,6 +313,66 @@ def repetition_metrics(
         )
     )
     return scored.unionByName(zeros)
+
+
+# Java-regex \\s class (NOT Python's unicode-aware \\s) so local
+# tokenization is bit-identical to Catalyst's split(trim(text), "\\s+")
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _java_tokens(text) -> list:
+    """Mirror of :func:`tokens` (Catalyst) in Python: Spark's trim
+    strips 0x20 only; split keeps leading AND trailing empty fields
+    (Spark passes limit=-1 to Java split)."""
+    if text is None:
+        return []
+    t = str(text).strip(" ")
+    if t == "":
+        return []
+    return _JAVA_WS.split(t)
+
+
+def _repetition_local(df: DataFrame, text_col: str, id_col: str,
+                      ns: tuple) -> DataFrame:
+    """Shuffle-free repetition metrics: per-doc Counter inside Arrow
+    batches (see repetition_metrics docstring)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"id {id_type}, n int, total_ngrams long, distinct_ngrams long, "
+        "top_cnt long, dup_frac double, top_frac double"
+    )
+    ns_t = tuple(int(n) for n in ns)
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("id", "n", "total_ngrams",
+                                   "distinct_ngrams", "top_cnt",
+                                   "dup_frac", "top_frac")}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _java_tokens(text)
+                for n in ns_t:
+                    total = max(len(toks) - n + 1, 0)
+                    if total == 0:
+                        vals = (0, 0, 0, 0.0, 0.0)
+                    else:
+                        c = Counter(
+                            tuple(toks[i : i + n]) for i in range(total)
+                        )
+                        top = max(c.values())
+                        vals = (total, len(c), top,
+                                1.0 - len(c) / total, top / total)
+                    out["id"].append(doc_id)
+                    out["n"].append(n)
+                    for k, v in zip(("total_ngrams", "distinct_ngrams",
+                                     "top_cnt", "dup_frac", "top_frac"), vals):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema)
 
 
 # ---------------------------------------------------------------------------

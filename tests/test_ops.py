@@ -1333,3 +1333,39 @@ def test_embedding_drift_empty_batch(spark):
     d = embedding_drift(df, df.filter(F.col("vec_id") < 0), 2)
     assert d["n_b"] == 0 and d["centroid_cosine"] is None
     assert d["mean_norm_b"] == 0.0
+
+
+def test_repetition_local_equals_shuffle(spark, sf_small_dir):
+    """The shuffle-free (mapInPandas Counter) and pure-Catalyst
+    (explode + groupBy) repetition strategies are row-identical — on
+    the real documents table AND on adversarial whitespace (leading
+    tabs produce empty fields, unicode NBSP is NOT a separator for
+    Java's \\s, trailing separators keep their empty field)."""
+    from drivel_spark.ops import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet")
+    adversarial = spark.createDataFrame(
+        [
+            (9001, "\tleading tab"),
+            (9002, "trailing space "),
+            (9003, "a b nbsp is one token"),
+            (9004, "x x x x x"),
+            (9005, ""),
+            (9006, None),
+            (9007, "  only  spaces  trimmed  "),
+            (9008, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    for df in (docs.select("doc_id", "text"), adversarial):
+        a = repetition_metrics(df, strategy="local").toPandas()
+        b = repetition_metrics(df, strategy="shuffle").toPandas()
+        key = ["id", "n"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in a.columns:
+            if a[col].dtype == float:
+                assert (abs(a[col] - b[col]) < 1e-12).all(), col
+            else:
+                assert (a[col] == b[col]).all(), col

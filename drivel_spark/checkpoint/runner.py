@@ -123,3 +123,135 @@ def _snapshot_id(units: list[str]) -> str:
     import hashlib
 
     return hashlib.sha256("\n".join(units).encode()).hexdigest()[:16]
+
+
+_FLAG_PREFIX = "__p_"
+
+
+def resumable_row_validation(
+    spark: SparkSession,
+    table_path: str,
+    store: CheckpointStore,
+    run_id: str,
+    constraints: list,
+    scope,
+    input_snapshot: Optional[str] = None,
+) -> tuple[pd.DataFrame, dict]:
+    """Pass-2 row constraints, resumable with the same per-file unit
+    model as :func:`resumable_profile` (north_rule: "each partition's
+    result commits with lineage + metrics ... so interrupted runs
+    resume without recomputation").
+
+    Per uncommitted file: evaluate every row-level predicate once and
+    reduce to a per-(file, scope) count table — (n_rows, one violation
+    counter per constraint, rows failing ≥1) — committed to the store
+    as that file's blob.  Per-scope pass/fail totals are sums over
+    file partials, so the merged report is IDENTICAL to the one-pass
+    batch engine's row-level rows (pinned by tests), and a restart
+    reads only the files the commit table hasn't seen — skipped files
+    are pruned at plan time, no wasted IO.
+
+    ``scope`` must be a layout-stable Column (e.g. pmod(xxhash64(id),
+    n_scopes)); physical partition ids would not survive the per-file
+    re-scan.  Returns (passfail pandas frame in the batch engine's
+    row-level shape, stats dict).
+    """
+    row_cs = [c for c in constraints if c.is_row_level]
+    if not row_cs:
+        raise ValueError("need at least one row-level constraint")
+    full = spark.read.parquet(table_path)
+    units = sorted(full.inputFiles())
+    snapshot = input_snapshot or _snapshot_id(units)
+    pf_run = f"{run_id}:rowpf"
+
+    done = store.committed(pf_run, snapshot)
+    done_units = set(done["unit"]) if not done.empty else set()
+    todo = [u for u in units if u not in done_units]
+
+    names = [c.name for c in row_cs]
+    if todo:
+        df = spark.read.schema(full.schema).parquet(*todo)
+        flags = [
+            c.predicate().alias(f"{_FLAG_PREFIX}{i}")
+            for i, c in enumerate(row_cs)
+        ]
+        flagged = df.select(
+            F.input_file_name().alias("__unit"), scope.alias("__scope"), *flags
+        )
+        any_fail = ~F.col(f"{_FLAG_PREFIX}0")
+        for i in range(1, len(row_cs)):
+            any_fail = any_fail | ~F.col(f"{_FLAG_PREFIX}{i}")
+        agg = (
+            flagged.groupBy("__unit", "__scope")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                *[
+                    F.sum((~F.col(f"{_FLAG_PREFIX}{i}")).cast("long")).alias(
+                        f"__v_{i}"
+                    )
+                    for i in range(len(row_cs))
+                ],
+                F.sum(any_fail.cast("long")).alias("__v_any"),
+            )
+            .toPandas()
+        )
+        new_rows = []
+        for unit, grp in agg.groupby("__unit", sort=False):
+            blob = pickle.dumps(
+                grp.drop(columns="__unit").reset_index(drop=True), protocol=4
+            )
+            metrics = {
+                "n_rows": int(grp["n_rows"].sum()),
+                "n_any_violation": int(grp["__v_any"].sum()),
+            }
+            new_rows.append(make_commit_row(pf_run, unit, snapshot, blob, metrics))
+        # files with ZERO rows produce no agg groups but must still
+        # commit (else every restart rescans them)
+        seen = {r["unit"] for r in new_rows}
+        for unit in todo:
+            if unit not in seen:
+                empty = pickle.dumps(
+                    agg.drop(columns="__unit").iloc[0:0].reset_index(drop=True),
+                    protocol=4,
+                )
+                new_rows.append(
+                    make_commit_row(
+                        pf_run, unit, snapshot, empty,
+                        {"n_rows": 0, "n_any_violation": 0},
+                    )
+                )
+        store.append(new_rows)
+
+    committed = store.committed(pf_run, snapshot)
+    blobs = {r.unit: r.acc for r in committed.itertuples()}
+    missing = [u for u in units if u not in blobs]
+    if missing:
+        raise RuntimeError(f"units missing after commit: {missing}")
+    parts = [pickle.loads(blobs[u]) for u in units]
+    merged = pd.concat(parts, ignore_index=True)
+    per_scope = merged.groupby("__scope", as_index=False).sum()
+
+    rows = []
+    # iterrows, not itertuples: namedtuple fields can't start with "_",
+    # so itertuples would silently rename __scope/__v_i positionally
+    for _, rec in per_scope.iterrows():
+        for i, name in enumerate(names):
+            v = int(rec[f"__v_{i}"])
+            rows.append((int(rec["__scope"]), name, int(rec["n_rows"]), v, v == 0))
+        v_any = int(rec["__v_any"])
+        rows.append(
+            (int(rec["__scope"]), "_rows_any_violation", int(rec["n_rows"]),
+             v_any, v_any == 0)
+        )
+    passfail = pd.DataFrame(
+        rows,
+        columns=["partition_id", "constraint", "n_rows", "n_violations",
+                 "passed"],
+    ).sort_values(["partition_id", "constraint"]).reset_index(drop=True)
+    stats = {
+        "n_units": len(units),
+        "n_recomputed": len(todo),
+        "n_restored": len(units) - len(todo),
+        "snapshot": snapshot,
+    }
+    return passfail, stats

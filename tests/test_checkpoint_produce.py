@@ -133,3 +133,52 @@ def test_produce_roundtrip_from_profile(spark):
     node, node2 = prof.to_schema_node(), prof2.to_schema_node()
     assert node2.required["codec"].str_type == "enum"
     assert node2.required["codec"].variants <= node.required["codec"].variants
+
+
+def test_resumable_row_validation_matches_batch(spark, clip_table, tmp_path):
+    """Pass-2 resume protocol: per-file pass/fail partials commit with
+    lineage; the merged report is identical to the one-pass batch
+    engine; a restart recomputes nothing; a kill-after-k resume
+    recomputes exactly the missing files and still matches."""
+    from drivel_spark.checkpoint import resumable_row_validation
+    from drivel_spark.constraints import NotNull, Range, validate
+
+    cs = [
+        Range("dur_range", "dur_ms", 200, 30000),
+        NotNull("transcript_not_null", "transcript"),
+    ]
+    scope = F.pmod(F.xxhash64(F.col("clip_id")), F.lit(8))
+
+    store = CheckpointStore(str(tmp_path / "pfck"))
+    pf, stats = resumable_row_validation(
+        spark, clip_table, store, "r1", cs, scope
+    )
+    assert stats["n_recomputed"] == stats["n_units"] >= 4
+
+    batch = (
+        validate(spark.read.parquet(clip_table), cs, scope=scope)
+        .passfail_pdf()
+        .sort_values(["partition_id", "constraint"])
+        .reset_index(drop=True)
+    )
+    batch = batch[pf.columns]  # same column order
+    assert pf.equals(batch)
+
+    # restart: zero recompute, identical report
+    pf2, stats2 = resumable_row_validation(
+        spark, clip_table, store, "r1", cs, scope
+    )
+    assert stats2["n_recomputed"] == 0 and pf2.equals(pf)
+
+    # kill-after-k: seed a fresh store with only k commits, resume
+    snap = _snapshot(spark, clip_table)
+    committed = store.committed("r1:rowpf", snap)
+    k = len(committed) // 2
+    store2 = CheckpointStore(str(tmp_path / "pfck2"))
+    partial = committed.head(k).copy()
+    store2.append(partial.to_dict("records"))
+    pf3, stats3 = resumable_row_validation(
+        spark, clip_table, store2, "r1", cs, scope
+    )
+    assert stats3["n_recomputed"] == stats3["n_units"] - k
+    assert pf3.equals(pf)

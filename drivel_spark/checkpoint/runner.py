@@ -125,8 +125,6 @@ def _snapshot_id(units: list[str]) -> str:
     return hashlib.sha256("\n".join(units).encode()).hexdigest()[:16]
 
 
-_FLAG_PREFIX = "__p_"
-
 
 def resumable_row_validation(
     spark: SparkSession,
@@ -171,28 +169,15 @@ def resumable_row_validation(
     names = [c.name for c in row_cs]
     if todo:
         df = spark.read.schema(full.schema).parquet(*todo)
-        flags = [
-            c.predicate().alias(f"{_FLAG_PREFIX}{i}")
-            for i, c in enumerate(row_cs)
-        ]
+        from ..constraints.validate import row_flag_columns, row_violation_aggs
+
         flagged = df.select(
-            F.input_file_name().alias("__unit"), scope.alias("__scope"), *flags
+            F.input_file_name().alias("__unit"), scope.alias("__scope"),
+            *row_flag_columns(row_cs),
         )
-        any_fail = ~F.col(f"{_FLAG_PREFIX}0")
-        for i in range(1, len(row_cs)):
-            any_fail = any_fail | ~F.col(f"{_FLAG_PREFIX}{i}")
         agg = (
             flagged.groupBy("__unit", "__scope")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                *[
-                    F.sum((~F.col(f"{_FLAG_PREFIX}{i}")).cast("long")).alias(
-                        f"__v_{i}"
-                    )
-                    for i in range(len(row_cs))
-                ],
-                F.sum(any_fail.cast("long")).alias("__v_any"),
-            )
+            .agg(*row_violation_aggs(row_cs))
             .toPandas()
         )
         new_rows = []
@@ -229,6 +214,13 @@ def resumable_row_validation(
         raise RuntimeError(f"units missing after commit: {missing}")
     parts = [pickle.loads(blobs[u]) for u in units]
     merged = pd.concat(parts, ignore_index=True)
+    if merged["__scope"].isna().any():
+        # pandas groupby would silently drop NaN groups, undercounting
+        # the report — fail loudly like the batch engine does
+        raise ValueError(
+            "scope expression produced NULL for some rows; use a "
+            "null-safe, layout-stable scope (e.g. pmod(xxhash64(id), n))"
+        )
     per_scope = merged.groupby("__scope", as_index=False).sum()
 
     rows = []

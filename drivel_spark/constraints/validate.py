@@ -128,6 +128,35 @@ class RowPredicate(Constraint):
         return self._expr
 
 
+def row_flag_columns(row_cs: list) -> list[Column]:
+    """One boolean flag column per row constraint (``__p_i``) — the
+    SHARED naming/shape contract between the one-pass batch engine and
+    the resumable per-file engine (checkpoint/runner.py); change
+    violation-counting semantics here and both stay in sync."""
+    return [c.predicate().alias(f"__p_{i}") for i, c in enumerate(row_cs)]
+
+
+def row_any_fail(row_cs: list) -> Column:
+    any_fail = ~F.col("__p_0")
+    for i in range(1, len(row_cs)):
+        any_fail = any_fail | ~F.col(f"__p_{i}")
+    return any_fail
+
+
+def row_violation_aggs(row_cs: list) -> list[Column]:
+    """The per-scope aggregation list over the flag columns: row count,
+    one violation counter per constraint (``__v_i``), and the
+    any-violation counter (``__v_any``)."""
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum((~F.col(f"__p_{i}")).cast("long")).alias(f"__v_{i}")
+            for i in range(len(row_cs))
+        ],
+        F.sum(row_any_fail(row_cs).cast("long")).alias("__v_any"),
+    ]
+
+
 def validate(
     df: DataFrame,
     constraints: list[Constraint],
@@ -167,26 +196,16 @@ def validate(
         flagged = df.select(
             *keep,
             scope_col.alias("__scope"),
-            *[c.predicate().alias(f"__p_{i}") for i, c in enumerate(row_cs)],
+            *row_flag_columns(row_cs),
         )
         if cache_flags:
             from pyspark import StorageLevel
 
             flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
-        any_fail = ~F.col("__p_0")
-        for i in range(1, len(row_cs)):
-            any_fail = any_fail | ~F.col(f"__p_{i}")
-        agg = flagged.groupBy("__scope").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            *[
-                F.sum((~F.col(f"__p_{i}")).cast("long")).alias(f"__v_{i}")
-                for i in range(len(row_cs))
-            ],
-            # rows failing ≥1 constraint, folded into the same single
-            # aggregation — callers get the violation-row count without
-            # a second job over the (cached) flags
-            F.sum(any_fail.cast("long")).alias("__v_any"),
-        )
+        # rows failing ≥1 constraint fold into the same single
+        # aggregation — callers get the violation-row count without
+        # a second job over the (cached) flags
+        agg = flagged.groupBy("__scope").agg(*row_violation_aggs(row_cs))
         stack_args = ", ".join(f"'{c.name}', __v_{i}" for i, c in enumerate(row_cs))
         stack_args += ", '_rows_any_violation', __v_any"
         passfail = agg.select(

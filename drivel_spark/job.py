@@ -605,8 +605,22 @@ def cmd_track_stream(args) -> dict:
         args.out,
         max_files_per_trigger=args.max_files_per_trigger,
     )
-    current = latest_stats(spark, args.out, args.key).orderBy(args.key)
-    rows = [r.asDict() for r in current.collect()]
+    if not os.path.isdir(args.out):
+        # an empty source runs zero batches: no update rows, no out dir
+        rows = []
+    else:
+        import math
+
+        current = latest_stats(spark, args.out, args.key).orderBy(args.key)
+        # NULL stats (all-null keys) round-trip as NaN doubles through
+        # parquet; json.dumps would emit literal NaN (invalid JSON)
+        rows = [
+            {
+                k: (None if isinstance(v, float) and math.isnan(v) else v)
+                for k, v in r.asDict().items()
+            }
+            for r in current.collect()
+        ]
     return {
         "job": "track-stream",
         "master": spark.sparkContext.master,

@@ -346,13 +346,27 @@ def _repetition_local(df: DataFrame, text_col: str, id_col: str,
         "top_cnt long, dup_frac double, top_frac double"
     )
     ns_t = tuple(int(n) for n in ns)
+    # a NULL in an int64 id column makes Arrow hand the whole batch to
+    # pandas as float64 (NaN for the null); round-tripping that float
+    # through the bigint output schema would corrupt ids, so restore
+    # exact ints / None per scalar (the shuffle strategy keeps null-id
+    # rows, and the two strategies must stay row-identical)
+    int_id = id_type in ("bigint", "int", "smallint", "tinyint", "long")
 
     def fn(batches):
+        import math
+
         for pdf in batches:
             out = {k: [] for k in ("id", "n", "total_ngrams",
                                    "distinct_ngrams", "top_cnt",
                                    "dup_frac", "top_frac")}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if int_id and doc_id is not None:
+                    doc_id = (
+                        None
+                        if isinstance(doc_id, float) and math.isnan(doc_id)
+                        else int(doc_id)
+                    )
                 toks = _java_tokens(text)
                 for n in ns_t:
                     total = max(len(toks) - n + 1, 0)

@@ -47,10 +47,6 @@ _STATE_SCHEMA = "n long, n_null long, vmin double, vmax double, vsum double"
 RUNNING_STATS_FIELDS = "n long, n_null long, vmin double, vmax double, mean double"
 
 
-_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float",
-                     "double", "decimal", "long", "short", "byte")
-
-
 def running_stats(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """Per-key running (count, nulls, min, max, mean) over a streaming
     DataFrame.  Returns the update stream: one row per (touched key,
@@ -64,10 +60,13 @@ def running_stats(stream_df: DataFrame, key_col: str, value_col: str) -> DataFra
     Spark SQL's NaN ordering; the pinned batch-equivalence contract in
     the tests states the same fold.
     """
-    vtype = stream_df.schema[value_col].dataType.simpleString()
-    if not vtype.startswith(_NUMERIC_PREFIXES):
+    from pyspark.sql.types import NumericType
+
+    vtype = stream_df.schema[value_col].dataType
+    if not isinstance(vtype, NumericType):
         raise ValueError(
-            f"running_stats needs a numeric value column; {value_col} is {vtype}"
+            "running_stats needs a numeric value column; "
+            f"{value_col} is {vtype.simpleString()}"
         )
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = f"{key_col} {key_type}, " + RUNNING_STATS_FIELDS

@@ -234,3 +234,16 @@ def test_track_stream_verb(spark, tmp_path):
     ).write.mode("append").parquet(source)
     out2 = cmd_track_stream(ns)
     assert sum(r["n"] for r in out2["stats"]) == 500
+
+    # an empty source yields a clean zero-key report, valid JSON
+    empty_src = str(tmp_path / "empty_src")
+    os.makedirs(empty_src)
+    out3 = cmd_track_stream(
+        argparse.Namespace(
+            source=empty_src, key="codec", value="dur_ms",
+            checkpoint=str(tmp_path / "eck"), out=str(tmp_path / "eout"),
+            max_files_per_trigger=None,
+        )
+    )
+    assert out3["n_keys"] == 0 and out3["stats"] == []
+    json.dumps(out3, allow_nan=False)  # would raise on NaN

@@ -1352,6 +1352,7 @@ def test_repetition_local_equals_shuffle(spark, sf_small_dir):
             (9004, "x x x x x"),
             (9005, ""),
             (9006, None),
+            (None, "null id doc must survive both strategies"),
             (9007, "  only  spaces  trimmed  "),
             (9008, "one"),
         ],
@@ -1366,6 +1367,7 @@ def test_repetition_local_equals_shuffle(spark, sf_small_dir):
         assert len(a) == len(b)
         for col in a.columns:
             if a[col].dtype == float:
-                assert (abs(a[col] - b[col]) < 1e-12).all(), col
+                both_nan = a[col].isna() & b[col].isna()
+                assert ((abs(a[col] - b[col]) < 1e-12) | both_nan).all(), col
             else:
                 assert (a[col] == b[col]).all(), col

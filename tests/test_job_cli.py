@@ -247,3 +247,47 @@ def test_track_stream_verb(spark, tmp_path):
     )
     assert out3["n_keys"] == 0 and out3["stats"] == []
     json.dumps(out3, allow_nan=False)  # would raise on NaN
+
+
+def test_validate_where_slice(spark, tmp_path):
+    """--where validates only the matching slice with the predicate
+    pushed to the scan: the report digest equals a full validate over a
+    physically pre-filtered copy of the table."""
+    from pyspark.sql import functions as F
+
+    from drivel_spark.fixtures import build_transcripts
+    from drivel_spark.job import cmd_validate
+
+    spec = ClipFixtureSpec(with_audio=False)
+    n = 600
+
+    def make_db(path, clips_df):
+        clips_df.write.parquet(f"{path}/clips")
+        build_transcripts(spark, n, 4, spec).write.parquet(f"{path}/transcripts")
+        (path / "meta.json").write_text(json.dumps(
+            {"n_rows": n, "partitions": 4, "seed": 42,
+             "variant": "default", "with_audio": False}
+        ))
+
+    full = build_clips(spark, n, 4, spec)
+    db_a, db_b = tmp_path / "a", tmp_path / "b"
+    make_db(db_a, full)
+    make_db(db_b, full.filter(F.col("sr_hz") == 16000))
+
+    base = dict(baseline=None, checkpoint=None, run_id="r", check_audio=False,
+                n_scopes=8, report=None, clips=None, transcripts=None)
+    sliced = cmd_validate(argparse.Namespace(
+        data=str(db_a), where="sr_hz = 16000", **base))
+    filtered = cmd_validate(argparse.Namespace(
+        data=str(db_b), where=None, **base))
+    assert sliced["passfail_digest"] == filtered["passfail_digest"]
+    assert sliced["where"] == "sr_hz = 16000"
+    assert sliced["n_rows"] == spark.read.parquet(f"{db_b}/clips").count()
+
+    # --where + --checkpoint is rejected (profile/constraint scope split)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cmd_validate(argparse.Namespace(
+            data=str(db_a), where="sr_hz = 16000",
+            **{**base, "checkpoint": str(tmp_path / "ck")}))

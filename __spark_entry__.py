@@ -1686,6 +1686,39 @@ def q_embedding_drift_halves(spark, sf_dir):
     ).orderBy("scenario")
 
 
+def q_audio_dedup_clips(spark, sf_dir):
+    """Audio near-dup detection: spectral fingerprint (quantized
+    dominant frequency × duration bucket) over one decode pass, then
+    exact-dup grouping as a hash aggregation on the fingerprint.  The
+    fixture's tones repeat every 40 clip indices, so genuine dup
+    groups exist by construction; the rollup (clip/group/dup counts,
+    largest group) must match a DuckDB re-derivation applying the
+    identical quantization to the independently-decoded spectral
+    export — shared with `audio_spectral_clips`, so this query adds
+    NO export of its own.  Quantization boundaries sit half a quantum
+    from the tone frequencies (round, not floor), so cross-decode
+    float noise cannot flip a bucket."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import audio_fingerprint, spectral_features
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_spectral_features(n), "spectral_features", sf_dir)
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
+    feats = spectral_features(clips, id_cols=["clip_id"])
+    fp = audio_fingerprint(feats)
+    groups = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("sz"))
+    return groups.agg(
+        F.sum("sz").alias("n_clips"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("sz") > 1).cast("long")).alias("n_dup_groups"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0)).alias(
+            "n_dup_clips"
+        ),
+        F.max("sz").alias("max_group"),
+    )
+
+
 def _local_speech_rate(n: int):
     """Independent export for the speech-rate oracle: transcript
     length + duration per clip straight from the driver-side fixture
@@ -2060,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_clips": q_audio_resample_clips,
         "audio_normalize_clips": q_audio_normalize_clips,
         "audio_prep_clips": q_audio_prep_clips,
+        "audio_dedup_clips": q_audio_dedup_clips,
         "speech_rate_clips": q_speech_rate_clips,
         "embedding_drift_halves": q_embedding_drift_halves,
         "ann_topk_embeddings": q_ann_topk_embeddings,
@@ -2768,6 +2802,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (n_clipped = 0)::BIGINT AS n_clip_free
             FROM read_parquet('{ORACLE_DIR}/normalize_stats_sf0.01.parquet')
             GROUP BY sr_hz ORDER BY sr_hz""",
+        # identical fingerprint quantization applied to the shared
+        # independently-decoded spectral export, then the same group
+        # rollup in SQL
+        "audio_dedup_clips": f"""
+            WITH fp AS (
+              SELECT CAST(round(dominant_freq_hz / 5.0) * 5.0 AS INT)::VARCHAR
+                       || ':' ||
+                     CAST(floor((n_samples * 1000.0 / sr_hz) / 250.0) AS INT)::VARCHAR
+                       AS fingerprint
+              FROM read_parquet('{ORACLE_DIR}/spectral_features_sf0.01.parquet')),
+            g AS (SELECT fingerprint, count(*) AS sz FROM fp GROUP BY 1)
+            SELECT sum(sz)::BIGINT AS n_clips,
+                   count(*)::BIGINT AS n_groups,
+                   count(*) FILTER (sz > 1)::BIGINT AS n_dup_groups,
+                   coalesce(sum(sz) FILTER (sz > 1), 0)::BIGINT AS n_dup_clips,
+                   max(sz)::BIGINT AS max_group
+            FROM g""",
         # centroids, per-row norms, cosine and L2 re-derived from
         # scratch by unnesting the arrays; parallel unnest zips value
         # with 1-based ordinal, and the planted +2.0 shift on dim 1 of

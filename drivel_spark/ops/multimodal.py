@@ -571,6 +571,34 @@ def prepare_audio(df: DataFrame, target_sr: int = 16000,
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 
+def audio_fingerprint(feats: DataFrame, freq_quant_hz: float = 5.0,
+                      dur_quant_ms: float = 250.0) -> DataFrame:
+    """Audio near-dup fingerprint over :func:`spectral_features`
+    output: quantized dominant frequency (nearest ``freq_quant_hz``)
+    joined with a duration bucket — re-encoded, re-noised, or
+    level-shifted copies of the same tone land on the same
+    fingerprint, so exact-dup grouping is a plain groupBy on it.
+
+    Pure Catalyst over the already-computed features (whole-stage
+    codegen, no second decode); composing with the feature extractor
+    keeps the whole audio-dedup pipeline at one decode pass + one
+    hash shuffle on the fingerprint at any scale.  ``round`` (not
+    ``floor``) quantization puts bucket boundaries half a quantum away
+    from the tone frequencies themselves, so the tiny float32-vs-
+    float64 decode differences between engines can never flip a
+    bucket.
+    """
+    dur_ms = F.col("n_samples") * 1000.0 / F.col("sr_hz")
+    fp = F.concat_ws(
+        ":",
+        (F.round(F.col("dominant_freq_hz") / freq_quant_hz) * freq_quant_hz)
+        .cast("int")
+        .cast("string"),
+        F.floor(dur_ms / dur_quant_ms).cast("int").cast("string"),
+    )
+    return feats.withColumn("fingerprint", fp)
+
+
 def _id_schema(df: DataFrame, id_cols: list[str]) -> str:
     """Output-schema fragment for passthrough id columns, derived from
     the INPUT schema — never assume string/bigint (the winnow id-type

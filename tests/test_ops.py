@@ -1371,3 +1371,30 @@ def test_repetition_local_equals_shuffle(spark, sf_small_dir):
                 assert ((abs(a[col] - b[col]) < 1e-12) | both_nan).all(), col
             else:
                 assert (a[col] == b[col]).all(), col
+
+
+def test_audio_fingerprint_groups_dups(spark):
+    """Re-noised / level-shifted copies of the same tone share a
+    fingerprint; different tones and different duration buckets don't."""
+    import numpy as np
+
+    from drivel_spark.ops import audio_fingerprint, spectral_features
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    sr = 8000
+    rows = [
+        ("a1", bytearray(wav_encode(synth_pcm(5, sr, 1000, seed=1), sr))),
+        ("a2", bytearray(wav_encode(synth_pcm(5, sr, 1000, seed=2), sr))),
+        ("a3", bytearray(wav_encode(synth_pcm(5, sr, 1000) * 0.4, sr))),
+        ("tone", bytearray(wav_encode(synth_pcm(9, sr, 1000), sr))),
+        ("longer", bytearray(wav_encode(synth_pcm(5, sr, 1900), sr))),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    fp = (
+        audio_fingerprint(spectral_features(df))
+        .toPandas()
+        .set_index("clip_id")["fingerprint"]
+    )
+    assert fp["a1"] == fp["a2"] == fp["a3"]  # same tone, same bucket
+    assert fp["tone"] != fp["a1"]            # different tone
+    assert fp["longer"] != fp["a1"]          # different duration bucket

@@ -661,6 +661,18 @@ def q_chunking_documents(spark, sf_dir):
     )
 
 
+def q_corpus_token_stats(spark, sf_dir):
+    """Corpus vocabulary health check: token count, vocabulary size,
+    type-token ratio, hapax count/fraction, top-token share — the
+    quick corpus statistic that surfaces crawler bugs and boilerplate
+    floods as a TTR/hapax shift.  DuckDB re-derives everything from a
+    plain UNNEST re-tokenization (same normalize → split semantics as
+    the vocab_top20 oracle)."""
+    from drivel_spark.ops import corpus_token_stats
+
+    return corpus_token_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_schema_diff_orders(spark, sf_dir):
     """Profile-to-profile schema diff — the structural complement of
     the KS/PSI drift check: which columns MOVED since the baseline
@@ -2064,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_token_count_documents": q_regex_token_count_documents,
         "pii_scan_documents": q_pii_scan_documents,
         "vocab_top20_documents": q_vocab_top20_documents,
+        "corpus_token_stats": q_corpus_token_stats,
         "repetition_documents": q_repetition_documents,
         "stable_split_documents": q_stable_split_documents,
         "schema_diff_orders": q_schema_diff_orders,
@@ -2505,6 +2518,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*)::BIGINT AS n
             FROM toks GROUP BY token
             ORDER BY n DESC, token ASC LIMIT 20""",
+        # same re-tokenization, reduced to the corpus distribution
+        # statistics (TTR / hapax / top-token share)
+        "corpus_token_stats": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+            per AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token)
+            SELECT sum(n)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS vocab_size,
+                   round(count(*) / sum(n), 6) AS type_token_ratio,
+                   count(*) FILTER (n = 1)::BIGINT AS n_hapax,
+                   round(count(*) FILTER (n = 1) / count(*)::DOUBLE, 6) AS hapax_frac,
+                   round(max(n) / sum(n), 6) AS top_token_frac
+            FROM per""",
         # Gopher repetition metrics re-derived from scratch: re-tokenize,
         # rebuild word 2-/3-grams positionally, recount; the flagged
         # filter uses the same integer arithmetic as the Spark side

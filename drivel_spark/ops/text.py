@@ -176,6 +176,36 @@ def vocab_top_k(
     )
 
 
+def corpus_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level vocabulary distribution statistics: token count,
+    vocabulary size (types), type-token ratio, hapax legomena count and
+    fraction (types occurring exactly once), and the top token's share
+    — the standard quick health check of a training corpus (a crawler
+    bug, boilerplate flood, or truncated dedup shows up as a TTR or
+    hapax shift long before eyeballing documents would find it).
+
+    One explode over normalized tokens → a (token) partial+final hash
+    count (map-side combine collapses the hot stop-tokens, so skew is
+    harmless) → a single O(1)-row reduction over the per-token counts.
+    Two shuffles total, both proportional to distinct tokens after the
+    first combine — the minimal shape for corpus-global statistics.
+    """
+    toks = df.select(
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token")
+    )
+    per_token = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return per_token.agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("type_token_ratio"),
+        F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+        F.round(
+            F.sum((F.col("n") == 1).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("hapax_frac"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_token_frac"),
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase + collapse whitespace (the dedup canonical form)."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))

@@ -812,7 +812,8 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
         "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     return embedding_near_dup_pairs(
-        e, vec_col="emb_d", id_col="vec_id", threshold=0.42, n_planes=0
+        e, vec_col="emb_d", id_col="vec_id", threshold=0.42, n_planes=0,
+        allow_exact=True,  # contract-scale truth anchor, opt-in by design
     )
 
 
@@ -2043,6 +2044,24 @@ def q_ivf_topk_embeddings(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # ---- never/least-recently driver-verified FIRST (VERDICT r03 #1):
+        # the driver's correctness window is bounded, and insertion order
+        # decides which queries get hard oracle rows.  The audio axis is
+        # the flagship (BASELINE.json north rule) — it goes ahead of the
+        # long-stable profile/relational block.
+        "clips_validation_passfail": q_clips_validation_passfail,
+        "audio_features_clips": q_audio_features_clips,
+        "audio_spectral_clips": q_audio_spectral_clips,
+        "audio_frames_clips": q_audio_frames_clips,
+        "silence_segments_clips": q_silence_segments_clips,
+        "audio_resample_clips": q_audio_resample_clips,
+        "audio_normalize_clips": q_audio_normalize_clips,
+        "audio_prep_clips": q_audio_prep_clips,
+        "audio_dedup_clips": q_audio_dedup_clips,
+        "speech_rate_clips": q_speech_rate_clips,
+        "embedding_drift_halves": q_embedding_drift_halves,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         # pass-1 profile aggregates
         "profile_lineitem_numeric": q_profile_lineitem_numeric,
         "profile_strings": q_profile_strings,
@@ -2098,19 +2117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "json_schema_events_props": q_json_schema_events_props,
-        "clips_validation_passfail": q_clips_validation_passfail,
-        "audio_features_clips": q_audio_features_clips,
-        "audio_spectral_clips": q_audio_spectral_clips,
-        "audio_frames_clips": q_audio_frames_clips,
-        "silence_segments_clips": q_silence_segments_clips,
-        "audio_resample_clips": q_audio_resample_clips,
-        "audio_normalize_clips": q_audio_normalize_clips,
-        "audio_prep_clips": q_audio_prep_clips,
-        "audio_dedup_clips": q_audio_dedup_clips,
-        "speech_rate_clips": q_speech_rate_clips,
-        "embedding_drift_halves": q_embedding_drift_halves,
-        "ann_topk_embeddings": q_ann_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
 
 

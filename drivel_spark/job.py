@@ -121,7 +121,16 @@ def _profile_columns(df, columns_arg) -> list:
     every other non-binary column (so schema additions are caught
     without paying a byte-payload scan); --columns overrides."""
     if columns_arg:
-        return [c for c in columns_arg.split(",") if c in df.columns]
+        requested = [c for c in columns_arg.split(",") if c]
+        unknown = [c for c in requested if c not in df.columns]
+        if unknown:
+            # a typo'd/stale name must fail loudly: silently dropping it
+            # yields a partial profile and a misleading baseline/diff
+            raise SystemExit(
+                f"--columns: unknown column(s) {unknown}; "
+                f"table has {df.columns}"
+            )
+        return requested
     return [c for c in PROFILE_COLUMNS if c in df.columns] + [
         f.name
         for f in df.schema.fields

@@ -116,8 +116,19 @@ def spectral_features(df: DataFrame, bytes_col: str = "bytes",
                         pcm, sr = wav_decode(bytes(b))
                     except ValueError:
                         ok = False
-                if not ok or len(pcm) < 4:
+                if not ok:
                     for k in cols:
+                        cols[k].append(None)
+                    continue
+                if len(pcm) < 4:
+                    # decodable but too short for a meaningful rFFT:
+                    # keep the decode facts, NULL only the spectral
+                    # fields (matches frame_energy/silence_segments'
+                    # zero-frame convention for short clips)
+                    cols["n_samples"].append(len(pcm))
+                    cols["sr_hz"].append(sr)
+                    for k in ("dominant_bin", "dominant_freq_hz",
+                              "spectral_centroid_hz"):
                         cols[k].append(None)
                     continue
                 x = pcm.astype(np.float64)
@@ -201,7 +212,11 @@ def frame_energy(df: DataFrame, bytes_col: str = "bytes",
                 x = pcm.astype(np.float64)
                 csum = np.concatenate(([0.0], np.cumsum(x * x)))
                 starts = np.arange(0, n - win + 1, hop)
-                rms = np.sqrt((csum[starts + win] - csum[starts]) / win)
+                # clamp at 0: float cancellation in the cumulative sum
+                # can yield a tiny negative difference → NaN RMS
+                rms = np.sqrt(
+                    np.maximum(csum[starts + win] - csum[starts], 0.0) / win
+                )
                 cols["n_samples"].append(n)
                 cols["sr_hz"].append(sr)
                 cols["n_frames"].append(len(starts))

@@ -47,9 +47,17 @@ def split_bucket(key: Column, seed: int = 42) -> Column:
     """Uniform [0, 1) bucket from a key column: the first 8 hex chars of
     ``md5(key ':' seed)`` as an integer over 2^32.  Pure JVM-side
     expression (whole-stage codegen), identical in any ANSI engine:
-    DuckDB spells it ``('0x'||substr(md5(k||':'||seed),1,8))::BIGINT /
-    4294967296.0``."""
-    keyed = F.concat(key.cast("string"), F.lit(f":{seed}"))
+    DuckDB spells it ``('0x'||substr(md5(coalesce(k::VARCHAR,'None')||':'
+    ||seed),1,8))::BIGINT / 4294967296.0``.
+
+    NULL keys hash as the literal string ``"None"`` — without the
+    coalesce, concat/md5 would propagate NULL, every ``when()`` interval
+    would fall through, and all NULL-key rows would silently co-assign to
+    the LAST split (and be dropped by ``stratified_sample`` even at
+    rate=1.0), skewing train/eval composition (ADVICE r03)."""
+    keyed = F.concat(
+        F.coalesce(key.cast("string"), F.lit("None")), F.lit(f":{seed}")
+    )
     return (
         F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
         / F.lit(SPLIT_BUCKET_DENOM)

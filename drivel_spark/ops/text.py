@@ -626,9 +626,9 @@ def chunk_documents(
             id_col,
             "chunk_idx",
             "chunk_off",
-            F.expr(f"substring({text_col}, chunk_off + 1, {chunk_chars})").alias(
-                "chunk"
-            ),
+            F.substring(
+                F.col(text_col), F.col("chunk_off") + 1, F.lit(chunk_chars)
+            ).alias("chunk"),
         )
         .withColumn("chunk_len", F.length("chunk"))
     )

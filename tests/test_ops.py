@@ -168,7 +168,15 @@ def test_embedding_near_dup_exact_vs_lsh(spark):
     vecs = np.vstack([base, base[:5] + rng.normal(scale=0.01, size=(5, 16))])
     pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.astype("float32").tolist() for v in vecs]})
     df = spark.createDataFrame(pdf)
-    exact = embedding_near_dup_pairs(df, threshold=0.99).toPandas()
+    import pytest
+
+    # the quadratic truth baseline is opt-in (VERDICT r03 #5): without
+    # the flag no caller can hit an all-pairs collect by accident
+    with pytest.raises(ValueError, match="allow_exact"):
+        embedding_near_dup_pairs(df, threshold=0.99, n_planes=0)
+    exact = embedding_near_dup_pairs(
+        df, threshold=0.99, n_planes=0, allow_exact=True
+    ).toPandas()
     got = {(r.id_a, r.id_b) for r in exact.itertuples()}
     assert {(i, 40 + i) for i in range(5)} <= got
     lsh = embedding_near_dup_pairs(df, threshold=0.99, n_planes=4).toPandas()
@@ -543,6 +551,47 @@ def test_connected_components_transitive_chains(spark):
         for r in dedup_groups_from_pairs(pairs).collect()
     }
     assert groups == {10: (9, 10), 100: (3, 100), 200: (2, 200)}
+    # large-star/small-star variant: identical labels on the same graph
+    got_star = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert got_star == got
+
+
+def test_connected_components_star_equals_minlabel_random(spark):
+    """Property: on random graphs the large-star/small-star variant
+    (VERDICT r03 #7 — the O(log n) upgrade for long-chain graphs)
+    produces EXACTLY the same (id, comp) map as min-label propagation."""
+    import numpy as np
+
+    from drivel_spark.ops import connected_components
+
+    rng = np.random.default_rng(41)
+    for trial in range(4):
+        n_nodes = int(rng.integers(5, 60))
+        n_edges = int(rng.integers(1, 2 * n_nodes))
+        a = rng.integers(0, n_nodes, size=n_edges)
+        b = rng.integers(0, n_nodes, size=n_edges)
+        keep = a != b
+        edges = list(zip(a[keep].tolist(), b[keep].tolist())) or [(0, 1)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        ml = {
+            r["id"]: r["comp"] for r in connected_components(pairs).collect()
+        }
+        st = {
+            r["id"]: r["comp"]
+            for r in connected_components(pairs, algorithm="star").collect()
+        }
+        assert st == ml, f"trial {trial}: star != minlabel"
+    # adversarial long chain: star must close it well inside max_iter
+    chain = [(i, i + 1) for i in range(300)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    st = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, algorithm="star", max_iter=12).collect()
+    }
+    assert set(st.values()) == {0} and len(st) == 301
 
 
 def test_pii_scan_and_scrub(spark):

@@ -658,6 +658,60 @@ def cmd_track_stream(args) -> dict:
     }
 
 
+def cmd_window_stream(args) -> dict:
+    """Event-time windowed aggregation with watermark over a growing
+    source (streaming/windows.py): append-mode per-window stats,
+    finalized exactly once when the watermark closes the window; late
+    rows beyond the watermark are dropped.  Re-invocation with the same
+    checkpoint resumes the watermark + open-window state."""
+    import math
+
+    from drivel_spark.streaming import load_windowed_stats, windowed_stats_stream
+
+    spark = build_session("drivel-window-stream")
+    t0 = time.time()
+    windowed_stats_stream(
+        spark,
+        args.source,
+        args.schema,
+        args.event_col,
+        args.value,
+        args.checkpoint,
+        args.out,
+        window=args.window,
+        slide=args.slide,
+        watermark=args.watermark,
+        key_col=args.key,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    if not os.path.isdir(args.out):
+        rows = []
+    else:
+        order = ["window_start"] + ([args.key] if args.key else [])
+        rows = [
+            {
+                k: (
+                    None
+                    if isinstance(v, float) and math.isnan(v)
+                    else str(v) if k in ("window_start", "window_end") else v
+                )
+                for k, v in r.asDict().items()
+            }
+            for r in load_windowed_stats(spark, args.out).orderBy(*order).collect()
+        ]
+    return {
+        "job": "window-stream",
+        "master": spark.sparkContext.master,
+        "event_col": args.event_col,
+        "value": args.value,
+        "window": args.window,
+        "watermark": args.watermark,
+        "n_windows": len(rows),
+        "wall_s": round(time.time() - t0, 3),
+        "windows": rows,
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="drivel-spark-job")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -745,6 +799,24 @@ def main(argv=None) -> None:
     st.add_argument("--out", required=True, help="per-batch update rows dir")
     st.add_argument("--max-files-per-trigger", type=int, default=None)
 
+    sw = sub.add_parser("window-stream")
+    sw.add_argument("--source", required=True, help="growing parquet dir")
+    sw.add_argument(
+        "--schema",
+        default="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+        help="source schema (streaming reads need one); default: events table",
+    )
+    sw.add_argument("--event-col", default="ts", help="event-time timestamp column")
+    sw.add_argument("--value", default="value", help="numeric column to aggregate")
+    sw.add_argument("--key", default=None, help="optional sub-group column")
+    sw.add_argument("--window", default="10 minutes")
+    sw.add_argument("--slide", default=None, help="slide < window → sliding windows")
+    sw.add_argument("--watermark", default="10 minutes", help="max allowed lateness")
+    sw.add_argument("--checkpoint", required=True)
+    sw.add_argument("--out", required=True, help="finalized per-window rows dir")
+    sw.add_argument("--max-files-per-trigger", type=int, default=None)
+
     sps = sub.add_parser("profile-stream")
     sps.add_argument("--source", required=True, help="growing clips parquet dir")
     sps.add_argument("--state", required=True, help="profile state dir")
@@ -763,6 +835,7 @@ def main(argv=None) -> None:
         "validate-stream": cmd_validate_stream,
         "reconcile": cmd_reconcile,
         "track-stream": cmd_track_stream,
+        "window-stream": cmd_window_stream,
         "profile-stream": cmd_profile_stream,
     }[args.cmd](args)
     sys.stdout.write(json.dumps(out) + "\n")

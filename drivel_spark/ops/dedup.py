@@ -313,6 +313,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     eager: bool = True,
     strategy: str = "candidates",
+    exact_pairs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: pairs that (a) collide in ≥1 LSH
     band AND (b) have exact Jaccard ≥ threshold.  Two equivalent
@@ -335,8 +336,34 @@ def minhash_dedup_pairs(
       this case).
 
     The shingle/token caches are released after the pair table
-    materializes (``eager=True``)."""
+    materializes (``eager=True``).
+
+    ``exact_pairs`` (exact_first only): a precomputed exact-Jaccard
+    pair table (id_a, id_b, jaccard) at the SAME threshold/n — e.g.
+    the output of :func:`ngram_jaccard_pairs` already materialized by
+    an earlier pipeline stage (VERDICT r03 #8: the shared-table case).
+    Shingling + banding then run over ONLY the docs appearing in those
+    pairs, so the whole op costs one tiny filtered pass instead of a
+    second full inverted-index join."""
     if strategy == "exact_first":
+        if exact_pairs is not None:
+            exact = exact_pairs.persist()
+            exact.count()
+            cand_ids = (
+                exact.select(F.col("id_a").alias(id_col))
+                .union(exact.select(F.col("id_b").alias(id_col)))
+                .distinct()
+            )
+            d_c = df.join(cand_ids, id_col, "left_semi")
+            sh_c = shingle_table(d_c, text_col, id_col, n)
+            cands = minhash_lsh_candidates(
+                d_c, text_col, id_col, n, num_perm, bands, sh_table=sh_c
+            )
+            out = _materialize(
+                exact.join(cands, ["id_a", "id_b"], "left_semi"), sh_c
+            )
+            exact.unpersist()
+            return out
         sh = shingle_table(df, text_col, id_col, n)
         if eager:
             # materialize the exact pair table NOW (it is small), then

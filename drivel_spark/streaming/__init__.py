@@ -5,6 +5,7 @@ with exactly-once file tracking (checkpointLocation)."""
 from .profile_stream import load_stream_profile, profile_stream
 from .stateful import latest_stats, running_stats, running_stats_stream
 from .validate_stream import cumulative_passfail, validate_stream
+from .windows import load_windowed_stats, windowed_stats, windowed_stats_stream
 
 __all__ = [
     "validate_stream",
@@ -14,4 +15,7 @@ __all__ = [
     "running_stats",
     "running_stats_stream",
     "latest_stats",
+    "windowed_stats",
+    "windowed_stats_stream",
+    "load_windowed_stats",
 ]

@@ -358,3 +358,84 @@ def test_stateful_running_stats_resumes(spark, tmp_path):
         assert (f["n"], f["n_null"], f["vmin"], f["vmax"], f["mean"]) == (
             r["n"], r["n_null"], r["vmin"], r["vmax"], r["mean"]
         )
+
+
+def test_windowed_stats_stream_equals_batch_and_drops_late(spark, tmp_path):
+    """Event-time windowed aggregation with watermark (stock Spark
+    window + withWatermark, append mode): the streamed finalized
+    windows must equal a batch groupBy(F.window(...)) over the SAME
+    on-time rows, and a row arriving in a later micro-batch behind the
+    watermark must be dropped — the two halves of the late-data
+    contract.  A resumed run (same checkpoint) must not re-emit
+    already-finalized windows."""
+    from datetime import datetime
+
+    from drivel_spark.streaming import (
+        load_windowed_stats,
+        windowed_stats,
+        windowed_stats_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "k string, ts timestamp, v double"
+
+    def t(minute, second=0):
+        return datetime(2024, 1, 1, 0, minute, second)
+
+    def wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # wave 1: windows [0,10) and [10,20) plus a far-future sentinel that
+    # pushes the watermark (max event time - 5 min) past both
+    on_time = [
+        ("a", t(1), 1.0),
+        ("a", t(4), 3.0),
+        ("b", t(7), 10.0),
+        ("a", t(12), 5.0),
+        ("b", t(14), None),
+    ]
+    wave(on_time + [("z", t(59), 0.0)])
+    windowed_stats_stream(
+        spark, src, schema, "ts", "v", ckpt, out,
+        window="10 minutes", watermark="5 minutes", key_col="k",
+        max_files_per_trigger=1,
+    )
+    # wave 2: a LATE row for the long-closed [0,10) window — watermark
+    # is already at 00:54, so it must be dropped, not re-opened
+    wave([("a", t(2), 100.0)])
+    windowed_stats_stream(
+        spark, src, schema, "ts", "v", ckpt, out,
+        window="10 minutes", watermark="5 minutes", key_col="k",
+        max_files_per_trigger=1,
+    )
+
+    got = {
+        (str(r["window_start"]), r["k"]): (
+            r["n"], r["n_null"], r["vmin"], r["vmax"], r["mean"]
+        )
+        for r in load_windowed_stats(spark, out).collect()
+    }
+    # batch oracle: the SAME windowed_stats plan over only the on-time
+    # rows (late row excluded; sentinel window never closes, so exclude
+    # it from the comparison too)
+    batch = windowed_stats(
+        spark.createDataFrame(on_time, schema),
+        "ts", "v", window="10 minutes", key_col="k",
+    )
+    want = {
+        (str(r["window_start"]), r["k"]): (
+            r["n"], r["n_null"], r["vmin"], r["vmax"], r["mean"]
+        )
+        for r in batch.collect()
+    }
+    assert got == want
+    # (w0,a) (w0,b) (w1,a) (w1,b); the sentinel's window never closes
+    # (nothing advances the watermark past it) and must NOT appear
+    assert len(got) == 4
+    assert not any("00:50:00" in ws for ws, _ in got)
+    # the late 100.0 must not have re-opened or inflated (w0, a)
+    w0a = got[("2024-01-01 00:00:00", "a")]
+    assert w0a == (2, 0, 1.0, 3.0, 2.0)

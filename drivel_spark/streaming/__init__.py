@@ -5,7 +5,13 @@ with exactly-once file tracking (checkpointLocation)."""
 from .profile_stream import load_stream_profile, profile_stream
 from .stateful import latest_stats, running_stats, running_stats_stream
 from .validate_stream import cumulative_passfail, validate_stream
-from .windows import load_windowed_stats, windowed_stats, windowed_stats_stream
+from .windows import (
+    dedup_stream,
+    load_windowed_stats,
+    session_stats,
+    windowed_stats,
+    windowed_stats_stream,
+)
 
 __all__ = [
     "validate_stream",
@@ -18,4 +24,6 @@ __all__ = [
     "windowed_stats",
     "windowed_stats_stream",
     "load_windowed_stats",
+    "session_stats",
+    "dedup_stream",
 ]

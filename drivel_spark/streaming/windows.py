@@ -40,7 +40,13 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_stats", "windowed_stats_stream", "load_windowed_stats"]
+__all__ = [
+    "windowed_stats",
+    "windowed_stats_stream",
+    "load_windowed_stats",
+    "session_stats",
+    "dedup_stream",
+]
 
 WINDOWED_STATS_FIELDS = (
     "window_start timestamp, window_end timestamp, "
@@ -143,6 +149,73 @@ def windowed_stats_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def session_stats(
+    df: DataFrame,
+    event_col: str,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    key_col: Optional[str] = None,
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Session windows: rows separated by less than ``gap`` of event
+    time coalesce into one dynamic-length window per key — the
+    user-activity / recording-session construct fixed windows can't
+    express.  Built on stock ``F.session_window`` (merging window
+    state, watermark-evicted), so the same scale contract as
+    :func:`windowed_stats` holds: state is O(open sessions).
+
+    Batch/stream agnostic like :func:`windowed_stats` — the batch form
+    is the tests' oracle.  Output: session_start, session_end,
+    duration_s, (key), n rows, and min/max/mean of ``value_col`` when
+    given.
+    """
+    if df.isStreaming:
+        df = df.withWatermark(event_col, watermark)
+    win = F.session_window(F.col(event_col), gap)
+    keys = [win.alias("w")] + ([F.col(key_col)] if key_col else [])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        v = F.col(value_col).cast("double")
+        aggs += [F.min(v).alias("vmin"), F.max(v).alias("vmax"), F.avg(v).alias("mean")]
+    agg = df.groupBy(*keys).agg(*aggs)
+    cols = [
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        (F.unix_timestamp(F.col("w.end")) - F.unix_timestamp(F.col("w.start"))).alias(
+            "duration_s"
+        ),
+    ]
+    if key_col:
+        cols.append(F.col(key_col))
+    stat_cols = ["n"] + (["vmin", "vmax", "mean"] if value_col else [])
+    return agg.select(*cols, *stat_cols)
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    id_cols: list[str],
+    event_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """In-flight exactly-once-per-id dedup on a stream: emits the FIRST
+    arrival of each id, drops re-deliveries that arrive within the
+    watermark horizon — the ingest-side guard that keeps an at-least-
+    once upstream (retried uploads, replayed queue segments) from
+    double-counting clips before they reach the table.
+
+    Uses stock ``dropDuplicatesWithinWatermark``: per-id state is
+    evicted once the watermark passes, so state is O(ids per horizon),
+    not O(stream length) — the property that makes streaming dedup
+    viable at 10^12 rows (a full-history dropDuplicates would pin
+    every id forever).  A duplicate arriving AFTER the horizon is by
+    contract not caught here; the batch exact-dedup pass
+    (ops/dedup.py) owns cross-horizon duplicates.
+    """
+    return stream_df.withWatermark(event_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
 
 
 def load_windowed_stats(spark: SparkSession, out_dir: str) -> DataFrame:

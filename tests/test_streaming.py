@@ -439,3 +439,128 @@ def test_windowed_stats_stream_equals_batch_and_drops_late(spark, tmp_path):
     # the late 100.0 must not have re-opened or inflated (w0, a)
     w0a = got[("2024-01-01 00:00:00", "a")]
     assert w0a == (2, 0, 1.0, 3.0, 2.0)
+
+
+def test_session_stats_stream_equals_batch(spark, tmp_path):
+    """Session windows (gap-merged dynamic windows) streamed in append
+    mode must equal the batch session_window aggregation over the same
+    on-time rows once the watermark closes the sessions."""
+    from datetime import datetime
+
+    from drivel_spark.streaming import session_stats
+
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "k string, ts timestamp, v double"
+
+    def t(minute, second=0):
+        return datetime(2024, 1, 1, 0, minute, second)
+
+    # key a: two sessions (0-2min burst, then 20-21min burst, gap 5min);
+    # key b: one session; z: far-future sentinel advances the watermark
+    rows = [
+        ("a", t(0), 1.0), ("a", t(1), 2.0), ("a", t(2), 3.0),
+        ("a", t(20), 4.0), ("a", t(21), 5.0),
+        ("b", t(10), 7.0),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("z", datetime(2024, 1, 1, 2, 0), 0.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sess = session_stats(stream, "ts", gap="5 minutes", watermark="5 minutes",
+                         key_col="k", value_col="v")
+
+    def commit(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={int(batch_id)}")
+
+    q = (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(commit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # one more empty-ish trigger is NOT needed: the sentinel file is a
+    # second micro-batch, whose watermark closes every real session
+    import os
+
+    assert os.path.isdir(out)
+    got_df = spark.read.option("basePath", out).parquet(f"{out}/batch_id=*")
+    got = {
+        (str(r["session_start"]), r["k"]): (
+            r["duration_s"], r["n"], r["vmin"], r["vmax"], r["mean"]
+        )
+        for r in got_df.collect()
+        if r["k"] != "z"
+    }
+    batch = session_stats(
+        spark.createDataFrame(rows, schema), "ts",
+        gap="5 minutes", key_col="k", value_col="v",
+    )
+    want = {
+        (str(r["session_start"]), r["k"]): (
+            r["duration_s"], r["n"], r["vmin"], r["vmax"], r["mean"]
+        )
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 3  # a×2 sessions + b×1
+    # gap merge: a's first session spans 0:00 → 2:00+gap, duration 7 min
+    a1 = got[("2024-01-01 00:00:00", "a")]
+    assert a1 == (420, 3, 1.0, 3.0, 2.0)
+
+
+def test_dedup_stream_drops_redelivery_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based ingest dedup: the first
+    arrival of each clip_id is emitted once; a re-delivery in a LATER
+    micro-batch (within the watermark horizon) is dropped; a genuinely
+    new id still flows through."""
+    from datetime import datetime
+
+    from drivel_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "clip_id string, ts timestamp, v double"
+
+    def t(minute):
+        return datetime(2024, 1, 1, 0, minute)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            dedup_stream(stream, ["clip_id"], "ts", watermark="30 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # wave 1: c1 twice IN the same batch + c2 once
+    spark.createDataFrame(
+        [("c1", t(1), 1.0), ("c1", t(1), 1.0), ("c2", t(2), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    # wave 2: c1 re-delivered (same event time, well within the 30-min
+    # horizon) + new id c3
+    spark.createDataFrame(
+        [("c1", t(1), 1.0), ("c3", t(3), 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = sorted(r["clip_id"] for r in spark.read.parquet(out).collect())
+    assert got == ["c1", "c2", "c3"]  # each id exactly once

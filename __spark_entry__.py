@@ -2087,6 +2087,199 @@ def q_ivf_topk_embeddings(spark, sf_dir):
     return ivf_topk(assigned, cents, list(q), k=10, nprobe=2, vec_col="emb_d")
 
 
+def q_pq_topk_embeddings(spark, sf_dir):
+    """ANN top-k via product quantization: per-subspace k-means
+    codebooks trained on a deterministic hash-sample, m-byte codes
+    assigned in one Arrow pass, ADC scoring as a pure-Catalyst
+    lookup-table fold, k·rerank candidates → exact cosine rerank.  The
+    engine's ADC scores are exported; DuckDB independently re-derives
+    the retrieval semantics — candidate selection by (adc, vec_id),
+    exact cosine over the candidates, ordering, and k."""
+    from drivel_spark.ops import assign_pq, pq_adc_score, pq_topk, train_pq_codebooks
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    dim = len(e.select("embedding").first()[0])
+    books = train_pq_codebooks(e, dim=dim, m=8, k=16, sample_n=20000,
+                               iters=8, vec_col="emb_d")
+    coded = assign_pq(e, books, vec_col="emb_d")
+    q = e.filter(F.col("vec_id") == 0).first()["emb_d"]
+    if not _engine_only():
+        scores = (
+            coded.withColumn("adc_score", pq_adc_score(books, q))
+            .select("vec_id", "adc_score")
+            .toPandas()
+        )
+        _export_oracle(scores, "pq_scores", sf_dir)
+    return pq_topk(coded, books, q, k=10, rerank=4, vec_col="emb_d")
+
+
+def _local_audio_quality(n: int, spec) -> "object":
+    """Independent per-clip quality oracle: stdlib-wave decode of the
+    distorted fixture clips, mirroring the engine's int16 → float32 →
+    float64 conversion (same numerical convention, different decoder)
+    so per-clip metrics are bit-identical and the round-5 aggregates
+    cannot straddle a rounding boundary."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import clips_pdf
+
+    pdf = clips_pdf(range(n), spec)
+    rows = []
+    for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            pcm32 = (
+                np.frombuffer(w.readframes(w.getnframes()), dtype="<i2").astype(
+                    np.float32
+                )
+                / 32767.0
+            )
+        x = pcm32.astype(np.float64)
+        n_s = len(x)
+        ax = np.abs(x)
+        peak = float(ax.max()) if n_s else 0.0
+        rms = float(np.sqrt(np.mean(x * x))) if n_s else 0.0
+        rows.append(
+            (
+                cid,
+                peak,
+                rms,
+                float(x.mean()) if n_s else 0.0,
+                float(np.count_nonzero(ax >= 0.99999)) / n_s if n_s else 0.0,
+                20.0 * float(np.log10(peak / rms)) if rms > 0.0 else None,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "peak", "rms", "dc_offset", "clipping_ratio",
+                 "crest_db"],
+    )
+
+
+def q_audio_quality_clips(spark, sf_dir):
+    """Recording-health validation over a corpus where every 5th clip is
+    hard-clipped with a DC offset (fixture distortion hook): per-group
+    (clipped vs clean) level / DC / clipping-ratio / crest-factor
+    aggregates.  Oracled against an independent stdlib-wave decode of
+    the same seeded clips (exported side-table) aggregated by DuckDB
+    with identical rounding."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import audio_quality
+
+    n = 400 if "0.01" in sf_dir else 200
+    spec = ClipFixtureSpec(with_audio=True, distort_every=5)
+    if not _engine_only():
+        _export_oracle(_local_audio_quality(n, spec), "audio_quality", sf_dir)
+    clips = build_clips(spark, n, 8, spec)
+    qual = audio_quality(clips, bytes_col="bytes", id_cols=["clip_id"])
+    return (
+        qual.filter(F.col("n_samples").isNotNull())
+        .withColumn("is_clipped", F.col("clipping_ratio") > 0.01)
+        .groupBy("is_clipped")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("peak"), 5).alias("avg_peak"),
+            F.round(F.avg("rms"), 5).alias("avg_rms"),
+            F.round(F.avg("dc_offset"), 5).alias("avg_dc"),
+            F.round(F.avg("clipping_ratio"), 5).alias("avg_clip_ratio"),
+            F.round(F.avg("crest_db"), 4).alias("avg_crest_db"),
+        )
+        .orderBy("is_clipped")
+    )
+
+
+def _local_segment_inputs(n: int) -> "object":
+    """Per-clip (sr_hz, n_samples) from the independent stdlib-wave
+    decode — the DuckDB oracle re-derives the whole segmentation
+    contract (full/tail segment counts, sample totals) from these two
+    integers in closed form."""
+    import pandas as pd
+
+    rows = [
+        (cid, int(sr), int(len(pcm)))
+        for cid, _i, pcm, sr in _decode_clips_stdlib(n)
+    ]
+    return pd.DataFrame(rows, columns=["clip_id", "sr_hz", "n_samples"])
+
+
+def q_segment_clips_agg(spark, sf_dir):
+    """Audio chunking end-to-end: clips → fixed 500 ms training segments
+    (≥200 ms tail kept) → per-sr rollup of segment counts and sample
+    totals.  The engine decodes, slices, and re-encodes real WAV bytes;
+    the oracle re-derives the integer-exact contract from (sr_hz,
+    n_samples) alone — agreement pins both the decode and the
+    segmentation arithmetic."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import segment_clips
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_segment_inputs(n), "segment_inputs", sf_dir)
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
+    segs = segment_clips(clips, seg_ms=500, min_tail_ms=200,
+                         bytes_col="bytes", id_cols=["clip_id"])
+    return (
+        segs.filter(F.col("seg_idx").isNotNull())
+        .withColumn("is_tail", F.col("seg_samples") < F.floor(F.col("sr_hz") * 500 / 1000))
+        .groupBy("sr_hz")
+        .agg(
+            F.countDistinct("clip_id").alias("n_clips"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("seg_samples").alias("sum_seg_samples"),
+            F.sum(F.col("is_tail").cast("long")).alias("n_tail_segments"),
+        )
+        .orderBy("sr_hz")
+    )
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 scalar quantization fidelity report: quantize + reconstruct
+    every embedding (pure Catalyst — transform/array_max/aggregate
+    lambdas, zero Python) and aggregate per label the reconstruction
+    cosine, the RMSE (derived from the three dot products, so the
+    oracle shares the exact algebra), and the mean scale.  DuckDB
+    re-runs the identical quantizer with list lambdas — no side table."""
+    from drivel_spark.ops import dequantize_embeddings, quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    r = dequantize_embeddings(quantize_embeddings(e))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    m = r.select(
+        "label",
+        F.col("scale"),
+        dot(v, F.col("recon")).alias("vr"),
+        dot(v, v).alias("vv"),
+        dot(F.col("recon"), F.col("recon")).alias("rr"),
+    ).filter(F.col("vv") > 0.0)
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col("vr") / F.sqrt(F.col("vv") * F.col("rr"))), 6).alias("avg_cos"),
+            F.round(
+                F.avg(
+                    F.sqrt(F.greatest(F.col("vv") - 2.0 * F.col("vr") + F.col("rr"), F.lit(0.0)))
+                    / F.sqrt(F.lit(64.0))
+                ),
+                6,
+            ).alias("avg_rmse"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2098,7 +2291,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver's correctness window is bounded, and insertion order
         # decides which queries get hard oracle rows.  The audio axis is
         # the flagship (BASELINE.json north rule) — it goes ahead of the
-        # long-stable profile/relational block.
+        # long-stable profile/relational block.  New-in-r04 queries go
+        # first of all (never driver-verified yet).
+        "audio_quality_clips": q_audio_quality_clips,
+        "segment_clips_agg": q_segment_clips_agg,
+        "quantize_embeddings_report": q_quantize_embeddings,
+        "pq_topk_embeddings": q_pq_topk_embeddings,
         "clips_validation_passfail": q_clips_validation_passfail,
         "audio_features_clips": q_audio_features_clips,
         "audio_spectral_clips": q_audio_spectral_clips,
@@ -2818,6 +3016,71 @@ def oracle_sql() -> dict[str, str]:
               n_null > 0 AS nullable,
               '' AS str_type
             FROM agg ORDER BY field""",
+        # per-group (clipped vs clean) rollup of the independently-
+        # decoded per-clip quality metrics, same flag rule and rounding
+        # as the Spark side
+        "audio_quality_clips": f"""
+            SELECT clipping_ratio > 0.01 AS is_clipped,
+                   count(*)::BIGINT AS n_clips,
+                   round(avg(peak), 5) AS avg_peak,
+                   round(avg(rms), 5) AS avg_rms,
+                   round(avg(dc_offset), 5) AS avg_dc,
+                   round(avg(clipping_ratio), 5) AS avg_clip_ratio,
+                   round(avg(crest_db), 4) AS avg_crest_db
+            FROM read_parquet('{ORACLE_DIR}/audio_quality_sf0.01.parquet')
+            GROUP BY 1 ORDER BY 1""",
+        # the whole segmentation contract re-derived in closed form from
+        # (sr_hz, n_samples) alone: seg = sr*500//1000 samples per full
+        # segment, tail kept iff >= sr*200//1000 samples
+        "segment_clips_agg": f"""
+            WITH c AS (
+              SELECT clip_id, sr_hz, n_samples,
+                     greatest((sr_hz * 500) // 1000, 1) AS seg,
+                     (sr_hz * 200) // 1000 AS mt
+              FROM read_parquet('{ORACLE_DIR}/segment_inputs_sf0.01.parquet')),
+            e AS (
+              SELECT *, n_samples // seg AS n_full,
+                     n_samples - (n_samples // seg) * seg AS tail
+              FROM c),
+            s AS (
+              SELECT *,
+                     CASE WHEN tail >= mt AND tail > 0 THEN 1 ELSE 0 END AS has_tail
+              FROM e)
+            SELECT sr_hz,
+                   count(*) FILTER (n_full + has_tail > 0)::BIGINT AS n_clips,
+                   sum(n_full + has_tail)::BIGINT AS n_segments,
+                   sum(n_full * seg + has_tail * tail)::BIGINT AS sum_seg_samples,
+                   sum(has_tail)::BIGINT AS n_tail_segments
+            FROM s GROUP BY sr_hz HAVING sum(n_full + has_tail) > 0
+            ORDER BY sr_hz""",
+        # the identical int8 quantizer re-run with DuckDB list lambdas
+        # (same round-half-up tie rule, same dot-product algebra for
+        # cosine and RMSE) — no side table, pure re-derivation
+        "quantize_embeddings_report": """
+            WITH v AS (
+              SELECT label, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings WHERE embedding IS NOT NULL),
+            s AS (
+              SELECT label, e,
+                     list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+              FROM v),
+            q AS (
+              SELECT label, e, scale,
+                     list_transform(e, x -> greatest(least(floor(
+                         x / (CASE WHEN scale > 0 THEN scale ELSE 1.0 END)
+                         + 0.5), 127.0), -127.0) * scale) AS r
+              FROM s),
+            m AS (
+              SELECT label, scale,
+                     list_dot_product(e, r) AS vr,
+                     list_dot_product(e, e) AS vv,
+                     list_dot_product(r, r) AS rr
+              FROM q)
+            SELECT label, count(*)::BIGINT AS n,
+                   round(avg(vr / sqrt(vv * rr)), 6) AS avg_cos,
+                   round(avg(sqrt(greatest(vv - 2*vr + rr, 0.0)) / sqrt(64.0)), 6) AS avg_rmse,
+                   round(avg(scale), 6) AS avg_scale
+            FROM m WHERE vv > 0 GROUP BY label ORDER BY label""",
         # per-sr rollup of the independently-decoded (stdlib wave)
         # per-clip features, with the same rounding as the Spark side
         "audio_features_clips": f"""
@@ -3012,6 +3275,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
         # exact cosine rerank over the exported probed candidate set —
         # verifies the filter-then-exact-rerank semantics and ordering
+        # exact cosine rerank over the ADC-selected candidate set —
+        # the trained codebooks/codes are taken as given via the
+        # exported per-row ADC scores; candidate selection (top
+        # k*rerank by (adc, vec_id)), exact cosine, ordering, and k are
+        # re-derived by DuckDB
+        "pq_topk_embeddings": f"""
+            WITH cand AS (
+              SELECT vec_id FROM read_parquet('{ORACLE_DIR}/pq_scores_sf0.01.parquet')
+              ORDER BY adc_score DESC, vec_id LIMIT 40),
+            q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+            SELECT v.vec_id,
+                   round(list_dot_product(v.embedding::DOUBLE[], q.e)
+                         / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+            FROM embeddings v JOIN cand USING (vec_id), q
+            ORDER BY cosine DESC, vec_id LIMIT 10""",
         "ann_topk_embeddings": f"""
             WITH probed AS (
               SELECT vec_id FROM read_parquet('{ORACLE_DIR}/ann_probes_sf0.01.parquet')

@@ -82,6 +82,16 @@ class ClipFixtureSpec:
     # silent region (int16 round-trip of 0.0 is exactly 0).
     silence_every: int = 0
     silence_span: tuple = (0.4, 0.7)
+    # distortion fixture hook (off by default — digests of the validate
+    # tables are untouched): every clip with idx % distort_every == 2
+    # has its PCM scaled by distort_gain and shifted by distort_dc
+    # before encoding; the PCM16 encoder clamps to [-1, 1], so these
+    # clips arrive hard-clipped with a DC offset — exactly-known bad
+    # rows for the audio-quality oracles (same pattern as the silence
+    # hook above).
+    distort_every: int = 0
+    distort_gain: float = 4.0
+    distort_dc: float = 0.05
 
 
 def _u(ids: np.ndarray, salt: int) -> np.ndarray:
@@ -167,11 +177,16 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
         dur_c = np.clip(dur, 50, spec.audio_cap_ms)
         for k in range(len(ids)):  # per-clip numpy synth (vector math inside)
             idx, srk, durk = int(ids[k]), int(sr_c[k]), int(dur_c[k])
-            if spec.silence_every and idx % spec.silence_every == 1:
+            silent = spec.silence_every and idx % spec.silence_every == 1
+            distort = spec.distort_every and idx % spec.distort_every == 2
+            if silent or distort:
                 pcm = synth_pcm(idx, srk, durk, seed)
-                a = int(len(pcm) * spec.silence_span[0])
-                b = int(len(pcm) * spec.silence_span[1])
-                pcm[a:b] = 0.0
+                if silent:
+                    a = int(len(pcm) * spec.silence_span[0])
+                    b = int(len(pcm) * spec.silence_span[1])
+                    pcm[a:b] = 0.0
+                if distort:
+                    pcm = pcm * spec.distort_gain + spec.distort_dc
                 payload[k] = wav_encode(pcm, srk)
             else:
                 payload[k] = synth_wav(idx, srk, durk, seed)

@@ -100,6 +100,42 @@ def cmd_prepare(args) -> dict:
     return meta
 
 
+def cmd_segment(args) -> dict:
+    """Table-scale audio chunking: clips → fixed-duration training
+    segments (ops/multimodal.py segment_clips), written as a new table.
+    Optional --where pushes a predicate to the clips scan so a daily
+    run segments one slice without reading the rest — same discipline
+    as validate --where.  One narrow scan, re-encode in the producing
+    partition, no shuffle."""
+    from drivel_spark.io import read_table
+    from drivel_spark.ops import segment_clips
+
+    spark = build_session("drivel-segment")
+    ref = args.clips or f"{args.data}/clips"
+    clips = read_table(spark, ref)
+    if args.where:
+        clips = clips.filter(args.where)
+    t0 = time.time()
+    segs = segment_clips(
+        clips, seg_ms=args.seg_ms, min_tail_ms=args.min_tail_ms
+    )
+    segs.write.mode("overwrite").parquet(args.out)
+    wall = time.time() - t0
+    out = spark.read.parquet(args.out)
+    n_segments = out.filter(out["seg_idx"].isNotNull()).count()
+    n_undecodable = out.filter(out["seg_idx"].isNull()).count()
+    return {
+        "job": "segment",
+        "seg_ms": args.seg_ms,
+        "min_tail_ms": args.min_tail_ms,
+        "n_segments": n_segments,
+        "n_undecodable": n_undecodable,
+        "wall_s": round(wall, 3),
+        "segments_per_sec": round(n_segments / wall, 1) if wall > 0 else None,
+        "out": args.out,
+    }
+
+
 def _narrow_batch(df, cols) -> int | None:
     """8192-row Arrow batches for all-narrow profile scans (the 256
     session default is sized for ~100KB audio rows and strangles
@@ -724,6 +760,16 @@ def main(argv=None) -> None:
     sp.add_argument("--no-audio", action="store_true")
     sp.add_argument("--out", required=True)
 
+    ss = sub.add_parser("segment")
+    ss.add_argument("--data", default=None, help="db dir containing /clips")
+    ss.add_argument("--clips", default=None,
+                    help="override clips table (path or iceberg:db.tbl ref)")
+    ss.add_argument("--out", required=True, help="segments table dir")
+    ss.add_argument("--seg-ms", type=int, default=500)
+    ss.add_argument("--min-tail-ms", type=int, default=200)
+    ss.add_argument("--where", default=None,
+                    help="SQL predicate pushed to the clips scan")
+
     sb = sub.add_parser("baseline")
     sb.add_argument("--data", required=True)
     sb.add_argument("--out", required=True)
@@ -827,6 +873,7 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     out = {
         "prepare": cmd_prepare,
+        "segment": cmd_segment,
         "baseline": cmd_baseline,
         "validate": cmd_validate,
         "diff": cmd_diff,

@@ -614,6 +614,148 @@ def audio_fingerprint(feats: DataFrame, freq_quant_hz: float = 5.0,
     return feats.withColumn("fingerprint", fp)
 
 
+AUDIO_QUALITY_SCHEMA = (
+    "n_samples long, sr_hz int, peak double, rms double, dc_offset double, "
+    "clipping_ratio double, crest_db double"
+)
+
+
+def audio_quality(df: DataFrame, bytes_col: str = "bytes",
+                  id_cols: Optional[list[str]] = None,
+                  clip_thresh: float = 0.99999) -> DataFrame:
+    """Per-clip recording-health metrics: peak / RMS level, DC offset,
+    hard-clipping ratio, and crest factor — the validation-tier checks
+    that catch saturated microphones, mis-gained transfers, and
+    DC-biased A/D stages before they poison a training corpus.
+
+    ``clipping_ratio`` is the fraction of samples at full scale: PCM16
+    decode maps a saturated sample to exactly ±32767/32767 = ±1.0 and
+    the largest legitimate sample to 32766/32767 ≈ 0.9999695, so the
+    default ``clip_thresh`` 0.99999 sits strictly between them and
+    counts exactly the saturated samples.  ``crest_db`` (peak/RMS in dB) is NULL for
+    digital-silence clips (RMS 0).  Undecodable/NULL payloads yield
+    NULL metrics (tolerant, like :func:`extract_audio_features`).
+
+    One narrow scan → mapInPandas (Arrow batches), one vectorized numpy
+    pass per clip; no shuffle — a pure map at any scale.
+    """
+    id_cols = id_cols or ["clip_id"]
+    keys = ("n_samples", "sr_hz", "peak", "rms", "dc_offset",
+            "clipping_ratio", "crest_db")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                x = pcm.astype(np.float64)
+                n = len(x)
+                ax = np.abs(x)
+                peak = float(ax.max()) if n else 0.0
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                vals = dict(
+                    n_samples=n,
+                    sr_hz=sr,
+                    peak=peak,
+                    rms=rms,
+                    dc_offset=float(x.mean()) if n else 0.0,
+                    clipping_ratio=(
+                        float(np.count_nonzero(ax >= clip_thresh)) / n
+                        if n else 0.0
+                    ),
+                    crest_db=(
+                        20.0 * float(np.log10(peak / rms)) if rms > 0.0 else None
+                    ),
+                )
+                for k in keys:
+                    cols[k].append(vals[k])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + AUDIO_QUALITY_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+SEGMENT_CLIPS_SCHEMA = (
+    "sr_hz int, n_samples_in long, seg_idx int, seg_samples long, bytes binary"
+)
+
+
+def segment_clips(df: DataFrame, seg_ms: int = 500, min_tail_ms: int = 200,
+                  bytes_col: str = "bytes",
+                  id_cols: Optional[list[str]] = None) -> DataFrame:
+    """Split every WAV clip into fixed-duration training segments — the
+    audio analog of document chunking (ops/text.py chunk_documents):
+    long recordings become uniform windows a trainer can batch.
+
+    Integer-exact contract (the DuckDB oracle re-derives it from
+    (sr_hz, n_samples) alone): ``seg = sr_hz * seg_ms // 1000`` samples
+    per full segment, ``n // seg`` full segments, plus one tail segment
+    iff the remainder is ``>= sr_hz * min_tail_ms // 1000`` samples.
+    Segment ``i`` is the PCM slice ``[i*seg, min((i+1)*seg, n))``
+    re-encoded through the shared PCM16 writer (lossless: int16 →
+    float → int16 round-trips exactly).  Clips shorter than the tail
+    minimum produce no segments and are dropped; undecodable/NULL
+    payloads keep one row with NULL ``seg_idx`` so validation can count
+    them.
+
+    One narrow scan → mapInPandas; fan-out is bounded by
+    ``dur/seg_ms`` per clip, and output rows stay in the producing
+    partition — no shuffle at any scale.
+    """
+    if seg_ms <= 0 or min_tail_ms <= 0:
+        raise ValueError(f"seg_ms/min_tail_ms must be positive: {seg_ms}/{min_tail_ms}")
+    id_cols = id_cols or ["clip_id"]
+    keys = ("sr_hz", "n_samples_in", "seg_idx", "seg_samples", "bytes")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out_rows = {c: [] for c in id_cols}
+            cols = {k: [] for k in keys}
+
+            def emit(i, vals):
+                for c in id_cols:
+                    out_rows[c].append(pdf[c].iloc[i])
+                for k in keys:
+                    cols[k].append(vals.get(k))
+
+            for i, b in enumerate(pdf[bytes_col]):
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok:
+                    emit(i, {})
+                    continue
+                n = len(pcm)
+                seg = max(sr * seg_ms // 1000, 1)
+                min_tail = sr * min_tail_ms // 1000
+                n_full = n // seg
+                tail = n - n_full * seg
+                for j in range(n_full + (1 if tail >= min_tail and tail > 0 else 0)):
+                    lo, hi = j * seg, min((j + 1) * seg, n)
+                    emit(i, dict(sr_hz=sr, n_samples_in=n, seg_idx=j,
+                                 seg_samples=hi - lo,
+                                 bytes=wav_encode(pcm[lo:hi], sr)))
+            yield pd.DataFrame({**out_rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + SEGMENT_CLIPS_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
 def _id_schema(df: DataFrame, id_cols: list[str]) -> str:
     """Output-schema fragment for passthrough id columns, derived from
     the INPUT schema — never assume string/bigint (the winnow id-type

@@ -316,3 +316,196 @@ def embedding_drift(df_a: DataFrame, df_b: DataFrame, dim: int,
         "mean_norm_a": norm_a,
         "mean_norm_b": norm_b,
     }
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        bits: int = 8, q_col: str = "q",
+                        scale_col: str = "scale") -> DataFrame:
+    """Symmetric per-vector scalar quantization of an embedding column
+    (int8 by default): ``scale = max|x| / (2^(bits-1)-1)`` and
+    ``q_i = clamp(floor(x_i/scale + 0.5), -qmax, qmax)`` — the standard
+    4x storage/bandwidth compression for billion-vector retrieval
+    (LanceDB/FAISS SQ8-style; public literature).
+
+    Pure Catalyst — ``transform``/``array_max`` lambdas, whole-stage
+    codegen, zero Python in the path — so quantizing 10^12 vectors is
+    one narrow map with no shuffle.  ``floor(x + 0.5)`` (round-half-up)
+    rather than ``round`` so the engine and any SQL oracle share one
+    exactly-specified tie rule.  All-zero vectors get scale 0 and an
+    all-zero code; NULL vectors pass through as NULL.
+
+    Returns the input plus ``scale`` (double) and ``q``
+    (array<smallint> for bits <= 8, else array<int>).
+    """
+    if not 2 <= bits <= 16:
+        raise ValueError(f"bits must be in [2, 16]: {bits}")
+    qmax = float(2 ** (bits - 1) - 1)
+    itype = "smallint" if bits <= 8 else "int"
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(qmax)
+    # guard the divide: scale==0 (all-zero vector) quantizes to zeros
+    safe = F.when(F.col(scale_col) > 0.0, F.col(scale_col)).otherwise(F.lit(1.0))
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.least(F.floor(x / safe + F.lit(0.5)).cast("double"), F.lit(qmax)),
+            F.lit(-qmax),
+        ).cast(itype),
+    )
+    return df.withColumn(scale_col, scale).withColumn(q_col, q)
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 20000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train product-quantization codebooks: split each vector into
+    ``m`` subvectors of ``dim/m`` dims and run an independent seeded
+    Lloyd's k-means (L2) per subspace on a deterministic hash-sample —
+    the same bounded-sample discipline as :func:`train_ivf_centroids`
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    IEEE TPAMI 2011; public literature).
+
+    Returns an ``(m, k, dim/m)`` float64 codebook array — O(m·k·dim/m)
+    = O(k·dim) floats, kilobytes, shipped to executors in the
+    assignment UDF's closure.  At 10^12 rows training cost is constant:
+    only ``sample_n × dim`` floats ever reach the driver.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    sample = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.hash("__id"), F.col("__id"))
+        .limit(sample_n)
+        .toPandas()
+    )
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in sample["__v"]])
+    if len(x) < k:
+        raise ValueError(f"sample of {len(x)} rows < k={k}")
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * sub @ cents.T
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def assign_pq(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Assign every vector its ``m``-byte PQ code (nearest centroid per
+    subspace, L2): one Arrow-batched pandas UDF doing ``m`` small GEMMs
+    per batch — a single narrow pass, no shuffle, like
+    :func:`assign_ivf`.  Codes are ``array<smallint>`` of length m."""
+    m, k, dsub = codebooks.shape
+    books = codebooks.copy()
+    bnorm2 = [(books[j] * books[j]).sum(axis=1)[None, :] for j in range(m)]
+
+    @pandas_udf("array<smallint>")
+    def _codes(v: pd.Series) -> pd.Series:
+        out = []
+        mask = v.notna()
+        if not mask.any():
+            return pd.Series([None] * len(v))
+        xs = np.asarray([np.asarray(e, dtype=np.float64) for e in v[mask]])
+        codes = np.empty((len(xs), m), dtype=np.int16)
+        for j in range(m):
+            sub = xs[:, j * dsub : (j + 1) * dsub]
+            d2 = -2.0 * sub @ books[j].T + bnorm2[j]  # +|x|² is rank-free
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.int16)
+        it = iter(codes.tolist())
+        for ok in mask:
+            out.append(next(it) if ok else None)
+        return pd.Series(out)
+
+    return df.withColumn(code_col, _codes(F.col(vec_col)))
+
+
+def pq_adc_score(codebooks: np.ndarray, query_vec, code_col: str = "pq_code") -> Column:
+    """Asymmetric-distance (ADC) inner-product score as a PURE Catalyst
+    expression: the query→centroid dot-product lookup table (m×k
+    doubles) becomes a literal array-of-arrays, and the per-row score is
+    ``zip_with(code, lut, (c, l) -> l[c+1])`` folded with ``aggregate``
+    — whole-stage codegen, zero Python per row.  Scoring 10^12 coded
+    rows costs one narrow scan of m smallints per row instead of dim
+    floats (8 bytes vs 256 for dim=64 float32)."""
+    m, k, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != m*dsub {m * dsub}")
+    lut = np.array([codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)])
+    lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in lut])
+    picked = F.zip_with(
+        F.col(code_col), lut_lit,
+        lambda c, l: F.element_at(l, c.cast("int") + F.lit(1)),
+    )
+    return F.aggregate(picked, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_topk(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    rerank: int = 4,
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: ADC-score every coded row (pure Catalyst, see
+    :func:`pq_adc_score`), keep the ``k·rerank`` best candidates
+    (TakeOrdered — per-partition top-k + driver merge, no full sort),
+    then exact JVM-side cosine rerank of the candidates.  The standard
+    two-stage PQ retrieval: the expensive float vectors are touched for
+    only ``k·rerank`` rows however large the table is."""
+    q = F.array(*[F.lit(float(x)) for x in np.asarray(query_vec, dtype=np.float64)])
+    cand = (
+        coded.filter(F.col(code_col).isNotNull())
+        .withColumn("adc_score", pq_adc_score(codebooks, query_vec, code_col))
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(k * rerank)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dequantize_embeddings(df: DataFrame, q_col: str = "q",
+                          scale_col: str = "scale",
+                          out_col: str = "recon") -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``recon_i = q_i * scale``
+    (array<double>).  Pure Catalyst; composes with ``cosine_expr`` for
+    quantized-candidate scoring with exact rerank on the original
+    column."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

@@ -291,3 +291,45 @@ def test_validate_where_slice(spark, tmp_path):
         cmd_validate(argparse.Namespace(
             data=str(db_a), where="sr_hz = 16000",
             **{**base, "checkpoint": str(tmp_path / "ck")}))
+
+
+def test_segment_verb(spark, tmp_path):
+    """segment writes a segments table whose counts match the
+    closed-form contract derived from the clips' (sr, n_samples), and
+    --where slices the input before decoding."""
+    from drivel_spark.job import cmd_segment
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+
+    data = str(tmp_path / "clips")
+    spec = ClipFixtureSpec(with_audio=True)
+    build_clips(spark, 40, 4, spec).write.parquet(data)
+
+    out_dir = str(tmp_path / "segs")
+    out = cmd_segment(
+        argparse.Namespace(
+            data=None, clips=data, out=out_dir, seg_ms=500,
+            min_tail_ms=200, where=None,
+        )
+    )
+    assert out["n_segments"] > 0 and out["n_undecodable"] == 0
+
+    # closed form from the written segments' own (sr_hz, n_samples_in)
+    segs = spark.read.parquet(out_dir).toPandas()
+    per_clip = segs.groupby("clip_id").agg(
+        sr=("sr_hz", "first"), n=("n_samples_in", "first"),
+        k=("seg_idx", "count"),
+    )
+    for _, r in per_clip.iterrows():
+        seg = max(int(r["sr"]) * 500 // 1000, 1)
+        mt = int(r["sr"]) * 200 // 1000
+        n_full, tail = int(r["n"]) // seg, int(r["n"]) % seg
+        assert r["k"] == n_full + (1 if tail >= mt and tail > 0 else 0)
+    assert int(per_clip["k"].sum()) == out["n_segments"]
+
+    sliced = cmd_segment(
+        argparse.Namespace(
+            data=None, clips=data, out=str(tmp_path / "segs2"), seg_ms=500,
+            min_tail_ms=200, where="sr_hz = 8000",
+        )
+    )
+    assert sliced["n_segments"] < out["n_segments"]

@@ -1447,3 +1447,176 @@ def test_audio_fingerprint_groups_dups(spark):
     assert fp["a1"] == fp["a2"] == fp["a3"]  # same tone, same bucket
     assert fp["tone"] != fp["a1"]            # different tone
     assert fp["longer"] != fp["a1"]          # different duration bucket
+
+
+def test_audio_quality_flags_distortion(spark):
+    """A hard-clipped, DC-shifted clip is flagged (clipping_ratio high,
+    positive DC); a clean tone reads zero clipping and ~zero DC with the
+    analytic sine crest factor; NULL payloads yield NULL metrics."""
+    import numpy as np
+
+    from drivel_spark.ops import audio_quality
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    sr = 8000
+    clean = synth_pcm(5, sr, 1000)
+    bad = clean * 4.0 + 0.05  # wav_encode clamps -> hard clipping
+    rows = [
+        ("clean", bytearray(wav_encode(clean, sr))),
+        ("bad", bytearray(wav_encode(bad, sr))),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = audio_quality(df).toPandas().set_index("clip_id")
+
+    c = got.loc["clean"]
+    assert c["clipping_ratio"] == 0.0
+    assert abs(c["dc_offset"]) < 1e-3
+    # sine at amp .8 + -40dB noise: crest ~ 20*log10(sqrt(2)) = 3.01 dB
+    assert abs(c["crest_db"] - 3.01) < 0.3
+    b = got.loc["bad"]
+    assert b["clipping_ratio"] > 0.3
+    assert b["peak"] == 1.0
+    assert b["dc_offset"] > 0.005
+    assert got.loc["null"][["n_samples", "clipping_ratio"]].isnull().all()
+
+
+def test_audio_quality_matches_inline_numpy(spark):
+    """Per-clip metrics are bit-identical to an inline float64 recompute
+    over the engine's own decode (pins the metric definitions)."""
+    import numpy as np
+
+    from drivel_spark.ops import audio_quality
+    from drivel_spark.produce.audio import synth_pcm, wav_decode, wav_encode
+
+    rows = [
+        ("t1", bytearray(wav_encode(synth_pcm(3, 16000, 700), 16000))),
+        ("t2", bytearray(wav_encode(synth_pcm(7, 8000, 300) * 2.0, 8000))),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = audio_quality(df).toPandas().set_index("clip_id")
+    for cid, b in rows:
+        x = wav_decode(bytes(b))[0].astype(np.float64)
+        ax = np.abs(x)
+        r = got.loc[cid]
+        assert r["peak"] == float(ax.max())
+        assert r["rms"] == float(np.sqrt(np.mean(x * x)))
+        assert r["dc_offset"] == float(x.mean())
+        assert r["clipping_ratio"] == float(np.count_nonzero(ax >= 0.99999)) / len(x)
+
+
+def test_segment_clips_contract(spark):
+    """Closed-form segmentation: a 1700 ms / 8 kHz clip at seg=500 ms,
+    min_tail=200 ms gives 3 full 4000-sample segments + one kept
+    1600-sample tail (exactly at the minimum); every segment decodes to
+    the exact PCM slice; a 150 ms clip is dropped; NULL payload keeps a
+    NULL-seg_idx row."""
+    import numpy as np
+
+    from drivel_spark.ops import segment_clips
+    from drivel_spark.produce.audio import synth_pcm, wav_decode, wav_encode
+
+    sr = 8000
+    pcm = synth_pcm(4, sr, 1700)
+    rows = [
+        ("long", bytearray(wav_encode(pcm, sr))),
+        ("short", bytearray(wav_encode(synth_pcm(4, sr, 150), sr))),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = segment_clips(df, seg_ms=500, min_tail_ms=200).toPandas()
+
+    long_rows = got[got["clip_id"] == "long"].sort_values("seg_idx")
+    assert list(long_rows["seg_samples"]) == [4000, 4000, 4000, 1600]
+    ref = wav_decode(wav_encode(pcm, sr))[0]
+    for _, r in long_rows.iterrows():
+        seg_pcm, seg_sr = wav_decode(bytes(r["bytes"]))
+        lo = int(r["seg_idx"]) * 4000
+        assert seg_sr == sr
+        assert np.array_equal(seg_pcm, ref[lo : lo + int(r["seg_samples"])])
+
+    assert (got["clip_id"] == "short").sum() == 0  # 1200 < 1600 min tail
+    nul = got[got["clip_id"] == "null"]
+    assert len(nul) == 1 and pd.isnull(nul["seg_idx"].iloc[0])
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """Int8 codes stay in [-127, 127]; reconstruction error is bounded
+    by scale/2 per element; cosine preservation is ~1 for random
+    vectors; all-zero and NULL vectors are safe."""
+    import numpy as np
+
+    from drivel_spark.ops import dequantize_embeddings, quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    vecs = [[float(x) for x in rng.normal(size=32)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    rows.append((100, [0.0] * 32))
+    rows.append((101, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dequantize_embeddings(quantize_embeddings(df)).toPandas().set_index("vec_id")
+
+    for i, v in enumerate(vecs):
+        r = out.loc[i]
+        q = np.array(r["q"], dtype=np.int64)
+        assert np.abs(q).max() <= 127
+        scale = float(r["scale"])
+        assert scale > 0
+        recon = np.array(r["recon"], dtype=np.float64)
+        v64 = np.array(v, dtype=np.float64)
+        assert np.abs(recon - v64).max() <= scale / 2 + 1e-12
+        cos = float(v64 @ recon / (np.linalg.norm(v64) * np.linalg.norm(recon)))
+        assert cos > 0.999
+    z = out.loc[100]
+    assert z["scale"] == 0.0 and not np.any(np.array(z["q"]))
+    n = out.loc[101]
+    assert n["q"] is None and n["recon"] is None
+
+
+def test_pq_topk_degrades_to_exact(spark):
+    """PQ retrieval contract: codes are valid m-length small ints, NULL
+    vectors get NULL codes, and when k*rerank covers the whole table the
+    two-stage ADC→exact-rerank result equals brute-force cosine_topk
+    (the approximation can only shrink the candidate set)."""
+    import numpy as np
+
+    from drivel_spark.ops import assign_pq, cosine_topk, pq_topk, train_pq_codebooks
+
+    rng = np.random.default_rng(11)
+    vecs = [[float(x) for x in rng.normal(size=16)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = train_pq_codebooks(df.filter(F.col("embedding").isNotNull()),
+                               dim=16, m=4, k=4, sample_n=100, iters=10)
+    assert books.shape == (4, 4, 4)
+    coded = assign_pq(df, books).toPandas().set_index("vec_id")
+    for i in range(20):
+        code = np.array(coded.loc[i, "pq_code"])
+        assert len(code) == 4 and code.min() >= 0 and code.max() < 4
+    assert coded.loc[99, "pq_code"] is None
+
+    got = pq_topk(assign_pq(df, books), books, vecs[0], k=5, rerank=10).toPandas()
+    exact = cosine_topk(df.filter(F.col("embedding").isNotNull()), vecs[0], k=5).toPandas()
+    assert list(got["vec_id"]) == list(exact["vec_id"])
+    assert list(got["cosine"]) == list(exact["cosine"])
+    assert got["vec_id"].iloc[0] == 0 and got["cosine"].iloc[0] == 1.0
+
+
+def test_train_pq_codebooks_deterministic(spark):
+    """Same data + seed → bit-identical codebooks (hash-sample + seeded
+    k-means); dim not divisible by m is rejected."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from drivel_spark.ops import train_pq_codebooks
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b1 = train_pq_codebooks(df, dim=8, m=2, k=4, sample_n=50, iters=5)
+    b2 = train_pq_codebooks(df, dim=8, m=2, k=4, sample_n=50, iters=5)
+    assert np.array_equal(b1, b2)
+    with _pytest.raises(ValueError):
+        train_pq_codebooks(df, dim=8, m=3, k=4)

@@ -291,3 +291,38 @@ def test_speech_rate_constraint(spark):
         "ok": True, "fast": False, "slow": False, "zero": False,
         "neg": False, "null_t": True, "null_d": True,
     }
+
+
+def test_validate_audio_quality_composition(spark):
+    """The recording-health screen composes with the constraint engine:
+    audio_quality metrics feed Range/NotNull constraints, and exactly
+    the fixture's distorted clips (idx % 5 == 2) surface as violation
+    rows — decode-level validation with no new constraint machinery."""
+    from drivel_spark.fixtures import clip_id_for
+    from drivel_spark.ops import audio_quality
+
+    n = 60
+    spec = ClipFixtureSpec(variant="clean", with_audio=True, distort_every=5)
+    clips = build_clips(spark, n, 4, spec)
+    qual = audio_quality(clips)
+    res = validate(
+        qual,
+        [
+            NotNull("decodable", "n_samples"),
+            Range("no_clipping", "clipping_ratio", 0.0, 0.01),
+            Range("dc_centered", "dc_offset", -0.005, 0.005),
+        ],
+        keep_columns=["clip_id"],
+    )
+    viol = res.violations.toPandas()
+    bad_ids = set(
+        clip_id_for(np.array([i for i in range(n) if i % 5 == 2]), seed=42)
+    )
+
+    def ids_failing(name):
+        return set(viol[viol["failed"].apply(lambda f: name in list(f))]["clip_id"])
+
+    assert ids_failing("no_clipping") == bad_ids
+    # the DC shift also lands every distorted clip outside the band
+    assert ids_failing("dc_centered") == bad_ids
+    assert not ids_failing("decodable")

@@ -143,7 +143,7 @@ if _strat and _strat["n_rounds"]:
     _sr = _strat["rounds"]
     lines += [
         "",
-        "### Condition-stratified campaign (r03)",
+        "### Condition-stratified campaigns (r03 protocol; cumulative log)",
         "",
         "The r03 VM showed capacity-collapse waves an order worse than",
         "r02's (a 192k validate measured local[8] == local[2] wall — the",
@@ -279,6 +279,20 @@ lines += [
     "",
     "Raw runs: BENCH/scaling_runs.jsonl; summary: BENCH/scaling_summary.json.",
 ]
-with open(os.path.join(HERE, "BASELINE.md"), "w") as fh:
-    fh.write("\n".join(lines) + "\n")
+# preserve hand-maintained trailing sections of the existing file: the
+# r03 bench-variance note (historical prose) and the marker-delimited
+# per-query baseline table (regenerated by write_perquery_md.py)
+_path = os.path.join(HERE, "BASELINE.md")
+_tail = []
+try:
+    _old = open(_path).read()
+    for anchor in ("## r03 bench.py variance note", "<!-- PERQUERY:BEGIN -->"):
+        if anchor in _old:
+            _old = _old[_old.index(anchor):]
+            _tail = ["", _old.rstrip()]
+            break
+except FileNotFoundError:
+    pass
+with open(_path, "w") as fh:
+    fh.write("\n".join(lines + _tail) + "\n")
 print("\n".join(lines[:30]))

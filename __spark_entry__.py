@@ -2115,6 +2115,86 @@ def q_pq_topk_embeddings(spark, sf_dir):
     return pq_topk(coded, books, q, k=10, rerank=4, vec_col="emb_d")
 
 
+def q_pivot_orders_status_priority(spark, sf_dir):
+    """Relational pivot: order counts as a status × priority matrix —
+    the wide-format report shape (Spark RelationalGroupedDataset.pivot
+    with explicit values, so the plan is a single partial+final
+    aggregation with no collect-distinct pre-pass).  Cells with no rows
+    coalesce to 0 to match the SQL FILTER-aggregation oracle."""
+    o = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    alias = ["urgent", "high", "medium", "notspec", "low"]
+    wide = o.groupBy("o_orderstatus").pivot("o_orderpriority", prios).count()
+    return wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+            for p, a in zip(prios, alias)
+        ],
+    ).orderBy("o_orderstatus")
+
+
+def q_project_embeddings(spark, sf_dir):
+    """JL random projection 64→16 as pure Catalyst (one literal-matrix
+    dot product per output dim) with a norm-preservation report: the
+    ratio |proj|/|orig| concentrates around 1 by the JL lemma.  DuckDB
+    re-derives the identical projection from the same seeded literal
+    matrix (a parameter, like the LSH hyperplanes) with
+    list_dot_product — element order matches the engine's sequential
+    fold, so the doubles are bit-equal."""
+    from drivel_spark.ops import project_embeddings, projection_matrix
+
+    m = projection_matrix(64, 16, seed=42)
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    p = project_embeddings(e, m)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    ratio = F.sqrt(dot(F.col("proj"), F.col("proj"))) / F.sqrt(dot(v, v))
+    return (
+        p.filter(dot(v, v) > 0.0)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(ratio), 6).alias("avg_norm_ratio"),
+            F.round(F.min(ratio), 6).alias("min_norm_ratio"),
+            F.round(F.max(ratio), 6).alias("max_norm_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+def _projection_oracle_sql() -> str:
+    """DuckDB side of project_embeddings_report: the same seeded literal
+    matrix (a parameter) applied with list_dot_product, same ratio
+    algebra and rounding."""
+    from drivel_spark.ops import projection_matrix
+
+    m = projection_matrix(64, 16, seed=42)
+    rows = ", ".join(
+        "list_dot_product(e, [" + ", ".join(repr(float(x)) for x in r) + "])"
+        for r in m
+    )
+    return f"""
+        WITH v AS (
+          SELECT label, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings WHERE embedding IS NOT NULL),
+        p AS (SELECT label, e, [{rows}] AS proj FROM v),
+        r AS (SELECT label,
+                sqrt(list_dot_product(proj, proj))
+                / sqrt(list_dot_product(e, e)) AS ratio
+              FROM p WHERE list_dot_product(e, e) > 0)
+        SELECT label, count(*)::BIGINT AS n,
+               round(avg(ratio), 6) AS avg_norm_ratio,
+               round(min(ratio), 6) AS min_norm_ratio,
+               round(max(ratio), 6) AS max_norm_ratio
+        FROM r GROUP BY label ORDER BY label"""
+
+
 def _local_audio_quality(n: int, spec) -> "object":
     """Independent per-clip quality oracle: stdlib-wave decode of the
     distorted fixture clips, mirroring the engine's int16 → float32 →
@@ -2297,6 +2377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_clips_agg": q_segment_clips_agg,
         "quantize_embeddings_report": q_quantize_embeddings,
         "pq_topk_embeddings": q_pq_topk_embeddings,
+        "project_embeddings_report": q_project_embeddings,
+        "pivot_orders_status_priority": q_pivot_orders_status_priority,
         "clips_validation_passfail": q_clips_validation_passfail,
         "audio_features_clips": q_audio_features_clips,
         "audio_spectral_clips": q_audio_spectral_clips,
@@ -2989,6 +3071,16 @@ def oracle_sql() -> dict[str, str]:
                    round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
                    round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
             FROM embeddings GROUP BY label""",
+        "project_embeddings_report": _projection_oracle_sql(),
+        # wide-format pivot re-derived as FILTER aggregation
+        "pivot_orders_status_priority": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (o_orderpriority = '1-URGENT')::BIGINT AS urgent,
+                   count(*) FILTER (o_orderpriority = '2-HIGH')::BIGINT AS high,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM')::BIGINT AS medium,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')::BIGINT AS notspec,
+                   count(*) FILTER (o_orderpriority = '5-LOW')::BIGINT AS low
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
         "clips_validation_passfail": clips_passfail_sql,
         # distributed JSON-tree inference, checked against DuckDB's own
         # JSON type introspection: per top-level key, the merged kind

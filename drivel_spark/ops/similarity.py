@@ -498,6 +498,45 @@ def pq_topk(
     )
 
 
+def projection_matrix(in_dim: int, out_dim: int, seed: int = 42) -> np.ndarray:
+    """Seeded Gaussian random-projection matrix, scaled 1/sqrt(out_dim)
+    so expected L2 norms are preserved (Johnson–Lindenstrauss; public
+    literature — e.g. Achlioptas, "Database-friendly random
+    projections", JCSS 2003)."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(out_dim, in_dim)) / np.sqrt(out_dim)
+
+
+def project_embeddings(
+    df: DataFrame,
+    matrix: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Random-projection dimensionality reduction as a PURE Catalyst
+    expression: each output dimension is one ``zip_with``+``aggregate``
+    dot product against a literal matrix row — whole-stage codegen,
+    zero Python, no shuffle.  The cheap JL preprocessing step before
+    LSH/clustering when dim is large: distances are preserved within
+    (1±ε) w.h.p. while every downstream op pays out_dim instead of dim.
+
+    The matrix is a seeded parameter (see :func:`projection_matrix`) —
+    kilobytes, embedded in the plan as literals; at 10^12 rows the
+    projection is a narrow map fused into the scan.
+    """
+    m = np.asarray(matrix, dtype=np.float64)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def dot_row(row: np.ndarray) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in row])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda a, b: a * b), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return df.withColumn(out_col, F.array(*[dot_row(r) for r in m]))
+
+
 def dequantize_embeddings(df: DataFrame, q_col: str = "q",
                           scale_col: str = "scale",
                           out_col: str = "recon") -> DataFrame:

@@ -1620,3 +1620,32 @@ def test_train_pq_codebooks_deterministic(spark):
     assert np.array_equal(b1, b2)
     with _pytest.raises(ValueError):
         train_pq_codebooks(df, dim=8, m=3, k=4)
+
+
+def test_project_embeddings_matches_sequential_dot(spark):
+    """Each projected dimension equals the sequential left-to-right
+    float64 fold of m[j]·v (the exact arithmetic the Catalyst aggregate
+    lambda performs), and norms are preserved on average (JL)."""
+    import numpy as np
+
+    from drivel_spark.ops import project_embeddings, projection_matrix
+
+    rng = np.random.default_rng(5)
+    vecs = [[float(x) for x in rng.normal(size=12)] for _ in range(50)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    m = projection_matrix(12, 6, seed=9)
+    got = project_embeddings(df, m).toPandas().set_index("vec_id")
+
+    ratios = []
+    for i, v in enumerate(vecs):
+        proj = np.array(got.loc[i, "proj"], dtype=np.float64)
+        for j in range(6):
+            acc = 0.0
+            for a, b in zip(v, m[j]):
+                acc += a * b
+            assert proj[j] == acc  # bit-exact: same fold order
+        ratios.append(np.linalg.norm(proj) / np.linalg.norm(np.array(v)))
+    # JL concentration: mean ratio near 1 for 50 gaussian vectors
+    assert abs(float(np.mean(ratios)) - 1.0) < 0.15

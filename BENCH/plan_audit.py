@@ -499,6 +499,98 @@ def main() -> None:
             )
         )
 
+    # 16. r04 audio ops: quality screen + segmentation — same narrow
+    # Arrow-map shape as the other audio kernels
+    from drivel_spark.ops import audio_quality, segment_clips
+
+    for name, op in (("Audio quality screen", audio_quality),
+                     ("Clip segmentation", lambda d: segment_clips(d, 500, 200))):
+        p = fmt(op(clips))
+        sections.append(
+            (
+                f"{name} (audio mapInPandas)",
+                p,
+                [
+                    "zero shuffles (narrow scan → Arrow UDF): "
+                    + ("PASS" if "Exchange" not in p else "FAIL"),
+                    "Arrow-batched (no BatchEvalPython): "
+                    + ("PASS" if "BatchEvalPython" not in p else "FAIL"),
+                ],
+            )
+        )
+
+    # 17. embedding compression/projection: pure Catalyst — zero Python
+    # of any kind, zero shuffle, codegen
+    from drivel_spark.ops import (
+        assign_pq,
+        dequantize_embeddings,
+        pq_adc_score,
+        project_embeddings,
+        projection_matrix,
+        quantize_embeddings,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    p = fmt(dequantize_embeddings(quantize_embeddings(emb, vec_col="emb_d")))
+    sections.append(
+        (
+            "Int8 scalar quantize + reconstruct (pure Catalyst)",
+            p,
+            [
+                "zero shuffles (narrow map): "
+                + ("PASS" if "Exchange" not in p else "FAIL"),
+                "JVM-side (no BatchEvalPython / ArrowEvalPython): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "whole-stage codegen: "
+                + ("PASS" if "codegen id" in p else "FAIL"),
+            ],
+        )
+    )
+
+    p = fmt(project_embeddings(emb, projection_matrix(64, 16), vec_col="emb_d"))
+    sections.append(
+        (
+            "JL random projection (pure Catalyst literal-matrix fold)",
+            p,
+            [
+                "zero shuffles (narrow map): "
+                + ("PASS" if "Exchange" not in p else "FAIL"),
+                "JVM-side (no BatchEvalPython / ArrowEvalPython): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "whole-stage codegen: "
+                + ("PASS" if "codegen id" in p else "FAIL"),
+            ],
+        )
+    )
+
+    books = train_pq_codebooks(emb, dim=64, m=8, k=16, sample_n=2000,
+                               iters=4, vec_col="emb_d")
+    coded = assign_pq(emb, books, vec_col="emb_d")
+    q0 = emb.filter(F.col("vec_id") == 0).first()["emb_d"]
+    scored = (
+        coded.withColumn("adc_score", pq_adc_score(books, q0))
+        .orderBy(F.desc_nulls_last("adc_score"), F.col("vec_id"))
+        .limit(40)
+    )
+    p = fmt(scored)
+    sections.append(
+        (
+            "PQ ADC candidate scan (LUT fold + TakeOrdered)",
+            p,
+            [
+                "ADC scoring is Catalyst (exactly one ArrowEval node — the "
+                "code-assignment UDF; no per-row Python for scoring): "
+                + ("PASS" if len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
+                   and "BatchEvalPython" not in p else "FAIL"),
+                "global top-k via TakeOrdered (no full sort shuffle): "
+                + ("PASS" if "TakeOrderedAndProject" in p else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

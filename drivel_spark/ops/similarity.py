@@ -480,12 +480,19 @@ def pq_topk(
     (TakeOrdered — per-partition top-k + driver merge, no full sort),
     then exact JVM-side cosine rerank of the candidates.  The standard
     two-stage PQ retrieval: the expensive float vectors are touched for
-    only ``k·rerank`` rows however large the table is."""
+    only ``k·rerank`` rows however large the table is.
+
+    NULL codes (NULL input vectors) are handled by nulls-LAST ordering
+    rather than a filter: a ``isNotNull`` filter on the UDF-produced
+    code column makes Catalyst evaluate the assignment UDF twice (once
+    for the predicate, once for the projection — caught by the PLANS.md
+    audit); nulls-last sorting keeps exactly one ArrowEval in the plan
+    and NULL rows can only surface when fewer than k real rows exist.
+    """
     q = F.array(*[F.lit(float(x)) for x in np.asarray(query_vec, dtype=np.float64)])
     cand = (
-        coded.filter(F.col(code_col).isNotNull())
-        .withColumn("adc_score", pq_adc_score(codebooks, query_vec, code_col))
-        .orderBy(F.desc("adc_score"), F.col(id_col))
+        coded.withColumn("adc_score", pq_adc_score(codebooks, query_vec, code_col))
+        .orderBy(F.desc_nulls_last("adc_score"), F.col(id_col))
         .limit(k * rerank)
     )
     return (
@@ -493,7 +500,7 @@ def pq_topk(
             F.col(id_col),
             F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
         )
-        .orderBy(F.desc("cosine"), F.col(id_col))
+        .orderBy(F.desc_nulls_last("cosine"), F.col(id_col))
         .limit(k)
     )
 

@@ -366,6 +366,21 @@ def q_rollup_orders_status_priority(spark, sf_dir):
     )
 
 
+def q_cube_orders_status_priority(spark, sf_dir):
+    """CUBE aggregation: the rollup's complement — all four grouping
+    levels including (·, priority), the marginal rollup can't express.
+    Single partial+final expand+agg plan in Spark; DuckDB re-derives
+    with GROUP BY CUBE."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
 def q_topk_event_types(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -2195,6 +2210,29 @@ def _projection_oracle_sql() -> str:
         FROM r GROUP BY label ORDER BY label"""
 
 
+def q_pack_sequences_documents(spark, sf_dir):
+    """Sequence packing end-to-end: regex-token counts → hash-bucketed
+    first-fit-decreasing bin packing → one-row summary.  The engine's
+    per-doc assignment is exported; the oracle re-derives EVERY summary
+    number from that assignment in SQL and gates them on the packing
+    invariants — eligibility set matches an independent re-tokenization
+    of documents (same RE2 pattern as regex_token_count_documents),
+    every doc packed exactly once, no bin over budget, and the
+    first-fit guarantee that at most one bin per bucket is at most
+    half full.  Any violated invariant NULLs the oracle row → hash
+    mismatch."""
+    from drivel_spark.ops import pack_sequences, packing_stats
+    from drivel_spark.ops.text import regex_token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", regex_token_count(F.col("text"))
+    )
+    packed = pack_sequences(docs, budget=256, n_buckets=8)
+    if not _engine_only():
+        _export_oracle(packed.toPandas(), "pack_assign", sf_dir)
+    return packing_stats(packed, 256)
+
+
 def _local_audio_quality(n: int, spec) -> "object":
     """Independent per-clip quality oracle: stdlib-wave decode of the
     distorted fixture clips, mirroring the engine's int16 → float32 →
@@ -2379,6 +2417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_embeddings": q_pq_topk_embeddings,
         "project_embeddings_report": q_project_embeddings,
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
+        "cube_orders_status_priority": q_cube_orders_status_priority,
+        "pack_sequences_documents": q_pack_sequences_documents,
         "clips_validation_passfail": q_clips_validation_passfail,
         "audio_features_clips": q_audio_features_clips,
         "audio_spectral_clips": q_audio_spectral_clips,
@@ -2757,6 +2797,10 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                   FROM orders)
             WHERE rn = 1""",
+        "cube_orders_status_priority": """
+            SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "rollup_orders_status_priority": """
             SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
                    round(sum(o_totalprice), 4) AS revenue
@@ -2847,6 +2891,41 @@ def oracle_sql() -> dict[str, str]:
                          + (1.0 - least(dr * 4, 1.0)) * 0.15
                          + least(sr * 5, 1.0) * 0.2, 6) AS quality
             FROM base""",
+        # the packing summary re-derived from the exported assignment,
+        # gated on the invariants (eligibility ≡ independent recount,
+        # exactly-once, capacity, first-fit half-full bound)
+        "pack_sequences_documents": f"""
+            WITH a AS (
+              SELECT * FROM read_parquet('{ORACLE_DIR}/pack_assign_sf0.01.parquet')),
+            tok AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(coalesce(text, ''),
+                         '[A-Za-z]+|[0-9]+|[^\\w\\s]'))::BIGINT AS t
+              FROM documents),
+            elig AS (SELECT doc_id, t FROM tok WHERE t > 0 AND t <= 256),
+            bins AS (
+              SELECT bucket, bin_idx, sum(n_tokens) AS bin_tokens,
+                     count(*) AS bin_docs
+              FROM a GROUP BY 1, 2),
+            halfs AS (
+              SELECT bucket,
+                     sum(CASE WHEN bin_tokens * 2 <= 256 THEN 1 ELSE 0 END) AS h
+              FROM bins GROUP BY bucket),
+            checks AS (SELECT
+                 (SELECT count(*) FROM a) = (SELECT count(*) FROM elig)
+             AND NOT EXISTS (SELECT 1 FROM a JOIN elig USING (doc_id)
+                             WHERE a.n_tokens <> elig.t)
+             AND (SELECT count(DISTINCT doc_id) FROM a) = (SELECT count(*) FROM a)
+             AND (SELECT max(bin_tokens) FROM bins) <= 256
+             AND (SELECT coalesce(max(h), 0) FROM halfs) <= 1 AS ok)
+            SELECT
+              CASE WHEN ok THEN (SELECT count(*) FROM bins) END::BIGINT AS n_bins,
+              CASE WHEN ok THEN (SELECT sum(bin_docs) FROM bins) END::BIGINT AS n_docs,
+              CASE WHEN ok THEN (SELECT sum(bin_tokens) FROM bins) END::BIGINT AS total_tokens,
+              CASE WHEN ok THEN (SELECT max(bin_tokens) FROM bins) END::BIGINT AS max_bin_tokens,
+              CASE WHEN ok THEN (SELECT round(avg(bin_tokens / 256.0), 6) FROM bins) END AS avg_fill,
+              CASE WHEN ok THEN (SELECT max(h) FROM halfs) END::BIGINT AS max_half_empty_per_bucket
+            FROM checks""",
         "regex_token_count_documents": """
             SELECT doc_id,
                    len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^\\w\\s]'))::BIGINT AS n_subtokens

@@ -1649,3 +1649,48 @@ def test_project_embeddings_matches_sequential_dot(spark):
         ratios.append(np.linalg.norm(proj) / np.linalg.norm(np.array(v)))
     # JL concentration: mean ratio near 1 for 50 gaussian vectors
     assert abs(float(np.mean(ratios)) - 1.0) < 0.15
+
+
+def test_pack_sequences_invariants(spark):
+    """FFD packing contract: every eligible doc packed exactly once,
+    no bin over budget, at most one at-most-half-full bin per bucket
+    (the first-fit guarantee), oversize/NULL/zero-token docs excluded,
+    and the assignment is deterministic across partitioning layouts."""
+    import numpy as np
+
+    from drivel_spark.ops import pack_sequences, packing_stats
+
+    rng = np.random.default_rng(17)
+    rows = [(f"d{i:03d}", int(rng.integers(1, 200))) for i in range(300)]
+    rows += [("big", 999), ("zero", 0), ("nul", None)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+
+    packed = pack_sequences(df, budget=256, n_buckets=4).toPandas()
+    assert set(packed["doc_id"]) == {f"d{i:03d}" for i in range(300)}
+    assert packed["doc_id"].is_unique
+    bins = packed.groupby(["bucket", "bin_idx"])["n_tokens"].sum()
+    assert bins.max() <= 256
+    half = (
+        (bins * 2 <= 256).groupby(level="bucket").sum()
+    )
+    assert half.max() <= 1
+
+    stats = packing_stats(
+        pack_sequences(df, budget=256, n_buckets=4), 256
+    ).toPandas().iloc[0]
+    assert stats["n_docs"] == 300
+    assert stats["n_bins"] == len(bins)
+    assert stats["total_tokens"] == packed["n_tokens"].sum()
+    assert stats["max_bin_tokens"] <= 256
+    assert stats["max_half_empty_per_bucket"] <= 1
+    assert 0 < stats["avg_fill"] <= 1
+
+    re_packed = (
+        pack_sequences(df.repartition(7), budget=256, n_buckets=4)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert re_packed.equals(
+        packed.sort_values("doc_id").reset_index(drop=True)
+    )

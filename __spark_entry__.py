@@ -2233,6 +2233,22 @@ def q_pack_sequences_documents(spark, sf_dir):
     return packing_stats(packed, 256)
 
 
+def q_tfidf_documents(spark, sf_dir):
+    """Per-document TF-IDF top-3 terms (smoothed sklearn IDF) over the
+    shared normalized tokenization; N is the count of docs with at
+    least one token.  DuckDB re-derives the full pipeline — same
+    tokenization as vocab_top20, same ln((N+1)/(df+1))+1 algebra, same
+    (score desc, token asc) tiebreak."""
+    from drivel_spark.ops import tfidf_top_terms
+    from drivel_spark.ops.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.filter(
+        F.col("text").isNotNull() & (normalize_text(F.col("text")) != "")
+    ).count()
+    return tfidf_top_terms(docs, n_docs=n_docs, k=3).orderBy("doc_id", "rank")
+
+
 def _local_audio_quality(n: int, spec) -> "object":
     """Independent per-clip quality oracle: stdlib-wave decode of the
     distorted fixture clips, mirroring the engine's int16 → float32 →
@@ -2419,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
         "cube_orders_status_priority": q_cube_orders_status_priority,
         "pack_sequences_documents": q_pack_sequences_documents,
+        "tfidf_documents": q_tfidf_documents,
         "clips_validation_passfail": q_clips_validation_passfail,
         "audio_features_clips": q_audio_features_clips,
         "audio_spectral_clips": q_audio_spectral_clips,
@@ -2936,6 +2953,26 @@ def oracle_sql() -> dict[str, str]:
         # lookaround-free patterns
         "pii_scan_documents": _pii_oracle_sql(),
         "corpus_prep_pipeline": _corpus_prep_oracle_sql(),
+        # full TF-IDF pipeline re-derived: same tokenization as
+        # vocab_top20, same smoothed-IDF algebra, same tiebreak
+        "tfidf_documents": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+              FROM documents WHERE text IS NOT NULL
+                AND trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM tf),
+            sc AS (SELECT tf.doc_id, tf.token,
+                          tf.tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0) AS score
+                   FROM tf JOIN dfq USING (token), n),
+            rk AS (SELECT *, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+                   FROM sc)
+            SELECT doc_id, rank::INT AS rank, token, round(score, 6) AS score
+            FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""",
         "vocab_top20_documents": """
             WITH toks AS (
               SELECT unnest(string_split_regex(

@@ -211,6 +211,49 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    n_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF top-k terms over the shared normalized
+    whitespace tokenization (same semantics as :func:`vocab_top_k`,
+    so one oracle convention covers both).  Smoothed IDF
+    ``ln((N+1)/(df+1)) + 1`` (the sklearn formulation; public
+    literature).  ``n_docs`` is the corpus size N — passed in (an O(1)
+    scalar the caller usually already has) so the plan stays a single
+    DAG.
+
+    Plan shape at scale: explode → (doc, token) partial+final count
+    (map-side combine collapses within-doc repeats) → token
+    document-frequency agg → join back on token → per-doc top-k window.
+    Three hash shuffles, each on a key with bounded per-group state;
+    the deterministic (score desc, token asc) tiebreak makes the
+    result layout-independent.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf") * (
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(dfreq, "token")
+        .select(F.col(id_col), "token", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", F.round("score", 6).alias("score"))
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (md5 exists in both Spark and DuckDB → oracle-able end to end)."""

@@ -1694,3 +1694,29 @@ def test_pack_sequences_invariants(spark):
     assert re_packed.equals(
         packed.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """Three tiny docs with known term distributions: scores equal the
+    smoothed-IDF formula tf * (ln((N+1)/(df+1)) + 1) and the rank-1
+    term is each doc's distinctive word, not the shared stopword."""
+    import math
+
+    from drivel_spark.ops import tfidf_top_terms
+
+    rows = [
+        ("a", "the cat cat"),
+        ("b", "the dog"),
+        ("c", "the bird bird bird"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = tfidf_top_terms(df, n_docs=3, k=2).toPandas()
+    top = got[got["rank"] == 1].set_index("doc_id")["token"]
+    assert dict(top) == {"a": "cat", "b": "dog", "c": "bird"}
+    # doc a, term 'cat': tf=2, df=1 -> 2 * (ln(4/2)+1)
+    want = round(2 * (math.log(2.0) + 1.0), 6)
+    sc = got[(got["doc_id"] == "a") & (got["token"] == "cat")]["score"].iloc[0]
+    assert sc == want
+    # shared term 'the': tf=1, df=3 -> ln(1)+1 = 1.0 exactly
+    the = got[(got["doc_id"] == "b") & (got["token"] == "the")]["score"].iloc[0]
+    assert the == 1.0

@@ -591,6 +591,35 @@ def main() -> None:
         )
     )
 
+    # 18. directory partition pruning: a filter on the partition column
+    # must land in PartitionFilters (file-index pruning), not just
+    # PushedFilters (row-group pruning)
+    import tempfile
+
+    from drivel_spark.io import write_partitioned
+
+    part_dir = tempfile.mkdtemp(prefix="plan_audit_part_")
+    write_partitioned(
+        orders.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        part_dir,
+        ["o_orderstatus"],
+    )
+    p = fmt(
+        spark.read.parquet(part_dir).filter(F.col("o_orderstatus") == "F")
+    )
+    sections.append(
+        (
+            "Partition pruning (write_partitioned layout)",
+            p,
+            [
+                "filter lands in PartitionFilters (directory-level prune): "
+                + ("PASS" if "PartitionFilters" in p
+                   and "o_orderstatus" in p.split("PartitionFilters")[1].split("]")[0]
+                   else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

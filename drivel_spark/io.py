@@ -91,6 +91,43 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    ref: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning: THE layout lever for
+    low-cardinality filter columns (codec, language, ingest date) — a
+    filter on the partition column prunes whole directories at the file
+    index (plan shows it under ``PartitionFilters``), so a one-codec
+    scan of a 100TB table never lists, opens, or reads any other
+    codec's files.  Complements :func:`write_bucketed` (join
+    co-location): partition on what you FILTER, bucket on what you
+    JOIN.
+
+    Iceberg refs use the identity partition transform via
+    DataFrameWriterV2.partitionedBy — the same pruning contract,
+    plus hidden-partitioning metadata."""
+    if ref.startswith("iceberg:"):
+        from pyspark.sql import functions as F
+
+        writer = df.writeTo(ref[len("iceberg:"):]).using("iceberg").partitionedBy(
+            *[F.col(c) for c in partition_cols]
+        )
+        if mode == "append":
+            writer.append()
+        elif mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            raise ValueError(f"unsupported write mode for iceberg ref: {mode!r}")
+        return
+    if is_table_ref(ref):
+        df.write.mode(mode).partitionBy(*partition_cols).saveAsTable(ref)
+        return
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(ref)
+
+
 def snapshot_fingerprint(spark: SparkSession, ref: str) -> str:
     """Stable input-lineage fingerprint for checkpoint/resume.
 

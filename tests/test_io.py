@@ -152,3 +152,41 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("drivel_li_b", "drivel_o_b"):
             spark.sql(f"DROP TABLE IF EXISTS default.{t}")
+
+
+def test_write_partitioned_prunes_directories(spark, tmp_path):
+    """A filter on the partition column appears as a PartitionFilter in
+    the scan (directory-level pruning — the other codecs' files never
+    get listed into the scan), values round-trip, and an iceberg: ref
+    dispatches to DataFrameWriterV2.partitionedBy."""
+    import io as _io
+    from contextlib import redirect_stdout
+    from unittest.mock import MagicMock
+
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.io import write_partitioned
+
+    out = str(tmp_path / "clips_by_codec")
+    clips = build_clips(spark, 400, 4, ClipFixtureSpec(with_audio=False))
+    write_partitioned(clips, out, ["codec"])
+
+    back = spark.read.parquet(out)
+    flac = back.filter(F.col("codec") == "flac")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        flac.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "codec" in plan.split("PartitionFilters")[1].split("]")[0]
+    want = clips.filter(F.col("codec") == "flac").count()
+    assert flac.count() == want and want > 0
+
+    # iceberg ref → DataFrameWriterV2 partitionedBy + mode dispatch
+    mock_df = MagicMock()
+    write_partitioned(mock_df, "iceberg:db.clips", ["codec"], mode="append")
+    mock_df.writeTo.assert_called_once_with("db.clips")
+    chain = mock_df.writeTo.return_value.using.return_value.partitionedBy.return_value
+    chain.append.assert_called_once()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_partitioned(mock_df, "iceberg:db.clips", ["codec"], mode="replace")

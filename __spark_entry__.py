@@ -2130,6 +2130,76 @@ def q_pq_topk_embeddings(spark, sf_dir):
     return pq_topk(coded, books, q, k=10, rerank=4, vec_col="emb_d")
 
 
+def _local_quality_segment_inputs(n: int, spec) -> "object":
+    """Independent stdlib-wave decode (engine dtype mirror) → per-clip
+    (sr_hz, n_samples, clipping_ratio) — the oracle's inputs for the
+    audio corpus-prep chain (quality screen + segmentation algebra)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import clips_pdf
+
+    pdf = clips_pdf(range(n), spec)
+    rows = []
+    for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            sr = w.getframerate()
+            x = (
+                np.frombuffer(w.readframes(w.getnframes()), dtype="<i2").astype(
+                    np.float32
+                )
+                / 32767.0
+            ).astype(np.float64)
+        ratio = (
+            float(np.count_nonzero(np.abs(x) >= 0.99999)) / len(x) if len(x) else 0.0
+        )
+        rows.append((cid, int(sr), int(len(x)), ratio))
+    return pd.DataFrame(
+        rows, columns=["clip_id", "sr_hz", "n_samples", "clipping_ratio"]
+    )
+
+
+def q_audio_corpus_prep(spark, sf_dir):
+    """The audio counterpart of corpus_prep_pipeline: quality screen
+    (drop hard-clipped clips, fixture distortion hook plants them) →
+    anti-join survivors → fixed-duration segmentation → per-sr totals.
+    One decode pass for the screen, one for the slicing; the oracle
+    re-derives the whole chain from an independent stdlib decode (same
+    bit-identical clipping ratios, same integer segmentation algebra).
+    """
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import audio_quality, segment_clips
+
+    n = 400 if "0.01" in sf_dir else 200
+    spec = ClipFixtureSpec(with_audio=True, distort_every=5)
+    if not _engine_only():
+        _export_oracle(
+            _local_quality_segment_inputs(n, spec), "quality_segment", sf_dir
+        )
+    clips = build_clips(spark, n, 8, spec)
+    bad = (
+        audio_quality(clips, id_cols=["clip_id"])
+        .filter(F.col("clipping_ratio") > 0.01)
+        .select("clip_id")
+    )
+    survivors = clips.join(F.broadcast(bad), "clip_id", "left_anti")
+    segs = segment_clips(survivors, seg_ms=500, min_tail_ms=200,
+                         id_cols=["clip_id"])
+    return (
+        segs.filter(F.col("seg_idx").isNotNull())
+        .groupBy("sr_hz")
+        .agg(
+            F.countDistinct("clip_id").alias("n_clips"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("seg_samples").alias("sum_seg_samples"),
+        )
+        .orderBy("sr_hz")
+    )
+
+
 def q_pivot_orders_status_priority(spark, sf_dir):
     """Relational pivot: order counts as a status × priority matrix —
     the wide-format report shape (Spark RelationalGroupedDataset.pivot
@@ -2436,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders_status_priority": q_cube_orders_status_priority,
         "pack_sequences_documents": q_pack_sequences_documents,
         "tfidf_documents": q_tfidf_documents,
+        "audio_corpus_prep": q_audio_corpus_prep,
         "clips_validation_passfail": q_clips_validation_passfail,
         "audio_features_clips": q_audio_features_clips,
         "audio_spectral_clips": q_audio_spectral_clips,
@@ -3224,6 +3295,29 @@ def oracle_sql() -> dict[str, str]:
               n_null > 0 AS nullable,
               '' AS str_type
             FROM agg ORDER BY field""",
+        # the full prep chain re-derived: quality gate on the
+        # bit-identical independent clipping ratios, then the exact
+        # integer segmentation algebra over the survivors
+        "audio_corpus_prep": f"""
+            WITH c AS (
+              SELECT *, greatest((sr_hz * 500) // 1000, 1) AS seg,
+                     (sr_hz * 200) // 1000 AS mt
+              FROM read_parquet('{ORACLE_DIR}/quality_segment_sf0.01.parquet')
+              WHERE clipping_ratio <= 0.01),
+            e AS (
+              SELECT *, n_samples // seg AS n_full,
+                     n_samples - (n_samples // seg) * seg AS tail
+              FROM c),
+            s AS (
+              SELECT *,
+                     CASE WHEN tail >= mt AND tail > 0 THEN 1 ELSE 0 END AS has_tail
+              FROM e)
+            SELECT sr_hz,
+                   count(*) FILTER (n_full + has_tail > 0)::BIGINT AS n_clips,
+                   sum(n_full + has_tail)::BIGINT AS n_segments,
+                   sum(n_full * seg + has_tail * tail)::BIGINT AS sum_seg_samples
+            FROM s GROUP BY sr_hz HAVING sum(n_full + has_tail) > 0
+            ORDER BY sr_hz""",
         # per-group (clipped vs clean) rollup of the independently-
         # decoded per-clip quality metrics, same flag rule and rounding
         # as the Spark side

@@ -151,7 +151,9 @@ def main() -> None:
             finally:
                 spark.catalog.clearCache()
         samples.sort()
-        timings[name] = samples[len(samples) // 2]
+        # a failed rep must dominate: reporting the median of the
+        # successful reps would ship a breakage as a healthy baseline row
+        timings[name] = -1.0 if -1.0 in samples else samples[len(samples) // 2]
         spread[name] = {"min": samples[0], "max": samples[-1], "n": len(samples)}
 
     # stdout line: the driver captures the TAIL of the line, so the

@@ -110,6 +110,8 @@ def cmd_segment(args) -> dict:
     from drivel_spark.io import read_table
     from drivel_spark.ops import segment_clips
 
+    if not args.clips and not args.data:
+        raise SystemExit("segment needs --data (db dir) or --clips (table ref)")
     spark = build_session("drivel-segment")
     ref = args.clips or f"{args.data}/clips"
     clips = read_table(spark, ref)
@@ -122,8 +124,11 @@ def cmd_segment(args) -> dict:
     segs.write.mode("overwrite").parquet(args.out)
     wall = time.time() - t0
     out = spark.read.parquet(args.out)
-    n_segments = out.filter(out["seg_idx"].isNotNull()).count()
-    n_undecodable = out.filter(out["seg_idx"].isNull()).count()
+    counts = out.agg(
+        F.count(F.when(out["seg_idx"].isNotNull(), 1)).alias("segs"),
+        F.count(F.when(out["seg_idx"].isNull(), 1)).alias("bad"),
+    ).collect()[0]
+    n_segments, n_undecodable = int(counts["segs"]), int(counts["bad"])
     return {
         "job": "segment",
         "seg_ms": args.seg_ms,

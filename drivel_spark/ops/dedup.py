@@ -344,7 +344,14 @@ def minhash_dedup_pairs(
     an earlier pipeline stage (VERDICT r03 #8: the shared-table case).
     Shingling + banding then run over ONLY the docs appearing in those
     pairs, so the whole op costs one tiny filtered pass instead of a
-    second full inverted-index join."""
+    second full inverted-index join.  Supplying ``exact_pairs`` implies
+    ``strategy="exact_first"`` (review r04: the default strategy would
+    otherwise silently discard the precomputed table and recompute —
+    the exact waste the parameter exists to avoid); the caller remains
+    responsible for the table matching this call's threshold/n, which
+    cannot be validated from the table itself."""
+    if exact_pairs is not None:
+        strategy = "exact_first"
     if strategy == "exact_first":
         if exact_pairs is not None:
             exact = exact_pairs.persist()
@@ -469,6 +476,7 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
         return (row["n"], row["h"])
 
     prev = digest(E)
+    converged = False
     for _ in range(max_iter):
         # large-star over the symmetric view
         S = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -493,8 +501,20 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
         )
         cur = digest(E)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # an unconverged edge set is NOT a star forest: a node may still
+        # hold two parents, and the final left-join would emit duplicate
+        # contradictory (id, comp) rows — fail loudly instead (the
+        # minlabel path degrades to one possibly-stale label per id; the
+        # star path cannot)
+        raise RuntimeError(
+            f"connected_components(algorithm='star') did not reach its "
+            f"edge-set fixed point within max_iter={max_iter} rounds; "
+            f"raise max_iter (O(log n) rounds suffice for any graph)"
+        )
     # star forest: non-roots are u→comp rows; roots label themselves
     return (
         nodes.join(E, nodes["id"] == E["u"], "left")
@@ -782,6 +802,11 @@ def embedding_near_dup_pairs(
     test-only — it must be opted into with ``allow_exact=True`` (VERDICT
     r03 #5: no caller should hit an all-pairs collect by default at
     10^12-row scale).
+
+    BEHAVIOR CHANGE (r04): the default was previously the exact path;
+    it is now LSH (n_planes=8), whose recall is < 1 by design — a
+    caller that needs the exhaustive pair set must now say
+    ``n_planes=0, allow_exact=True`` explicitly.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if n_planes == 0:

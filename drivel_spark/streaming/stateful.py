@@ -133,15 +133,9 @@ def running_stats_stream(
     stream = reader.parquet(source_dir)
     updates = running_stats(stream, key_col, value_col)
 
-    def commit(batch_df: DataFrame, batch_id: int) -> None:
-        # write the batch DataFrame directly — no driver round-trip
-        # (VERDICT r03 #6: the old toPandas→createDataFrame hop bought
-        # nothing and would bottleneck a wide-key batch on the driver)
-        if batch_df.isEmpty():
-            return
-        batch_df.write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={int(batch_id)}"
-        )
+    from .sink import batch_dir_sink
+
+    commit = batch_dir_sink(out_dir)
 
     q = (
         updates.writeStream.outputMode("update")

@@ -134,12 +134,9 @@ def windowed_stats_stream(
         stream, event_col, value_col, window, slide, watermark, key_col
     )
 
-    def commit(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_df.write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={int(batch_id)}"
-        )
+    from .sink import batch_dir_sink
+
+    commit = batch_dir_sink(out_dir)
 
     q = (
         out.writeStream.outputMode("append")

@@ -1720,3 +1720,17 @@ def test_tfidf_top_terms_hand_computed(spark):
     # shared term 'the': tf=1, df=3 -> ln(1)+1 = 1.0 exactly
     the = got[(got["doc_id"] == "b") & (got["token"] == "the")]["score"].iloc[0]
     assert the == 1.0
+
+
+def test_connected_components_star_unconverged_raises(spark):
+    """An exhausted max_iter on the star variant raises instead of
+    emitting duplicate contradictory (id, comp) rows (review r04): the
+    unconverged edge set is not a star forest, so the one-row-per-id
+    output contract cannot be met silently."""
+    from drivel_spark.ops import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        connected_components(chain, max_iter=1, algorithm="star")

@@ -2489,14 +2489,51 @@ def q_quantize_embeddings(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _last_verified_round() -> dict[str, int]:
+    """Rotation rule (VERDICT r04 #1): the driver caps CORRECTNESS at 50
+    rows/round while the registry holds more, so ``queries()`` orders the
+    registry by least-recently-driver-verified — derived from the
+    checked-in ``CORRECTNESS_r*.json`` files in the repo root.  A query
+    with no row in any round sorts first (round 0); otherwise its key is
+    the LATEST round that produced a row for it (green or not — an err row
+    still proves the driver reached it, and a broken query re-enters the
+    window by being fixed, not by starving its neighbours).  Ties keep
+    canonical registry order.  Net effect: every query regains a hard
+    driver-oracle row at least every ceil(len(registry)/50)+ rounds."""
+    import glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    join = _os.path.join
+    last: dict[str, int] = {}
+    for path in glob.glob(join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # ---- never/least-recently driver-verified FIRST (VERDICT r03 #1):
-        # the driver's correctness window is bounded, and insertion order
-        # decides which queries get hard oracle rows.  The audio axis is
-        # the flagship (BASELINE.json north rule) — it goes ahead of the
-        # long-stable profile/relational block.  New-in-r04 queries go
-        # first of all (never driver-verified yet).
+    # Rotation: least-recently-driver-verified first (see
+    # _last_verified_round above — VERDICT r04 #1).  The dict below is the
+    # CANONICAL grouping; the returned dict is that registry re-sorted by
+    # (last-green round asc, canonical position) so the driver's bounded
+    # 50-row correctness window sweeps the whole registry across rounds.
+    registry = {
+        # ---- canonical order: flagship audio axis first (BASELINE.json
+        # north rule), then profile/validation/relational/training blocks.
         "audio_quality_clips": q_audio_quality_clips,
         "segment_clips_agg": q_segment_clips_agg,
         "quantize_embeddings_report": q_quantize_embeddings,
@@ -2577,6 +2614,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "json_schema_events_props": q_json_schema_events_props,
     }
+    last = _last_verified_round()
+    pos = {name: i for i, name in enumerate(registry)}
+    ordered = sorted(registry, key=lambda n: (last.get(n, 0), pos[n]))
+    return {name: registry[name] for name in ordered}
 
 
 def _corpus_prep_oracle_sql() -> str:

@@ -134,7 +134,9 @@ def main() -> None:
     # median-of-3 per query (VERDICT r03 #3): this VM shows 2.7× noise
     # waves, and a single sample can't distinguish a scheduler-wave
     # artifact from a real regression.  min/max go to the side file.
-    reps = int(os.environ.get("DRIVEL_BENCH_REPS", "3"))
+    # clamp: reps < 1 would leave `samples` empty and crash the median
+    # indexing below with an opaque IndexError (ADVICE r04)
+    reps = max(1, int(os.environ.get("DRIVEL_BENCH_REPS", "3")))
     spread: dict[str, dict] = {}
     for name, fn in entry.queries().items():
         samples = []
@@ -156,16 +158,16 @@ def main() -> None:
         timings[name] = -1.0 if -1.0 in samples else samples[len(samples) // 2]
         spread[name] = {"min": samples[0], "max": samples[-1], "n": len(samples)}
 
-    # stdout line: the driver captures the TAIL of the line, so the
-    # headline fields go LAST (VERDICT r03 #2 — r03's 63-entry queries
-    # dict pushed "value" out of the capture window and the round lost
-    # its machine-readable throughput number).
+    # stdout line: keep it SHORT so the driver's capture window parses it
+    # (VERDICT r04 #2 — even with headline fields last, the 74-entry
+    # queries dict overflowed the front of the window and "parsed" stayed
+    # null).  The per-query timings + spread live ONLY in the side file.
     result = {
-        "queries": timings,
         "passfail_digest": detail.get("passfail_digest"),
         "master": detail.get("master"),
         "n_clips": BENCH_CLIPS_N,
         "sf": sf,
+        "queries": timings,
         "metric": "e2e_validation_throughput",
         "unit": "clips/sec",
         "value": headline,
@@ -175,7 +177,8 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, ".bench"), exist_ok=True)
     with open(os.path.join(REPO, ".bench", "bench_latest.json"), "w") as fh:
         json.dump({**result, "spread": spread, "reps": reps}, fh, indent=2)
-    sys.stdout.write(json.dumps(result) + "\n")
+    stdout_line = {k: v for k, v in result.items() if k != "queries"}
+    sys.stdout.write(json.dumps(stdout_line) + "\n")
     sys.stdout.flush()
     spark.stop()
 

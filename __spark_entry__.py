@@ -2112,8 +2112,12 @@ def q_pq_topk_embeddings(spark, sf_dir):
     exact cosine over the candidates, ordering, and k."""
     from drivel_spark.ops import assign_pq, pq_adc_score, pq_topk, train_pq_codebooks
 
-    e = _t(spark, sf_dir, "embeddings").withColumn(
-        "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .withColumn(
+            "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
     )
     dim = len(e.select("embedding").first()[0])
     books = train_pq_codebooks(e, dim=dim, m=8, k=16, sample_n=20000,

@@ -533,7 +533,9 @@ def connected_components(
     step that turns pairwise matches into dedup GROUPS (a ~ b, b ~ c ⇒
     {a,b,c} share one survivor).  Returns (id, component) for every id
     appearing in ``pairs``, where component = min id in the component
-    (deterministic canonical representative).
+    (deterministic canonical representative).  Self-pairs (a == b) carry
+    no connectivity and are filtered before propagation, but a node that
+    appears ONLY in self-pairs still emits its singleton row (id, id).
 
     Algorithm: iterative min-label propagation — each round every node
     takes the min of its own label and its neighbors' labels; converges
@@ -556,15 +558,27 @@ def connected_components(
     """
     if algorithm not in ("minlabel", "star"):
         raise ValueError(f"algorithm must be 'minlabel' or 'star': {algorithm!r}")
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Node universe comes from the UNFILTERED pair table: self-loop
+    # filtering is an internal optimization of the propagation, but a
+    # node appearing ONLY in self-pairs (common when the pair table is
+    # ANN top-k output that includes identity matches) is still a node
+    # and must emit (id, id) as its own singleton component (ADVICE r04).
+    singletons = (
+        raw.select(F.col("a").alias("id"))
+        .union(raw.select(F.col("b").alias("id")))
+        .distinct()
+        .join(edges.select(F.col("a").alias("id")).distinct(), "id", "left_anti")
+        .withColumn("comp", F.col("id"))
+    )
     if algorithm == "star":
-        return _cc_star(edges, max_iter)
+        return _cc_star(edges, max_iter).unionByName(singletons)
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -599,7 +613,7 @@ def connected_components(
         labels = new_labels
         if n_changed == 0:
             break
-    return labels.select("id", "comp")
+    return labels.select("id", "comp").unionByName(singletons)
 
 
 def dedup_groups_from_pairs(

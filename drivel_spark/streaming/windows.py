@@ -219,7 +219,15 @@ def load_windowed_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     """All finalized windows from a :func:`windowed_stats_stream`
     output dir.  Append mode emits each window exactly once, so this
     is a plain union of the per-batch commits (no newest-row dedup
-    needed, unlike ``latest_stats``)."""
+    needed, unlike ``latest_stats``).  An out_dir with no ``batch_id=*``
+    subdirectories yet (pre-created dir, or checkpoint resume before any
+    window closed) yields an empty DataFrame with the stats schema
+    instead of PATH_NOT_FOUND (ADVICE r04)."""
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(out_dir, "batch_id=*")):
+        return spark.createDataFrame([], WINDOWED_STATS_FIELDS)
     return (
         spark.read.option("basePath", out_dir)
         .parquet(f"{out_dir}/batch_id=*")

@@ -559,6 +559,27 @@ def test_connected_components_transitive_chains(spark):
     assert got_star == got
 
 
+def test_connected_components_self_loop_only_nodes_are_singletons(spark):
+    """A node appearing ONLY in self-pairs (identity matches are common
+    in ANN top-k output) must still emit (id, id) instead of silently
+    vanishing from the output (ADVICE r04) — in both algorithms."""
+    from drivel_spark.ops import connected_components, dedup_groups_from_pairs
+
+    edges = [(1, 2), (3, 3), (2, 2), (7, 7)]  # 3 and 7 are self-only
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    for algo in ("minlabel", "star"):
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(pairs, algorithm=algo).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 3, 7: 7}, algo
+    groups = {
+        r["component"]: (r["n_members"], r["keep_id"])
+        for r in dedup_groups_from_pairs(pairs).collect()
+    }
+    assert groups == {1: (2, 1), 3: (1, 3), 7: (1, 7)}
+
+
 def test_connected_components_star_equals_minlabel_random(spark):
     """Property: on random graphs the large-star/small-star variant
     (VERDICT r03 #7 — the O(log n) upgrade for long-chain graphs)

@@ -441,6 +441,21 @@ def test_windowed_stats_stream_equals_batch_and_drops_late(spark, tmp_path):
     assert w0a == (2, 0, 1.0, 3.0, 2.0)
 
 
+def test_load_windowed_stats_empty_out_dir(spark, tmp_path):
+    """A pre-created output dir with no finalized batch_id=* commits yet
+    (checkpoint resume before the first window closed) must yield an
+    empty stats-schema DataFrame, not PATH_NOT_FOUND (ADVICE r04)."""
+    from drivel_spark.streaming import load_windowed_stats
+    from drivel_spark.streaming.windows import WINDOWED_STATS_FIELDS
+
+    out = tmp_path / "out"
+    out.mkdir()
+    got = load_windowed_stats(spark, str(out))
+    assert got.count() == 0
+    want_cols = [f.split()[0] for f in WINDOWED_STATS_FIELDS.split(", ")]
+    assert got.columns == want_cols
+
+
 def test_session_stats_stream_equals_batch(spark, tmp_path):
     """Session windows (gap-merged dynamic windows) streamed in append
     mode must equal the batch session_window aggregation over the same

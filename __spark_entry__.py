@@ -415,6 +415,116 @@ def q_windowed_stats_events(spark, sf_dir):
     )
 
 
+def q_session_stats_events(spark, sf_dir):
+    """Session windows over events (streaming/windows.py:151
+    ``session_stats``, batch form of the SAME ``F.session_window`` plan
+    the streaming path runs — stream ≡ batch is pinned by
+    tests/test_streaming.py): per (user_id, gap-merged session) start /
+    end / duration / row count / value stats.  The DuckDB oracle
+    re-derives sessions with the classic gaps-and-islands SQL
+    (VERDICT r04 #4): a session breaks where ts - lag(ts) >= gap, which
+    is exactly Spark's overlapping-[ts, ts+gap)-windows merge rule."""
+    from drivel_spark.streaming import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(ev, "ts", gap="4 hours", key_col="user_id", value_col="value")
+    return out.select(
+        "session_start",
+        "session_end",
+        "duration_s",
+        "user_id",
+        "n",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round("mean", 4).alias("mean"),
+    )
+
+
+def q_dedup_stream_events(spark, sf_dir):
+    """Ingest-side streaming dedup (streaming/windows.py:193
+    ``dedup_stream`` = dropDuplicatesWithinWatermark), driven as a REAL
+    two-micro-batch availableNow stream over a source derived
+    deterministically from the events table, then aggregated.  The four
+    semantic cases are each exercised and all are closed-form
+    (probe-verified):
+
+    - wave 1 re-delivers event_id % 7 == 0 in the SAME batch → one row;
+    - wave 2 re-delivers ids with ts in the last 30 min (state alive:
+      expiry ts+1h > watermark = max_ts-1h) at the original ts → dropped;
+    - wave 2 re-keys ids with ts < max_ts-12h (state evicted:
+      ts+1h < watermark) at ts+40 days (not late) → emitted AGAIN;
+    - wave 2 ships genuinely new ids (event_id+10_000_000) → emitted.
+
+    The oracle re-derives the expected emission multiset in SQL from the
+    same timestamp arithmetic (VERDICT r04 #4)."""
+    import os
+    import shutil
+    import tempfile
+
+    from drivel_spark.streaming import dedup_stream
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base_dir = os.path.join(tempfile.gettempdir(), f"drivel_dedup_stream_{tag}")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    src = os.path.join(base_dir, "src")
+    out = os.path.join(base_dir, "out")
+    ckpt = os.path.join(base_dir, "ckpt")
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"), "ts", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]  # O(1) to driver
+    m = F.lit(max_ts)
+
+    wave1 = ev.unionByName(ev.filter(F.col("id") % 7 == 0))
+    rekeyed = ev.filter(
+        (F.col("ts") < m - F.expr("INTERVAL 12 HOURS")) & (F.col("id") % 13 == 0)
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 DAYS"))
+    fresh = ev.filter(F.col("id") % 17 == 0).withColumn(
+        "id", F.col("id") + F.lit(10_000_000)
+    ).withColumn("ts", m)
+    redelivered = ev.filter(F.col("ts") > m - F.expr("INTERVAL 30 MINUTES"))
+    wave2 = redelivered.unionByName(rekeyed).unionByName(fresh)
+
+    schema = "id bigint, ts timestamp, event_type string, value double"
+
+    def run_wave() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            dedup_stream(stream, ["id"], "ts", watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    run_wave()
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    run_wave()
+
+    emitted = spark.read.parquet(out)
+    return (
+        emitted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_emitted"),
+            F.countDistinct("id").alias("n_ids"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+                "n_null_value"
+            ),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -2581,6 +2691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": q_orders_by_month,
         "topk_event_types": q_topk_event_types,
         "windowed_stats_events": q_windowed_stats_events,
+        "session_stats_events": q_session_stats_events,
+        "dedup_stream_events": q_dedup_stream_events,
         "window_top_order_per_customer": q_window_top_order_per_customer,
         "rollup_orders_status_priority": q_rollup_orders_status_priority,
         "salted_distinct_users": q_salted_distinct_users,
@@ -2922,6 +3034,61 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS vmax,
                    round(avg(value), 4) AS mean
             FROM events GROUP BY 1, 2, 3""",
+        # gaps-and-islands re-derivation of Spark's session_window merge
+        # rule (sessions merge iff [ts, ts+gap) windows overlap, i.e. a
+        # session breaks where ts - lag(ts) >= gap); duration matches
+        # Spark's unix_timestamp() second-truncation via floor(epoch())
+        "session_stats_events": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w >= INTERVAL '4 hours'
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            islands AS (
+              SELECT *, sum(new_sess) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged),
+            sess AS (
+              SELECT user_id,
+                     min(ts) AS session_start,
+                     max(ts) + INTERVAL '4 hours' AS session_end,
+                     count(*)::BIGINT AS n,
+                     round(min(value), 6) AS vmin,
+                     round(max(value), 6) AS vmax,
+                     round(avg(value), 4) AS mean
+              FROM islands GROUP BY user_id, sid)
+            SELECT session_start, session_end,
+                   (floor(epoch(session_end)) - floor(epoch(session_start)))::BIGINT
+                       AS duration_s,
+                   user_id, n, vmin, vmax, mean
+            FROM sess""",
+        # expected emission multiset of the two-wave
+        # dropDuplicatesWithinWatermark stream: every id once (in-batch
+        # and live-state re-deliveries collapse), PLUS the re-keyed
+        # beyond-horizon deliveries (state evicted), PLUS the new ids
+        "dedup_stream_events": """
+            WITH mx AS (SELECT max(ts) AS m FROM events),
+            base AS (SELECT event_id AS id, ts, event_type, value FROM events),
+            rekeyed AS (
+              SELECT id, ts + INTERVAL '40 days' AS ts, event_type, value
+              FROM base, mx
+              WHERE ts < m - INTERVAL '12 hours' AND id % 13 = 0),
+            fresh AS (
+              SELECT id + 10000000 AS id, m AS ts, event_type, value
+              FROM base, mx WHERE id % 17 = 0),
+            emitted AS (
+              SELECT * FROM base
+              UNION ALL SELECT * FROM rekeyed
+              UNION ALL SELECT * FROM fresh)
+            SELECT event_type, count(*)::BIGINT AS n_emitted,
+                   count(DISTINCT id)::BIGINT AS n_ids,
+                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_null_value,
+                   round(sum(value), 4) AS sum_value
+            FROM emitted GROUP BY event_type""",
         "window_top_order_per_customer": """
             SELECT o_custkey, o_orderkey AS top_orderkey,
                    round(o_totalprice, 4) AS top_totalprice

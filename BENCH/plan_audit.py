@@ -195,6 +195,32 @@ def main() -> None:
         )
     )
 
+    # 7b. TF-IDF hot-token split: the stop-word head of the df table is
+    # broadcast (no shuffle partition ever sees a hot token), the cold
+    # tail keeps the skew-free shuffled equi-join, and the tf subtree
+    # feeds both branches through a reused exchange
+    from drivel_spark.ops import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    tfidf = tfidf_top_terms(docs, n_docs, k=3)
+    tfidf.collect()  # run once so AQE finalizes and exchange reuse shows
+    p = fmt(tfidf)
+    sections.append(
+        (
+            "TF-IDF top terms (broadcast hot-token head + shuffled cold tail)",
+            p,
+            [
+                "hot df head broadcast (BroadcastHashJoin present): "
+                + ("PASS" if "BroadcastHashJoin" in p else "FAIL"),
+                "tf subtree shared across branches (ReusedExchange): "
+                + ("PASS" if "ReusedExchange" in p else "FAIL"),
+                "no cartesian product: "
+                + ("PASS" if "CartesianProduct" not in p else "FAIL"),
+            ],
+        )
+    )
+
     # 8. embedding LSH near-dup: bucket equi-join, not all-pairs
     from drivel_spark.ops import embedding_near_dup_pairs
 

@@ -217,6 +217,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    hot_df_frac: float = 0.05,
 ) -> DataFrame:
     """Per-document TF-IDF top-k terms over the shared normalized
     whitespace tokenization (same semantics as :func:`vocab_top_k`,
@@ -229,9 +230,24 @@ def tfidf_top_terms(
     Plan shape at scale: explode → (doc, token) partial+final count
     (map-side combine collapses within-doc repeats) → token
     document-frequency agg → join back on token → per-doc top-k window.
-    Three hash shuffles, each on a key with bounded per-group state;
-    the deterministic (score desc, token asc) tiebreak makes the
-    result layout-independent.
+    Hash shuffles on keys with bounded per-group state; the
+    deterministic (score desc, token asc) tiebreak makes the result
+    layout-independent.
+
+    Skew discipline (VERDICT r04 #5): the tf↔df join key is ``token``,
+    and stop-word tokens make it pathologically skewed at corpus scale
+    (the 'the' partition receives ~every doc).  The df table is split
+    at ``hot_df_frac * n_docs``: the HOT head (df above the cut —
+    bounded by (Σ per-doc distinct tokens) / (hot_df_frac·N), i.e.
+    O(avg distinct tokens per doc / hot_df_frac) rows regardless of
+    corpus size, kilobytes in practice) is broadcast, so every hot
+    token joins map-side with no shuffle partition ever seeing a hot
+    key; the cold tail keeps the ordinary shuffled equi-join, which is
+    skew-free by construction.  Same two-level discipline as
+    ops/skew.py.  The tf subtree feeds both branches through one
+    ReusedExchange, so the split costs no extra scan.  Result is
+    byte-identical to the single-join plan (hot/cold partition dfreq
+    disjointly); ``hot_df_frac=None`` disables the split.
     """
     toks = df.select(
         F.col(id_col),
@@ -239,6 +255,13 @@ def tfidf_top_terms(
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if hot_df_frac is None:
+        joined = tf.join(dfreq, "token")
+    else:
+        hot_cut = max(2.0, float(hot_df_frac) * float(n_docs))
+        hot = F.broadcast(dfreq.filter(F.col("df") >= hot_cut))
+        cold = dfreq.filter(F.col("df") < hot_cut)
+        joined = tf.join(hot, "token").unionByName(tf.join(cold, "token"))
     score = F.col("tf") * (
         F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
     )
@@ -246,8 +269,7 @@ def tfidf_top_terms(
 
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
     return (
-        tf.join(dfreq, "token")
-        .select(F.col(id_col), "token", score.alias("score"))
+        joined.select(F.col(id_col), "token", score.alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "token", F.round("score", 6).alias("score"))

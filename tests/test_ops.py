@@ -1741,6 +1741,14 @@ def test_tfidf_top_terms_hand_computed(spark):
     # shared term 'the': tf=1, df=3 -> ln(1)+1 = 1.0 exactly
     the = got[(got["doc_id"] == "b") & (got["token"] == "the")]["score"].iloc[0]
     assert the == 1.0
+    # the broadcast hot-token split (default; 'the' has df=3 >= cut=2 so
+    # it rides the broadcast branch here) must be byte-identical to the
+    # single shuffled join it replaces
+    plain = tfidf_top_terms(df, n_docs=3, k=2, hot_df_frac=None).toPandas()
+    key = ["doc_id", "rank"]
+    assert plain.sort_values(key).reset_index(drop=True).equals(
+        got.sort_values(key).reset_index(drop=True)
+    )
 
 
 def test_connected_components_star_unconverged_raises(spark):

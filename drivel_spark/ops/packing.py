@@ -34,11 +34,20 @@ def pack_sequences(
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    tokenizer=None,
+    text_col: str = "text",
 ) -> DataFrame:
     """Pack rows (documents with a precomputed ``tokens_col``) into
     bins of at most ``budget`` tokens.  Rows with ``tokens_col`` NULL,
     non-positive, or > budget are EXCLUDED (oversize docs belong to the
     chunking stage, ops/text.py chunk_documents).
+
+    ``tokenizer`` (optional, VERDICT r04 #6): a ``list[str] ->
+    list[int]`` batch callable (e.g. ops.text.bpe_token_counter) — when
+    given, ``tokens_col`` is COMPUTED from ``text_col`` with one
+    Arrow-vectorized pass (ops.text.with_token_counts) so budgets
+    reflect the real training tokenizer instead of a precomputed proxy
+    count.  Default None keeps the caller's ``tokens_col`` untouched.
 
     Returns one row per packed document: id, ``n_tokens``, ``bucket``,
     ``bin_idx`` (bin key = (bucket, bin_idx)).
@@ -47,6 +56,11 @@ def pack_sequences(
         raise ValueError(f"budget must be positive: {budget}")
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive: {n_buckets}")
+    if tokenizer is not None:
+        from .text import with_token_counts
+
+        df = with_token_counts(df, text_col=text_col, out_col=tokens_col,
+                               tokenizer=tokenizer)
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (

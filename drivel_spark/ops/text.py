@@ -54,6 +54,78 @@ def regex_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(safe, F.lit(r"[A-Za-z]+|[0-9]+|[^\w\s]"), F.lit(0)))
 
 
+def bpe_token_counter(encoding: str = "cl100k_base", strict: bool = True):
+    """Batch token-counting callable backed by a REAL BPE tokenizer
+    (tiktoken) when one is installed — the hook that makes
+    ``pack_sequences`` budgets match training reality instead of the
+    regex proxy (VERDICT r04 #6).  Returns ``list[str] -> list[int]``.
+
+    tiktoken is not installed in this sandbox, so like the image/audio
+    codecs (ops/multimodal.py) the import is optional with two honest
+    modes: ``strict=True`` raises ``NotImplementedError``;
+    ``strict=False`` falls back to the SAME deterministic pattern as
+    :func:`regex_token_count` so the Arrow plumbing (batch signature,
+    budget accounting, eligibility) is fully testable and the fake
+    agrees with the SQL-oracle tokenization convention."""
+    try:
+        import tiktoken
+    except ImportError:
+        if strict:
+            raise NotImplementedError(
+                "tiktoken is not installed; pass strict=False for the "
+                "deterministic regex fallback, or supply your own "
+                "batch-counting callable to with_token_counts()"
+            )
+        import re as _re
+
+        pat = _re.compile(r"[A-Za-z]+|[0-9]+|[^\w\s]", _re.UNICODE)
+
+        def fake(texts: list) -> list:
+            return [len(pat.findall(t or "")) for t in texts]
+
+        return fake
+
+    enc = tiktoken.get_encoding(encoding)
+
+    def count(texts: list) -> list:
+        return [
+            len(ids) for ids in enc.encode_ordinary_batch([t or "" for t in texts])
+        ]
+
+    return count
+
+
+def with_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+    tokenizer=None,
+) -> DataFrame:
+    """Append a token-count column.  ``tokenizer=None`` (default) stays
+    the pure-Catalyst :func:`regex_token_count` — zero Python, oracle-
+    expressible.  A ``tokenizer`` callable (``list[str] -> list[int]``,
+    e.g. :func:`bpe_token_counter` or a HuggingFace fast tokenizer's
+    batch length fn) runs as ONE Arrow-vectorized pandas UDF — a narrow
+    map, no shuffle, batch-at-a-time transfer; never row-at-a-time
+    Python.  NULL text counts as 0 tokens in both paths."""
+    if tokenizer is None:
+        return df.withColumn(out_col, regex_token_count(F.col(text_col)))
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _count_fn(s):
+        return pd.Series(tokenizer(s.fillna("").tolist()), dtype="int64")
+
+    # real class objects, not strings — this module's `from __future__
+    # import annotations` would otherwise leave pyspark's hint resolver
+    # with an unresolvable 'pd.Series' literal
+    _count_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _count = pandas_udf(_count_fn, "long")
+
+    return df.withColumn(out_col, _count(F.col(text_col)))
+
+
 def char_count(col: Column) -> Column:
     return F.coalesce(F.length(col), F.lit(0))
 
@@ -654,6 +726,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_chars: int = 512,
     overlap: int = 64,
+    tokenizer=None,
 ) -> DataFrame:
     """Explode documents into fixed-size overlapping character windows —
     the context-window preparation stage of a training pipeline.
@@ -671,6 +744,13 @@ def chunk_documents(
     whole-stage codegen, and shuffles nothing: at 10^12 documents this
     is a narrow map the optimizer can pipeline straight into the next
     stage (tokenization, dedup, writes).
+
+    ``tokenizer`` (optional, VERDICT r04 #6): a ``list[str] ->
+    list[int]`` batch callable — when given, each chunk also gets an
+    ``n_tokens`` column from one Arrow-vectorized pass
+    (:func:`with_token_counts`), so the chunk stream feeds
+    ``pack_sequences`` with real-tokenizer budgets.  Default None keeps
+    the op pure-Catalyst with no token column.
     """
     if overlap < 0 or chunk_chars <= overlap:
         raise ValueError(
@@ -684,7 +764,7 @@ def chunk_documents(
         F.greatest(F.length(text) - overlap - 1, F.lit(0)),
         F.lit(step),
     )
-    return (
+    out = (
         df.filter(text.isNotNull() & (F.length(text) > 0))
         .select(id_col, F.posexplode(offs).alias("chunk_idx", "chunk_off"), text)
         .select(
@@ -697,3 +777,7 @@ def chunk_documents(
         )
         .withColumn("chunk_len", F.length("chunk"))
     )
+    if tokenizer is not None:
+        out = with_token_counts(out, text_col="chunk", out_col="n_tokens",
+                                tokenizer=tokenizer)
+    return out

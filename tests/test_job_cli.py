@@ -293,6 +293,85 @@ def test_validate_where_slice(spark, tmp_path):
             **{**base, "checkpoint": str(tmp_path / "ck")}))
 
 
+def test_validate_where_on_partitioned_layout_prunes_files(spark, tmp_path):
+    """validate --where composed with the write_partitioned layout
+    (VERDICT r04 #7): slicing on the partition column must (a) show the
+    predicate under PartitionFilters (directory-level prune, not a row
+    filter), (b) physically read ONLY files under the slice's partition
+    directories — asserted from the executed scan's input_file_name()
+    against an os-level listing, not just the digest — and (c) produce
+    the same report digest as a full validate over a physically
+    pre-filtered copy."""
+    import glob as _glob
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from drivel_spark.fixtures import build_transcripts
+    from drivel_spark.io import write_partitioned
+    from drivel_spark.job import cmd_validate
+
+    spec = ClipFixtureSpec(with_audio=False)
+    n = 600
+    full = build_clips(spark, n, 4, spec)
+
+    db = tmp_path / "part"
+    write_partitioned(full, f"{db}/clips", ["codec"])
+    build_transcripts(spark, n, 4, spec).write.parquet(f"{db}/transcripts")
+    (db / "meta.json").write_text(json.dumps(
+        {"n_rows": n, "partitions": 4, "seed": 42,
+         "variant": "default", "with_audio": False}
+    ))
+    db_ref = tmp_path / "ref"
+    full.filter(F.col("codec") == "flac").write.parquet(f"{db_ref}/clips")
+    build_transcripts(spark, n, 4, spec).write.parquet(f"{db_ref}/transcripts")
+    (db_ref / "meta.json").write_text(json.dumps(
+        {"n_rows": n, "partitions": 4, "seed": 42,
+         "variant": "default", "with_audio": False}
+    ))
+
+    # (a) + (b): the pruned scan, exactly as cmd_validate builds it
+    pruned = spark.read.parquet(f"{db}/clips").filter("codec = 'flac'")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters")[1].split("]")[0] if "PartitionFilters" in plan else ""
+    assert "codec" in pf, f"codec predicate not in PartitionFilters: {plan}"
+
+    flac_files = {
+        os.path.realpath(p)
+        for p in _glob.glob(f"{db}/clips/codec=flac/*.parquet")
+    }
+    other_files = {
+        os.path.realpath(p)
+        for p in _glob.glob(f"{db}/clips/codec=*/*.parquet")
+    } - flac_files
+    assert flac_files and other_files  # both slices physically exist
+    read_files = {
+        os.path.realpath(r[0].removeprefix("file://").removeprefix("file:"))
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_files, "scan read no files"
+    assert read_files <= flac_files, (
+        f"scan read outside the slice: {read_files - flac_files}"
+    )
+    assert not (read_files & other_files)
+
+    # (c): end-to-end digest equality vs the pre-filtered copy
+    base = dict(baseline=None, checkpoint=None, run_id="r", check_audio=False,
+                n_scopes=8, report=None, clips=None, transcripts=None)
+    sliced = cmd_validate(argparse.Namespace(
+        data=str(db), where="codec = 'flac'", **base))
+    filtered = cmd_validate(argparse.Namespace(
+        data=str(db_ref), where=None, **base))
+    assert sliced["passfail_digest"] == filtered["passfail_digest"]
+    assert sliced["n_rows"] == len(
+        spark.read.parquet(f"{db_ref}/clips").collect()
+    )
+
+
 def test_segment_verb(spark, tmp_path):
     """segment writes a segments table whose counts match the
     closed-form contract derived from the clips' (sr, n_samples), and

@@ -2244,6 +2244,69 @@ def q_pq_topk_embeddings(spark, sf_dir):
     return pq_topk(coded, books, q, k=10, rerank=4, vec_col="emb_d")
 
 
+def q_retrieval_recall_embeddings(spark, sf_dir):
+    """Recall@10 report of the three ANN paths (hyperplane-LSH, IVF,
+    PQ+ADC) against exact cosine top-10 over a bounded 3-query sample
+    (ops/similarity.py retrieval_recall_report, VERDICT r04 #8):
+    retrieval quality as numbers in a report, not only a pytest
+    equivalence.  The engine's per-(method, query) candidate id lists
+    are exported; DuckDB independently re-derives the exact top-10 per
+    query (its own list_dot_product cosine) and the recall arithmetic
+    from that export."""
+    from drivel_spark.ops import (
+        ann_topk,
+        assign_ivf,
+        assign_pq,
+        build_lsh_index,
+        ivf_topk,
+        pq_topk,
+        retrieval_recall_report,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .withColumn(
+            "emb_d", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+    )
+    dim = len(e.select("emb_d").first()[0])
+    indexed, planes = build_lsh_index(e, dim=dim, n_planes=6, vec_col="emb_d")
+    cents = train_ivf_centroids(
+        e, n_centroids=8, sample_n=20000, iters=10, vec_col="emb_d"
+    )
+    assigned = assign_ivf(e, cents, vec_col="emb_d")
+    books = train_pq_codebooks(
+        e, dim=dim, m=8, k=16, sample_n=20000, iters=8, vec_col="emb_d"
+    )
+    coded = assign_pq(e, books, vec_col="emb_d")
+
+    qrows = e.select("vec_id", "emb_d").orderBy("vec_id").limit(3).collect()
+    query_vecs = [(r["vec_id"], list(r["emb_d"])) for r in qrows]
+    methods = {
+        "ann_lsh": lambda qv, k: ann_topk(
+            indexed, planes, qv, k=k, probes=2, vec_col="emb_d"
+        ),
+        "ivf": lambda qv, k: ivf_topk(
+            assigned, cents, qv, k=k, nprobe=2, vec_col="emb_d"
+        ),
+        "pq_adc": lambda qv, k: pq_topk(
+            coded, books, qv, k=k, rerank=4, vec_col="emb_d"
+        ),
+    }
+    rep = retrieval_recall_report(
+        e, methods, query_vecs, k=10, vec_col="emb_d", include_ids=True
+    )
+    if not _engine_only():
+        cand = rep.select(
+            "method", "query_id", F.explode("returned_ids").alias("vec_id")
+        ).toPandas()
+        _export_oracle(cand, "recall_cands", sf_dir)
+    return rep.drop("returned_ids")
+
+
 def _local_quality_segment_inputs(n: int, spec) -> "object":
     """Independent stdlib-wave decode (engine dtype mirror) → per-clip
     (sr_hz, n_samples, clipping_ratio) — the oracle's inputs for the
@@ -2652,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_clips_agg": q_segment_clips_agg,
         "quantize_embeddings_report": q_quantize_embeddings,
         "pq_topk_embeddings": q_pq_topk_embeddings,
+        "retrieval_recall_embeddings": q_retrieval_recall_embeddings,
         "project_embeddings_report": q_project_embeddings,
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
         "cube_orders_status_priority": q_cube_orders_status_priority,
@@ -3819,6 +3883,43 @@ def oracle_sql() -> dict[str, str]:
         # exact cosine rerank over the exported IVF probed lists — the
         # k-means assignment is taken as given, the probe semantics
         # (filter → exact cosine → order → k) re-derived by DuckDB
+        # recall@10 re-derived by DuckDB: exact top-10 per exported
+        # query (independent list_dot_product cosine, same rounded-
+        # cosine/vec_id tiebreak) intersected with the engine's exported
+        # candidate lists — the engine's recall numbers must match
+        "retrieval_recall_embeddings": f"""
+            WITH cand AS (
+              SELECT method, query_id, vec_id
+              FROM read_parquet('{ORACLE_DIR}/recall_cands_sf0.01.parquet')),
+            qv AS (
+              SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe
+              FROM embeddings e
+              WHERE e.vec_id IN (SELECT DISTINCT query_id FROM cand)),
+            scored AS (
+              SELECT qv.query_id, v.vec_id,
+                     round(list_dot_product(v.embedding::DOUBLE[], qv.qe)
+                           / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(qv.qe, qv.qe))), 6) AS cosine
+              FROM embeddings v, qv WHERE v.embedding IS NOT NULL),
+            truth AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id) AS rn
+                FROM scored) WHERE rn <= 10),
+            tc AS (SELECT query_id, count(*)::INT AS n_truth
+                   FROM truth GROUP BY 1),
+            hits AS (
+              SELECT c.method, c.query_id,
+                     count(*)::INT AS n_returned,
+                     count(t.query_id)::INT AS n_hit
+              FROM cand c LEFT JOIN truth t
+                ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+              GROUP BY 1, 2)
+            SELECT h.method, h.query_id, tc.n_truth, h.n_returned, h.n_hit,
+                   round(h.n_hit / 10.0, 6) AS recall
+            FROM hits h JOIN tc ON h.query_id = tc.query_id""",
         "ivf_topk_embeddings": f"""
             WITH probed AS (
               SELECT vec_id FROM read_parquet('{ORACLE_DIR}/ivf_probes_sf0.01.parquet')

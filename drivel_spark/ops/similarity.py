@@ -505,6 +505,63 @@ def pq_topk(
     )
 
 
+def retrieval_recall_report(
+    df: DataFrame,
+    methods: dict,
+    query_vecs: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    include_ids: bool = False,
+) -> DataFrame:
+    """Recall@k evaluation of approximate retrieval against the exact
+    :func:`cosine_topk` ground truth — retrieval quality as a REPORT
+    DataFrame, not only a pytest equivalence (VERDICT r04 #8).
+
+    ``methods`` maps a method name to ``callable(query_vec, k) ->
+    DataFrame`` carrying ``id_col`` (e.g. closures over ann_topk /
+    ivf_topk / pq_topk and their trained structures).  ``query_vecs``
+    is a BOUNDED list of ``(query_id, vector)`` pairs: the harness is a
+    driver-side loop over n_queries × n_methods jobs BY DESIGN — each
+    individual retrieval is fully distributed, and the loop is O(eval
+    sample), the same bounded-evaluation contract as the deterministic
+    training samples above.  Size it like a hold-out set, never like
+    the table.
+
+    Returns one row per (method, query): n_truth, n_returned, n_hit,
+    recall = |approx ∩ exact| / k.  ``include_ids=True`` appends the
+    returned id list (retrieval order) — the hook the contract query's
+    oracle export uses; recall semantics are unchanged."""
+    spark = df.sparkSession
+    rows = []
+    for qid, qv in query_vecs:
+        truth = {
+            r[id_col]
+            for r in cosine_topk(
+                df, qv, k=k, vec_col=vec_col, id_col=id_col
+            ).collect()
+        }
+        for name, fn in methods.items():
+            got = [r[id_col] for r in fn(qv, k).collect()]
+            n_hit = len(set(got) & truth)
+            row = (
+                name,
+                int(qid),
+                len(truth),
+                len(got),
+                n_hit,
+                round(n_hit / float(k), 6),
+            )
+            rows.append(row + (got,) if include_ids else row)
+    schema = (
+        "method string, query_id long, n_truth int, n_returned int, "
+        "n_hit int, recall double"
+    )
+    if include_ids:
+        schema += ", returned_ids array<long>"
+    return spark.createDataFrame(rows, schema).orderBy("method", "query_id")
+
+
 def projection_matrix(in_dim: int, out_dim: int, seed: int = 42) -> np.ndarray:
     """Seeded Gaussian random-projection matrix, scaled 1/sqrt(out_dim)
     so expected L2 norms are preserved (Johnson–Lindenstrauss; public

@@ -441,6 +441,61 @@ def test_ivf_full_probe_equals_exact(emb, emb_pd):
     assigned.unpersist()
 
 
+def test_retrieval_recall_report_exhaustive_is_one(emb, emb_pd):
+    """The recall@k report op (VERDICT r04 #8): in the EXHAUSTIVE
+    regimes (full-Hamming-ball LSH probe, nprobe = n_centroids, PQ
+    rerank covering the table) every method's recall must be exactly
+    1.0 against cosine_topk; a deliberately starved regime (nprobe=1)
+    must report recall <= 1.0 with the same accounting columns."""
+    from drivel_spark.ops import (
+        assign_ivf,
+        assign_pq,
+        build_lsh_index,
+        ivf_topk,
+        pq_topk,
+        retrieval_recall_report,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from drivel_spark.ops import ann_topk
+
+    n = emb.count()
+    n_planes = 4
+    indexed, planes = build_lsh_index(emb, dim=64, n_planes=n_planes)
+    indexed = indexed.cache()
+    cents = train_ivf_centroids(emb, n_centroids=8, sample_n=500, iters=5)
+    assigned = assign_ivf(emb, cents).cache()
+    books = train_pq_codebooks(emb, dim=64, m=8, k=16, sample_n=500, iters=4)
+    coded = assign_pq(emb, books).cache()
+
+    k = 10
+    full_rerank = (n + k - 1) // k  # k*rerank >= n: candidates = table
+    methods = {
+        "ann_lsh_full": lambda qv, kk: ann_topk(
+            indexed, planes, qv, k=kk, probes=n_planes
+        ),
+        "ivf_full": lambda qv, kk: ivf_topk(assigned, cents, qv, k=kk, nprobe=8),
+        "pq_full_rerank": lambda qv, kk: pq_topk(
+            coded, books, qv, k=kk, rerank=full_rerank
+        ),
+        "ivf_starved": lambda qv, kk: ivf_topk(assigned, cents, qv, k=kk, nprobe=1),
+    }
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(2).collect()
+    ]
+    rep = retrieval_recall_report(emb, methods, queries, k=k).toPandas()
+    assert len(rep) == len(methods) * len(queries)
+    exhaustive = rep[rep["method"] != "ivf_starved"]
+    assert (exhaustive["recall"] == 1.0).all(), exhaustive
+    assert (exhaustive["n_hit"] == k).all()
+    assert (rep["n_truth"] == k).all() and (rep["n_returned"] == k).all()
+    starved = rep[rep["method"] == "ivf_starved"]
+    assert ((starved["recall"] >= 0.0) & (starved["recall"] <= 1.0)).all()
+    for c in (indexed, assigned, coded):
+        c.unpersist()
+
+
 def test_ivf_recall(emb, emb_pd):
     from drivel_spark.ops import assign_ivf, ivf_topk, train_ivf_centroids
 

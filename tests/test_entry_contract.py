@@ -58,6 +58,18 @@ def test_oracle_keys_subset_of_queries():
     assert set(SQL_QUERIES) <= set(ALL_QUERIES)
 
 
+def test_queries_rotation_orders_stale_first():
+    """The registry is returned least-recently-driver-verified first
+    (VERDICT r04 #1): the last-green round keys of queries() must be
+    non-decreasing, with never-verified queries leading."""
+    order = list(entry_mod.queries())
+    last = entry_mod._last_verified_round()
+    keys = [last.get(q, 0) for q in order]
+    assert keys == sorted(keys), list(zip(order, keys))
+    if any(k == 0 for k in keys):  # new queries exist -> they lead
+        assert keys[0] == 0
+
+
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_query_runs(spark, sf_med_dir, name):
     fn = entry_mod.queries()[name]

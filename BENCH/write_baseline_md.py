@@ -176,6 +176,12 @@ if _strat and _strat["n_rounds"]:
     _calm_m = _strat["paired_eff_median_calm"]
     lines += [
         "",
+        "(The r05 campaign's round 1 is excluded from the calm window by",
+        "its OWN before-probe (0.37): builder test runs overlapped the",
+        "start of that pair — the bracketing protocol catching exactly",
+        "the contamination it was designed for.  Its 0.936 efficiency and",
+        "matching digest are logged but carry no calm-window weight.)",
+        "",
         f"- all-rounds paired median: {_all_m:.3f} ("
         + ("meets" if _all_m >= 0.8 else "misses")
         + " the >=0.8 gate) — this number includes windows where the",

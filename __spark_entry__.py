@@ -1042,6 +1042,45 @@ def q_dedup_components_documents(spark, sf_dir):
     return cc.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
+def q_decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination (ops/text.py decontaminate_flags): flag
+    training docs sharing any word 13-gram with a benchmark set — the
+    GPT-3 appendix-C collision rule.  Benchmark = the deterministic
+    doc_id % 37 == 0 slice of documents itself, so those docs
+    self-contaminate (when ≥13 tokens) and any true near-copies flag
+    too.  DuckDB re-derives the same normalized tokenization, 13-gram
+    construction (list slice + array_to_string), and broadcast-semi-join
+    semantics as a plain IN subquery."""
+    from drivel_spark.ops import decontaminate_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return (
+        decontaminate_flags(docs, bench, n=13)
+        .select("doc_id", "is_contaminated")
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_survivors_documents(spark, sf_dir):
+    """Transitive dedup group summary with QUALITY-based survivor
+    selection (ops/dedup.py dedup_groups_from_pairs(quality=...)): per
+    component, keep the highest-quality_score member (ties → min id)
+    instead of an arbitrary min-id — the keep-the-best-duplicate
+    convention of LLM corpus prep.  DuckDB re-derives components with
+    the RECURSIVE reachability CTE, the shared quality formula, and the
+    argmax-with-tiebreak in one window."""
+    from drivel_spark.ops import dedup_groups_from_pairs
+    from drivel_spark.ops.text import quality_score
+
+    pairs = _ngram_pairs_df(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    quality = docs.select("doc_id", quality_score(F.col("text")).alias("score"))
+    return dedup_groups_from_pairs(
+        pairs, quality=quality, quality_id="doc_id", quality_col="score"
+    ).orderBy("component")
+
+
 def q_cosine_topk_embeddings(spark, sf_dir):
     from drivel_spark.ops.dedup import cosine_expr
 
@@ -2767,6 +2806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": q_lang_id_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "dedup_components_documents": q_dedup_components_documents,
+        "dedup_survivors_documents": q_dedup_survivors_documents,
+        "decontaminate_documents": q_decontaminate_documents,
         "quality_scoring_documents": q_quality_scoring_documents,
         "regex_token_count_documents": q_regex_token_count_documents,
         "pii_scan_documents": q_pii_scan_documents,
@@ -3210,6 +3251,72 @@ def oracle_sql() -> dict[str, str]:
               SELECT a AS doc_id, least(a, min(b)) AS component
               FROM reach GROUP BY a)
             SELECT doc_id, component::BIGINT AS component FROM comp""",
+        # components + shared quality formula + argmax survivor
+        # (score DESC, id ASC) re-derived in one window
+        "dedup_survivors_documents": f"""
+            WITH RECURSIVE jp AS ({exact_jaccard_05}),
+            e AS (SELECT id_a AS a, id_b AS b FROM jp
+                  UNION SELECT id_b, id_a FROM jp),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+            comp AS (
+              SELECT a AS doc_id, least(a, min(b)) AS component
+              FROM reach GROUP BY a),
+            qbase AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+                CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                     ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                          / length(text) END AS pr,
+                CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                     ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                          / length(text) END AS dr,
+                CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
+                     ELSE len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x)))::DOUBLE
+                          / len(string_split_regex(trim(text), '\\s+')) END AS sr
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                     round(least(n_tok / 20.0, 1.0) * 0.4
+                           + (1.0 - least(pr * 4, 1.0)) * 0.25
+                           + (1.0 - least(dr * 4, 1.0)) * 0.15
+                           + least(sr * 5, 1.0) * 0.2, 6) AS score
+              FROM qbase),
+            ranked AS (
+              SELECT c.component, c.doc_id,
+                     row_number() OVER (
+                         PARTITION BY c.component
+                         ORDER BY q.score DESC NULLS LAST, c.doc_id) AS rn
+              FROM comp c LEFT JOIN q ON q.doc_id = c.doc_id)
+            SELECT c.component::BIGINT AS component,
+                   count(*)::BIGINT AS n_members,
+                   max(r.doc_id)::BIGINT AS keep_id
+            FROM comp c
+            JOIN ranked r ON r.component = c.component AND r.rn = 1
+            GROUP BY c.component""",
+        # 13-gram collision decontamination: same normalized
+        # tokenization, list-slice n-grams, IN-subquery ≡ the engine's
+        # broadcast left-semi join
+        "decontaminate_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+            tr AS (
+              SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i
+              FROM toks WHERE len(t) >= 13),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g FROM tr),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+            hits AS (
+              SELECT DISTINCT doc_id FROM grams
+              WHERE g IN (SELECT g FROM bench))
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)""",
         # MinHash+LSH at num_perm=64 / bands=32 (r=2): collision prob at
         # j=0.5 is 1-(1-0.25)^32 ≈ 0.9999, and candidates are verified
         # with EXACT Jaccard — so at threshold 0.5 the banded result

@@ -617,17 +617,46 @@ def connected_components(
 
 
 def dedup_groups_from_pairs(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    quality: DataFrame = None,
+    quality_id: str = "id",
+    quality_col: str = "score",
 ) -> DataFrame:
     """Component summary per dedup group: (component, n_members,
-    keep_id) with keep_id = the min-id survivor — the table a pipeline
-    anti-joins against to drop transitive duplicates."""
+    keep_id) — the table a pipeline anti-joins against to drop
+    transitive duplicates.
+
+    Survivor policy: by default keep_id = the min-id member
+    (deterministic, zero extra input).  With ``quality`` (a DataFrame
+    of (``quality_id``, ``quality_col``)), keep_id = the HIGHEST-score
+    member (ties → min id; members missing from the quality table sort
+    last) — the LLM-pipeline convention of keeping the best duplicate,
+    e.g. the highest quality_score/longest/cleanest copy, instead of an
+    arbitrary one.  Cost: one extra join + per-component window over
+    the component table — O(nodes in components), not O(corpus); the
+    per-group window state is bounded by component size."""
     cc = connected_components(pairs, id_a, id_b)
-    out = cc.groupBy("comp").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.min("id").alias("keep_id"),
-    )
-    return out.select(
+    counts = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    if quality is None:
+        best = cc.groupBy("comp").agg(F.min("id").alias("keep_id"))
+    else:
+        from pyspark.sql import Window
+
+        q = quality.select(
+            F.col(quality_id).alias("id"), F.col(quality_col).alias("_q")
+        )
+        w = Window.partitionBy("comp").orderBy(
+            F.desc_nulls_last("_q"), F.asc("id")
+        )
+        best = (
+            cc.join(q, "id", "left")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("comp", F.col("id").alias("keep_id"))
+        )
+    return counts.join(best, "comp").select(
         F.col("comp").alias("component"), "n_members", "keep_id"
     )
 

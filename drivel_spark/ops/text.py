@@ -384,6 +384,52 @@ def _word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
+def decontaminate_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Training-set decontamination: flag training documents that share
+    any word ``n``-gram with a benchmark/eval set — the standard 13-gram
+    collision rule from the GPT-3 appendix-C methodology (public
+    literature; also used by The Pile / C4 decontamination work).
+    Tokenization/normalization is the shared convention
+    (:func:`tokens` over :func:`normalize_text`), so one oracle
+    convention covers this and the other text ops.
+
+    Scale design: the two sides are wildly asymmetric BY CONSTRUCTION —
+    eval sets are thousands of documents while the training side is the
+    10^12-doc table — so the benchmark's distinct n-gram set is
+    BROADCAST and the training side flags itself with one broadcast
+    LEFT SEMI join on its exploded n-grams: no shuffle of the big side,
+    no inverted index, and the explode fan-out (≤ tokens per doc)
+    pipelines straight out of the scan.  Training docs with fewer than
+    ``n`` tokens carry no n-gram and are clean by definition.
+
+    Returns ``df`` plus an ``is_contaminated`` boolean.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    grams = _word_ngrams(toks, n)
+    bench_grams = benchmark.select(
+        F.explode(
+            _word_ngrams(tokens(normalize_text(F.col(bench_text_col))), n)
+        ).alias("gram")
+    ).distinct()
+    hits = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    return df.join(hits, id_col, "left").withColumn(
+        "is_contaminated", F.coalesce(F.col("is_contaminated"), F.lit(False))
+    )
+
+
 def repetition_metrics(
     df: DataFrame,
     text_col: str = "text",

@@ -614,6 +614,62 @@ def test_connected_components_transitive_chains(spark):
     assert got_star == got
 
 
+def test_decontaminate_flags_hand_computed(spark):
+    """13-gram (here n=3) collision decontamination: a doc sharing a
+    full n-gram with the benchmark flags; token overlap below n does
+    not; docs shorter than n tokens are clean by definition; NULL text
+    is clean; normalization (case/whitespace) is shared."""
+    from drivel_spark.ops import decontaminate_flags
+
+    train = [
+        (1, "alpha beta gamma delta"),      # contains 'alpha beta gamma'
+        (2, "beta gamma epsilon"),          # shares only a 2-gram -> clean
+        (3, "ALPHA   beta GAMMA"),          # same 3-gram after normalize
+        (4, "xx yy"),                       # < n tokens -> clean
+        (5, None),                          # NULL -> clean
+        (6, "zeta eta theta iota"),         # disjoint -> clean
+    ]
+    bench = [(100, "alpha beta gamma")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in decontaminate_flags(tdf, bdf, n=3).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: False, 6: False}
+
+
+def test_dedup_survivors_quality_argmax(spark):
+    """Survivor selection with quality=: keep_id is the highest-score
+    member (NOT the min id), ties break to min id, members missing from
+    the quality table sort last, and the default min-id policy is
+    unchanged."""
+    from drivel_spark.ops import dedup_groups_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    quality = spark.createDataFrame(
+        # comp 1: argmax is 3 (0.9); comp 10: tie 0.5/0.5 -> min id 10;
+        # comp 20: 21 missing from the table -> 20 wins
+        [(1, 0.4), (2, 0.7), (3, 0.9), (10, 0.5), (11, 0.5), (20, 0.1)],
+        "doc_id long, score double",
+    )
+    got = {
+        r["component"]: (r["n_members"], r["keep_id"])
+        for r in dedup_groups_from_pairs(
+            pairs, quality=quality, quality_id="doc_id", quality_col="score"
+        ).collect()
+    }
+    assert got == {1: (3, 3), 10: (2, 10), 20: (2, 20)}
+    # default policy unchanged: min-id survivor
+    base = {
+        r["component"]: r["keep_id"]
+        for r in dedup_groups_from_pairs(pairs).collect()
+    }
+    assert base == {1: 1, 10: 10, 20: 20}
+
+
 def test_connected_components_self_loop_only_nodes_are_singletons(spark):
     """A node appearing ONLY in self-pairs (identity matches are common
     in ANN top-k output) must still emit (id, id) instead of silently

@@ -1081,6 +1081,23 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_corpus_divergence_documents(spark, sf_dir):
+    """Token-distribution divergence between the even- and odd-doc_id
+    halves of documents (ops/text.py corpus_divergence): smoothed
+    KL(A||B)/KL(B||A)/JSD over the union of each half's top-200 tokens
+    — the text analog of the KS/PSI drift check.  DuckDB re-derives the
+    identical construction: shared tokenization, (count desc, token
+    asc) top-k, union vocab, add-0.5 smoothing, the same log algebra."""
+    from drivel_spark.ops import corpus_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=200,
+    )
+
+
 def q_cosine_topk_embeddings(spark, sf_dir):
     from drivel_spark.ops.dedup import cosine_expr
 
@@ -2808,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_documents": q_dedup_components_documents,
         "dedup_survivors_documents": q_dedup_survivors_documents,
         "decontaminate_documents": q_decontaminate_documents,
+        "corpus_divergence_documents": q_corpus_divergence_documents,
         "quality_scoring_documents": q_quality_scoring_documents,
         "regex_token_count_documents": q_regex_token_count_documents,
         "pii_scan_documents": q_pii_scan_documents,
@@ -3298,6 +3316,49 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c
             JOIN ranked r ON r.component = c.component AND r.rn = 1
             GROUP BY c.component""",
+        # identical construction: shared tokenization, (cnt desc, token)
+        # top-k, union vocab, add-0.5 smoothing, same log algebra
+        "corpus_divergence_documents": """
+            WITH cnt_a AS (
+              SELECT token, count(*)::BIGINT AS cnt FROM (
+                SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+                WHERE doc_id % 2 = 0 AND text IS NOT NULL AND trim(text) <> '')
+              GROUP BY token),
+            cnt_b AS (
+              SELECT token, count(*)::BIGINT AS cnt FROM (
+                SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+                WHERE doc_id % 2 = 1 AND text IS NOT NULL AND trim(text) <> '')
+              GROUP BY token),
+            top_a AS (SELECT token FROM (
+              SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rn
+              FROM cnt_a) WHERE rn <= 200),
+            top_b AS (SELECT token FROM (
+              SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rn
+              FROM cnt_b) WHERE rn <= 200),
+            vocab AS (SELECT token FROM top_a UNION SELECT token FROM top_b),
+            j AS (
+              SELECT v.token,
+                     coalesce(a.cnt, 0)::DOUBLE AS ca,
+                     coalesce(b.cnt, 0)::DOUBLE AS cb
+              FROM vocab v
+              LEFT JOIN cnt_a a USING (token)
+              LEFT JOIN cnt_b b USING (token)),
+            t AS (SELECT count(*)::BIGINT AS n_vocab,
+                         sum(ca) AS ta, sum(cb) AS tb FROM j),
+            p AS (
+              SELECT (ca + 0.5) / (t.ta + 0.5 * t.n_vocab) AS pa,
+                     (cb + 0.5) / (t.tb + 0.5 * t.n_vocab) AS pb
+              FROM j, t)
+            SELECT (SELECT n_vocab FROM t) AS n_vocab,
+                   (SELECT ta FROM t)::BIGINT AS tokens_a,
+                   (SELECT tb FROM t)::BIGINT AS tokens_b,
+                   round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+                   round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+                   round(sum(pa * ln(pa / ((pa + pb) / 2)) / 2
+                             + pb * ln(pb / ((pa + pb) / 2)) / 2), 6) AS jsd
+            FROM p""",
         # 13-gram collision decontamination: same normalized
         # tokenization, list-slice n-grams, IN-subquery ≡ the engine's
         # broadcast left-semi join

@@ -384,6 +384,86 @@ def _word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
+def corpus_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 500,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Distribution divergence between two corpora's token frequencies —
+    the TEXT analog of the numeric KS/PSI drift check (constraints/
+    drift.py): catches a source-mix shift, a template flood, or a
+    language drift between two batches that per-document metrics miss.
+
+    Semantics (fully SQL-expressible for the oracle): token counts per
+    side over the shared normalized tokenization; each side contributes
+    its top-``top_k`` tokens (count desc, token asc tiebreak); the
+    probability space is the UNION vocabulary with add-``smoothing``
+    counts (so both sides are strictly positive on every vocab token);
+    reports KL(A||B), KL(B||A) and the symmetric bounded Jensen-Shannon
+    divergence, plus the vocab/total-count accounting.
+
+    Plan shape at scale: each side is one explode → partial+final hash
+    count (map-side combine collapses stop tokens, skew-immune) → top-k
+    (TakeOrdered-sized: per-partition heads + merge).  The union vocab
+    is ≤ 2·top_k rows — kilobytes at any corpus size — so the join-back
+    for full counts, the one-row totals crossJoin, and the final KL/JSD
+    aggregation are all O(top_k), not O(corpus).
+    """
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ca, cb = counts(df_a), counts(df_b)
+
+    def top(c: DataFrame) -> DataFrame:
+        # orderBy+limit plans as TakeOrderedAndProject — per-partition
+        # heads + driver merge, never a single-partition global sort
+        return (
+            c.orderBy(F.desc("cnt"), F.asc("token")).limit(top_k).select("token")
+        )
+
+    vocab = top(ca).union(top(cb)).distinct()
+    joined = (
+        vocab.join(ca, "token", "left")
+        .withColumnRenamed("cnt", "ca")
+        .join(cb, "token", "left")
+        .withColumnRenamed("cnt", "cb")
+        .select(
+            "token",
+            F.coalesce(F.col("ca"), F.lit(0)).cast("double").alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("double").alias("cb"),
+        )
+    )
+    totals = joined.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+    )
+    s = float(smoothing)
+    p_a = (F.col("ca") + s) / (F.col("ta") + s * F.col("n_vocab"))
+    p_b = (F.col("cb") + s) / (F.col("tb") + s * F.col("n_vocab"))
+    p_m = (p_a + p_b) / 2.0
+    return (
+        joined.crossJoin(F.broadcast(totals))  # one-row totals literal
+        .agg(
+            F.first("n_vocab").alias("n_vocab"),
+            F.first("ta").cast("long").alias("tokens_a"),
+            F.first("tb").cast("long").alias("tokens_b"),
+            F.round(F.sum(p_a * F.log(p_a / p_b)), 6).alias("kl_ab"),
+            F.round(F.sum(p_b * F.log(p_b / p_a)), 6).alias("kl_ba"),
+            F.round(
+                F.sum(p_a * F.log(p_a / p_m) / 2.0 + p_b * F.log(p_b / p_m) / 2.0),
+                6,
+            ).alias("jsd"),
+        )
+    )
+
+
 def decontaminate_flags(
     df: DataFrame,
     benchmark: DataFrame,

@@ -614,6 +614,32 @@ def test_connected_components_transitive_chains(spark):
     assert got_star == got
 
 
+def test_corpus_divergence_properties(spark):
+    """Token-distribution divergence: identical corpora score exactly
+    zero on every divergence; disjoint-vocabulary corpora score jsd
+    near the ln(2) bound; KL is asymmetric but both positive; the
+    accounting columns count the union vocab and per-side tokens."""
+    import math
+
+    from drivel_spark.ops import corpus_divergence
+
+    a = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran")], "doc_id long, text string"
+    )
+    same = corpus_divergence(a, a, top_k=10).collect()[0]
+    assert same["kl_ab"] == 0.0 and same["kl_ba"] == 0.0 and same["jsd"] == 0.0
+    assert same["tokens_a"] == same["tokens_b"] == 6
+
+    b = spark.createDataFrame(
+        [(3, "alpha beta gamma"), (4, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    diff = corpus_divergence(a, b, top_k=10).collect()[0]
+    assert diff["n_vocab"] == 9  # 5 + 4 distinct tokens, disjoint
+    assert 0 < diff["jsd"] <= math.log(2) + 1e-9
+    assert diff["kl_ab"] > 0 and diff["kl_ba"] > 0
+
+
 def test_decontaminate_flags_hand_computed(spark):
     """13-gram (here n=3) collision decontamination: a doc sharing a
     full n-gram with the benchmark flags; token overlap below n does

@@ -221,6 +221,29 @@ def main() -> None:
         )
     )
 
+    # 7c. decontamination: the benchmark n-gram set must broadcast and
+    # the training side must flag itself via a broadcast LEFT SEMI join
+    # — the big side never shuffles
+    from drivel_spark.ops import decontaminate_flags
+
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    p = fmt(decontaminate_flags(docs, bench, n=13))
+    sections.append(
+        (
+            "Benchmark decontamination (broadcast 13-gram semi-join)",
+            p,
+            [
+                "benchmark grams broadcast into a LEFT SEMI join: "
+                + ("PASS" if "BroadcastHashJoin" in p and "LeftSemi" in p
+                   else "FAIL"),
+                "no cartesian product: "
+                + ("PASS" if "CartesianProduct" not in p else "FAIL"),
+                "JVM-side n-grams (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
     # 8. embedding LSH near-dup: bucket equi-join, not all-pairs
     from drivel_spark.ops import embedding_near_dup_pairs
 

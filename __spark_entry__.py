@@ -1081,6 +1081,63 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_wasserstein_orders_price(spark, sf_dir):
+    """EXACT distributed Wasserstein-1 drift (constraints/drift.py
+    wasserstein_exact — the verification regime behind the sketch-side
+    wasserstein_1): o_totalprice of even-keyed orders vs (a) the odd
+    half (same distribution, small W1) and (b) the odd half scaled
+    ×1.05 (location/scale drift, W1 ≈ 0.05·mean).  Scale shape: per
+    pair one O(1) agg + one (bucket, value) shuffle + bounded
+    per-bucket windows — no global sort, no single-partition window."""
+    from drivel_spark.constraints.drift import wasserstein_exact
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.pmod("o_orderkey", F.lit(2)) == 0)
+    same = o.filter(F.pmod("o_orderkey", F.lit(2)) == 1)
+    shifted = same.withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
+    rows = []
+    for pair, df_b in (("same", same), ("shifted", shifted)):
+        out = wasserstein_exact(base, df_b, "o_totalprice", n_buckets=64)
+        rows.append((pair, round(out["w1"], 4), out["n_a"], out["n_b"]))
+    return spark.createDataFrame(rows, "pair string, w1 double, n_a long, n_b long")
+
+
+def q_chisq_drift_orders(spark, sf_dir):
+    """Chi-square homogeneity drift over a categorical column: the
+    o_orderpriority distribution of even- vs odd-keyed orders, one row
+    per category with both observed counts and that category's chi2
+    contribution (pooled-expected formulation, matching
+    constraints/drift.py chi_square_categorical).  One partial+final
+    groupBy; the totals rejoin via a broadcast one-row crossJoin —
+    data never meets data."""
+    o = _t(spark, sf_dir, "orders")
+    cnt = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.sum(F.when(F.pmod("o_orderkey", F.lit(2)) == 0, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.pmod("o_orderkey", F.lit(2)) == 1, 1).otherwise(0)).alias("n_batch"),
+    )
+    tot = cnt.agg(
+        F.sum("n_base").alias("ta"), F.sum("n_batch").alias("tb")
+    )
+    row_tot = F.col("n_base") + F.col("n_batch")
+    grand = F.col("ta") + F.col("tb")
+    exp_a = row_tot * F.col("ta") / grand
+    exp_b = row_tot * F.col("tb") / grand
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n_base",
+            "n_batch",
+            F.round(
+                F.pow(F.col("n_base") - exp_a, 2) / exp_a
+                + F.pow(F.col("n_batch") - exp_b, 2) / exp_b,
+                6,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("category")
+    )
+
+
 def q_corpus_divergence_documents(spark, sf_dir):
     """Token-distribution divergence between the even- and odd-doc_id
     halves of documents (ops/text.py corpus_divergence): smoothed
@@ -2817,6 +2874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders_status_priority": q_rollup_orders_status_priority,
         "salted_distinct_users": q_salted_distinct_users,
         "salted_freq_map_orders": q_salted_freq_map_orders,
+        # drift verification regimes (r05)
+        "wasserstein_orders_price": q_wasserstein_orders_price,
+        "chisq_drift_orders": q_chisq_drift_orders,
         # training-data ops
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_metrics_documents": q_text_metrics_documents,
@@ -4211,6 +4271,45 @@ def oracle_sql() -> dict[str, str]:
         # the engine-exported edges); each estimate is echoed back only
         # if within the band of the DuckDB-exact value (the ONLY exact
         # computation — the Spark side is sketch-only)
+        "wasserstein_orders_price": """
+            WITH lab AS (
+              SELECT o_totalprice AS v,
+                     CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS ca,
+                     CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS cb,
+                     CASE WHEN o_orderkey % 2 = 1 THEN 1.05 * o_totalprice END AS v_shift
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            pairs AS (
+              SELECT 'same' AS pair, v, ca, cb FROM lab
+              UNION ALL
+              SELECT 'shifted', coalesce(v_shift, v), ca, cb FROM lab
+              WHERE ca = 1 OR v_shift IS NOT NULL),
+            tot AS (SELECT pair, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+                    FROM pairs GROUP BY pair),
+            pts AS (SELECT pair, v, sum(ca) AS ca, sum(cb) AS cb
+                    FROM pairs GROUP BY pair, v),
+            cum AS (SELECT pair, v,
+                           sum(ca) OVER (PARTITION BY pair ORDER BY v) AS sca,
+                           sum(cb) OVER (PARTITION BY pair ORDER BY v) AS scb,
+                           lead(v) OVER (PARTITION BY pair ORDER BY v) AS nxt
+                    FROM pts)
+            SELECT cum.pair,
+                   round(sum(abs(sca / na::DOUBLE - scb / nb::DOUBLE) * (nxt - v)), 4) AS w1,
+                   any_value(na) AS n_a, any_value(nb) AS n_b
+            FROM cum JOIN tot ON cum.pair = tot.pair
+            WHERE nxt IS NOT NULL GROUP BY cum.pair""",
+        "chisq_drift_orders": """
+            WITH cnt AS (
+              SELECT o_orderpriority AS category,
+                     sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_base,
+                     sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_batch
+              FROM orders GROUP BY o_orderpriority),
+            tot AS (SELECT sum(n_base)::DOUBLE AS ta, sum(n_batch)::DOUBLE AS tb FROM cnt)
+            SELECT category, n_base, n_batch,
+                   round(pow(n_base - (n_base + n_batch) * ta / (ta + tb), 2)
+                           / ((n_base + n_batch) * ta / (ta + tb))
+                         + pow(n_batch - (n_base + n_batch) * tb / (ta + tb), 2)
+                           / ((n_base + n_batch) * tb / (ta + tb)), 6) AS chi2_contrib
+            FROM cnt, tot ORDER BY category""",
         "drift_lineitem_halves": f"""
             WITH est AS (SELECT * FROM read_parquet('{ORACLE_DIR}/drift_estimates_sf0.01.parquet')),
             edges AS (SELECT edge FROM read_parquet('{ORACLE_DIR}/drift_edges_sf0.01.parquet')),

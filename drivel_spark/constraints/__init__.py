@@ -2,7 +2,15 @@
 statistics, and audio row-level checks."""
 
 from .audio import attach_clip_idx, make_snr_udf, with_decoded_meta
-from .drift import drift_report, ks_statistic, psi_categorical, psi_numeric
+from .drift import (
+    chi_square_categorical,
+    drift_report,
+    ks_statistic,
+    psi_categorical,
+    psi_numeric,
+    wasserstein_1,
+    wasserstein_exact,
+)
 from .spec import (
     Constraint,
     Drift,
@@ -40,6 +48,9 @@ __all__ = [
     "ks_statistic",
     "psi_categorical",
     "psi_numeric",
+    "wasserstein_1",
+    "wasserstein_exact",
+    "chi_square_categorical",
     "with_decoded_meta",
     "make_snr_udf",
     "attach_clip_idx",

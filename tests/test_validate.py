@@ -326,3 +326,108 @@ def test_validate_audio_quality_composition(spark):
     # the DC shift also lands every distorted clip outside the band
     assert ids_failing("dc_centered") == bad_ids
     assert not ids_failing("decodable")
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 + chi-square drift (r05)
+# ---------------------------------------------------------------------------
+
+
+def _w1_numpy(a, b):
+    a, b = np.sort(np.asarray(a, float)), np.sort(np.asarray(b, float))
+    pts = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, pts, side="right") / len(a)
+    fb = np.searchsorted(b, pts, side="right") / len(b)
+    return float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(pts)))
+
+
+def test_wasserstein_sketch_matches_exact_small():
+    from drivel_spark.constraints.drift import wasserstein_1
+    from drivel_spark.sketches import KLL
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(100.0, 10.0, 800)
+    b = rng.normal(110.0, 10.0, 700)  # shifted by ~10
+    ka, kb = KLL(k=4096), KLL(k=4096)  # large k: sketch holds everything
+    ka.update(a)
+    kb.update(b)
+    w1 = wasserstein_1(ka, kb)
+    assert w1 == pytest.approx(_w1_numpy(a, b), rel=1e-9)
+    assert 8.0 < w1 < 12.0  # carries the shift magnitude
+    # same distribution: near zero
+    kc = KLL(k=4096)
+    kc.update(a)
+    assert wasserstein_1(ka, kc) == 0.0
+
+
+def test_wasserstein_sketch_lossy_within_band():
+    from drivel_spark.constraints.drift import wasserstein_1
+    from drivel_spark.sketches import KLL
+
+    rng = np.random.default_rng(11)
+    a = rng.exponential(50.0, 60_000)
+    b = rng.exponential(50.0, 60_000) + 5.0
+    ka, kb = KLL(), KLL()
+    for chunk in np.split(a, 10):
+        ka.update(chunk)
+    for chunk in np.split(b, 10):
+        kb.update(chunk)
+    exact = _w1_numpy(a, b)
+    assert wasserstein_1(ka, kb) == pytest.approx(exact, rel=0.15)
+
+
+def test_chi_square_categorical():
+    from drivel_spark.constraints.drift import chi_square_categorical
+    from drivel_spark.sketches import SpaceSaving
+
+    base, batch = SpaceSaving(16), SpaceSaving(16)
+    base.update_counts({"wav": 50, "flac": 30, "mp3": 20})
+    batch.update_counts({"wav": 20, "flac": 30, "mp3": 50})
+    out = chi_square_categorical(base, batch)
+    # hand value: cells (50,20),(30,30),(20,50); totals 100/100
+    # exp per cell = row/2; chi2 = (15^2/35)*2 + 0 + (15^2/35)*2
+    assert out["chi2"] == pytest.approx(2 * 225 / 35 + 0 + 2 * 225 / 35, rel=1e-9)
+    assert out["dof"] == 2
+    same = chi_square_categorical(base, base)
+    assert same["chi2"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_wasserstein_exact_distributed(spark):
+    from drivel_spark.constraints.drift import wasserstein_exact
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(0.0, 1.0, 500)
+    b = np.concatenate([rng.normal(0.5, 2.0, 300), a[:50]])  # ties across sides
+    df_a = spark.createDataFrame(pd.DataFrame({"x": a}))
+    df_b = spark.createDataFrame(pd.DataFrame({"x": b}))
+    for nb in (4, 64):  # nb=4 exercises the cross-bucket tail segments
+        out = wasserstein_exact(df_a, df_b, "x", n_buckets=nb)
+        assert out["n_a"] == 500 and out["n_b"] == 350
+        assert out["w1"] == pytest.approx(_w1_numpy(a, b), rel=1e-9), nb
+
+
+def test_wasserstein_exact_edge_cases(spark):
+    from drivel_spark.constraints.drift import wasserstein_exact
+    import math
+
+    df_a = spark.createDataFrame(pd.DataFrame({"x": [1.0, 1.0, 1.0]}))
+    df_b = spark.createDataFrame(pd.DataFrame({"x": [1.0]}))
+    assert wasserstein_exact(df_a, df_b, "x")["w1"] == 0.0
+    empty = spark.createDataFrame([], "x double")
+    out = wasserstein_exact(df_a, empty, "x")
+    assert math.isnan(out["w1"]) and out["n_b"] == 0
+
+
+def test_drift_column_includes_w1_and_chi2(spark):
+    from drivel_spark.constraints.drift import drift_column
+
+    pdf = pd.DataFrame({"v": np.arange(1000, dtype=float), "c": ["a", "b"] * 500})
+    df = spark.createDataFrame(pdf)
+    p1 = profile(df, columns=["v", "c"])
+    p2 = profile(df.withColumn("v", F.col("v") + 100.0), columns=["v", "c"])
+    num = drift_column(p1.column("v"), p2.column("v"))
+    assert num["w1"] == pytest.approx(100.0, rel=0.05)
+    assert num["chi2"] is None
+    cat = drift_column(p1.column("c"), p2.column("c"))
+    assert cat["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert cat["w1"] is None

@@ -1081,6 +1081,77 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_conditional_validation_lineitem(spark, sf_dir):
+    """Conditional (implication) row constraints through the one-scan
+    validate() pass: WHEN l_returnflag='A' THEN l_quantity<=40, WHEN
+    l_linestatus='F' THEN l_discount<=0.08; scope = l_orderkey % 4.
+    Both compile to pure Catalyst booleans riding the same flagged
+    projection — no extra scan per condition (constraints/spec.py
+    Conditional)."""
+    from drivel_spark.constraints import Conditional, Range, validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = validate(
+        li,
+        [
+            Conditional(
+                "returned_qty_cap",
+                "l_quantity",
+                when="l_returnflag = 'A'",
+                inner=Range("_", "l_quantity", None, 40),
+            ),
+            Conditional(
+                "final_discount_cap",
+                "l_discount",
+                when="l_linestatus = 'F'",
+                inner=Range("_", "l_discount", None, 0.08),
+            ),
+        ],
+        scope=F.pmod("l_orderkey", F.lit(4)).cast("long"),
+        cache_flags=False,
+    )
+    return res.passfail.orderBy("constraint", "partition_id")
+
+
+def q_group_bounds_orders(spark, sf_dir):
+    """Per-group aggregate bounds (constraints/validate.py
+    group_bound_table): avg(o_totalprice) and row count per
+    o_orderpriority, each checked against [lo, hi] — the group-level
+    constraint a row check cannot express.  One partial+final groupBy
+    per bound; results union into (constraint, group_key, value,
+    n_rows, passed) rows."""
+    from drivel_spark.constraints import GroupBound, group_bound_table
+
+    o = _t(spark, sf_dir, "orders")
+    bounds = [
+        GroupBound(
+            "avg_price_floor",
+            "o_totalprice",
+            group_col="o_orderpriority",
+            agg="avg",
+            lo=248000.0,
+        ),
+        GroupBound(
+            "min_group_rows",
+            "o_orderkey",
+            group_col="o_orderpriority",
+            agg="count",
+            lo=2990.0,
+        ),
+    ]
+    out = None
+    for c in bounds:
+        t = group_bound_table(o, c).select(
+            F.lit(c.name).alias("constraint"),
+            "group_key",
+            F.round("value", 2).alias("value"),
+            "n_rows",
+            "passed",
+        )
+        out = t if out is None else out.unionByName(t)
+    return out.orderBy("constraint", "group_key")
+
+
 def q_wasserstein_orders_price(spark, sf_dir):
     """EXACT distributed Wasserstein-1 drift (constraints/drift.py
     wasserstein_exact — the verification regime behind the sketch-side
@@ -2874,7 +2945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders_status_priority": q_rollup_orders_status_priority,
         "salted_distinct_users": q_salted_distinct_users,
         "salted_freq_map_orders": q_salted_freq_map_orders,
-        # drift verification regimes (r05)
+        # r05 constraint + drift additions
+        "conditional_validation_lineitem": q_conditional_validation_lineitem,
+        "group_bounds_orders": q_group_bounds_orders,
         "wasserstein_orders_price": q_wasserstein_orders_price,
         "chisq_drift_orders": q_chisq_drift_orders,
         # training-data ops
@@ -4271,6 +4344,36 @@ def oracle_sql() -> dict[str, str]:
         # the engine-exported edges); each estimate is echoed back only
         # if within the band of the DuckDB-exact value (the ONLY exact
         # computation — the Spark side is sketch-only)
+        "conditional_validation_lineitem": """
+            WITH flags AS (
+              SELECT (l_orderkey % 4)::BIGINT AS scope,
+                     (l_returnflag = 'A' AND l_quantity > 40) AS v_r,
+                     (l_linestatus = 'F' AND l_discount > 0.08) AS v_f
+              FROM lineitem),
+            agg AS (SELECT scope, count(*)::BIGINT AS n_rows,
+                   sum(v_r::INT)::BIGINT AS c_r, sum(v_f::INT)::BIGINT AS c_f,
+                   sum((v_r OR v_f)::INT)::BIGINT AS c_any
+                   FROM flags GROUP BY scope)
+            SELECT scope AS partition_id, 'returned_qty_cap' AS "constraint",
+                   n_rows, c_r AS n_violations, c_r = 0 AS passed FROM agg
+            UNION ALL
+            SELECT scope, 'final_discount_cap', n_rows, c_f, c_f = 0 FROM agg
+            UNION ALL
+            SELECT scope, '_rows_any_violation', n_rows, c_any, c_any = 0 FROM agg
+            ORDER BY "constraint", partition_id""",
+        "group_bounds_orders": """
+            WITH g AS (
+              SELECT o_orderpriority AS group_key,
+                     avg(o_totalprice) AS avg_v,
+                     count(*)::BIGINT AS n_rows
+              FROM orders GROUP BY o_orderpriority)
+            SELECT 'avg_price_floor' AS "constraint", group_key,
+                   round(avg_v, 2) AS value, n_rows,
+                   avg_v >= 248000.0 AS passed FROM g
+            UNION ALL
+            SELECT 'min_group_rows', group_key, n_rows::DOUBLE, n_rows,
+                   n_rows::DOUBLE >= 2990.0 FROM g
+            ORDER BY "constraint", group_key""",
         "wasserstein_orders_price": """
             WITH lab AS (
               SELECT o_totalprice AS v,

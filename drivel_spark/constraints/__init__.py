@@ -12,9 +12,11 @@ from .drift import (
     wasserstein_exact,
 )
 from .spec import (
+    Conditional,
     Constraint,
     Drift,
     Enum,
+    GroupBound,
     Format,
     Length,
     NotNull,
@@ -25,10 +27,19 @@ from .spec import (
     from_json_schema,
     from_profile,
 )
-from .validate import GLOBAL_SCOPE, RowPredicate, ValidationResult, validate
+from .validate import (
+    GLOBAL_SCOPE,
+    RowPredicate,
+    ValidationResult,
+    group_bound_table,
+    validate,
+)
 
 __all__ = [
     "Constraint",
+    "Conditional",
+    "GroupBound",
+    "group_bound_table",
     "NotNull",
     "Range",
     "Enum",

@@ -151,6 +151,60 @@ class SpeechRate(Constraint):
 
 
 @dataclass(frozen=True)
+class Conditional(Constraint):
+    """Row-level implication: WHEN ``when`` (a SQL boolean expression
+    over the row) THEN ``inner`` must hold; rows where ``when`` is
+    false or NULL pass vacuously.  This is how real audio-table specs
+    are written — "wav clips must be 16k/44.1k", "urgent orders ship
+    within a week" — without splitting the table into per-condition
+    validation passes.  Compiles to a single Catalyst boolean
+    (``NOT when OR inner``), so it rides the same one-scan flagged
+    projection as every other row constraint: no extra scan, no UDF.
+    """
+
+    when: str = "true"
+    inner: Optional[Constraint] = None
+
+    def predicate(self) -> Column:
+        if self.inner is None or not self.inner.is_row_level:
+            raise ValueError(
+                f"Conditional {self.name!r} needs a row-level inner constraint"
+            )
+        applies = F.coalesce(F.expr(self.when), F.lit(False))
+        return F.when(~applies, F.lit(True)).otherwise(self.inner.predicate())
+
+
+_GROUP_AGGS = ("avg", "min", "max", "sum", "count")
+
+
+@dataclass(frozen=True)
+class GroupBound(Constraint):
+    """Dataset-level aggregate bound PER GROUP: ``agg(column)`` within
+    each ``group_col`` group must land in [lo, hi] — e.g. "per-codec
+    mean dur_ms within [800, 12000]" catches a codec whose rows are
+    individually in range but collectively wrong (a resampling bug, a
+    truncated ingest batch).  Row checks can't express this; one
+    partial+final groupBy shuffle can.  Evaluated in validate.py:
+    the violating GROUPS become the violation table, the dataset row
+    counts failing groups."""
+
+    group_col: str = ""
+    agg: str = "avg"
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+
+    def __post_init__(self):
+        if self.agg not in _GROUP_AGGS:
+            raise ValueError(f"agg must be one of {_GROUP_AGGS}: {self.agg!r}")
+        if self.lo is None and self.hi is None:
+            raise ValueError(f"GroupBound {self.name!r} needs lo and/or hi")
+
+    @property
+    def is_row_level(self) -> bool:
+        return False
+
+
+@dataclass(frozen=True)
 class Unique(Constraint):
     """Dataset-level: exact confirm is a hash-repartition groupBy.count
     in validate.py, pre-gated by the profile's HLL estimate."""

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .drift import drift_column
-from .spec import Constraint, Drift, Referential, Unique
+from .spec import Constraint, Drift, GroupBound, Referential, Unique
 
 GLOBAL_SCOPE = -1  # partition_id for dataset-level constraint rows
 
@@ -302,6 +302,17 @@ def validate(
                     how="left_anti",
                 )
                 lazy_cs.append((c, pool.submit(orphans.count), orphans))
+            elif isinstance(c, GroupBound):
+                gtab = group_bound_table(df, c)
+                fut = pool.submit(
+                    lambda g=gtab: g.agg(
+                        F.count(F.lit(1)).alias("n_groups"),
+                        F.coalesce(
+                            F.sum((~F.col("passed")).cast("long")), F.lit(0)
+                        ).alias("n_fail"),
+                    ).collect()[0]
+                )
+                lazy_cs.append((c, fut, gtab))
             elif isinstance(c, Drift):
                 if profile is None or baseline_profile is None:
                     raise ValueError(
@@ -329,6 +340,8 @@ def validate(
             res, vtab = _unique_result(c, fut.result(), aux, profile, n_total)
         elif isinstance(c, Referential):
             res, vtab = _referential_result(c, fut.result(), aux, n_total)
+        elif isinstance(c, GroupBound):
+            res, vtab = _group_bound_result(c, fut.result(), aux)
         else:
             res, vtab = _check_drift(c, profile, baseline_profile), None
         dataset.append(res)
@@ -396,6 +409,52 @@ def _referential_result(c: Referential, n_orphans: int, orphans: DataFrame, n_to
             "passed": n_orphans == 0,
         },
         orphans,
+    )
+
+
+_GROUP_AGG_FNS = {
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "count": lambda col: F.count(F.lit(1)),
+}
+
+
+def group_bound_table(df: DataFrame, c: GroupBound) -> DataFrame:
+    """Per-group aggregate + bound verdict for a GroupBound constraint:
+    one partial+final groupBy shuffle on ``group_col`` (map-side
+    combine bounds shuffle volume at the group cardinality, not the
+    row count), returning (group_key, value, n_rows, passed)."""
+    val = _GROUP_AGG_FNS[c.agg](F.col(c.column)).cast("double").alias("value")
+    ok = F.lit(True)
+    if c.lo is not None:
+        ok = ok & (F.col("value") >= F.lit(float(c.lo)))
+    if c.hi is not None:
+        ok = ok & (F.col("value") <= F.lit(float(c.hi)))
+    return (
+        df.groupBy(F.col(c.group_col).alias("group_key"))
+        .agg(val, F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("passed", ok)
+    )
+
+
+def _group_bound_result(c: GroupBound, agg_row, gtab: DataFrame):
+    n_groups, n_fail = int(agg_row["n_groups"]), int(agg_row["n_fail"])
+    return (
+        {
+            "constraint": c.name,
+            "type": "group_bound",
+            "column": c.column,
+            "group_col": c.group_col,
+            "agg": c.agg,
+            "lo": c.lo,
+            "hi": c.hi,
+            "n_rows": n_groups,
+            "n_violations": n_fail,
+            "passed": n_fail == 0,
+        },
+        gtab.filter(~F.col("passed")),
     )
 
 

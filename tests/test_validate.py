@@ -431,3 +431,84 @@ def test_drift_column_includes_w1_and_chi2(spark):
     cat = drift_column(p1.column("c"), p2.column("c"))
     assert cat["chi2"] == pytest.approx(0.0, abs=1e-9)
     assert cat["w1"] is None
+
+
+# ---------------------------------------------------------------------------
+# Conditional + GroupBound constraints (r05)
+# ---------------------------------------------------------------------------
+
+
+def test_conditional_constraint(spark):
+    from drivel_spark.constraints import Conditional
+
+    pdf = pd.DataFrame(
+        {
+            "codec": ["wav", "wav", "flac", "flac", None],
+            "sr_hz": [16000, 11025, 11025, None, 11025],
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"sr_hz": "Int64"}))
+    c = Conditional(
+        "wav_sr",
+        "sr_hz",
+        when="codec = 'wav'",
+        inner=Enum("_", "sr_hz", (16000, 44100)),
+    )
+    res = validate(df, [c], scope=F.lit(0))
+    row = {r["constraint"]: r for r in res.passfail.collect()}["wav_sr"]
+    # only the wav/11025 row violates; flac rows and NULL codec pass vacuously
+    assert row["n_violations"] == 1 and not row["passed"]
+    v = res.violations.collect()
+    assert len(v) == 1 and v[0]["sr_hz"] == 11025 and v[0]["codec"] == "wav"
+
+
+def test_conditional_requires_row_level_inner(spark):
+    from drivel_spark.constraints import Conditional
+
+    c = Conditional("bad", "x", when="true", inner=Unique("u", "x"))
+    with pytest.raises(ValueError, match="row-level"):
+        c.predicate()
+
+
+def test_group_bound_constraint(spark):
+    from drivel_spark.constraints import GroupBound
+
+    pdf = pd.DataFrame(
+        {
+            "codec": ["wav"] * 4 + ["flac"] * 4 + ["mp3"] * 2,
+            "dur_ms": [1000, 1200, 900, 1100, 5000, 6000, 5500, 4500, 100, 120],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    c = GroupBound(
+        "dur_by_codec", "dur_ms", group_col="codec", agg="avg", lo=500.0, hi=8000.0
+    )
+    res = validate(df, [c])
+    ds = {d["constraint"]: d for d in res.dataset}["dur_by_codec"]
+    assert ds["n_rows"] == 3 and ds["n_violations"] == 1 and not ds["passed"]
+    bad = res.violation_tables["dur_by_codec"].collect()
+    assert len(bad) == 1 and bad[0]["group_key"] == "mp3"
+    assert bad[0]["value"] == pytest.approx(110.0)
+    # global passfail row exists
+    row = {r["constraint"]: r for r in res.passfail.collect()}["dur_by_codec"]
+    assert row["n_violations"] == 1 and row["n_rows"] == 3
+
+
+def test_group_bound_validation_errors():
+    from drivel_spark.constraints import GroupBound
+
+    with pytest.raises(ValueError, match="agg"):
+        GroupBound("g", "x", group_col="k", agg="median", lo=0.0)
+    with pytest.raises(ValueError, match="lo and/or hi"):
+        GroupBound("g", "x", group_col="k", agg="avg")
+
+
+def test_group_bound_count_agg(spark):
+    from drivel_spark.constraints import GroupBound, group_bound_table
+
+    pdf = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 2, "x": range(7)})
+    df = spark.createDataFrame(pdf)
+    c = GroupBound("min_rows", "x", group_col="k", agg="count", lo=3.0)
+    tab = {r["group_key"]: r for r in group_bound_table(df, c).collect()}
+    assert tab["a"]["passed"] and not tab["b"]["passed"]
+    assert tab["b"]["value"] == 2.0

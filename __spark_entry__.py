@@ -1081,6 +1081,41 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "fr": 0.1, "de": 0.05}
+MIX_BUDGET = 60000.0  # target kept tokens (n_chars units)
+MIX_SEED = 11
+
+
+def q_mixture_documents(spark, sf_dir):
+    """Data-mixture composition (ops/mixing.py): sample documents to a
+    target language mixture under a token budget.  Per-source rates
+    derive from one O(sources) availability agg; the sample is the
+    deterministic md5 split_bucket filter (zero shuffle, nested in the
+    budget); kept/achieved_share come from one partial+final agg over
+    the filtered scan.  The oracle replays the exact double arithmetic
+    (shares embedded as repr literals) and the same md5 bucket in SQL."""
+    from drivel_spark.ops import mixture_report
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = mixture_report(
+        docs,
+        "lang",
+        "doc_id",
+        MIX_WEIGHTS,
+        budget=MIX_BUDGET,
+        size_col="n_chars",
+        seed=MIX_SEED,
+    )
+    return rep.select(
+        "source",
+        "available",
+        F.round("target_share", 6).alias("target_share"),
+        F.round("rate", 6).alias("rate"),
+        "kept",
+        F.round("achieved_share", 6).alias("achieved_share"),
+    ).orderBy("source")
+
+
 def q_conditional_validation_lineitem(spark, sf_dir):
     """Conditional (implication) row constraints through the one-scan
     validate() pass: WHEN l_returnflag='A' THEN l_quantity<=40, WHEN
@@ -2945,7 +2980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders_status_priority": q_rollup_orders_status_priority,
         "salted_distinct_users": q_salted_distinct_users,
         "salted_freq_map_orders": q_salted_freq_map_orders,
-        # r05 constraint + drift additions
+        # r05 constraint + drift + mixing additions
+        "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
         "wasserstein_orders_price": q_wasserstein_orders_price,
@@ -3119,6 +3155,46 @@ def _pii_oracle_sql() -> str:
                sum(CASE WHEN {any_sum} > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
                sum(scrubbed_len)::BIGINT AS scrubbed_chars
         FROM per_doc"""
+
+
+def _mixture_oracle_sql() -> str:
+    """DuckDB replay of q_mixture_documents: shares and the budget are
+    INPUTS (embedded as exact repr double literals); availability, the
+    md5 bucket filter, kept sums, and achieved shares are all recomputed
+    from the documents view with the identical double arithmetic
+    (ops/mixing.py).  kept sums are integer-valued doubles, so the
+    total is exact and achieved_share divisions match bit-for-bit."""
+    wsum = float(sum(MIX_WEIGHTS.values()))
+    share_case = " ".join(
+        f"WHEN '{s}' THEN CAST({w / wsum!r} AS DOUBLE)"
+        for s, w in MIX_WEIGHTS.items()
+    )
+    langs = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
+    return f"""
+        WITH avail AS (
+          SELECT lang AS source, sum(n_chars)::DOUBLE AS available
+          FROM documents WHERE lang IN ({langs}) GROUP BY lang),
+        plan AS (
+          SELECT source, available,
+                 CASE source {share_case} END AS target_share,
+                 least(CAST(1.0 AS DOUBLE),
+                       (CAST({MIX_BUDGET!r} AS DOUBLE) * CASE source {share_case} END)
+                         / available) AS rate
+          FROM avail),
+        kept AS (
+          SELECT d.lang AS source, sum(d.n_chars)::DOUBLE AS kept
+          FROM documents d JOIN plan p ON p.source = d.lang
+          WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':{MIX_SEED}'), 1, 8))::BIGINT
+                  / 4294967296.0 < p.rate
+          GROUP BY d.lang),
+        tot AS (SELECT sum(kept) AS tk FROM kept)
+        SELECT p.source, p.available,
+               round(p.target_share, 6) AS target_share,
+               round(p.rate, 6) AS rate,
+               coalesce(k.kept, 0.0) AS kept,
+               round(coalesce(k.kept, 0.0) / tot.tk, 6) AS achieved_share
+        FROM plan p LEFT JOIN kept k ON k.source = p.source, tot
+        ORDER BY p.source"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4344,6 +4420,7 @@ def oracle_sql() -> dict[str, str]:
         # the engine-exported edges); each estimate is echoed back only
         # if within the band of the DuckDB-exact value (the ONLY exact
         # computation — the Spark side is sketch-only)
+        "mixture_documents": _mixture_oracle_sql(),
         "conditional_validation_lineitem": """
             WITH flags AS (
               SELECT (l_orderkey % 4)::BIGINT AS scope,

@@ -1959,3 +1959,99 @@ def test_connected_components_star_unconverged_raises(spark):
     )
     with pytest.raises(RuntimeError, match="fixed point"):
         connected_components(chain, max_iter=1, algorithm="star")
+
+
+# ---------------------------------------------------------------------------
+# data-mixture composition (r05)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_plan_budget_and_rates(spark):
+    import pandas as pd
+
+    from drivel_spark.ops import mixture_plan
+
+    pdf = pd.DataFrame(
+        {"src": ["a"] * 1000 + ["b"] * 200 + ["c"] * 100, "id": range(1300)}
+    )
+    df = spark.createDataFrame(pdf)
+    plan = mixture_plan(df, "src", {"a": 0.5, "b": 0.25, "c": 0.25}, budget=400)
+    assert plan.rates["a"] == pytest.approx(200 / 1000)
+    assert plan.rates["b"] == pytest.approx(100 / 200)
+    assert plan.rates["c"] == pytest.approx(1.0)  # capped: only 100 available
+    # no-budget mode: largest exact-proportion budget = min(avail/share)
+    plan2 = mixture_plan(df, "src", {"a": 0.5, "b": 0.25, "c": 0.25})
+    assert plan2.budget == pytest.approx(400.0)  # c binds: 100/0.25
+
+
+def test_mix_corpora_deterministic_and_nested(spark):
+    import pandas as pd
+
+    from drivel_spark.ops import mix_corpora
+
+    pdf = pd.DataFrame(
+        {"src": ["a"] * 1000 + ["b"] * 500, "id": [f"d{i}" for i in range(1500)]}
+    )
+    df = spark.createDataFrame(pdf)
+    w = {"a": 0.5, "b": 0.5}
+    small = set(r["id"] for r in mix_corpora(df, "src", "id", w, budget=300).collect())
+    again = set(r["id"] for r in mix_corpora(df, "src", "id", w, budget=300).collect())
+    big = set(r["id"] for r in mix_corpora(df, "src", "id", w, budget=900).collect())
+    assert small == again  # deterministic
+    assert small <= big  # nested in the budget
+    # roughly on target (hash-uniform; 150 expected per source)
+    assert 100 <= len(small) <= 200 * 2
+
+
+def test_mixture_report_accounting(spark):
+    import pandas as pd
+
+    from drivel_spark.ops import mixture_report
+
+    pdf = pd.DataFrame(
+        {
+            "src": ["a"] * 800 + ["b"] * 200,
+            "id": [f"d{i}" for i in range(1000)],
+            "tok": [10] * 800 + [50] * 200,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rep = {
+        r["source"]: r
+        for r in mixture_report(
+            df, "src", "id", {"a": 0.5, "b": 0.5}, budget=4000, size_col="tok"
+        ).collect()
+    }
+    assert rep["a"]["available"] == 8000.0 and rep["b"]["available"] == 10000.0
+    assert rep["a"]["rate"] == pytest.approx(2000 / 8000)
+    assert rep["b"]["rate"] == pytest.approx(2000 / 10000)
+    shares = rep["a"]["achieved_share"] + rep["b"]["achieved_share"]
+    assert shares == pytest.approx(1.0)
+    # kept is the token sum of the surviving rows, not a row count
+    assert rep["a"]["kept"] % 10 == 0 and rep["b"]["kept"] % 50 == 0
+
+
+def test_mixture_unknown_source_dropped(spark):
+    import pandas as pd
+
+    from drivel_spark.ops import mix_corpora
+
+    pdf = pd.DataFrame({"src": ["a", "x"] * 50, "id": [f"d{i}" for i in range(100)]})
+    df = spark.createDataFrame(pdf)
+    out = mix_corpora(df, "src", "id", {"a": 1.0}, budget=1e9)
+    srcs = {r["src"] for r in out.collect()}
+    assert srcs == {"a"}  # x has no weight -> dropped
+
+
+def test_mixture_plan_validation(spark):
+    import pandas as pd
+
+    from drivel_spark.ops import mixture_plan
+
+    df = spark.createDataFrame(pd.DataFrame({"src": ["a"], "id": [1]}))
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_plan(df, "src", {})
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_plan(df, "src", {"a": -1.0})
+    with pytest.raises(ValueError, match="positive share"):
+        mixture_plan(df, "src", {"zz": 1.0})

@@ -1081,6 +1081,30 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_referential_bloom_lineitem(spark, sf_dir):
+    """Referential completeness through the bloom pre-filter
+    (constraints/bloom.py referential_bloom): lineitem rows whose
+    l_orderkey is absent from the cheap-orders dim (o_totalprice <
+    400k).  Bloom misses are decided in the scan with zero shuffle;
+    only hits enter the exact anti-join, so the orphan set equals the
+    plain anti-join's bit-for-bit — which is exactly what the oracle
+    checks (the bitmap split itself is engine-internal).  Returns
+    per-returnflag orphan counts + distinct orphan keys."""
+    from drivel_spark.constraints.bloom import referential_bloom
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") < 400000)
+    orphans = referential_bloom(li, "l_orderkey", dim, "o_orderkey", fpp=0.01)
+    return (
+        orphans.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orphan_rows"),
+            F.countDistinct("l_orderkey").alias("n_orphan_keys"),
+        )
+        .orderBy("returnflag")
+    )
+
+
 MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "fr": 0.1, "de": 0.05}
 MIX_BUDGET = 60000.0  # target kept tokens (n_chars units)
 MIX_SEED = 11
@@ -2981,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_distinct_users": q_salted_distinct_users,
         "salted_freq_map_orders": q_salted_freq_map_orders,
         # r05 constraint + drift + mixing additions
+        "referential_bloom_lineitem": q_referential_bloom_lineitem,
         "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
@@ -4420,6 +4445,15 @@ def oracle_sql() -> dict[str, str]:
         # the engine-exported edges); each estimate is echoed back only
         # if within the band of the DuckDB-exact value (the ONLY exact
         # computation — the Spark side is sketch-only)
+        "referential_bloom_lineitem": """
+            WITH dim AS (
+              SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice < 400000)
+            SELECT l_returnflag AS returnflag,
+                   count(*)::BIGINT AS n_orphan_rows,
+                   count(DISTINCT l_orderkey)::BIGINT AS n_orphan_keys
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.o_orderkey = l.l_orderkey)
+            GROUP BY l_returnflag ORDER BY returnflag""",
         "mixture_documents": _mixture_oracle_sql(),
         "conditional_validation_lineitem": """
             WITH flags AS (

@@ -512,3 +512,71 @@ def test_group_bound_count_agg(spark):
     tab = {r["group_key"]: r for r in group_bound_table(df, c).collect()}
     assert tab["a"]["passed"] and not tab["b"]["passed"]
     assert tab["b"]["value"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter referential pre-filter (r05)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_params():
+    from drivel_spark.constraints.bloom import bloom_params
+
+    m, k = bloom_params(10_000, 0.01)
+    assert m % 64 == 0
+    assert 9 * 10_000 < m < 11 * 10_000  # ~9.6 bits/key at 1%
+    assert k == 7
+    with pytest.raises(ValueError):
+        bloom_params(0)
+    with pytest.raises(ValueError):
+        bloom_params(100, 1.5)
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    from drivel_spark.constraints.bloom import bloom_contains, build_bloom
+
+    keys = [f"k{i}" for i in range(2000)]
+    dim = spark.createDataFrame(pd.DataFrame({"id": keys}))
+    bloom = build_bloom(dim, "id", expected_n=2000, fpp=0.01)
+    probe = spark.createDataFrame(
+        pd.DataFrame({"id": keys + [f"absent{i}" for i in range(2000)]})
+    )
+    got = probe.withColumn("hit", bloom_contains(probe, "id", bloom)).toPandas()
+    members = got[got.id.str.startswith("k")]
+    assert members.hit.all()  # zero false negatives, ever
+    fp_rate = got[got.id.str.startswith("absent")].hit.mean()
+    assert fp_rate < 0.05  # ~1% target with slack
+
+
+def test_bloom_null_key_is_null(spark):
+    from drivel_spark.constraints.bloom import bloom_contains, build_bloom
+
+    dim = spark.createDataFrame(pd.DataFrame({"id": ["a", "b"]}))
+    bloom = build_bloom(dim, "id", expected_n=2)
+    probe = spark.createDataFrame(
+        pd.DataFrame({"id": pd.Series(["a", None], dtype=object)})
+    )
+    rows = probe.withColumn("hit", bloom_contains(probe, "id", bloom)).collect()
+    by = {r["id"]: r["hit"] for r in rows}
+    assert by["a"] is True and by[None] is None
+
+
+def test_referential_bloom_equals_anti_join(spark):
+    from drivel_spark.constraints.bloom import referential_bloom
+
+    rng = np.random.default_rng(5)
+    dim_keys = [int(x) for x in rng.choice(100_000, 3000, replace=False)]
+    fact_keys = [int(x) for x in rng.choice(100_000, 5000)]
+    dim = spark.createDataFrame(pd.DataFrame({"k": dim_keys}))
+    fact = spark.createDataFrame(
+        pd.DataFrame({"k": fact_keys, "payload": range(5000)})
+    )
+    got = referential_bloom(fact, "k", dim, "k", fpp=0.05)
+    want = fact.join(dim.dropDuplicates(["k"]), "k", "left_anti")
+    got_rows = sorted((r["k"], r["payload"]) for r in got.collect())
+    want_rows = sorted((r["k"], r["payload"]) for r in want.collect())
+    assert got_rows == want_rows  # exact, despite the lossy pre-filter
+    # the caught-false-positive fraction is near fpp
+    pdf = got.toPandas()
+    n_fp = (~pdf.bloom_definite).sum()
+    assert n_fp < 0.15 * len(pdf)

@@ -1081,6 +1081,23 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_top_fraction_documents(spark, sf_dir):
+    """Exact top-fraction selection (ops/selection.py): keep the top
+    25% of documents by n_chars via iterative histogram refinement —
+    no global sort, no approxQuantile drift; ties at the threshold all
+    kept.  Small buckets/leaf force several refinement rounds even at
+    sf0.01 so the contract exercises the loop, not just the leaf."""
+    from drivel_spark.ops import top_fraction_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    kept, t = top_fraction_filter(docs, "n_chars", 0.25, n_buckets=8, leaf_limit=32)
+    return kept.agg(
+        F.lit(float(t)).alias("threshold"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
 def q_referential_bloom_lineitem(spark, sf_dir):
     """Referential completeness through the bloom pre-filter
     (constraints/bloom.py referential_bloom): lineitem rows whose
@@ -3006,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_freq_map_orders": q_salted_freq_map_orders,
         # r05 constraint + drift + mixing additions
         "referential_bloom_lineitem": q_referential_bloom_lineitem,
+        "top_fraction_documents": q_top_fraction_documents,
         "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
@@ -4454,6 +4472,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.o_orderkey = l.l_orderkey)
             GROUP BY l_returnflag ORDER BY returnflag""",
+        "top_fraction_documents": """
+            WITH t AS (
+              SELECT (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL
+                      ORDER BY n_chars DESC
+                      LIMIT 1 OFFSET (
+                        SELECT (ceil(0.25 * count(*)) - 1)::BIGINT
+                        FROM documents WHERE n_chars IS NOT NULL)
+                     )::DOUBLE AS thr)
+            SELECT thr AS threshold,
+                   count(*)::BIGINT AS n_kept,
+                   sum(n_chars)::BIGINT AS kept_chars
+            FROM documents, t WHERE n_chars >= thr GROUP BY thr""",
         "mixture_documents": _mixture_oracle_sql(),
         "conditional_validation_lineitem": """
             WITH flags AS (

@@ -294,13 +294,24 @@ def validate(
                     raise ValueError(
                         f"Referential constraint {c.name} needs ref_tables[{c.ref_table!r}]"
                     )
-                orphans = df.join(
-                    ref_tables[c.ref_table]
-                    .select(F.col(c.ref_column).alias(c.column))
-                    .dropDuplicates([c.column]),
-                    on=c.column,
-                    how="left_anti",
-                )
+                if c.strategy == "bloom":
+                    from .bloom import referential_bloom
+
+                    orphans = referential_bloom(
+                        df,
+                        c.column,
+                        ref_tables[c.ref_table],
+                        c.ref_column,
+                        fpp=c.bloom_fpp,
+                    ).drop("bloom_definite")
+                else:
+                    orphans = df.join(
+                        ref_tables[c.ref_table]
+                        .select(F.col(c.ref_column).alias(c.column))
+                        .dropDuplicates([c.column]),
+                        on=c.column,
+                        how="left_anti",
+                    )
                 lazy_cs.append((c, pool.submit(orphans.count), orphans))
             elif isinstance(c, GroupBound):
                 gtab = group_bound_table(df, c)

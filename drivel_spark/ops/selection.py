@@ -1,0 +1,140 @@
+"""Exact top-fraction selection without a global sort.
+
+The training-data stage "keep the top 30% of documents by quality
+score" needs the EXACT k-th largest score as a threshold.  A global
+orderBy is a single-machine sort at 10^12 rows and approxQuantile
+changes the kept set between runs; instead this is the classic
+distributed selection algorithm: iterative histogram refinement.
+
+Each round is one scan with a tiny agg (rank-above count + an
+O(n_buckets) in-range histogram); the candidate value range shrinks
+by ~n_buckets× per round, so a handful of passes (typically 2-3)
+pins the threshold down to ≤ ``leaf_limit`` values, which are
+collected and order-selected exactly in numpy.  Mass ties collapse
+the range to a point and terminate via the min==max probe.
+
+Float-edge discipline: bucket membership (floor arithmetic) and range
+membership (comparisons) can disagree by 1 ulp at bucket edges, so the
+refined interval is widened by one ulp on each side and the rank above
+the interval is RECOUNTED by comparison at the start of every round —
+bucket counts only ever steer the search, never the final rank.
+
+Every pass is scan + tiny agg: no data-row shuffle, no sort, driver
+state O(n_buckets + leaf_limit).  Ties at the threshold keep ALL tied
+rows (``score >= T``), so the kept set is deterministic and
+layout-independent — re-runs and resumes reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["top_fraction_threshold", "top_fraction_filter"]
+
+
+def top_fraction_threshold(
+    df: DataFrame,
+    col: str,
+    frac: float,
+    n_buckets: int = 256,
+    leaf_limit: int = 65536,
+    max_rounds: int = 24,
+) -> float:
+    """The exact k-th largest value of ``col`` where k = ceil(frac·n),
+    NULL/NaN excluded.  frac=1.0 returns the minimum."""
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1]: {frac}")
+    vals = df.select(F.col(col).cast("double").alias("v")).where(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+    )
+    lo, hi, n = vals.agg(F.min("v"), F.max("v"), F.count("v")).first()
+    if not n:
+        raise ValueError(f"no non-null values in {col!r}")
+    k = int(math.ceil(frac * n))
+    gmax = float(hi)
+
+    def _leaf(in_range: DataFrame, need: int) -> float:
+        arr = np.sort(np.array([r["v"] for r in in_range.select("v").collect()]))[::-1]
+        return float(arr[min(max(need, 1), arr.size) - 1])
+
+    for _ in range(max_rounds):
+        if lo == hi:
+            return float(lo)
+        in_range = vals.where((F.col("v") >= F.lit(lo)) & (F.col("v") <= F.lit(hi)))
+        # rank of T inside the interval, recounted by COMPARISON so
+        # bucket-edge float slop can never shift it
+        stats = vals.agg(
+            F.sum((F.col("v") > F.lit(hi)).cast("long")).alias("n_gt"),
+            F.sum(
+                ((F.col("v") >= F.lit(lo)) & (F.col("v") <= F.lit(hi))).cast("long")
+            ).alias("n_in"),
+            F.min(F.when(F.col("v") >= F.lit(lo), F.col("v"))).alias("rmin"),
+            F.max(F.when(F.col("v") <= F.lit(hi), F.col("v"))).alias("rmax"),
+        ).first()
+        need = k - int(stats["n_gt"])
+        n_in = int(stats["n_in"])
+        if need <= 0:
+            # defensive: float slop pushed T above the interval —
+            # restore the invariant by re-opening the top; the rank
+            # recount next round re-localizes it
+            hi = gmax
+            continue
+        if n_in <= leaf_limit:
+            return _leaf(in_range, need)
+        width = (hi - lo) / n_buckets
+        bucket = F.least(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)), F.lit(n_buckets - 1)
+        ).cast("int")
+        hist = {
+            int(r["b"]): int(r["c"])
+            for r in in_range.groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        cum = 0
+        new_lo = new_hi = None
+        for b in range(n_buckets - 1, -1, -1):
+            c = hist.get(b, 0)
+            if cum + c >= need:
+                new_lo = lo + b * width
+                new_hi = hi if b == n_buckets - 1 else lo + (b + 1) * width
+                break
+            cum += c
+        if new_lo is None:  # histogram/comparison edge disagreement
+            return _leaf(in_range, need)
+        # generous edges (relative slop ≫ accumulated float error)
+        # restore T ∈ interval despite floor/comparison disagreement
+        eps = width * 1e-9
+        new_lo = float(np.nextafter(new_lo - eps, -np.inf))
+        new_hi = float(np.nextafter(new_hi + eps, np.inf))
+        new_lo, new_hi = max(new_lo, lo), min(new_hi, hi)
+        if (new_lo, new_hi) == (lo, hi):
+            # no progress: mass ties or denormal-tight range
+            if stats["rmin"] == stats["rmax"]:
+                return float(stats["rmin"])
+            return _leaf(in_range, need)
+        lo, hi = new_lo, new_hi
+    in_range = vals.where((F.col("v") >= F.lit(lo)) & (F.col("v") <= F.lit(hi)))
+    n_gt = int(vals.agg(F.sum((F.col("v") > F.lit(hi)).cast("long"))).first()[0] or 0)
+    return _leaf(in_range, k - n_gt)
+
+
+def top_fraction_filter(
+    df: DataFrame,
+    col: str,
+    frac: float,
+    n_buckets: int = 256,
+    leaf_limit: int = 65536,
+) -> tuple[DataFrame, float]:
+    """Rows whose ``col`` ≥ the exact top-``frac`` threshold (ties at
+    the threshold all kept), plus the threshold itself.  The filter is
+    a pure codegen predicate over the scan — the selection never
+    shuffles data rows, only O(n_buckets) histogram rows per round."""
+    t = top_fraction_threshold(
+        df, col, frac, n_buckets=n_buckets, leaf_limit=leaf_limit
+    )
+    return df.where(F.col(col).cast("double") >= F.lit(t)), t

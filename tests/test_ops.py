@@ -2055,3 +2055,57 @@ def test_mixture_plan_validation(spark):
         mixture_plan(df, "src", {"a": -1.0})
     with pytest.raises(ValueError, match="positive share"):
         mixture_plan(df, "src", {"zz": 1.0})
+
+
+# ---------------------------------------------------------------------------
+# exact top-fraction selection (r05)
+# ---------------------------------------------------------------------------
+
+
+def test_top_fraction_threshold_exact(spark):
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import top_fraction_threshold
+
+    rng = np.random.default_rng(9)
+    v = rng.normal(0.0, 100.0, 20_000)
+    df = spark.createDataFrame(pd.DataFrame({"s": v}))
+    for frac in (0.1, 0.5, 0.999):
+        # tiny leaf + few buckets => several refinement rounds
+        t = top_fraction_threshold(df, "s", frac, n_buckets=8, leaf_limit=64)
+        k = int(np.ceil(frac * len(v)))
+        want = np.sort(v)[::-1][k - 1]
+        assert t == want, frac
+
+
+def test_top_fraction_mass_ties(spark):
+    import pandas as pd
+
+    from drivel_spark.ops import top_fraction_filter
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": [5.0] * 10_000 + [9.0] * 10 + [1.0] * 10})
+    )
+    kept, t = top_fraction_filter(df, "s", 0.3, n_buckets=8, leaf_limit=16)
+    # 30% of 10020 = 3006-th largest = the tie block at 5.0 -> all ties kept
+    assert t == 5.0
+    assert kept.count() == 10_010
+
+
+def test_top_fraction_filter_nulls_and_bounds(spark):
+    import pandas as pd
+
+    from drivel_spark.ops import top_fraction_filter, top_fraction_threshold
+
+    pdf = pd.DataFrame({"s": [1.0, 2.0, 3.0, 4.0, None]})
+    df = spark.createDataFrame(pdf)
+    kept, t = top_fraction_filter(df, "s", 0.5)
+    assert t == 3.0  # ceil(0.5*4)=2nd largest of {1,2,3,4}
+    assert sorted(r["s"] for r in kept.collect()) == [3.0, 4.0]
+    assert top_fraction_threshold(df, "s", 1.0) == 1.0
+    with pytest.raises(ValueError, match="frac"):
+        top_fraction_threshold(df, "s", 0.0)
+    empty = spark.createDataFrame([], "s double")
+    with pytest.raises(ValueError, match="non-null"):
+        top_fraction_threshold(empty, "s", 0.5)

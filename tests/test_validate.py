@@ -580,3 +580,26 @@ def test_referential_bloom_equals_anti_join(spark):
     pdf = got.toPandas()
     n_fp = (~pdf.bloom_definite).sum()
     assert n_fp < 0.15 * len(pdf)
+
+
+def test_referential_bloom_strategy_matches_anti_join(spark, clips):
+    """Referential(strategy='bloom') through validate() produces the
+    same orphan count and rows as the default anti-join strategy."""
+    transcripts = build_transcripts(spark, N, n_partitions=4)
+    kwargs = dict(ref_tables={"transcripts": transcripts})
+    base = validate(
+        clips,
+        [Referential("c2t", "clip_id", "transcripts", "clip_id")],
+        **kwargs,
+    )
+    bloomed = validate(
+        clips,
+        [Referential("c2t", "clip_id", "transcripts", "clip_id", strategy="bloom")],
+        **kwargs,
+    )
+    assert base.dataset[0]["n_violations"] == bloomed.dataset[0]["n_violations"]
+    a = sorted(r["clip_id"] for r in base.violation_tables["c2t"].collect())
+    b = sorted(r["clip_id"] for r in bloomed.violation_tables["c2t"].collect())
+    assert a == b
+    with pytest.raises(ValueError, match="strategy"):
+        Referential("bad", "x", "t", "y", strategy="hashjoin")

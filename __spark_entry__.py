@@ -1081,6 +1081,33 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_cusum_events_value(spark, sf_dir):
+    """CUSUM changepoint screen (ops/timeseries.py) over events.value
+    per event_type: the sequential max(0, s+a) recursion rewritten as
+    two cumulative windows (C - running-min identity) — pure Catalyst,
+    no UDF; ordering (ts, event_id) is total so scores are
+    deterministic.  Returns per-type alarm counts, first alarm time,
+    and the peak excursion."""
+    from drivel_spark.ops import cusum_alarms
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum_alarms(
+        ev,
+        "event_type",
+        "ts",
+        "value",
+        k_drift=0.5,
+        h_threshold=5.0,
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        "n_alarms",
+        F.date_format("first_alarm_ts", "yyyy-MM-dd HH:mm:ss").alias("first_alarm_ts"),
+        F.round("max_s", 4).alias("max_s"),
+    ).orderBy("event_type")
+
+
 def q_top_fraction_documents(spark, sf_dir):
     """Exact top-fraction selection (ops/selection.py): keep the top
     25% of documents by n_chars via iterative histogram refinement —
@@ -3024,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05 constraint + drift + mixing additions
         "referential_bloom_lineitem": q_referential_bloom_lineitem,
         "top_fraction_documents": q_top_fraction_documents,
+        "cusum_events_value": q_cusum_events_value,
         "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
@@ -4472,6 +4500,38 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.o_orderkey = l.l_orderkey)
             GROUP BY l_returnflag ORDER BY returnflag""",
+        "cusum_events_value": """
+            WITH clean AS (
+              SELECT event_type, ts, event_id, value FROM events
+              WHERE value IS NOT NULL),
+            base AS (
+              SELECT event_type, avg(value) AS mean, stddev_pop(value) AS sd
+              FROM clean GROUP BY event_type),
+            dev AS (
+              SELECT c.event_type, c.ts, c.event_id,
+                     CASE WHEN b.sd > 0 THEN (c.value - b.mean) / b.sd
+                          ELSE 0.0 END AS d
+              FROM clean c JOIN base b USING (event_type)),
+            cum AS (
+              SELECT event_type, ts, event_id,
+                     sum(d - 0.5) OVER w AS cp,
+                     sum(d + 0.5) OVER w AS cn
+              FROM dev
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)),
+            s AS (
+              SELECT event_type, ts,
+                     cp - min(least(0.0, cp)) OVER w2 AS s_pos,
+                     max(greatest(0.0, cn)) OVER w2 - cn AS s_neg
+              FROM cum
+              WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING))
+            SELECT event_type,
+                   sum((s_pos > 5.0 OR s_neg > 5.0)::INT)::BIGINT AS n_alarms,
+                   strftime(min(CASE WHEN s_pos > 5.0 OR s_neg > 5.0 THEN ts END),
+                            '%Y-%m-%d %H:%M:%S') AS first_alarm_ts,
+                   round(greatest(max(s_pos), max(s_neg)), 4) AS max_s
+            FROM s GROUP BY event_type ORDER BY event_type""",
         "top_fraction_documents": """
             WITH t AS (
               SELECT (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL

@@ -1,0 +1,116 @@
+"""Time-series quality screens: CUSUM changepoint detection per key.
+
+A validation engine over a continuously-ingested table wants to know
+WHEN a column's level shifted, not just that the aggregate drifted:
+CUSUM (Page 1954) accumulates standardized deviations and alarms when
+the running excursion exceeds ``h`` sigma, detecting small persistent
+shifts far earlier than per-batch KS/PSI.
+
+Spark-first trick: the CUSUM recursion ``s_i = max(0, s_{i-1} + a_i)``
+looks sequential, but it has the closed form
+
+    s_i = C_i − min(0, min_{j≤i} C_j),   C_i = Σ_{j≤i} a_j
+
+(and symmetrically for the negative side with a running max), so the
+whole detector is two cumulative-window expressions — pure Catalyst,
+whole-stage codegen, no UDF, no per-row Python, and bit-reproducible
+given a deterministic ordering.
+
+Scale contract: one shuffle on ``key_col`` + an in-partition sort
+(the same bounded-key contract as streaming session windows — key
+cardinality × per-key rows must fit a task; for unbounded keys,
+range-bucket the time axis and carry prefix offsets, as
+constraints/drift.wasserstein_exact does for the value axis).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cusum_scores", "cusum_alarms"]
+
+
+def cusum_scores(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    k_drift: float = 0.5,
+    order_cols: Optional[Sequence[str]] = None,
+    baseline: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Append two-sided CUSUM scores per key, ordered by (ts_col,
+    *order_cols) — pass tie-breaker columns so the ordering (and thus
+    the scores) is total and deterministic.
+
+    Standardization uses each key's own mean/stddev from one
+    partial+final agg (or a ``baseline`` DataFrame with columns
+    (key_col, mean, sd) — the profile-vs-batch mode, so a poisoned
+    batch can't normalize its own shift away).  Rows with NULL value
+    are dropped; keys with zero variance score 0.
+    """
+    clean = df.where(F.col(value_col).isNotNull())
+    if baseline is None:
+        baseline = clean.groupBy(key_col).agg(
+            F.avg(value_col).alias("mean"), F.stddev_pop(value_col).alias("sd")
+        )
+    j = clean.join(baseline, key_col)
+    dev = F.when(
+        F.col("sd") > 0, (F.col(value_col) - F.col("mean")) / F.col("sd")
+    ).otherwise(F.lit(0.0))
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c_pos = F.sum(dev - F.lit(float(k_drift))).over(w)
+    c_neg = F.sum(dev + F.lit(float(k_drift))).over(w)
+    return (
+        j.withColumn("__cp", c_pos)
+        .withColumn("__cn", c_neg)
+        .withColumn(
+            "s_pos", F.col("__cp") - F.min(F.least(F.lit(0.0), F.col("__cp"))).over(w)
+        )
+        .withColumn(
+            "s_neg",
+            F.max(F.greatest(F.lit(0.0), F.col("__cn"))).over(w) - F.col("__cn"),
+        )
+        .drop("__cp", "__cn", "mean", "sd")
+    )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    k_drift: float = 0.5,
+    h_threshold: float = 5.0,
+    order_cols: Optional[Sequence[str]] = None,
+    baseline: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-key alarm summary: rows where either CUSUM side exceeds
+    ``h_threshold`` sigma, reduced to (key, n_alarms, first_alarm_ts,
+    max_s) by one partial+final agg.  Keys that never alarm still get
+    a row (n_alarms=0) so the report covers the whole key universe."""
+    scored = cusum_scores(
+        df,
+        key_col,
+        ts_col,
+        value_col,
+        k_drift=k_drift,
+        order_cols=order_cols,
+        baseline=baseline,
+    )
+    alarmed = (F.col("s_pos") > F.lit(float(h_threshold))) | (
+        F.col("s_neg") > F.lit(float(h_threshold))
+    )
+    return scored.groupBy(key_col).agg(
+        F.sum(alarmed.cast("long")).alias("n_alarms"),
+        F.min(F.when(alarmed, F.col(ts_col))).alias("first_alarm_ts"),
+        F.greatest(F.max("s_pos"), F.max("s_neg")).alias("max_s"),
+    )

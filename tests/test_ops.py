@@ -2109,3 +2109,87 @@ def test_top_fraction_filter_nulls_and_bounds(spark):
     empty = spark.createDataFrame([], "s double")
     with pytest.raises(ValueError, match="non-null"):
         top_fraction_threshold(empty, "s", 0.5)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (r05)
+# ---------------------------------------------------------------------------
+
+
+def _cusum_numpy(x, k):
+    mean, sd = x.mean(), x.std()
+    dev = (x - mean) / sd
+    sp = sn = 0.0
+    sps, sns = [], []
+    for d in dev:
+        sp = max(0.0, sp + d - k)
+        sn = max(0.0, sn - d - k)
+        sps.append(sp)
+        sns.append(sn)
+    return sps, sns
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import cusum_scores
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(10.0, 2.0, 300)
+    pdf = pd.DataFrame({"k": "a", "t": range(300), "v": x})
+    df = spark.createDataFrame(pdf)
+    got = (
+        cusum_scores(df, "k", "t", "v", k_drift=0.5)
+        .orderBy("t")
+        .select("s_pos", "s_neg")
+        .toPandas()
+    )
+    sps, sns = _cusum_numpy(x, 0.5)
+    assert np.allclose(got["s_pos"], sps, atol=1e-9)
+    assert np.allclose(got["s_neg"], sns, atol=1e-9)
+
+
+def test_cusum_detects_level_shift(spark):
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import cusum_alarms
+
+    rng = np.random.default_rng(4)
+    calm = rng.normal(0.0, 1.0, 400)
+    shifted = rng.normal(2.5, 1.0, 100)  # persistent +2.5 sigma shift at t=400
+    pdf = pd.DataFrame(
+        {
+            "k": ["shift"] * 500 + ["flat"] * 500,
+            "t": list(range(500)) * 2,
+            "v": np.concatenate([calm, shifted, rng.normal(0.0, 1.0, 500)]),
+        }
+    )
+    # baseline from the calm regime only (profile-vs-batch mode)
+    base = pd.DataFrame({"k": ["shift", "flat"], "mean": [0.0, 0.0], "sd": [1.0, 1.0]})
+    df = spark.createDataFrame(pdf)
+    out = {
+        r["k"]: r
+        for r in cusum_alarms(
+            df, "k", "t", "v", h_threshold=8.0, baseline=spark.createDataFrame(base)
+        ).collect()
+    }
+    assert out["shift"]["n_alarms"] > 0
+    assert out["flat"]["n_alarms"] == 0
+    assert 400 <= out["shift"]["first_alarm_ts"] < 420  # fires shortly after onset
+    assert out["flat"]["max_s"] < 8.0 < out["shift"]["max_s"]
+
+
+def test_cusum_zero_variance_and_nulls(spark):
+    import pandas as pd
+
+    from drivel_spark.ops import cusum_scores
+
+    pdf = pd.DataFrame(
+        {"k": ["c"] * 4, "t": range(4), "v": [7.0, 7.0, None, 7.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    rows = cusum_scores(df, "k", "t", "v").collect()
+    assert len(rows) == 3  # NULL dropped
+    assert all(r["s_pos"] == 0.0 and r["s_neg"] == 0.0 for r in rows)

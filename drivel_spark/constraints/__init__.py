@@ -1,7 +1,7 @@
 """Constraint specs, Catalyst compilation, the validation pass, drift
 statistics, and audio row-level checks."""
 
-from .audio import attach_clip_idx, make_snr_udf, with_decoded_meta
+from .audio import PcmSizeConsistency, attach_clip_idx, make_snr_udf, with_decoded_meta
 from .drift import (
     chi_square_categorical,
     drift_report,
@@ -65,4 +65,5 @@ __all__ = [
     "with_decoded_meta",
     "make_snr_udf",
     "attach_clip_idx",
+    "PcmSizeConsistency",
 ]

@@ -110,3 +110,48 @@ def attach_clip_idx(
     if n_rows * 64 < 64 << 20:
         mapping = F.broadcast(mapping)
     return df.join(mapping, on=clip_id_col, how="left")
+
+
+from dataclasses import dataclass
+from typing import Optional
+
+from .spec import Constraint
+
+
+@dataclass(frozen=True)
+class PcmSizeConsistency(Constraint):
+    """Metadata↔payload byte-size consistency for PCM WAV clips: a
+    mono 16-bit RIFF payload of a clip with (sr_hz, dur_ms) metadata
+    must be exactly ``header_bytes + bytes_per_sample ·
+    rint(sr_hz·dur_ms/1000)`` bytes (``tolerance_bytes`` slack for
+    padding chunks).  Catches transcoded-but-unupdated metadata,
+    truncated uploads, and duration drift WITHOUT decoding a byte —
+    pure Catalyst length arithmetic in the scan, the cheap tier below
+    the SNR decode check.  ``rint`` (round-half-even) matches the
+    encoder's numpy rounding exactly.  NULL bytes/sr/dur pass
+    (nullability is NotNull's job); rows whose ``codec_col`` isn't
+    ``codec_value`` pass vacuously (other codecs compress)."""
+
+    bytes_col: str = "bytes"
+    sr_col: str = "sr_hz"
+    dur_col: str = "dur_ms"
+    codec_col: Optional[str] = "codec"
+    codec_value: str = "pcm_s16le"
+    header_bytes: int = 44
+    bytes_per_sample: int = 2
+    tolerance_bytes: int = 0
+
+    def predicate(self):
+        b, sr, dur = F.col(self.bytes_col), F.col(self.sr_col), F.col(self.dur_col)
+        n = F.greatest(
+            F.expr(
+                f"CAST(rint({self.sr_col} * {self.dur_col} / 1000.0) AS BIGINT)"
+            ),
+            F.lit(1),
+        )
+        expected = F.lit(self.header_bytes) + F.lit(self.bytes_per_sample) * n
+        ok = F.abs(F.length(b) - expected) <= F.lit(self.tolerance_bytes)
+        vacuous = b.isNull() | sr.isNull() | dur.isNull()
+        if self.codec_col is not None:
+            vacuous = vacuous | (F.col(self.codec_col) != F.lit(self.codec_value))
+        return F.when(vacuous, F.lit(True)).otherwise(ok)

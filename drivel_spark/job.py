@@ -387,6 +387,12 @@ def cmd_validate(args) -> dict:
     # ---- pass 2: constraints ------------------------------------------
     df = clips
     constraints = _constraints(meta, baseline)
+    if getattr(args, "check_pcm_size", False) and "bytes" in df.columns:
+        from drivel_spark.constraints import PcmSizeConsistency
+
+        # cheap tier below the SNR decode: byte-length arithmetic in
+        # the scan, no decode (constraints/audio.py PcmSizeConsistency)
+        constraints.append(PcmSizeConsistency("pcm_size_consistency", "bytes"))
     if args.check_audio and meta.get("with_audio") and "bytes" in df.columns:
         df = attach_clip_idx(df, spark, meta["n_rows"], seed=meta["seed"])
         # Local-mode mitigation, measured on this box (BENCH/BASELINE.md):
@@ -790,6 +796,7 @@ def main(argv=None) -> None:
     sv.add_argument("--checkpoint", default=None)
     sv.add_argument("--run-id", default="run0")
     sv.add_argument("--check-audio", action="store_true")
+    sv.add_argument("--check-pcm-size", action="store_true")
     sv.add_argument("--n-scopes", type=int, default=64)
     sv.add_argument("--report", default=None)
     sv.add_argument("--where", default=None,

@@ -603,3 +603,48 @@ def test_referential_bloom_strategy_matches_anti_join(spark, clips):
     assert a == b
     with pytest.raises(ValueError, match="strategy"):
         Referential("bad", "x", "t", "y", strategy="hashjoin")
+
+
+def test_pcm_size_consistency(spark):
+    """PcmSizeConsistency flags exactly the rows whose payload was
+    synthesized with CLAMPED (sr, dur) while the metadata kept the
+    unclamped values — the fixture's built-in metadata-drift cases —
+    plus nothing else (byte-exact on every honest wav row)."""
+    from drivel_spark.constraints import PcmSizeConsistency
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips, clips_pdf
+
+    n = 300
+    spec = ClipFixtureSpec()
+    clips = build_clips(spark, n, 4, spec)
+    res = validate(clips, [PcmSizeConsistency("pcm_size", "bytes")], cache_flags=False)
+    got = {r["clip_id"] for r in res.violations.collect()}
+    pdf = clips_pdf(range(n), spec)
+    want = set()
+    for _, row in pdf.iterrows():
+        if row["bytes"] is None or row["codec"] != "pcm_s16le":
+            continue
+        sr_c = int(np.clip(row.sr_hz, 4000, 48000))
+        dur_c = int(np.clip(row.dur_ms, 50, spec.audio_cap_ms))
+        n_samp = max(int(round(sr_c * dur_c / 1000.0)), 1)
+        # metadata formula (unclamped)
+        n_meta = max(int(round(int(row.sr_hz) * int(row.dur_ms) / 1000.0)), 1)
+        if 44 + 2 * n_samp != 44 + 2 * n_meta:
+            want.add(row.clip_id)
+    assert want  # the fixture does contain drifted rows
+    assert got == want
+
+
+def test_pcm_size_consistency_vacuous(spark):
+    from drivel_spark.constraints import PcmSizeConsistency
+
+    pdf = pd.DataFrame(
+        {
+            "bytes": [None, b"x" * 100],
+            "sr_hz": [16000, 16000],
+            "dur_ms": [1000, 1000],
+            "codec": ["pcm_s16le", "flac"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    res = validate(df, [PcmSizeConsistency("pcm_size", "bytes")], cache_flags=False)
+    assert res.all_passed()  # NULL bytes + non-pcm codec both vacuous

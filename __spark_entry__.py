@@ -1081,6 +1081,23 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_weighted_sample_documents(spark, sf_dir):
+    """Weighted sampling without replacement (ops/splits.py
+    weighted_sample, Efraimidis-Spirakis A-ES): 100 documents sampled
+    proportionally to n_chars via the deterministic md5 key
+    u^(1/w) — one TakeOrdered, no data shuffle, identical selection in
+    any engine replaying the arithmetic (key rounded to 9dp with id
+    tie-break so last-ulp libm differences can't flip the cut)."""
+    from drivel_spark.ops import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, "doc_id", "n_chars", 100, seed=42)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_cusum_events_value(spark, sf_dir):
     """CUSUM changepoint screen (ops/timeseries.py) over events.value
     per event_type: the sequential max(0, s+a) recursion rewritten as
@@ -3052,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_bloom_lineitem": q_referential_bloom_lineitem,
         "top_fraction_documents": q_top_fraction_documents,
         "cusum_events_value": q_cusum_events_value,
+        "weighted_sample_documents": q_weighted_sample_documents,
         "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
@@ -4500,6 +4518,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.o_orderkey = l.l_orderkey)
             GROUP BY l_returnflag ORDER BY returnflag""",
+        "weighted_sample_documents": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     round(pow(
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                         / 4294967296.0,
+                       1.0 / n_chars::DOUBLE), 9) AS k
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+              ORDER BY k DESC, doc_id LIMIT 100)
+            ORDER BY doc_id""",
         "cusum_events_value": """
             WITH clean AS (
               SELECT event_type, ts, event_id, value FROM events

@@ -142,3 +142,42 @@ def stratified_sample(
         else F.lit(float(default_rate))
     )
     return df.filter(bucket < rate)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    key_decimals: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, algorithm A-ES): each row gets the key
+    ``u^(1/w)`` with ``u = split_bucket(id, seed)``; the k largest
+    keys ARE a weighted sample without replacement.  One global top-k
+    (TakeOrdered — no full sort, no shuffle of the data, O(k) per
+    partition then O(k·parts) at the driver), so it scales like any
+    other top-k.
+
+    Importance-samples a corpus by quality score, token count, or any
+    per-row weight while staying reproducible: u comes from the md5
+    hash, not an RNG, so reruns, resumes, and any ANSI engine replaying
+    the same arithmetic select the identical k rows.  The sort key is
+    rounded to ``key_decimals`` with the id as tie-breaker, which makes
+    the selection robust to last-ulp libm differences across engines.
+    Rows with NULL or non-positive weight are excluded (zero weight =
+    never sampled, per A-ES).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    u = split_bucket(F.col(id_col), seed)
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), key_decimals)
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__sample_key", key)
+        .orderBy(F.col("__sample_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__sample_key")
+    )

@@ -2193,3 +2193,58 @@ def test_cusum_zero_variance_and_nulls(spark):
     rows = cusum_scores(df, "k", "t", "v").collect()
     assert len(rows) == 3  # NULL dropped
     assert all(r["s_pos"] == 0.0 and r["s_neg"] == 0.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (r05)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import weighted_sample
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "id": [f"d{i}" for i in range(n)],
+            # half the corpus has 9x the weight
+            "w": [9.0 if i % 2 == 0 else 1.0 for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = sorted(r["id"] for r in weighted_sample(df, "id", "w", 500).collect())
+    again = sorted(r["id"] for r in weighted_sample(df, "id", "w", 500).collect())
+    assert got == again and len(got) == 500
+    heavy = sum(1 for i in got if int(i[1:]) % 2 == 0)
+    assert heavy > 400  # 9:1 weights -> heavy items dominate
+
+    # exact replay of the A-ES selection in plain python/numpy
+    def bucket(s):
+        h = hashlib.md5(f"{s}:42".encode()).hexdigest()[:8]
+        return int(h, 16) / 4294967296.0
+
+    keys = {
+        row.id: round(bucket(row.id) ** (1.0 / row.w), 9) for _, row in pdf.iterrows()
+    }
+    want = sorted(sorted(keys, key=lambda i: (-keys[i], i))[:500])
+    assert got == want
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    import pandas as pd
+
+    from drivel_spark.ops import weighted_sample
+
+    pdf = pd.DataFrame(
+        {"id": ["a", "b", "c", "d"], "w": [1.0, 0.0, -1.0, None]}
+    )
+    df = spark.createDataFrame(pdf)
+    rows = weighted_sample(df, "id", "w", 10).collect()
+    assert [r["id"] for r in rows] == ["a"]
+    with pytest.raises(ValueError, match="k"):
+        weighted_sample(df, "id", "w", 0)

@@ -27,6 +27,7 @@ from .spec import (
     from_json_schema,
     from_profile,
 )
+from .specfile import from_spec_json, load_spec_file
 from .validate import (
     GLOBAL_SCOPE,
     RowPredicate,
@@ -40,6 +41,8 @@ __all__ = [
     "Conditional",
     "GroupBound",
     "group_bound_table",
+    "from_spec_json",
+    "load_spec_file",
     "NotNull",
     "Range",
     "Enum",

@@ -386,7 +386,15 @@ def cmd_validate(args) -> dict:
 
     # ---- pass 2: constraints ------------------------------------------
     df = clips
-    constraints = _constraints(meta, baseline)
+    if getattr(args, "constraints", None):
+        # a version-controlled contract file REPLACES the built-in
+        # profile-shaped suite (constraints/specfile.py); --check-audio
+        # and --check-pcm-size still append their opt-in tiers
+        from drivel_spark.constraints.specfile import load_spec_file
+
+        constraints = load_spec_file(args.constraints)
+    else:
+        constraints = _constraints(meta, baseline)
     if getattr(args, "check_pcm_size", False) and "bytes" in df.columns:
         from drivel_spark.constraints import PcmSizeConsistency
 
@@ -797,6 +805,7 @@ def main(argv=None) -> None:
     sv.add_argument("--run-id", default="run0")
     sv.add_argument("--check-audio", action="store_true")
     sv.add_argument("--check-pcm-size", action="store_true")
+    sv.add_argument("--constraints", help="JSON constraint-spec file replacing the built-in suite")
     sv.add_argument("--n-scopes", type=int, default=64)
     sv.add_argument("--report", default=None)
     sv.add_argument("--where", default=None,

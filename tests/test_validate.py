@@ -648,3 +648,143 @@ def test_pcm_size_consistency_vacuous(spark):
     df = spark.createDataFrame(pdf)
     res = validate(df, [PcmSizeConsistency("pcm_size", "bytes")], cache_flags=False)
     assert res.all_passed()  # NULL bytes + non-pcm codec both vacuous
+
+
+# ---------------------------------------------------------------------------
+# declarative constraint-spec files (r05)
+# ---------------------------------------------------------------------------
+
+
+def test_spec_file_all_types():
+    from drivel_spark.constraints import (
+        Conditional,
+        GroupBound,
+        PcmSizeConsistency,
+        from_spec_json,
+    )
+    from drivel_spark.constraints import Enum as EnumC
+
+    doc = {
+        "constraints": [
+            {"type": "not_null", "column": "clip_id"},
+            {"type": "range", "column": "dur_ms", "lo": 200, "hi": 30000},
+            {"type": "enum", "column": "codec", "values": ["pcm_s16le", "flac"]},
+            {"type": "length", "column": "transcript", "min_len": 1},
+            {"type": "format", "column": "clip_id", "fmt": "uuid"},
+            {"type": "speech_rate", "column": "transcript", "dur_col": "dur_ms"},
+            {"type": "pcm_size", "column": "bytes", "tolerance_bytes": 2},
+            {
+                "type": "conditional",
+                "column": "sr_hz",
+                "when": "codec = 'pcm_s16le'",
+                "then": {"type": "enum", "column": "sr_hz", "values": [16000, 44100]},
+            },
+            {"type": "unique", "column": "clip_id"},
+            {
+                "type": "referential",
+                "column": "clip_id",
+                "ref_table": "transcripts",
+                "ref_column": "clip_id",
+                "strategy": "bloom",
+            },
+            {
+                "type": "group_bound",
+                "column": "dur_ms",
+                "group_col": "codec",
+                "agg": "avg",
+                "lo": 500,
+            },
+            {"type": "drift", "column": "dur_ms", "max_ks": 0.05},
+        ]
+    }
+    cs = from_spec_json(doc)
+    assert len(cs) == 12
+    by_name = {c.name: c for c in cs}
+    assert isinstance(by_name["sr_hz_conditional"], Conditional)
+    assert isinstance(by_name["sr_hz_conditional"].inner, EnumC)
+    assert by_name["codec_enum"].variants == ("pcm_s16le", "flac")
+    assert by_name["clip_id_referential"].strategy == "bloom"
+    assert isinstance(by_name["dur_ms_group_bound"], GroupBound)
+    assert isinstance(by_name["bytes_pcm_size"], PcmSizeConsistency)
+    assert by_name["bytes_pcm_size"].tolerance_bytes == 2
+    assert by_name["dur_ms_drift"].max_ks == 0.05
+    # row/dataset split is intact
+    assert by_name["clip_id_not_null"].is_row_level
+    assert not by_name["clip_id_unique"].is_row_level
+
+
+def test_spec_file_errors():
+    from drivel_spark.constraints import from_spec_json
+
+    with pytest.raises(ValueError, match="unknown type"):
+        from_spec_json([{"type": "regex", "column": "x"}])
+    with pytest.raises(ValueError, match="missing 'column'"):
+        from_spec_json([{"type": "not_null"}])
+    with pytest.raises(ValueError, match="unknown fields"):
+        from_spec_json([{"type": "range", "column": "x", "low": 1}])
+    with pytest.raises(ValueError, match="needs 'values'"):
+        from_spec_json([{"type": "enum", "column": "x"}])
+    with pytest.raises(ValueError, match="needs 'when'"):
+        from_spec_json([{"type": "conditional", "column": "x"}])
+    with pytest.raises(ValueError, match="duplicate"):
+        from_spec_json(
+            [{"type": "not_null", "column": "x"}, {"type": "not_null", "column": "x"}]
+        )
+    with pytest.raises(ValueError, match=">=1 entry"):
+        from_spec_json({"constraints": []})
+
+
+def test_validate_with_spec_file_cli(spark, tmp_path):
+    """cmd_validate --constraints FILE replaces the built-in suite with
+    the contract file, end-to-end through the job verb."""
+    import argparse
+    import json as _json
+
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips, build_transcripts
+    from drivel_spark.job import cmd_validate
+
+    n = 500
+    db = tmp_path / "db"
+    build_clips(spark, n, 4, ClipFixtureSpec(with_audio=False)).write.parquet(
+        str(db / "clips")
+    )
+    build_transcripts(spark, n, 2).write.parquet(str(db / "transcripts"))
+    (db / "meta.json").write_text(
+        _json.dumps(
+            {"n_rows": n, "partitions": 4, "seed": 42, "variant": "default",
+             "with_audio": False}
+        )
+    )
+    spec = tmp_path / "contract.json"
+    spec.write_text(
+        _json.dumps(
+            {
+                "constraints": [
+                    {"type": "not_null", "column": "transcript"},
+                    {
+                        "type": "conditional",
+                        "column": "dur_ms",
+                        "when": "codec = 'pcm_s16le'",
+                        "then": {"type": "range", "column": "dur_ms", "lo": 0},
+                    },
+                    {
+                        "type": "group_bound",
+                        "column": "dur_ms",
+                        "group_col": "codec",
+                        "agg": "count",
+                        "lo": 1,
+                    },
+                ]
+            }
+        )
+    )
+    out = cmd_validate(
+        argparse.Namespace(
+            data=str(db), baseline=None, checkpoint=None, run_id="r",
+            check_audio=False, n_scopes=8, report=None, clips=None,
+            transcripts=None, where=None, constraints=str(spec),
+        )
+    )
+    names = {r["constraint"] for r in out["dataset_checks"]} if out.get("dataset_checks") else set()
+    assert "dur_ms_group_bound" in names
+    assert out["n_rows"] == n

@@ -669,6 +669,203 @@ def main() -> None:
         )
     )
 
+    # 19. bloom referential: build is pure Catalyst (bit_or partial+final
+    # agg), the split scan probes via exactly one Arrow UDF per branch,
+    # and the exact confirm join broadcasts the dim keys
+    from drivel_spark.constraints.bloom import build_bloom, referential_bloom
+
+    dim = orders.filter(F.col("o_totalprice") < 400000)
+    p = fmt(
+        dim.select(F.col("o_orderkey").alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64("__k", F.lit(i)), F.lit(4096)).cast("long")
+                        for i in range(3)
+                    ]
+                ).alias("pos")
+            ).alias("pos")
+        )
+        .select(
+            F.expr("shiftright(pos, 6)").alias("chunk"),
+            F.expr("shiftleft(1L, cast(pos % 64 AS INT))").alias("bits"),
+        )
+        .groupBy("chunk")
+        .agg(F.bit_or("bits").alias("word"))
+    )
+    sections.append(
+        (
+            "Bloom bitmap build (relational bit_or fold)",
+            p,
+            [
+                "partial+final hash agg (map-side combine bounds shuffle at m/64 words): "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "all-JVM build (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    p = fmt(referential_bloom(li, "l_orderkey", dim, "o_orderkey", fpp=0.01))
+    sections.append(
+        (
+            "Bloom referential split (miss short-circuit + exact confirm)",
+            p,
+            [
+                "probe is Arrow-vectorized only (no BatchEvalPython): "
+                + ("PASS" if "ArrowEvalPython" in p and "BatchEvalPython" not in p
+                   else "FAIL"),
+                "exact confirm join broadcasts the dim keys: "
+                + ("PASS" if "BroadcastHashJoin" in p else
+                   "NOTE: SMJ chosen (AQE may still convert at runtime)"),
+                "no cartesian product: "
+                + ("PASS" if "CartesianProduct" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 20. mixture sample: the kept-set filter is a pure codegen
+    # expression over the scan — no Exchange, no Python, no RNG
+    from drivel_spark.ops import mix_corpora
+    from drivel_spark.ops.mixing import MixturePlan
+
+    plan_obj = MixturePlan(
+        budget=1000.0,
+        shares={"en": 0.5, "de": 0.5},
+        available={"en": 2000.0, "de": 2000.0},
+        rates={"en": 0.25, "de": 0.25},
+    )
+    p = fmt(mix_corpora(docs, "lang", "doc_id", plan_obj.shares, plan=plan_obj))
+    sections.append(
+        (
+            "Data-mixture sample filter (deterministic md5 keep rate)",
+            p,
+            [
+                "zero shuffles (pure filter): "
+                + ("PASS" if "Exchange" not in p else "FAIL"),
+                "JVM-side (no BatchEvalPython / ArrowEvalPython): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "whole-stage codegen: "
+                + ("PASS" if "codegen id" in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 21. weighted sample: one TakeOrdered, no data shuffle
+    from drivel_spark.ops import weighted_sample
+
+    p = fmt(weighted_sample(docs, "doc_id", "n_chars", 50))
+    sections.append(
+        (
+            "Weighted sample (A-ES top-k)",
+            p,
+            [
+                "global top-k via TakeOrdered (no full sort shuffle): "
+                + ("PASS" if "TakeOrderedAndProject" in p else "FAIL"),
+                "JVM-side keys (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 22. CUSUM: pure Catalyst windows — exactly one hash exchange (the
+    # per-key partitioning shared by baseline agg + windows), no Python
+    from drivel_spark.ops import cusum_scores
+
+    p = fmt(cusum_scores(events, "event_type", "ts", "value",
+                         order_cols=["event_id"]))
+    sections.append(
+        (
+            "CUSUM changepoint scores (cumulative-window closed form)",
+            p,
+            [
+                "no Python anywhere (pure Catalyst windows): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "window over the key partitioning: "
+                + ("PASS" if "Window" in p else "FAIL"),
+                "no cartesian product: "
+                + ("PASS" if "CartesianProduct" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 23. conditional constraints ride the same one-scan flagged
+    # projection — still zero Python, partial+final agg
+    from drivel_spark.constraints import Conditional
+
+    res = validate(
+        li,
+        [
+            Conditional(
+                "ret_qty",
+                "l_quantity",
+                when="l_returnflag = 'A'",
+                inner=Range("_", "l_quantity", None, 40),
+            )
+        ],
+        scope=F.pmod(F.xxhash64("l_orderkey"), F.lit(16)).cast("long"),
+        cache_flags=False,
+    )
+    p = fmt(res.passfail)
+    sections.append(
+        (
+            "Conditional constraint pass (implication as one boolean)",
+            p,
+            [
+                "no Python in the hot path: "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "partial+final hash agg: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+            ],
+        )
+    )
+
+    # 24. group-bound table: one partial+final groupBy on the group col
+    from drivel_spark.constraints import GroupBound, group_bound_table
+
+    p = fmt(
+        group_bound_table(
+            orders,
+            GroupBound("gp", "o_totalprice", group_col="o_orderpriority",
+                       agg="avg", lo=0.0),
+        )
+    )
+    sections.append(
+        (
+            "GroupBound per-group aggregate check",
+            p,
+            [
+                "partial+final hash agg (shuffle bounded at group cardinality): "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "all-JVM (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 25. top-fraction kept-set filter: after the threshold search, the
+    # filter itself is a pure codegen predicate over the scan
+    from drivel_spark.ops import top_fraction_filter
+
+    kept, _ = top_fraction_filter(docs, "n_chars", 0.25)
+    p = fmt(kept)
+    sections.append(
+        (
+            "Top-fraction kept-set filter (exact threshold as a literal)",
+            p,
+            [
+                "zero shuffles (pure filter): "
+                + ("PASS" if "Exchange" not in p else "FAIL"),
+                "JVM-side (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "predicate pushed to the scan: "
+                + ("PASS" if re.search(r"PushedFilters: \[(?!\])", p) else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

@@ -60,10 +60,10 @@ def bloom_params(expected_n: int, fpp: float = 0.01) -> tuple[int, int]:
 
 @dataclass(frozen=True)
 class BloomFilter:
-    """Driver-side bitmap + parameters.  ``words`` is int64 little-end
+    """Driver-side bitmap + parameters.  ``words`` is uint64 little-end
     bit order: key bit ``pos`` lives at ``words[pos >> 6] >> (pos & 63)``."""
 
-    words: np.ndarray  # int64, length m_bits // 64
+    words: np.ndarray  # uint64, length m_bits // 64
     m_bits: int
     k_hashes: int
 
@@ -111,9 +111,10 @@ def build_bloom(
         .agg(F.bit_or("bits").alias("word"))
         .collect()
     )
-    words = np.zeros(m_bits // 64, dtype=np.int64)
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
     for r in chunks:
-        words[int(r["chunk"])] = np.int64(np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF))
+        # JVM longs arrive signed; mask to the raw 64-bit pattern
+        words[int(r["chunk"])] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
     return BloomFilter(words=words, m_bits=m_bits, k_hashes=k_hashes)
 
 

@@ -137,4 +137,7 @@ def top_fraction_filter(
     t = top_fraction_threshold(
         df, col, frac, n_buckets=n_buckets, leaf_limit=leaf_limit
     )
-    return df.where(F.col(col).cast("double") >= F.lit(t)), t
+    v = F.col(col).cast("double")
+    # Spark sorts NaN ABOVE everything, so a bare v >= t would smuggle
+    # NaN scores (excluded from the threshold computation) into the cut
+    return df.where(~F.isnan(v) & (v >= F.lit(t))), t

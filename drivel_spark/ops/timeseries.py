@@ -49,17 +49,23 @@ def cusum_scores(
     Standardization uses each key's own mean/stddev from one
     partial+final agg (or a ``baseline`` DataFrame with columns
     (key_col, mean, sd) — the profile-vs-batch mode, so a poisoned
-    batch can't normalize its own shift away).  Rows with NULL value
-    are dropped; keys with zero variance score 0.
+    batch can't normalize its own shift away; keys absent from the
+    baseline are dropped by the inner join — score only what the
+    profile vouches for).  Rows with NULL value are dropped; keys
+    with zero variance score 0.
     """
     clean = df.where(F.col(value_col).isNotNull())
     if baseline is None:
         baseline = clean.groupBy(key_col).agg(
             F.avg(value_col).alias("mean"), F.stddev_pop(value_col).alias("sd")
         )
-    j = clean.join(baseline, key_col)
+    # internal names so a caller's own mean/sd columns survive the join
+    base = baseline.select(
+        key_col, F.col("mean").alias("__mean"), F.col("sd").alias("__sd")
+    )
+    j = clean.join(base, key_col)
     dev = F.when(
-        F.col("sd") > 0, (F.col(value_col) - F.col("mean")) / F.col("sd")
+        F.col("__sd") > 0, (F.col(value_col) - F.col("__mean")) / F.col("__sd")
     ).otherwise(F.lit(0.0))
     order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
     w = (
@@ -79,7 +85,7 @@ def cusum_scores(
             "s_neg",
             F.max(F.greatest(F.lit(0.0), F.col("__cn"))).over(w) - F.col("__cn"),
         )
-        .drop("__cp", "__cn", "mean", "sd")
+        .drop("__cp", "__cn", "__mean", "__sd")
     )
 
 

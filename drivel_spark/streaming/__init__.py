@@ -2,6 +2,7 @@
 validation and incremental profile (schema/stats) inference, both
 with exactly-once file tracking (checkpointLocation)."""
 
+from .cusum_stream import CUSUM_STATE_FIELDS, streaming_cusum
 from .profile_stream import load_stream_profile, profile_stream
 from .stateful import latest_stats, running_stats, running_stats_stream
 from .validate_stream import cumulative_passfail, validate_stream
@@ -19,6 +20,8 @@ __all__ = [
     "profile_stream",
     "load_stream_profile",
     "running_stats",
+    "streaming_cusum",
+    "CUSUM_STATE_FIELDS",
     "running_stats_stream",
     "latest_stats",
     "windowed_stats",

@@ -2248,3 +2248,16 @@ def test_weighted_sample_excludes_nonpositive(spark):
     assert [r["id"] for r in rows] == ["a"]
     with pytest.raises(ValueError, match="k"):
         weighted_sample(df, "id", "w", 0)
+
+
+def test_top_fraction_filter_excludes_nan(spark):
+    """Spark sorts NaN above every value; the kept-set filter must not
+    smuggle NaN scores past a threshold they never competed for."""
+    import pandas as pd
+
+    from drivel_spark.ops import top_fraction_filter
+
+    pdf = pd.DataFrame({"s": [1.0, 2.0, 3.0, 4.0, float("nan")]})
+    kept, t = top_fraction_filter(spark.createDataFrame(pdf), "s", 0.5)
+    assert t == 3.0
+    assert sorted(r["s"] for r in kept.collect()) == [3.0, 4.0]

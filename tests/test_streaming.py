@@ -579,3 +579,98 @@ def test_dedup_stream_drops_redelivery_within_watermark(spark, tmp_path):
 
     got = sorted(r["clip_id"] for r in spark.read.parquet(out).collect())
     assert got == ["c1", "c2", "c3"]  # each id exactly once
+
+
+# ---------------------------------------------------------------------------
+# streaming CUSUM monitor (r05)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """Two in-order micro-batches through streaming_cusum end at exactly
+    the batch detector's final excursions, with the state carrying the
+    fold across the batch boundary; a key missing from the baseline
+    emits nothing."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from drivel_spark.ops import cusum_scores
+    from drivel_spark.streaming import streaming_cusum
+
+    rng = np.random.default_rng(6)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # key "s": calm then +2 sigma shift; key "f": calm; key "x": not in baseline
+    for i in range(200):
+        rows.append(("s", t0 + timedelta(seconds=i), float(rng.normal(0, 1))))
+    for i in range(200, 260):
+        rows.append(("s", t0 + timedelta(seconds=i), float(rng.normal(2.0, 1))))
+    for i in range(260):
+        rows.append(("f", t0 + timedelta(seconds=i), float(rng.normal(0, 1))))
+        rows.append(("x", t0 + timedelta(seconds=i), float(rng.normal(0, 1))))
+    rows.sort(key=lambda r: r[1])
+    schema = "k string, ts timestamp, v double"
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ck"), str(tmp_path / "out")
+    half = len(rows) // 2
+    # two files, split in ts order -> the stream folds in event order
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.mode("append").parquet(src)
+
+    baseline = {"s": (0.0, 1.0), "f": (0.0, 1.0)}
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    mon = streaming_cusum(stream, "k", "ts", "v", baseline, h_threshold=8.0)
+
+    def commit(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={int(batch_id)}")
+
+    q = (
+        mon.writeStream.outputMode("update")
+        .foreachBatch(commit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got_df = spark.read.option("basePath", out).parquet(f"{out}/batch_id=*")
+    # last emission per key = final state
+    final = {
+        r["k"]: r
+        for r in got_df.orderBy("batch_id").collect()
+    }
+    assert set(final) == {"s", "f"}  # x never emitted
+
+    base_df = spark.createDataFrame(
+        [("s", 0.0, 1.0), ("f", 0.0, 1.0)], "k string, mean double, sd double"
+    )
+    batch = cusum_scores(
+        spark.createDataFrame(rows, schema), "k", "ts", "v", baseline=base_df
+    )
+    from pyspark.sql import Window as W
+
+    last = (
+        batch.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("k").orderBy(F.desc("ts"))),
+        )
+        .where(F.col("rn") == 1)
+        .collect()
+    )
+    want = {r["k"]: (r["s_pos"], r["s_neg"]) for r in last}
+    for k in ("s", "f"):
+        assert final[k]["s_pos"] == pytest.approx(want[k][0], abs=1e-9), k
+        assert final[k]["s_neg"] == pytest.approx(want[k][1], abs=1e-9), k
+    assert final["s"]["n_alarms"] > 0 and final["f"]["n_alarms"] == 0
+    assert final["s"]["n_seen"] == 260 and final["f"]["n_seen"] == 260
+
+
+def test_streaming_cusum_empty_baseline():
+    from drivel_spark.streaming import streaming_cusum
+
+    with pytest.raises(ValueError, match="baseline"):
+        streaming_cusum(None, "k", "ts", "v", {})

@@ -1081,6 +1081,64 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_key_skew_orders(spark, sf_dir):
+    """Join-key skew diagnosis (ops/skew.py key_skew_report): top-10
+    heaviest o_custkey values in orders + cardinality/max-share/
+    normalized-entropy summary — the pre-join report that decides
+    broadcast vs salting vs AQE skew hints.  One per-key count (hot
+    keys absorbed map-side), one O(keys) summary agg, TakeOrdered."""
+    from drivel_spark.ops import key_skew_report
+
+    o = _t(spark, sf_dir, "orders")
+    rep = key_skew_report(o, "o_custkey", top_k=10)
+    return rep.select(
+        "key",
+        "cnt",
+        F.round("share", 8).alias("share"),
+        "n_rows",
+        "n_keys",
+        F.round("max_share", 8).alias("max_share"),
+        F.round("norm_entropy", 6).alias("norm_entropy"),
+    ).orderBy(F.col("cnt").desc(), "key")
+
+
+def q_ingest_dedup_documents(spark, sf_dir):
+    """Incremental ingest dedup (ops/dedup.py dedup_against_corpus,
+    bloom-prefiltered): corpus = docs with id%3!=0; the NEW batch =
+    the id%3==0 docs + injected exact copies of corpus docs (id%5==1,
+    re-id'd +100000) + injected in-batch dups (+200000 copies of the
+    id%21==0 new docs).  Every injected copy must die — corpus copies
+    to the bloom-hit anti-join, in-batch dups to the min-id rule —
+    leaving exactly the original id%3==0 set.  The oracle re-derives
+    the injection and both dedup tiers in SQL."""
+    from drivel_spark.ops import dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    new_batch = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .unionByName(
+            corpus.where(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+            )
+        )
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 7 == 0)).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "lang", "text"
+            )
+        )
+    )
+    surv = dedup_against_corpus(new_batch, corpus, use_bloom=True)
+    return (
+        surv.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_weighted_sample_documents(spark, sf_dir):
     """Weighted sampling without replacement (ops/splits.py
     weighted_sample, Efraimidis-Spirakis A-ES): 100 documents sampled
@@ -3070,6 +3128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_fraction_documents": q_top_fraction_documents,
         "cusum_events_value": q_cusum_events_value,
         "weighted_sample_documents": q_weighted_sample_documents,
+        "ingest_dedup_documents": q_ingest_dedup_documents,
+        "key_skew_orders": q_key_skew_orders,
         "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
@@ -4518,6 +4578,46 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.o_orderkey = l.l_orderkey)
             GROUP BY l_returnflag ORDER BY returnflag""",
+        "key_skew_orders": """
+            WITH counts AS (
+              SELECT o_custkey AS k, count(*)::BIGINT AS cnt
+              FROM orders GROUP BY o_custkey),
+            summary AS (
+              SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+                     max(cnt)::BIGINT AS max_cnt,
+                     sum(cnt * ln(cnt)) AS sum_nlogn
+              FROM counts),
+            top AS (
+              SELECT k, cnt FROM counts ORDER BY cnt DESC, k LIMIT 10)
+            SELECT top.k::VARCHAR AS key, top.cnt,
+                   round(top.cnt / s.n_rows::DOUBLE, 8) AS share,
+                   s.n_rows, s.n_keys,
+                   round(s.max_cnt / s.n_rows::DOUBLE, 8) AS max_share,
+                   round(CASE WHEN s.n_keys > 1 THEN
+                     (ln(s.n_rows) - s.sum_nlogn / s.n_rows) / ln(s.n_keys::DOUBLE)
+                     ELSE 0.0 END, 6) AS norm_entropy
+            FROM top, summary s ORDER BY top.cnt DESC, top.k""",
+        "ingest_dedup_documents": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+              FROM documents),
+            corp AS (SELECT * FROM d WHERE doc_id % 3 != 0),
+            newb AS (
+              SELECT doc_id, lang, nt FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + 100000, lang, nt FROM corp WHERE doc_id % 5 = 1
+              UNION ALL
+              SELECT doc_id + 200000, lang, nt FROM d
+              WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
+            inb AS (
+              SELECT * FROM newb
+              QUALIFY doc_id = min(doc_id) OVER (PARTITION BY nt)),
+            surv AS (
+              SELECT * FROM inb WHERE nt NOT IN (SELECT nt FROM corp))
+            SELECT lang, count(*)::BIGINT AS n_survivors,
+                   sum(doc_id)::BIGINT AS id_sum
+            FROM surv GROUP BY lang ORDER BY lang""",
         "weighted_sample_documents": """
             SELECT doc_id, lang, n_chars FROM (
               SELECT doc_id, lang, n_chars,

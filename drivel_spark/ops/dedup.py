@@ -910,3 +910,129 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest dedup: new batch vs an existing reference corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    in_batch: bool = True,
+    use_bloom: bool = False,
+    bloom_fpp: float = 0.01,
+) -> DataFrame:
+    """Survivors of a NEW ingest batch against an existing corpus: drop
+    rows whose normalized text already exists corpus-side, plus (by
+    default) exact in-batch duplicates among the new rows themselves
+    (min-id survivor).  The daily shape at 10^12 rows — the corpus is
+    NOT re-deduplicated; only its key column is scanned.
+
+    Plan: both sides reduce to md5(normalized-text) keys; the corpus
+    key set feeds an anti-join (one shuffle, AQE-sized).  With
+    ``use_bloom=True`` the corpus keys fold into a broadcast bitmap
+    first (bloom.py): new rows whose key MISSES are definitely novel
+    and keep with ZERO shuffle — since almost all ingest rows are
+    novel, the confirm anti-join sees only the tiny hit set.  Result
+    identical either way (false positives are exact-confirmed)."""
+    key = F.md5(normalize_text(F.col(text_col)))
+    keyed = new_df.withColumn("__dkey", key)
+    if in_batch:
+        keep = (
+            keyed.select("__dkey", F.col(id_col).alias("__keep"))
+            .groupBy("__dkey")
+            .agg(F.min("__keep").alias(id_col))
+        )
+        keyed = keyed.join(keep, on=[id_col, "__dkey"], how="left_semi")
+    corpus_keys = (
+        corpus_df.select(key.alias("__dkey"))
+        .where(F.col("__dkey").isNotNull())
+        .dropDuplicates(["__dkey"])
+    )
+    if use_bloom:
+        from ..constraints.bloom import bloom_contains, build_bloom
+
+        bloom = build_bloom(corpus_keys, "__dkey", fpp=bloom_fpp)
+        hit = bloom_contains(keyed, "__dkey", bloom)
+        definite_new = keyed.where(~hit)
+        confirmed_new = keyed.where(hit).join(
+            corpus_keys, on="__dkey", how="left_anti"
+        )
+        out = definite_new.unionByName(confirmed_new)
+    else:
+        out = keyed.join(corpus_keys, on="__dkey", how="left_anti")
+    return out.drop("__dkey")
+
+
+def near_dup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """NEW-batch rows whose n-gram Jaccard similarity to ANY corpus
+    document reaches ``threshold`` — the near-dup tier of incremental
+    ingest, above dedup_against_corpus's byte-exact tier.  Returns
+    (new_id, corpus_id, jaccard) matches; callers drop new_id.
+
+    Cross-table MinHash LSH: both sides compute band keys with the
+    SAME (num_perm, bands, seed), collide on (band, key) — an
+    equi-join whose left side is the small new batch — then exact
+    Jaccard verifies each candidate from the two shingle tables
+    (counts joined per pair; candidate-bounded, never all-pairs)."""
+    assert num_perm % bands == 0
+
+    @F.pandas_udf("array<long>")
+    def bands_udf(sh: pd.Series) -> pd.Series:
+        return pd.Series(_band_keys_batch(sh, num_perm, bands, seed))
+
+    sh_new = shingle_table(new_df, text_col, id_col, n)
+    sh_corp = shingle_table(corpus_df, text_col, id_col, n)
+
+    def band_keys(base):
+        return base.select(
+            "id", bands_udf(F.col("sh")).alias("bk")
+        ).filter(F.col("bk").isNotNull()).select(
+            "id", F.posexplode("bk").alias("band", "bkey")
+        )
+
+    cand = (
+        band_keys(sh_new).alias("a")
+        .join(band_keys(sh_corp).alias("b"), on=["band", "bkey"])
+        .select(
+            F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    grams_new = sh_new.select(
+        F.col("id").alias("new_id"), F.explode("sh").alias("g")
+    ).distinct()
+    grams_corp = sh_corp.select(
+        F.col("id").alias("corpus_id"), F.explode("sh").alias("g")
+    ).distinct()
+    card_new = grams_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("ca"))
+    card_corp = grams_corp.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("cb"))
+    common = (
+        cand.join(grams_new, "new_id")
+        .join(grams_corp, ["corpus_id", "g"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("cm"))
+    )
+    jac = F.col("cm") / (F.col("ca") + F.col("cb") - F.col("cm"))
+    out = (
+        common.join(card_new, "new_id")
+        .join(card_corp, "corpus_id")
+        .select("new_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+    out = _materialize(out, sh_new, sh_corp)
+    return out

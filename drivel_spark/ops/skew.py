@@ -152,3 +152,48 @@ def salted_freq_map(
         stacklevel=2,
     )
     return freq_map_skew_safe(df, key, value)
+
+
+def key_skew_report(df, key_col: str, top_k: int = 20):
+    """Pre-join skew diagnosis for a prospective join/groupBy key: the
+    top-k heaviest keys with their row share, plus distribution-level
+    summary columns (key cardinality, max share, normalized Shannon
+    entropy — 1.0 = uniform, →0 = one key owns the table).  This is
+    the number you read BEFORE choosing broadcast/salting/AQE-skew
+    hints; at 10^12 rows a surprise hot key is a dead executor.
+
+    Scale shape: one partial+final count per key (map-side combine
+    absorbs the hot key), one O(keys)-input agg for the summary, a
+    TakeOrdered for the top-k, and a broadcast one-row crossJoin to
+    attach the summary — data rows shuffle once, as counts.  NULL keys
+    count as a real key (they hash-collide in joins too).
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    summary = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.log("cnt")).alias("sum_nlogn"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_k)
+    # H = ln(N) - (1/N)·Σ c·ln c ; normalized by ln(n_keys)
+    ent = (F.log("n_rows") - F.col("sum_nlogn") / F.col("n_rows"))
+    norm_ent = F.when(
+        F.col("n_keys") > 1, ent / F.log(F.col("n_keys").cast("double"))
+    ).otherwise(F.lit(0.0))
+    return (
+        top.crossJoin(F.broadcast(summary))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            "cnt",
+            (F.col("cnt") / F.col("n_rows")).alias("share"),
+            "n_rows",
+            "n_keys",
+            (F.col("max_cnt") / F.col("n_rows")).alias("max_share"),
+            norm_ent.alias("norm_entropy"),
+        )
+    )

@@ -2261,3 +2261,97 @@ def test_top_fraction_filter_excludes_nan(spark):
     kept, t = top_fraction_filter(spark.createDataFrame(pdf), "s", 0.5)
     assert t == 3.0
     assert sorted(r["s"] for r in kept.collect()) == [3.0, 4.0]
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest dedup vs a reference corpus (r05)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_against_corpus_exact(spark):
+    import pandas as pd
+
+    from drivel_spark.ops import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["alpha beta", "Gamma  Delta", "epsilon"]}
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13, 14],
+                "text": [
+                    "ALPHA   beta",     # normalized dup of corpus 1 -> dropped
+                    "gamma delta",      # normalized dup of corpus 2 -> dropped
+                    "zeta",             # novel -> kept
+                    "zeta",             # in-batch dup -> dropped (min id 12 kept)
+                    "eta",              # novel -> kept
+                ],
+            }
+        )
+    )
+    for use_bloom in (False, True):
+        got = sorted(
+            r["doc_id"]
+            for r in dedup_against_corpus(new, corpus, use_bloom=use_bloom).collect()
+        )
+        assert got == [12, 14], use_bloom
+    # in_batch=False keeps both zetas
+    got = sorted(
+        r["doc_id"] for r in dedup_against_corpus(new, corpus, in_batch=False).collect()
+    )
+    assert got == [12, 13, 14]
+
+
+def test_near_dup_against_corpus(spark):
+    import pandas as pd
+
+    from drivel_spark.ops import near_dup_against_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [base, "completely different words " * 3]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11],
+                "text": [
+                    base.replace("today", "tonight"),  # near-dup of corpus 1
+                    "unrelated fresh novel content with no overlap at all here",
+                ],
+            }
+        )
+    )
+    out = near_dup_against_corpus(
+        new, corpus, threshold=0.5, bands=32, num_perm=64
+    )
+    rows = [(r["new_id"], r["corpus_id"]) for r in out.collect()]
+    out.unpersist()
+    assert (10, 1) in rows
+    assert all(nid != 11 for nid, _ in rows)
+
+
+def test_key_skew_report(spark):
+    import math
+
+    import pandas as pd
+
+    from drivel_spark.ops import key_skew_report
+
+    pdf = pd.DataFrame({"k": ["hot"] * 900 + ["a"] * 50 + ["b"] * 50})
+    rep = key_skew_report(spark.createDataFrame(pdf), "k", top_k=2).collect()
+    assert len(rep) == 2
+    by = {r["key"]: r for r in rep}
+    assert by["hot"]["cnt"] == 900 and by["hot"]["share"] == pytest.approx(0.9)
+    assert rep[0]["key"] == "hot"  # ordered heaviest first... both rows carry summary
+    r = rep[0]
+    assert r["n_rows"] == 1000 and r["n_keys"] == 3
+    assert r["max_share"] == pytest.approx(0.9)
+    want_h = -(0.9 * math.log(0.9) + 2 * 0.05 * math.log(0.05)) / math.log(3)
+    assert r["norm_entropy"] == pytest.approx(want_h, rel=1e-9)
+    # uniform distribution -> entropy 1.0
+    uni = spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "c", "d"] * 25}))
+    assert key_skew_report(uni, "k").first()["norm_entropy"] == pytest.approx(1.0)

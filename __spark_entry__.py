@@ -1081,6 +1081,23 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_percent_rank_documents(spark, sf_dir):
+    """Exact corpus-percentile normalization (ops/selection.py
+    exact_percent_rank): every document's percent_rank of n_chars with
+    NO global sort — bucket histogram → driver prefix offsets →
+    broadcast rejoin → rank() inside bounded per-bucket windows.
+    Small bucket count forces real cross-bucket offsets.  Oracle is
+    DuckDB's native percent_rank window."""
+    from drivel_spark.ops import exact_percent_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        exact_percent_rank(docs, "n_chars", n_buckets=8)
+        .select("doc_id", "n_chars", F.round("pct_rank", 8).alias("pct_rank"))
+        .orderBy("doc_id")
+    )
+
+
 def q_key_skew_orders(spark, sf_dir):
     """Join-key skew diagnosis (ops/skew.py key_skew_report): top-10
     heaviest o_custkey values in orders + cardinality/max-share/
@@ -3130,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": q_weighted_sample_documents,
         "ingest_dedup_documents": q_ingest_dedup_documents,
         "key_skew_orders": q_key_skew_orders,
+        "percent_rank_documents": q_percent_rank_documents,
         "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
@@ -4578,6 +4596,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.o_orderkey = l.l_orderkey)
             GROUP BY l_returnflag ORDER BY returnflag""",
+        "percent_rank_documents": """
+            SELECT doc_id, n_chars,
+                   round(percent_rank() OVER (ORDER BY n_chars), 8) AS pct_rank
+            FROM documents WHERE n_chars IS NOT NULL
+            ORDER BY doc_id""",
         "key_skew_orders": """
             WITH counts AS (
               SELECT o_custkey AS k, count(*)::BIGINT AS cnt

@@ -141,3 +141,74 @@ def top_fraction_filter(
     # Spark sorts NaN ABOVE everything, so a bare v >= t would smuggle
     # NaN scores (excluded from the threshold computation) into the cut
     return df.where(~F.isnan(v) & (v >= F.lit(t))), t
+
+
+def exact_percent_rank(
+    df: DataFrame,
+    col: str,
+    out_col: str = "pct_rank",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Append each row's EXACT ``percent_rank`` of ``col`` (SQL
+    semantics: ``(rank − 1)/(n − 1)`` with rank = 1 + count of strictly
+    smaller values) — the corpus-percentile normalization stage — with
+    NO global sort and NO single-partition window.
+
+    Same two-level shape as the selection above: one agg for
+    (min, max, n), one fixed-width bucket histogram (O(n_buckets) rows
+    to the driver) whose prefix sums become per-bucket rank offsets,
+    broadcast back; then ``rank()`` inside each bucket's bounded window
+    completes the global rank as ``offset + rank_in_bucket``.  Bucket
+    membership and the window partition use the SAME floor expression,
+    so float-edge bucket assignment can never disagree with itself.
+
+    NULL/NaN rows pass through with NULL rank (they don't compete).
+    A single-value column ranks everything 0.0, matching RANK ties.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(col).cast("double")
+    valid = v.isNotNull() & ~F.isnan(v)
+    stats = df.where(valid).agg(F.min(v), F.max(v), F.count(F.lit(1))).first()
+    lo, hi, n = stats[0], stats[1], int(stats[2])
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    if n == 1 or lo == hi:
+        return df.withColumn(
+            out_col, F.when(valid, F.lit(0.0)).otherwise(F.lit(None))
+        )
+    width = (hi - lo) / n_buckets
+    bucket = F.when(
+        valid,
+        F.least(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(n_buckets - 1)).cast(
+            "int"
+        ),
+    ).otherwise(F.lit(-1))
+    tagged = df.withColumn("__pr_bkt", bucket)
+    hist = sorted(
+        (int(r["__pr_bkt"]), int(r["c"]))
+        for r in tagged.where(F.col("__pr_bkt") >= 0)
+        .groupBy("__pr_bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    offsets, cum = [], 0
+    for b, c in hist:
+        offsets.append((b, cum))
+        cum += c
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pr_bkt int, __pr_off long")
+    w = Window.partitionBy("__pr_bkt").orderBy(v)
+    ranked = (
+        tagged.join(F.broadcast(off_df), "__pr_bkt", "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__pr_bkt") >= 0,
+                (F.col("__pr_off") + F.rank().over(w) - F.lit(1))
+                / F.lit(float(n - 1)),
+            ).otherwise(F.lit(None).cast("double")),
+        )
+        .drop("__pr_bkt", "__pr_off")
+    )
+    return ranked

@@ -70,6 +70,24 @@ class TableProfile:
     def columns(self) -> list[str]:
         return list(self.acc.cols)
 
+    def merge(self, other: "TableProfile") -> "TableProfile":
+        """Union two profiles WITHOUT rescanning either table — the
+        accumulators are a commutative monoid (sketches merge, stats
+        fold), so ``profile(A).merge(profile(B)) ≡ profile(A ∪ B)``.
+        This is how a 10^12-row corpus profiles incrementally: each
+        ingest batch pays one scan, the corpus profile is the running
+        fold (the same property checkpoint/resume and the streaming
+        profiler already rely on, exposed for cross-run/cross-table
+        composition).  Mutates and returns self; column sets must
+        match (profiles of the same contract)."""
+        mine, theirs = set(self.acc.cols), set(other.acc.cols)
+        if mine != theirs:
+            raise ValueError(
+                f"profiles cover different columns: {sorted(mine ^ theirs)}"
+            )
+        self.acc.merge(other.acc)
+        return self
+
     def summary(self) -> list[dict[str, Any]]:
         return [acc.summary() for acc in self.acc.cols.values()]
 

@@ -2355,3 +2355,38 @@ def test_key_skew_report(spark):
     # uniform distribution -> entropy 1.0
     uni = spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "c", "d"] * 25}))
     assert key_skew_report(uni, "k").first()["norm_entropy"] == pytest.approx(1.0)
+
+
+def test_exact_percent_rank(spark):
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import exact_percent_rank
+
+    rng = np.random.default_rng(8)
+    vals = np.concatenate([rng.normal(0, 1, 500), [2.0] * 7, [np.nan, np.nan]])
+    pdf = pd.DataFrame({"id": range(len(vals)), "s": vals})
+    df = spark.createDataFrame(pdf)
+    got = (
+        exact_percent_rank(df, "s", n_buckets=8)
+        .orderBy("id")
+        .select("id", "pct_rank")
+        .toPandas()
+    )
+    # reference: SQL percent_rank = (rank-1)/(n-1), rank counts strictly-smaller
+    clean = vals[~np.isnan(vals)]
+    n = len(clean)
+    srt = np.sort(clean)
+    for _, row in got.iterrows():
+        v = vals[int(row.id)]
+        if np.isnan(v):
+            assert row.pct_rank is None or np.isnan(row.pct_rank)
+        else:
+            want = np.searchsorted(srt, v, side="left") / (n - 1)
+            assert row.pct_rank == pytest.approx(want, abs=1e-12), row.id
+    # ties: all seven 2.0 rows share a rank
+    ties = got[got.id >= 500][got.pct_rank.notna()]["pct_rank"].unique()
+    assert len(ties) == 1
+    # degenerate single-value column
+    one = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "s": [5.0, 5.0]}))
+    assert {r["pct_rank"] for r in exact_percent_rank(one, "s").collect()} == {0.0}

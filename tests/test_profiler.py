@@ -210,3 +210,30 @@ def test_diff_profiles_change_kinds(spark):
     # untouched columns emit nothing; identical profiles diff to []
     assert not any(r["column"] == "v" and r["change"] == "nulls_appeared" for r in d)
     assert diff_profiles(profile(base_df), profile(base_df)) == []
+
+
+def test_table_profile_merge_equals_union_profile(spark):
+    """profile(A).merge(profile(B)) ≡ profile(A ∪ B) on every scalar
+    stat and within sketch tolerance on quantiles/distincts — the
+    monoid property that makes incremental corpus profiling exact."""
+    import pytest
+
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.profiling import profile
+
+    a = build_clips(spark, 1500, 4, ClipFixtureSpec(with_audio=False))
+    b = build_clips(spark, 1500, 4, ClipFixtureSpec(seed=43, with_audio=False))
+    cols = ["sr_hz", "dur_ms", "codec", "transcript"]
+    merged = profile(a, columns=cols).merge(profile(b, columns=cols))
+    union = profile(a.unionByName(b), columns=cols)
+    assert merged.n_rows == union.n_rows == 3000
+    for c in ("sr_hz", "dur_ms"):
+        ma, ua = merged.column(c), union.column(c)
+        assert (ma.n, ma.n_null, ma.min_v, ma.max_v) == (ua.n, ua.n_null, ua.min_v, ua.max_v)
+        assert ma.sum_v == pytest.approx(ua.sum_v)
+        assert ma.kll.quantile(0.5) == pytest.approx(ua.kll.quantile(0.5), rel=0.05)
+    mc, uc = merged.column("codec"), union.column("codec")
+    assert mc.freq.counts == uc.freq.counts
+    # mismatched column sets refuse to merge
+    with pytest.raises(ValueError, match="different columns"):
+        profile(a, columns=["sr_hz"]).merge(profile(b, columns=["dur_ms"]))

@@ -866,6 +866,53 @@ def main() -> None:
         )
     )
 
+    # 26. exact percent-rank: bounded per-bucket windows, broadcast
+    # offset rejoin, no global (single-partition) sort
+    from drivel_spark.ops import exact_percent_rank
+
+    p = fmt(exact_percent_rank(docs, "n_chars", n_buckets=8))
+    has_global_sort = bool(
+        re.search(r"Sort \[n_chars[^\]]*\], true", p)  # global-sort signature
+    )
+    sections.append(
+        (
+            "Exact percent-rank (bucketed two-level ranking)",
+            p,
+            [
+                "no global sort (windows are per-bucket): "
+                + ("PASS" if not has_global_sort else "FAIL"),
+                "offset table broadcast: "
+                + ("PASS" if "BroadcastHashJoin" in p else "FAIL"),
+                "all-JVM ranking (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 27. ingest dedup with bloom: the definite-new branch must carry no
+    # join at all (pure filter over the probe), and the confirm branch
+    # anti-joins only bloom hits
+    from drivel_spark.ops import dedup_against_corpus
+
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    newb = docs.filter(F.col("doc_id") % 3 == 0)
+    p = fmt(dedup_against_corpus(newb, corpus, use_bloom=True))
+    sections.append(
+        (
+            "Ingest dedup vs corpus (bloom-prefiltered exact tier)",
+            p,
+            [
+                "probe Arrow-vectorized only (no BatchEvalPython): "
+                + ("PASS" if "ArrowEvalPython" in p and "BatchEvalPython" not in p
+                   else "FAIL"),
+                "confirm anti-join present for hits only (LeftAnti): "
+                + ("PASS" if "LeftAnti" in p else "FAIL"),
+                "no cartesian product: "
+                + ("PASS" if "CartesianProduct" not in p else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

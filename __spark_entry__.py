@@ -1081,6 +1081,60 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def _local_snr_estimate(n: int, spec) -> "object":
+    """Independent per-clip SNR-proxy oracle: stdlib-wave decode +
+    direct per-frame RMS (no cumsum, no engine code) + the same LOWER
+    order-statistic quantiles.  Frame selection is integer-exact, so
+    only RMS float noise separates it from the engine (≪ 0.001 dB)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for cid, _i, pcm, sr in _decode_clips_stdlib(n, spec):
+        win, hop = max(sr * 25 // 1000, 1), max(sr * 10 // 1000, 1)
+        if len(pcm) < win:
+            rows.append((cid, 0, 0.0))
+            continue
+        starts = np.arange(0, len(pcm) - win + 1, hop)
+        rms = np.sort(
+            np.array([float(np.sqrt(np.mean(pcm[s:s + win] ** 2))) for s in starts])
+        )
+        k = len(rms)
+        floor = max(rms[int(0.1 * (k - 1))], 1e-7)
+        signal = max(rms[int(0.9 * (k - 1))], 1e-7)
+        rows.append((cid, k, float(20.0 * np.log10(signal / floor))))
+    return pd.DataFrame(rows, columns=["clip_id", "n_frames", "snr_indep"])
+
+
+def q_snr_estimate_clips(spark, sf_dir):
+    """Reference-free SNR proxy (ops/multimodal.py snr_estimate) over a
+    corpus with planted digital-silence spans (idx%3==1): per-clip
+    frame count + dB gap between the q90 and q10 frame-RMS levels.
+    Oracle: the engine's per-clip values are echoed by DuckDB only if
+    an INDEPENDENT stdlib-wave decode agrees within 0.001 dB (frame
+    counts must match exactly) — any disagreement emits a sentinel and
+    the hash breaks."""
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import snr_estimate
+
+    n = 240 if "0.01" in sf_dir else 120
+    spec = ClipFixtureSpec(with_audio=True, silence_every=3)
+    clips = build_clips(spark, n, 8, spec)
+    out = (
+        snr_estimate(clips)
+        .select("clip_id", "n_frames", F.round("snr_est_db", 4).alias("snr_est_db"))
+        .orderBy("clip_id")
+    )
+    if not _engine_only():
+        _export_oracle(_local_snr_estimate(n, spec), "snr_indep", sf_dir)
+        _export_oracle(
+            out.toPandas(), "snr_engine", sf_dir
+        )
+    return out
+
+
 def q_percent_rank_documents(spark, sf_dir):
     """Exact corpus-percentile normalization (ops/selection.py
     exact_percent_rank): every document's percent_rank of n_chars with
@@ -3148,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_dedup_documents": q_ingest_dedup_documents,
         "key_skew_orders": q_key_skew_orders,
         "percent_rank_documents": q_percent_rank_documents,
+        "snr_estimate_clips": q_snr_estimate_clips,
         "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
@@ -4596,6 +4651,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.o_orderkey = l.l_orderkey)
             GROUP BY l_returnflag ORDER BY returnflag""",
+        "snr_estimate_clips": f"""
+            SELECT e.clip_id,
+                   CASE WHEN e.n_frames = i.n_frames
+                        THEN e.n_frames ELSE -1 END AS n_frames,
+                   CASE WHEN abs(e.snr_est_db - i.snr_indep) <= 0.001
+                        THEN e.snr_est_db ELSE -999.0 END AS snr_est_db
+            FROM read_parquet('{ORACLE_DIR}/snr_engine_sf0.01.parquet') e
+            JOIN read_parquet('{ORACLE_DIR}/snr_indep_sf0.01.parquet') i
+              USING (clip_id)
+            ORDER BY e.clip_id""",
         "percent_rank_documents": """
             SELECT doc_id, n_chars,
                    round(percent_rank() OVER (ORDER BY n_chars), 8) AS pct_rank

@@ -955,3 +955,77 @@ def embed_binary_column(
 
     schema = _id_schema(df, id_cols) + ", embedding array<float>"
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+SNR_ESTIMATE_SCHEMA = (
+    "n_frames int, floor_rms double, signal_rms double, snr_est_db double"
+)
+
+
+def snr_estimate(df: DataFrame, bytes_col: str = "bytes",
+                 id_cols: Optional[list[str]] = None,
+                 frame_ms: int = 25, hop_ms: int = 10,
+                 q_floor: float = 0.1, q_signal: float = 0.9,
+                 eps: float = 1e-7) -> DataFrame:
+    """Reference-free SNR proxy per WAV clip: the dB gap between the
+    loud-frame level (``q_signal`` quantile of frame RMS) and the
+    noise-floor level (``q_floor`` quantile) — the classic VAD-free
+    speech-to-floor estimate.  A steady tone scores ≈0 dB (no dynamic
+    range); speech over room tone scores its true floor gap; digital
+    silence spans push the floor to ``eps`` and the score high — so
+    the same number routes both "too flat" and "padded with silence"
+    clips for review without decoding twice.
+
+    Quantiles use the LOWER (index = floor(q·(k−1))) order statistic —
+    no interpolation, so an independent decode reproduces the frame
+    selection exactly and only RMS arithmetic carries float noise.
+    Frame windows share frame_energy's floor-division convention.
+    One narrow scan → mapInPandas, no shuffle; undecodable clips yield
+    NULLs, clips shorter than one frame yield n_frames=0.
+    """
+    id_cols = id_cols or ["clip_id"]
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in ("n_frames", "floor_rms", "signal_rms",
+                                    "snr_est_db")}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                n = len(pcm)
+                win = max(sr * frame_ms // 1000, 1)
+                hop = max(sr * hop_ms // 1000, 1)
+                if n < win:
+                    cols["n_frames"].append(0)
+                    cols["floor_rms"].append(0.0)
+                    cols["signal_rms"].append(0.0)
+                    cols["snr_est_db"].append(0.0)
+                    continue
+                x = pcm.astype(np.float64)
+                csum = np.concatenate(([0.0], np.cumsum(x * x)))
+                starts = np.arange(0, n - win + 1, hop)
+                rms = np.sort(np.sqrt(
+                    np.maximum(csum[starts + win] - csum[starts], 0.0) / win
+                ))
+                k = len(rms)
+                floor = float(rms[int(q_floor * (k - 1))])
+                signal = float(rms[int(q_signal * (k - 1))])
+                snr = 20.0 * np.log10(max(signal, eps) / max(floor, eps))
+                cols["n_frames"].append(k)
+                cols["floor_rms"].append(floor)
+                cols["signal_rms"].append(signal)
+                cols["snr_est_db"].append(float(snr))
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + SNR_ESTIMATE_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)

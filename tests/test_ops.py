@@ -2390,3 +2390,61 @@ def test_exact_percent_rank(spark):
     # degenerate single-value column
     one = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "s": [5.0, 5.0]}))
     assert {r["pct_rank"] for r in exact_percent_rank(one, "s").collect()} == {0.0}
+
+
+def test_snr_estimate_routes_silence_and_flat(spark):
+    """The frame-percentile SNR proxy separates clips with planted
+    digital-silence spans (floor -> eps, high dB) from steady
+    tone+noise clips (~0 dB dynamic range); values match an
+    independent stdlib-wave + numpy re-derivation exactly on the
+    frame-selection and within float noise on RMS."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips, clips_pdf
+    from drivel_spark.ops import snr_estimate
+
+    n = 60
+    spec = ClipFixtureSpec(with_audio=True, silence_every=3)
+    clips = build_clips(spark, n, 4, spec)
+    got = {r["clip_id"]: r for r in snr_estimate(clips).collect()}
+    pdf = clips_pdf(range(n), spec)
+    planted = {
+        row.clip_id: (int(row.Index) % 3 == 1)
+        for row in pdf.reset_index().itertuples()
+    }
+    # a clip must be long enough that some 25ms frame falls entirely
+    # inside the planted [0.4n, 0.7n) zero span; ~50ms clips are not
+    silent_scores = [
+        got[c]["snr_est_db"]
+        for c, p in planted.items()
+        if p and got[c]["n_frames"] >= 20
+    ]
+    clean_scores = [got[c]["snr_est_db"] for c, p in planted.items() if not p]
+    assert silent_scores and min(silent_scores) > 40.0  # floor -> eps
+    assert max(clean_scores) < 6.0  # steady tone+noise: little dynamic range
+
+    # independent re-derivation (stdlib wave decode, direct per-frame RMS)
+    for cid, b in list(zip(pdf["clip_id"], pdf["bytes"]))[:10]:
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            sr = w.getframerate()
+            pcm = (
+                np.frombuffer(w.readframes(w.getnframes()), dtype="<i2").astype(
+                    np.float32
+                )
+                / 32767.0
+            ).astype(np.float64)
+        win, hop = max(sr * 25 // 1000, 1), max(sr * 10 // 1000, 1)
+        starts = np.arange(0, len(pcm) - win + 1, hop)
+        rms = np.sort(
+            np.array([np.sqrt(np.mean(pcm[s:s + win] ** 2)) for s in starts])
+        )
+        k = len(rms)
+        floor = rms[int(0.1 * (k - 1))]
+        signal = rms[int(0.9 * (k - 1))]
+        want = 20.0 * np.log10(max(signal, 1e-7) / max(floor, 1e-7))
+        r = got[cid]
+        assert r["n_frames"] == k
+        assert r["snr_est_db"] == pytest.approx(want, abs=1e-6), cid

@@ -1081,6 +1081,23 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_lm_scores_documents(spark, sf_dir):
+    """Unigram-LM quality scores (ops/text.py lm_quality_scores): the
+    cheap perplexity-proxy filter — corpus trains a smoothed unigram LM
+    over its own exact top-500 vocabulary (broadcast into the lookup,
+    so the exploded token stream never shuffles for it), each document
+    scores its mean token log-probability.  Oracle re-derives the
+    tokenization, the (n desc, token asc) vocab cut, and the add-k
+    algebra in SQL."""
+    from drivel_spark.ops import lm_quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lm_quality_scores(docs, top_k=500, add_k=0.5)
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
+    ).orderBy("doc_id")
+
+
 def _local_snr_estimate(n: int, spec) -> "object":
     """Independent per-clip SNR-proxy oracle: stdlib-wave decode +
     direct per-frame RMS (no cumsum, no engine code) + the same LOWER
@@ -3203,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_orders": q_key_skew_orders,
         "percent_rank_documents": q_percent_rank_documents,
         "snr_estimate_clips": q_snr_estimate_clips,
+        "lm_scores_documents": q_lm_scores_documents,
         "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
@@ -4651,6 +4669,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.o_orderkey = l.l_orderkey)
             GROUP BY l_returnflag ORDER BY returnflag""",
+        "lm_scores_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''),
+            cnt AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token),
+            tot AS (SELECT sum(n)::DOUBLE AS n_total FROM cnt),
+            vocab AS (SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT 500)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(ln((coalesce(v.n, 0) + 0.5)
+                                / (tot.n_total + 0.5 * 501))), 6) AS mean_logprob
+            FROM toks t LEFT JOIN vocab v USING (token), tot
+            GROUP BY t.doc_id ORDER BY t.doc_id""",
         "snr_estimate_clips": f"""
             SELECT e.clip_id,
                    CASE WHEN e.n_frames = i.n_frames

@@ -907,3 +907,49 @@ def chunk_documents(
         out = with_token_counts(out, text_col="chunk", out_col="n_tokens",
                                 tokenizer=tokenizer)
     return out
+
+
+def lm_quality_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 2000,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Unigram language-model quality score per document — the cheap
+    tier of the KenLM-style perplexity filter: the corpus trains a
+    smoothed unigram LM over its own top-``top_k`` vocabulary, and each
+    document scores the mean natural-log probability of its tokens.
+    Gibberish, OCR noise, and wrong-language text are rare-token-heavy
+    and score far below fluent text; rank/threshold the score with
+    top_fraction_filter or exact_percent_rank downstream.
+
+    Model (deterministic, self-contained): vocab = exact top-k tokens
+    by corpus count with the (n desc, token asc) tiebreak (vocab_top_k's
+    rule); OOV tokens carry count 0; add-k smoothing over V = top_k + 1
+    events:  P(t) = (c(t) + add_k) / (N_total + add_k·(top_k + 1)).
+
+    Scale shape: one explode → partial+final token count (hot
+    stop-tokens collapse map-side), TakeOrdered top-k; the O(top_k)
+    vocab BROADCASTS into the per-token lookup join, so the exploded
+    token stream never shuffles for the lookup; one groupBy(id) mean
+    (bounded per-doc state) finishes.  Returns (id, n_tokens,
+    mean_logprob)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    n_total = counts.agg(F.sum("n")).first()[0] or 0
+    if n_total == 0:
+        raise ValueError("corpus has no tokens")
+    vocab = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_k)
+    denom = float(n_total) + add_k * (top_k + 1)
+    logp = F.log((F.coalesce(F.col("n"), F.lit(0)) + F.lit(add_k)) / F.lit(denom))
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(logp).alias("mean_logprob"),
+        )
+    )

@@ -2448,3 +2448,47 @@ def test_snr_estimate_routes_silence_and_flat(spark):
         r = got[cid]
         assert r["n_frames"] == k
         assert r["snr_est_db"] == pytest.approx(want, abs=1e-6), cid
+
+
+def test_lm_quality_scores(spark):
+    """Fluent repeats of common tokens outscore rare-token gibberish;
+    scores replay exactly in plain python with the same smoothing."""
+    import math
+
+    import pandas as pd
+
+    from drivel_spark.ops import lm_quality_scores
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    gibber = "zxqv wvuut qqqpy kjhgf zzyyx"
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [fluent, fluent.replace("cat", "bird"), gibber],
+        }
+    )
+    df = spark.createDataFrame(corpus)
+    got = {
+        r["doc_id"]: r
+        for r in lm_quality_scores(df, top_k=10, add_k=0.5).collect()
+    }
+    assert got[1]["mean_logprob"] > got[3]["mean_logprob"]
+
+    # exact python replay: top-10 vocab by (count desc, token asc)
+    from collections import Counter
+
+    all_toks = []
+    for t in corpus.text:
+        all_toks += t.lower().split()
+    cnt = Counter(all_toks)
+    vocab = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+    n_total = sum(cnt.values())
+    denom = n_total + 0.5 * 11
+
+    def score(text):
+        ts = text.lower().split()
+        return sum(math.log((vocab.get(t, 0) + 0.5) / denom) for t in ts) / len(ts)
+
+    for d, text in zip(corpus.doc_id, corpus.text):
+        assert got[d]["mean_logprob"] == pytest.approx(score(text), rel=1e-12), d
+        assert got[d]["n_tokens"] == len(text.split())

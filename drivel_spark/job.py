@@ -511,13 +511,22 @@ def cmd_validate_stream(args) -> dict:
 
     spark = build_session("drivel-validate-stream")
     t0 = time.time()
-    row_cs = [
-        Enum("sr_enum", "sr_hz", tuple(int(v) for v in sorted(SR_VALUES.tolist()))),
-        Range("dur_range", "dur_ms", 200, 30000),
-        Enum("codec_enum", "codec", tuple(sorted(CODEC_ENUM))),
-        NotNull("transcript_not_null", "transcript"),
-        Format("clip_id_uuid", "clip_id", "uuid"),
-    ]
+    if getattr(args, "constraints", None):
+        # same contract-file front-end as batch validate; the stream
+        # path accepts ROW-LEVEL specs only (validate_stream raises on
+        # dataset-level entries — uniqueness/referential belong to the
+        # reconcile verb)
+        from drivel_spark.constraints.specfile import load_spec_file
+
+        row_cs = load_spec_file(args.constraints)
+    else:
+        row_cs = [
+            Enum("sr_enum", "sr_hz", tuple(int(v) for v in sorted(SR_VALUES.tolist()))),
+            Range("dur_range", "dur_ms", 200, 30000),
+            Enum("codec_enum", "codec", tuple(sorted(CODEC_ENUM))),
+            NotNull("transcript_not_null", "transcript"),
+            Format("clip_id_uuid", "clip_id", "uuid"),
+        ]
     scope = F.pmod(F.xxhash64(F.col("clip_id")), F.lit(args.n_scopes)).cast("long")
     validate_stream(
         spark,
@@ -849,6 +858,8 @@ def main(argv=None) -> None:
     svs.add_argument("--checkpoint", required=True)
     svs.add_argument("--n-scopes", type=int, default=64)
     svs.add_argument("--max-files-per-trigger", type=int, default=None)
+    svs.add_argument("--constraints",
+                     help="JSON constraint-spec file (row-level types only)")
 
     sr = sub.add_parser("reconcile")
     sr.add_argument("--source", required=True, help="the streamed clips parquet dir")

@@ -412,3 +412,44 @@ def test_segment_verb(spark, tmp_path):
         )
     )
     assert sliced["n_segments"] < out["n_segments"]
+
+
+def test_validate_stream_with_spec_file(spark, tmp_path):
+    """validate-stream --constraints uses the contract file's row-level
+    suite; dataset-level entries in the file are rejected by the
+    stream's row-only contract."""
+    import json as _json
+
+    from drivel_spark.fixtures import CLIPS_SCHEMA, ClipFixtureSpec, clips_pdf
+    from drivel_spark.job import cmd_validate_stream
+
+    source = str(tmp_path / "src")
+    spec = ClipFixtureSpec(with_audio=False)
+    spark.createDataFrame(clips_pdf(range(0, 300), spec), CLIPS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(source)
+
+    good = tmp_path / "contract.json"
+    good.write_text(_json.dumps({"constraints": [
+        {"type": "not_null", "column": "transcript"},
+        {"type": "range", "column": "dur_ms", "lo": 200, "hi": 30000},
+    ]}))
+    out = cmd_validate_stream(argparse.Namespace(
+        source=source, report=str(tmp_path / "rep"),
+        checkpoint=str(tmp_path / "ck"), n_scopes=4, max_files_per_trigger=None,
+        constraints=str(good),
+    ))
+    assert out["n_rows_total"] == 300
+
+    bad = tmp_path / "bad.json"
+    import pytest as _pytest
+
+    bad.write_text(_json.dumps({"constraints": [
+        {"type": "unique", "column": "clip_id"},
+    ]}))
+    with _pytest.raises(ValueError, match="row-level"):
+        cmd_validate_stream(argparse.Namespace(
+            source=source, report=str(tmp_path / "rep2"),
+            checkpoint=str(tmp_path / "ck2"), n_scopes=4,
+            max_files_per_trigger=None, constraints=str(bad),
+        ))

@@ -241,11 +241,17 @@ class Referential(Constraint):
 
 @dataclass(frozen=True)
 class Drift(Constraint):
-    """Dataset-level: KS / PSI of this batch's sketch vs a baseline
-    profile's sketch (drift.py)."""
+    """Dataset-level: distribution distance of this batch's sketch vs
+    a baseline profile's sketch (drift.py).  KS and PSI always gate;
+    ``max_w1`` (numeric Wasserstein-1 — carries the shift MAGNITUDE in
+    the column's own units where KS saturates) and ``max_chi2``
+    (categorical chi-square statistic) gate only when set, since their
+    scales are column-specific."""
 
     max_ks: float = 0.1
     max_psi: float = 0.2
+    max_w1: Optional[float] = None
+    max_chi2: Optional[float] = None
 
     @property
     def is_row_level(self) -> bool:

@@ -94,7 +94,7 @@ _TYPES: dict[str, tuple] = {
         {"group_col": "group_col", "agg": "agg", "lo": "lo", "hi": "hi"},
         ("group_col",),
     ),
-    "drift": (Drift, {"max_ks": "max_ks", "max_psi": "max_psi"}, ()),
+    "drift": (Drift, {"max_ks": "max_ks", "max_psi": "max_psi", "max_w1": "max_w1", "max_chi2": "max_chi2"}, ()),
 }
 
 _COMMON = {"type", "column", "name", "when", "then"}

@@ -472,15 +472,25 @@ def _group_bound_result(c: GroupBound, agg_row, gtab: DataFrame):
 def _check_drift(c: Drift, profile, baseline_profile) -> dict[str, Any]:
     metrics = drift_column(baseline_profile.column(c.column), profile.column(c.column))
     ks, psi = metrics.get("ks"), metrics.get("psi")
-    failed = (ks is not None and ks > c.max_ks) or (psi is not None and psi > c.max_psi)
+    w1, chi2 = metrics.get("w1"), metrics.get("chi2")
+    failed = (
+        (ks is not None and ks > c.max_ks)
+        or (psi is not None and psi > c.max_psi)
+        or (c.max_w1 is not None and w1 is not None and w1 > c.max_w1)
+        or (c.max_chi2 is not None and chi2 is not None and chi2 > c.max_chi2)
+    )
     return {
         "constraint": c.name,
         "type": "drift",
         "column": c.column,
         "ks": ks,
         "psi": psi,
+        "w1": w1,
+        "chi2": chi2,
         "max_ks": c.max_ks,
         "max_psi": c.max_psi,
+        "max_w1": c.max_w1,
+        "max_chi2": c.max_chi2,
         "n_violations": int(failed),
         "passed": not failed,
     }

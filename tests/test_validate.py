@@ -788,3 +788,29 @@ def test_validate_with_spec_file_cli(spark, tmp_path):
     names = {r["constraint"] for r in out["dataset_checks"]} if out.get("dataset_checks") else set()
     assert "dur_ms_group_bound" in names
     assert out["n_rows"] == n
+
+
+def test_drift_w1_threshold(spark):
+    """A pure location shift that KS/PSI thresholds would have to be
+    tuned for is gated directly by max_w1 in the column's own units."""
+    base = build_clips(spark, 3000, 4, ClipFixtureSpec(variant="clean", with_audio=False))
+    shifted = base.withColumn("dur_ms", (F.col("dur_ms") + 400).cast("int"))
+    p_base = profile(base, columns=["dur_ms"])
+    p_shift = profile(shifted, columns=["dur_ms"])
+    res = validate(
+        shifted,
+        [Drift("dur_w1", "dur_ms", max_ks=1.1, max_psi=1e9, max_w1=200.0)],
+        profile=p_shift,
+        baseline_profile=p_base,
+    )
+    d = res.dataset[0]
+    assert d["w1"] == pytest.approx(400.0, rel=0.05)
+    assert not d["passed"]  # only the w1 gate can have fired
+    # same data passes when only ks/psi gate with loose bounds
+    res2 = validate(
+        shifted,
+        [Drift("dur_loose", "dur_ms", max_ks=1.1, max_psi=1e9)],
+        profile=p_shift,
+        baseline_profile=p_base,
+    )
+    assert res2.dataset[0]["passed"]

@@ -248,6 +248,66 @@ def _constraints(meta: dict, baseline) -> list:
     return cs
 
 
+def cmd_mix(args) -> dict:
+    """Data-mixture composition as a job verb (ops/mixing.py): sample a
+    source table down to target per-group shares under a row/token
+    budget and write the survivors; the achieved-mixture report prints
+    in the JSON line.  --weights is ``key=w,key=w``; --size-col switches
+    the budget to token units; the sample itself is the deterministic
+    md5 filter — reruns write the identical row set."""
+    from drivel_spark.io import read_table
+    from drivel_spark.ops import mix_corpora, mixture_plan, mixture_report
+
+    spark = build_session("drivel-mix")
+    df = read_table(spark, args.data)
+    weights = {}
+    for part in args.weights.split(","):
+        k, _, w = part.partition("=")
+        if not _ or not k:
+            raise SystemExit(f"--weights entry {part!r} is not key=weight")
+        weights[k.strip()] = float(w)
+    t0 = time.time()
+    plan = mixture_plan(
+        df, args.by, weights, budget=args.budget, size_col=args.size_col
+    )
+    sampled = mix_corpora(
+        df, args.by, args.id_col, weights, seed=args.seed, plan=plan
+    )
+    if args.out:
+        sampled.write.mode("overwrite").parquet(args.out)
+    report = (
+        mixture_report(
+            df, args.by, args.id_col, weights, budget=args.budget,
+            size_col=args.size_col, seed=args.seed,
+        )
+        .orderBy("source")
+        .collect()
+    )
+    wall = time.time() - t0
+    return {
+        "job": "mix",
+        "by": args.by,
+        "budget": plan.budget,
+        "size_col": args.size_col,
+        "seed": args.seed,
+        "wall_s": round(wall, 3),
+        "out": args.out,
+        "report": [
+            {
+                "source": r["source"],
+                "available": r["available"],
+                "target_share": round(r["target_share"], 6),
+                "rate": round(r["rate"], 6),
+                "kept": r["kept"],
+                "achieved_share": round(r["achieved_share"], 6)
+                if r["achieved_share"] is not None
+                else None,
+            }
+            for r in report
+        ],
+    }
+
+
 def cmd_describe(args) -> dict:
     """The reference's `drivel describe` at table scale: one profile
     scan → human-readable schema (reference schema.rs:535-595) or JSON
@@ -788,6 +848,17 @@ def main(argv=None) -> None:
     sp.add_argument("--no-audio", action="store_true")
     sp.add_argument("--out", required=True)
 
+    sm = sub.add_parser("mix")
+    sm.add_argument("--data", required=True, help="source table (path or iceberg: ref)")
+    sm.add_argument("--by", required=True, help="source/group column")
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--weights", required=True, help="key=w,key=w target shares")
+    sm.add_argument("--budget", type=float, default=None,
+                    help="total kept rows (or --size-col units); default = largest exact-proportion budget")
+    sm.add_argument("--size-col", default=None, help="token/size column for the budget")
+    sm.add_argument("--seed", type=int, default=42)
+    sm.add_argument("--out", default=None, help="write survivors here (parquet)")
+
     ss = sub.add_parser("segment")
     ss.add_argument("--data", default=None, help="db dir containing /clips")
     ss.add_argument("--clips", default=None,
@@ -906,6 +977,7 @@ def main(argv=None) -> None:
     out = {
         "prepare": cmd_prepare,
         "segment": cmd_segment,
+        "mix": cmd_mix,
         "baseline": cmd_baseline,
         "validate": cmd_validate,
         "diff": cmd_diff,

@@ -453,3 +453,36 @@ def test_validate_stream_with_spec_file(spark, tmp_path):
             checkpoint=str(tmp_path / "ck2"), n_scopes=4,
             max_files_per_trigger=None, constraints=str(bad),
         ))
+
+
+def test_mix_verb(spark, tmp_path):
+    """mix job verb: plan + deterministic sample + report, end to end."""
+    import pandas as pd
+
+    from drivel_spark.job import cmd_mix
+
+    src = str(tmp_path / "docs")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "lang": ["en"] * 800 + ["de"] * 200,
+            "n_chars": [100] * 1000,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = cmd_mix(argparse.Namespace(
+        data=src, by="lang", id_col="doc_id", weights="en=0.5,de=0.5",
+        budget=200.0, size_col=None, seed=42, out=str(tmp_path / "mixed"),
+    ))
+    rep = {r["source"]: r for r in out["report"]}
+    assert rep["en"]["rate"] == 100 / 800 and rep["de"]["rate"] == 100 / 200
+    written = spark.read.parquet(str(tmp_path / "mixed"))
+    # written survivors match the report's kept counts exactly
+    got = {r["lang"]: r["cnt"] for r in written.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == {s: int(rep[s]["kept"]) for s in rep}
+    with pytest.raises(SystemExit, match="key=weight"):
+        cmd_mix(argparse.Namespace(
+            data=src, by="lang", id_col="doc_id", weights="en:0.5",
+            budget=None, size_col=None, seed=42, out=None,
+        ))

@@ -458,6 +458,7 @@ def test_validate_stream_with_spec_file(spark, tmp_path):
 def test_mix_verb(spark, tmp_path):
     """mix job verb: plan + deterministic sample + report, end to end."""
     import pandas as pd
+    from pyspark.sql import functions as F
 
     from drivel_spark.job import cmd_mix
 
@@ -481,7 +482,9 @@ def test_mix_verb(spark, tmp_path):
     got = {r["lang"]: r["cnt"] for r in written.groupBy("lang").agg(
         F.count(F.lit(1)).alias("cnt")).collect()}
     assert got == {s: int(rep[s]["kept"]) for s in rep}
-    with pytest.raises(SystemExit, match="key=weight"):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="key=weight"):
         cmd_mix(argparse.Namespace(
             data=src, by="lang", id_col="doc_id", weights="en:0.5",
             budget=None, size_col=None, seed=42, out=None,

@@ -1081,6 +1081,46 @@ def q_dedup_survivors_documents(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_value_histogram_lineitem(spark, sf_dir):
+    """Equi-width value histogram (ops/selection.py value_histogram):
+    l_extendedprice over 16 buckets — one O(1) range agg + one
+    partial+final bucket count; the oracle replays the identical
+    floor/width double arithmetic."""
+    from drivel_spark.ops import value_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    h = value_histogram(li, "l_extendedprice", n_buckets=16)
+    return h.select(
+        "bucket", F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi"), "n"
+    ).orderBy("bucket")
+
+
+def q_iqr_outliers_lineitem(spark, sf_dir):
+    """Tukey-fence outlier screen from EXACT quartiles (ops/selection.py
+    iqr_bounds — two histogram-refinement searches, no sort): per-
+    returnflag counts of l_extendedprice rows outside q1−1.5·IQR /
+    q3+1.5·IQR.  The oracle re-derives the quartiles as ORDER BY
+    order statistics and the same fence arithmetic — identical doubles,
+    so boundary rows classify identically."""
+    from drivel_spark.ops import iqr_bounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi = iqr_bounds(li, "l_extendedprice", n_buckets=8, leaf_limit=1024)
+    out = F.col("l_extendedprice").isNotNull() & (
+        (F.col("l_extendedprice") < F.lit(lo)) | (F.col("l_extendedprice") > F.lit(hi))
+    )
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+            F.lit(round(lo, 4)).alias("fence_lo"),
+            F.lit(round(hi, 4)).alias("fence_hi"),
+        )
+        .orderBy("returnflag")
+    )
+
+
 def q_lm_scores_documents(spark, sf_dir):
     """Unigram-LM quality scores (ops/text.py lm_quality_scores): the
     cheap perplexity-proxy filter — corpus trains a smoothed unigram LM
@@ -3221,6 +3261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_rank_documents": q_percent_rank_documents,
         "snr_estimate_clips": q_snr_estimate_clips,
         "lm_scores_documents": q_lm_scores_documents,
+        "value_histogram_lineitem": q_value_histogram_lineitem,
+        "iqr_outliers_lineitem": q_iqr_outliers_lineitem,
         "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
@@ -4669,6 +4711,37 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.o_orderkey = l.l_orderkey)
             GROUP BY l_returnflag ORDER BY returnflag""",
+        "value_histogram_lineitem": """
+            WITH r AS (
+              SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            b AS (
+              SELECT least(floor((l_extendedprice - r.lo) / ((r.hi - r.lo) / 16)),
+                           15)::INT AS bucket
+              FROM lineitem, r WHERE l_extendedprice IS NOT NULL)
+            SELECT b.bucket,
+                   round(r.lo + b.bucket * ((r.hi - r.lo) / 16), 4) AS lo,
+                   round(r.lo + (b.bucket + 1) * ((r.hi - r.lo) / 16), 4) AS hi,
+                   count(*)::BIGINT AS n
+            FROM b, r GROUP BY b.bucket, r.lo, r.hi ORDER BY b.bucket""",
+        "iqr_outliers_lineitem": """
+            WITH n AS (SELECT count(*)::BIGINT AS n FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL),
+            q1 AS (SELECT l_extendedprice AS v FROM lineitem
+                   WHERE l_extendedprice IS NOT NULL ORDER BY l_extendedprice
+                   LIMIT 1 OFFSET (SELECT (ceil(0.25 * n) - 1)::BIGINT FROM n)),
+            q3 AS (SELECT l_extendedprice AS v FROM lineitem
+                   WHERE l_extendedprice IS NOT NULL ORDER BY l_extendedprice
+                   LIMIT 1 OFFSET (SELECT (ceil(0.75 * n) - 1)::BIGINT FROM n)),
+            f AS (SELECT q1.v - 1.5 * (q3.v - q1.v) AS lo,
+                         q3.v + 1.5 * (q3.v - q1.v) AS hi FROM q1, q3)
+            SELECT l_returnflag AS returnflag, count(*)::BIGINT AS n_rows,
+                   sum((l_extendedprice IS NOT NULL
+                        AND (l_extendedprice < f.lo OR l_extendedprice > f.hi))::INT
+                      )::BIGINT AS n_outliers,
+                   round(f.lo, 4) AS fence_lo, round(f.hi, 4) AS fence_hi
+            FROM lineitem, f GROUP BY l_returnflag, f.lo, f.hi
+            ORDER BY returnflag""",
         "lm_scores_documents": """
             WITH toks AS (
               SELECT doc_id,

@@ -43,9 +43,12 @@ def top_fraction_threshold(
     n_buckets: int = 256,
     leaf_limit: int = 65536,
     max_rounds: int = 24,
+    k: int = None,
 ) -> float:
     """The exact k-th largest value of ``col`` where k = ceil(frac·n),
-    NULL/NaN excluded.  frac=1.0 returns the minimum."""
+    NULL/NaN excluded.  frac=1.0 returns the minimum.  An explicit
+    ``k`` overrides the frac-derived rank (exact_quantile uses this —
+    ceil((k/n)·n) can land on k+1 under float slop)."""
     if not (0.0 < frac <= 1.0):
         raise ValueError(f"frac must be in (0, 1]: {frac}")
     vals = df.select(F.col(col).cast("double").alias("v")).where(
@@ -54,7 +57,7 @@ def top_fraction_threshold(
     lo, hi, n = vals.agg(F.min("v"), F.max("v"), F.count("v")).first()
     if not n:
         raise ValueError(f"no non-null values in {col!r}")
-    k = int(math.ceil(frac * n))
+    k = int(math.ceil(frac * n)) if k is None else min(max(int(k), 1), int(n))
     gmax = float(hi)
 
     def _leaf(in_range: DataFrame, need: int) -> float:
@@ -212,3 +215,72 @@ def exact_percent_rank(
         .drop("__pr_bkt", "__pr_off")
     )
     return ranked
+
+
+def exact_quantile(df: DataFrame, col: str, q: float, **kw) -> float:
+    """The EXACT upper-rounding empirical q-quantile: the smallest
+    value v with at least ceil(q·n) values ≤ v (the ORDER BY … LIMIT 1
+    OFFSET ceil(q·n)−1 order statistic).  One count + the same
+    histogram-refinement search as top_fraction_threshold — no sort.
+    q=0 returns the minimum, q=1 the maximum."""
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"q must be in [0, 1]: {q}")
+    v = F.col(col).cast("double")
+    n = int(
+        df.where(v.isNotNull() & ~F.isnan(v)).agg(F.count(F.lit(1))).first()[0]
+    )
+    if n == 0:
+        raise ValueError(f"no non-null values in {col!r}")
+    k_from_bottom = max(int(math.ceil(q * n)), 1)
+    k_from_top = n - k_from_bottom + 1
+    return top_fraction_threshold(df, col, k_from_top / n, k=k_from_top, **kw)
+
+
+def iqr_bounds(
+    df: DataFrame, col: str, whisker: float = 1.5, **kw
+) -> tuple[float, float]:
+    """Tukey outlier fences from EXACT quartiles: (q1 − w·IQR,
+    q3 + w·IQR).  Two refinement searches, no sort — the robust
+    complement of from_profile's min/max envelope (a single wild value
+    poisons min/max; it cannot move a quartile)."""
+    q1 = exact_quantile(df, col, 0.25, **kw)
+    q3 = exact_quantile(df, col, 0.75, **kw)
+    iqr = q3 - q1
+    return q1 - whisker * iqr, q3 + whisker * iqr
+
+
+def value_histogram(
+    df: DataFrame, col: str, n_buckets: int = 32
+) -> DataFrame:
+    """Equi-width value histogram: (bucket, lo, hi, n) rows — the
+    describe-level distribution primitive behind the drift/selection
+    machinery, exposed as a report.  One O(1) agg for the range + one
+    partial+final bucket count; the top bucket's hi edge is inclusive
+    (same floor-clamp convention as the selection ops)."""
+    v = F.col(col).cast("double")
+    stats = df.where(v.isNotNull() & ~F.isnan(v)).agg(
+        F.min(v), F.max(v), F.count(F.lit(1))
+    ).first()
+    lo, hi, n = stats[0], stats[1], int(stats[2])
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "bucket int, lo double, hi double, n long")
+    if lo == hi:
+        return spark.createDataFrame(
+            [(0, float(lo), float(hi), n)], "bucket int, lo double, hi double, n long"
+        )
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(n_buckets - 1)
+    ).cast("int")
+    counts = (
+        df.where(v.isNotNull() & ~F.isnan(v))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.select(
+        "bucket",
+        (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo"),
+        (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+        "n",
+    ).orderBy("bucket")

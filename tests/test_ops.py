@@ -2492,3 +2492,44 @@ def test_lm_quality_scores(spark):
     for d, text in zip(corpus.doc_id, corpus.text):
         assert got[d]["mean_logprob"] == pytest.approx(score(text), rel=1e-12), d
         assert got[d]["n_tokens"] == len(text.split())
+
+
+def test_exact_quantile_matches_order_statistic(spark):
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import exact_quantile, iqr_bounds
+
+    rng = np.random.default_rng(12)
+    v = rng.normal(50.0, 10.0, 5000)
+    df = spark.createDataFrame(pd.DataFrame({"s": v}))
+    srt = np.sort(v)
+    for q in (0.0, 0.25, 0.5, 0.75, 0.99, 1.0):
+        want = srt[max(int(np.ceil(q * len(v))), 1) - 1]
+        got = exact_quantile(df, "s", q, n_buckets=8, leaf_limit=64)
+        assert got == want, q
+    lo, hi = iqr_bounds(df, "s", n_buckets=8, leaf_limit=64)
+    q1 = srt[int(np.ceil(0.25 * len(v))) - 1]
+    q3 = srt[int(np.ceil(0.75 * len(v))) - 1]
+    assert lo == pytest.approx(q1 - 1.5 * (q3 - q1))
+    assert hi == pytest.approx(q3 + 1.5 * (q3 - q1))
+    with pytest.raises(ValueError, match="q must"):
+        exact_quantile(df, "s", 1.5)
+
+
+def test_value_histogram(spark):
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import value_histogram
+
+    v = np.concatenate([np.zeros(10), np.ones(30), np.full(60, 2.0), [np.nan]])
+    df = spark.createDataFrame(pd.DataFrame({"s": v}))
+    rows = value_histogram(df, "s", n_buckets=2).collect()
+    # 1.0 sits exactly on the bucket edge -> floor assigns it to bucket 1
+    assert [(r["bucket"], r["n"]) for r in rows] == [(0, 10), (1, 90)]
+    assert rows[0]["lo"] == 0.0 and rows[1]["hi"] == 2.0
+    assert sum(r["n"] for r in rows) == 100  # NaN excluded
+    one = spark.createDataFrame(pd.DataFrame({"s": [7.0] * 5}))
+    r = value_histogram(one, "s").collect()
+    assert len(r) == 1 and r[0]["n"] == 5 and r[0]["lo"] == r[0]["hi"] == 7.0

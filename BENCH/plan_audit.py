@@ -913,6 +913,64 @@ def main() -> None:
         )
     )
 
+    # 28. equi-width value histogram: one range agg (driver floats) +
+    # one partial+final bucket count, all-JVM, pruned scan
+    from drivel_spark.ops import value_histogram
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    p = fmt(value_histogram(li, "l_extendedprice", n_buckets=32))
+    sections.append(
+        (
+            "Equi-width value histogram (bucketed partial+final count)",
+            p,
+            [
+                "partial+final aggregation (map-side combine): "
+                + ("PASS" if "partial_count" in p or "HashAggregate" in p else "FAIL"),
+                "all-JVM bucketing (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "scan pruned to the histogram column: "
+                + ("PASS" if re.search(r"ReadSchema: [^\n]*l_extendedprice", p)
+                   and "l_comment" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 29. IQR outlier screen: fences are driver floats from the exact-
+    # quantile refinement search, so the counting pass is a single
+    # pruned scan + partial+final agg with literal comparisons — the
+    # scan must read only the value + group columns and no join/Python
+    # may appear
+    outlier = (
+        F.col("l_extendedprice").isNotNull()
+        & (
+            (F.col("l_extendedprice") < F.lit(100.0))
+            | (F.col("l_extendedprice") > F.lit(90000.0))
+        )
+    )
+    p = fmt(
+        li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(outlier.cast("long")).alias("n_outliers"),
+        )
+    )
+    sections.append(
+        (
+            "IQR outlier screen (literal fences from exact quantiles)",
+            p,
+            [
+                "single scan, no join (fences are literals): "
+                + ("PASS" if "Join" not in p else "FAIL"),
+                "partial+final aggregation: "
+                + ("PASS" if "HashAggregate" in p else "FAIL"),
+                "scan pruned to value + group columns: "
+                + ("PASS" if "l_comment" not in p and "l_orderkey" not in p
+                   else "FAIL"),
+                "all-JVM (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

@@ -971,6 +971,51 @@ def main() -> None:
         )
     )
 
+    # 30. contiguous row-id assignment: value-literal bucketing, no
+    # global (single-partition) sort, broadcast offset rejoin
+    from drivel_spark.ops import assign_row_ids
+
+    docs2 = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    p = fmt(assign_row_ids(docs2, order_by=["n_chars", "doc_id"], num_partitions=8))
+    has_global_sort = bool(re.search(r"Sort \[n_chars[^\]]*\], true", p))
+    sections.append(
+        (
+            "Contiguous row-id assignment (value-bucketed two-level row_number)",
+            p,
+            [
+                "no global sort (windows are per-bucket): "
+                + ("PASS" if not has_global_sort else "FAIL"),
+                "offset table broadcast: "
+                + ("PASS" if "BroadcastHashJoin" in p else "FAIL"),
+                "all-JVM bucket fold + ranking (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 31. latest-by-key upsert compaction: max_by must fold as a true
+    # partial+final aggregate (map-side combine before the shuffle),
+    # with no per-key sort or window anywhere
+    from drivel_spark.ops import latest_by_key
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    p = fmt(latest_by_key(ev, "user_id", "ts", tiebreak="event_id"))
+    sections.append(
+        (
+            "Latest-by-key upsert compaction (partial-aggregable max_by)",
+            p,
+            [
+                "partial+final aggregation (map-side combine): "
+                + ("PASS" if "partial_max_by" in p or p.count("HashAggregate") >= 2
+                   or p.count("ObjectHashAggregate") >= 2 else "FAIL"),
+                "no window / no per-key sort: "
+                + ("PASS" if "Window" not in p else "FAIL"),
+                "all-JVM (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

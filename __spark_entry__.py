@@ -1209,6 +1209,41 @@ def q_percent_rank_documents(spark, sf_dir):
     )
 
 
+def q_row_ids_documents(spark, sf_dir):
+    """Global contiguous row-id assignment (ops/selection.py
+    assign_row_ids): ids follow the total order (n_chars, doc_id)
+    with NO single-partition window — seeded-sample bounds bucket
+    rows by VALUE (literals, so every pass agrees), per-bucket counts
+    become broadcast prefix offsets, and bounded per-bucket
+    row_number windows complete the global id.  Oracle is DuckDB's
+    native row_number over the same total order."""
+    from drivel_spark.ops import assign_row_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        assign_row_ids(docs, order_by=["n_chars", "doc_id"], num_partitions=8)
+        .select("doc_id", "n_chars", "row_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """Batch CDC / upsert compaction (ops/dedup.py latest_by_key):
+    the latest event per user by (ts, event_id), folded with
+    max_by(struct(all), struct(ts, event_id)) — a true partial
+    aggregate, so each map task ships one candidate row per user
+    across the shuffle instead of the whole change log.  Oracle is
+    the classic QUALIFY row_number() = 1 downgrade in DuckDB."""
+    from drivel_spark.ops import latest_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        latest_by_key(ev, "user_id", "ts", tiebreak="event_id")
+        .select("user_id", "event_id", "event_type", "value", "ts")
+        .orderBy("user_id")
+    )
+
+
 def q_key_skew_orders(spark, sf_dir):
     """Join-key skew diagnosis (ops/skew.py key_skew_report): top-10
     heaviest o_custkey values in orders + cardinality/max-share/
@@ -3259,6 +3294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_dedup_documents": q_ingest_dedup_documents,
         "key_skew_orders": q_key_skew_orders,
         "percent_rank_documents": q_percent_rank_documents,
+        "row_ids_documents": q_row_ids_documents,
+        "latest_event_per_user": q_latest_event_per_user,
         "snr_estimate_clips": q_snr_estimate_clips,
         "lm_scores_documents": q_lm_scores_documents,
         "value_histogram_lineitem": q_value_histogram_lineitem,
@@ -4772,6 +4809,17 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER (ORDER BY n_chars), 8) AS pct_rank
             FROM documents WHERE n_chars IS NOT NULL
             ORDER BY doc_id""",
+        "row_ids_documents": """
+            SELECT doc_id, n_chars,
+                   (row_number() OVER (ORDER BY n_chars, doc_id) - 1)::BIGINT
+                     AS row_id
+            FROM documents ORDER BY doc_id""",
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type, value, ts
+            FROM events
+            QUALIFY row_number()
+                OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY user_id""",
         "key_skew_orders": """
             WITH counts AS (
               SELECT o_custkey AS k, count(*)::BIGINT AS cnt

@@ -913,6 +913,52 @@ def embedding_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# keyed latest-version compaction (batch CDC upsert)
+# ---------------------------------------------------------------------------
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys,
+    version_col: str,
+    tiebreak=(),
+    keep: str = "latest",
+) -> DataFrame:
+    """One row per key: the LATEST version (batch CDC / upsert
+    compaction — fold an append-only change log down to current
+    state).  ``keep="earliest"`` flips to first-version-wins
+    (e.g. original ingest timestamp attribution).
+
+    Built on ``max_by(struct(all columns), struct(version, *tiebreak))``
+    rather than a per-key ``row_number`` window: ``max_by`` is a true
+    partial aggregate, so each map task pre-folds its local rows and
+    only one candidate row per key per task crosses the shuffle — at
+    10^12 rows with hot keys that is the difference between shuffling
+    the change log and shuffling ~distinct-keys rows.  Hot keys
+    therefore cost map-side work, not reducer memory; no per-group
+    sort ever materializes.
+
+    Supply ``tiebreak`` columns that complete a TOTAL order per key
+    (e.g. a change-log sequence id); with duplicate (version, tiebreak)
+    the winner among exact ties is nondeterministic (struct comparison
+    is lexicographic and Spark picks the max — equal structs leave the
+    choice to fold order).
+    """
+    if keep not in ("latest", "earliest"):
+        raise ValueError(f"keep must be 'latest' or 'earliest': {keep!r}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or ())
+    order_key = F.struct(F.col(version_col), *[F.col(c) for c in tb])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    agg = (F.max_by if keep == "latest" else F.min_by)(payload, order_key)
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(agg.alias("__lbk"))
+        .select("__lbk.*")
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental ingest dedup: new batch vs an existing reference corpus
 # ---------------------------------------------------------------------------
 

@@ -33,7 +33,15 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["top_fraction_threshold", "top_fraction_filter"]
+__all__ = [
+    "top_fraction_threshold",
+    "top_fraction_filter",
+    "exact_percent_rank",
+    "assign_row_ids",
+    "exact_quantile",
+    "iqr_bounds",
+    "value_histogram",
+]
 
 
 def top_fraction_threshold(
@@ -167,6 +175,13 @@ def exact_percent_rank(
 
     NULL/NaN rows pass through with NULL rank (they don't compete).
     A single-value column ranks everything 0.0, matching RANK ties.
+
+    Skew bound: equal values share a bucket by construction, so a
+    mass-tied value concentrates its rows into ONE window partition —
+    the per-bucket window is bounded by the largest tie group plus its
+    bucket neighbours, not by n/n_buckets.  Acceptable for score-like
+    continuous columns; for heavily tied discrete columns prefer a
+    groupBy-count rank (the tie group's rank is a single constant).
     """
     from pyspark.sql import Window
 
@@ -217,6 +232,112 @@ def exact_percent_rank(
     return ranked
 
 
+def assign_row_ids(
+    df: DataFrame,
+    order_by=None,
+    out_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append global contiguous 0..n−1 row ids WITHOUT the classic
+    single-partition trap (``row_number().over(Window.orderBy(...))``
+    funnels the whole table through one task — the most common
+    accidental scale-killer in id assignment).
+
+    With ``order_by`` (column name or list): ids follow the global
+    order of those columns.  Range bounds on the FIRST order column
+    are computed once on the driver from a seeded bounded sample and
+    embedded as LITERALS, so every pass buckets rows identically by
+    VALUE — never by ``spark_partition_id``, whose physical layout is
+    not stable across the separate count and window query executions
+    (range-sampling and AQE re-plan independently per query).  Rows
+    bucket via an O(n_buckets) codegen fold over the bounds array,
+    per-bucket counts (O(n_buckets) rows to the driver) become
+    prefix-sum offsets broadcast back, and a bounded per-bucket
+    ``row_number`` window completes ``id = offset + row_number − 1``.
+    Rows equal on the first column always share a bucket, so the
+    within-bucket ordering by the FULL column list is globally
+    consistent.  Give a TOTAL order (unique tiebreaker column) for
+    fully deterministic ids.  NULLs in the first column land in
+    bucket 0 (Spark's ascending NULLS FIRST).  Bound quality only
+    affects balance, never correctness; a mass-tied first column
+    concentrates its ties into one bucket (same caveat as
+    exact_percent_rank — prefer a higher-cardinality leading column).
+
+    With ``order_by=None``: ids follow the current partition layout
+    (partition-major, file order within) with ZERO data shuffle —
+    ``monotonically_increasing_id`` supplies the within-partition
+    order and a per-partition-count offset rejoin makes it
+    contiguous.  Stable only for a fixed file-scan layout (the two
+    passes must see identical splits); a different split renumbers.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if order_by:
+        cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        n_buckets = int(
+            num_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        lead = F.col(cols[0])
+        n = df.count()
+        if n == 0:
+            return df.withColumn(out_col, F.lit(None).cast("long"))
+        # seeded bounded sample -> evenly spaced order statistics as
+        # bucket bounds (literals: identical in every pass)
+        frac = min(1.0, (100.0 * n_buckets) / n)
+        sample = sorted(
+            r[0]
+            for r in df.sample(fraction=frac, seed=42)
+            .select(lead)
+            .where(lead.isNotNull())
+            .collect()
+        )
+        bounds = []
+        for i in range(1, n_buckets):
+            if not sample:
+                break
+            b = sample[min(i * len(sample) // n_buckets, len(sample) - 1)]
+            if not bounds or b > bounds[-1]:
+                bounds.append(b)
+        if bounds:
+            barr = F.array(*[F.lit(b) for b in bounds])
+            bucket = F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(lead > b, F.lit(1)).otherwise(F.lit(0)),
+            )
+        else:  # empty sample or single distinct value: one bucket
+            bucket = F.lit(0)
+        tagged = df.withColumn("__rid_bkt", bucket)
+        order_exprs = [F.col(c) for c in cols]
+        part_col = "__rid_bkt"
+    else:
+        tagged = df.withColumn("__rid_bkt", F.spark_partition_id())
+        order_exprs = [F.monotonically_increasing_id()]
+        part_col = "__rid_bkt"
+    counts = sorted(
+        (int(r[part_col]), int(r["c"]))
+        for r in tagged.groupBy(part_col).agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, cum = [], 0
+    for p, c in counts:
+        offsets.append((p, cum))
+        cum += c
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], f"{part_col} int, __rid_off long"
+    )
+    w = Window.partitionBy(part_col).orderBy(*order_exprs)
+    return (
+        tagged.join(F.broadcast(off_df), part_col, "left")
+        .withColumn(
+            out_col, F.col("__rid_off") + F.row_number().over(w) - F.lit(1)
+        )
+        .drop(part_col, "__rid_off")
+    )
+
+
 def exact_quantile(df: DataFrame, col: str, q: float, **kw) -> float:
     """The EXACT upper-rounding empirical q-quantile: the smallest
     value v with at least ceil(q·n) values ≤ v (the ORDER BY … LIMIT 1
@@ -256,7 +377,9 @@ def value_histogram(
     describe-level distribution primitive behind the drift/selection
     machinery, exposed as a report.  One O(1) agg for the range + one
     partial+final bucket count; the top bucket's hi edge is inclusive
-    (same floor-clamp convention as the selection ops)."""
+    (same floor-clamp convention as the selection ops).  Buckets with
+    zero rows are OMITTED (the output is the groupBy support, not a
+    dense 0..n_buckets-1 spine) — densify downstream if needed."""
     v = F.col(col).cast("double")
     stats = df.where(v.isNotNull() & ~F.isnan(v)).agg(
         F.min(v), F.max(v), F.count(F.lit(1))

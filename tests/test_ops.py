@@ -2533,3 +2533,117 @@ def test_value_histogram(spark):
     one = spark.createDataFrame(pd.DataFrame({"s": [7.0] * 5}))
     r = value_histogram(one, "s").collect()
     assert len(r) == 1 and r[0]["n"] == 5 and r[0]["lo"] == r[0]["hi"] == 7.0
+
+
+def test_assign_row_ids_ordered(spark):
+    """Ordered mode: ids are the exact global order positions, with
+    the count branch and window branch reading one shared range
+    exchange -- verified against numpy argsort on a shuffled frame."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import assign_row_ids
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    pdf = pd.DataFrame({"k": rng.permutation(n), "score": rng.normal(size=n)})
+    df = spark.createDataFrame(pdf).repartition(16)
+    got = (
+        assign_row_ids(df, order_by=["score", "k"], num_partitions=8)
+        .select("k", "row_id")
+        .toPandas()
+        .sort_values("k")
+    )
+    want = pdf.sort_values(["score", "k"]).reset_index(drop=True)
+    want["row_id"] = range(n)
+    want = want.sort_values("k")
+    assert got["row_id"].tolist() == want["row_id"].tolist()
+    # contiguity: exactly 0..n-1
+    assert sorted(got["row_id"]) == list(range(n))
+
+
+def test_assign_row_ids_layout(spark):
+    """Layout mode: zero shuffle, ids contiguous 0..n-1 and partition-
+    major (every partition owns one contiguous id range)."""
+    import pandas as pd
+
+    from drivel_spark.ops import assign_row_ids
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pd.DataFrame({"x": range(1000)})).repartition(7)
+    out = assign_row_ids(df).withColumn("pid", F.spark_partition_id())
+    rows = out.select("pid", "row_id").collect()
+    assert sorted(r["row_id"] for r in rows) == list(range(1000))
+    # plan has no exchange beyond the input repartition (window is per-pid)
+    spans = {}
+    for r in rows:
+        lo, hi = spans.get(r["pid"], (r["row_id"], r["row_id"]))
+        spans[r["pid"]] = (min(lo, r["row_id"]), max(hi, r["row_id"]))
+    counts = {}
+    for r in rows:
+        counts[r["pid"]] = counts.get(r["pid"], 0) + 1
+    for pid, (lo, hi) in spans.items():
+        assert hi - lo + 1 == counts[pid]  # contiguous per partition
+
+
+def test_latest_by_key(spark):
+    """max_by compaction picks the max (version, tiebreak) row per key,
+    earliest mode the min; verified against a pandas groupby idxmax."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import latest_by_key
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "key": rng.integers(0, 200, n),
+            "ver": rng.integers(0, 50, n),
+            "seq": range(n),  # completes the total order
+            "payload": rng.normal(size=n),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+    got = (
+        latest_by_key(df, "key", "ver", tiebreak="seq")
+        .orderBy("key")
+        .toPandas()
+    )
+    idx = pdf.sort_values(["key", "ver", "seq"]).groupby("key").tail(1)
+    want = idx.sort_values("key").reset_index(drop=True)
+    assert got["seq"].tolist() == want["seq"].tolist()
+    assert got["payload"].tolist() == pytest.approx(want["payload"].tolist())
+    assert list(got.columns) == ["key", "ver", "seq", "payload"]
+    # earliest mode = min_by
+    first = (
+        latest_by_key(df, "key", "ver", tiebreak="seq", keep="earliest")
+        .orderBy("key")
+        .toPandas()
+    )
+    want_first = (
+        pdf.sort_values(["key", "ver", "seq"]).groupby("key").head(1)
+    ).sort_values("key")
+    assert first["seq"].tolist() == want_first["seq"].tolist()
+    with pytest.raises(ValueError, match="keep must"):
+        latest_by_key(df, "key", "ver", keep="newest")
+
+
+def test_assign_row_ids_string_order(spark):
+    """Bounds fold works on non-numeric order columns (string lexicographic)."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import assign_row_ids
+
+    rng = np.random.default_rng(3)
+    words = [f"w{int(x):04d}" for x in rng.permutation(800)]
+    pdf = pd.DataFrame({"s": words})
+    df = spark.createDataFrame(pdf).repartition(5)
+    got = (
+        assign_row_ids(df, order_by="s", num_partitions=6)
+        .orderBy("row_id")
+        .toPandas()
+    )
+    assert got["s"].tolist() == sorted(words)
+    assert got["row_id"].tolist() == list(range(800))

@@ -1016,6 +1016,28 @@ def main() -> None:
         )
     )
 
+    # 32. exact-k-per-group sampling: one hash shuffle on the group
+    # key, bounded per-group window, md5 draw fully JVM-side, and the
+    # rank filter applied before any downstream exchange
+    from drivel_spark.ops import sample_k_per_group
+
+    p = fmt(sample_k_per_group(docs2, "doc_id", "lang", k=50))
+    sections.append(
+        (
+            "Exact-k-per-group sampling (hash-draw window)",
+            p,
+            [
+                "single exchange (group-key shuffle only): "
+                + ("PASS" if p.count("Exchange") <= 2 else "FAIL"),
+                "all-JVM md5 draw + ranking (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "no cartesian / no join: "
+                + ("PASS" if "Join" not in p and "CartesianProduct" not in p
+                   else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

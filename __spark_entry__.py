@@ -1244,6 +1244,40 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+def q_shuffle_documents(spark, sf_dir):
+    """Deterministic corpus shuffle for training export (ops/splits.py
+    deterministic_shuffle): the permutation is the (md5-bucket, id)
+    total order — no RNG state, bit-identical on rerun/resume — with
+    positions materialized by the value-bucketed assign_row_ids (no
+    single-partition window) and round-robin shards balanced to ±1.
+    Oracle replays the identical md5 arithmetic and row_number in
+    DuckDB."""
+    from drivel_spark.ops import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_shuffle(docs, "doc_id", seed=42, n_shards=8, num_partitions=8)
+        .select("doc_id", "shuffle_pos", "shard")
+        .orderBy("doc_id")
+    )
+
+
+def q_sample_per_lang_documents(spark, sf_dir):
+    """Exact-k-per-group sampling (ops/splits.py sample_k_per_group):
+    each lang keeps its 50 smallest (md5-bucket, id) rows — a uniform
+    without-replacement draw any engine replays bit-for-bit; groups
+    under 50 keep every row.  One shuffle on lang, bounded per-group
+    windows.  Oracle is the same hash order under QUALIFY."""
+    from drivel_spark.ops import sample_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sample_k_per_group(docs, "doc_id", "lang", k=50)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_key_skew_orders(spark, sf_dir):
     """Join-key skew diagnosis (ops/skew.py key_skew_report): top-10
     heaviest o_custkey values in orders + cardinality/max-share/
@@ -3296,6 +3330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_rank_documents": q_percent_rank_documents,
         "row_ids_documents": q_row_ids_documents,
         "latest_event_per_user": q_latest_event_per_user,
+        "shuffle_documents": q_shuffle_documents,
+        "sample_per_lang_documents": q_sample_per_lang_documents,
         "snr_estimate_clips": q_snr_estimate_clips,
         "lm_scores_documents": q_lm_scores_documents,
         "value_histogram_lineitem": q_value_histogram_lineitem,
@@ -4820,6 +4856,26 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number()
                 OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
             ORDER BY user_id""",
+        "shuffle_documents": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                                 / 4294967296.0,
+                               doc_id) - 1)::BIGINT AS shuffle_pos,
+                   ((row_number() OVER (
+                      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                                 / 4294967296.0,
+                               doc_id) - 1) % 8)::INT AS shard
+            FROM documents ORDER BY doc_id""",
+        "sample_per_lang_documents": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                           / 4294967296.0,
+                         doc_id) <= 50
+            ORDER BY doc_id""",
         "key_skew_orders": """
             WITH counts AS (
               SELECT o_custkey AS k, count(*)::BIGINT AS cnt

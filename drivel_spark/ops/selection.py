@@ -301,13 +301,15 @@ def assign_row_ids(
             if not bounds or b > bounds[-1]:
                 bounds.append(b)
         if bounds:
-            barr = F.array(*[F.lit(b) for b in bounds])
-            bucket = F.aggregate(
-                barr,
-                F.lit(0),
-                lambda acc, b: acc
-                + F.when(lead > b, F.lit(1)).otherwise(F.lit(0)),
-            )
+            # plain expression-tree sum rather than an F.aggregate
+            # lambda: a higher-order function whose lambda captures an
+            # OUTER column breaks Catalyst resolution when that column
+            # is itself a derived expression (INTERNAL_ERROR
+            # ATTRIBUTE_NOT_FOUND under the broadcast join) — and the
+            # unrolled comparisons codegen at least as well
+            bucket = F.lit(0)
+            for b in bounds:
+                bucket = bucket + F.when(lead > F.lit(b), 1).otherwise(0)
         else:  # empty sample or single distinct value: one bucket
             bucket = F.lit(0)
         tagged = df.withColumn("__rid_bkt", bucket)

@@ -37,6 +37,8 @@ __all__ = [
     "split_bucket",
     "stable_split",
     "stratified_sample",
+    "deterministic_shuffle",
+    "sample_k_per_group",
     "SPLIT_BUCKET_DENOM",
 ]
 
@@ -180,4 +182,81 @@ def weighted_sample(
         .orderBy(F.col("__sample_key").desc(), F.col(id_col))
         .limit(k)
         .drop("__sample_key")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    pos_col: str = "shuffle_pos",
+    n_shards: Optional[int] = None,
+    shard_col: str = "shard",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Global deterministic corpus shuffle — the pre-training export
+    step (examples must reach the trainer in decorrelated order, yet
+    byte-identically on every rerun/resume, so shard N is always the
+    same file).
+
+    The permutation IS a total order: sort key ``(split_bucket(id,
+    seed), id)`` — a pure md5 expression, no RNG state — and the
+    position is materialized with :func:`~drivel_spark.ops.selection.
+    assign_row_ids` (value-bucketed two-level row_number: no global
+    single-partition window, one bounded shuffle).  Re-shuffling with
+    a different ``seed`` is a fresh independent permutation.
+
+    With ``n_shards``, a round-robin ``shard = pos % n_shards`` column
+    is appended (shards balanced to ±1 row) ready for
+    ``write_partitioned(..., [shard_col])``; round-robin over the
+    hash order keeps every shard itself shuffled, unlike contiguous
+    range sharding which would correlate shard id with hash prefix.
+    """
+    from .selection import assign_row_ids
+
+    out = df.withColumn("__shuf_key", split_bucket(F.col(id_col), seed))
+    out = assign_row_ids(
+        out,
+        order_by=["__shuf_key", id_col],
+        out_col=pos_col,
+        num_partitions=num_partitions,
+    ).drop("__shuf_key")
+    if n_shards is not None:
+        if n_shards <= 0:
+            raise ValueError(f"n_shards must be positive: {n_shards}")
+        out = out.withColumn(
+            shard_col, (F.col(pos_col) % F.lit(int(n_shards))).cast("int")
+        )
+    return out
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic EXACT-k-per-group sampling (vs stratified_sample's
+    per-row rate, which only hits the target in expectation): each
+    group keeps its k smallest ``(split_bucket(id, seed), id)`` rows —
+    a uniform without-replacement draw that any engine replays
+    bit-for-bit.  Groups smaller than k keep every row.
+
+    One shuffle on the group key; the per-group ``row_number`` window
+    sorts each group once.  A mass-hot group concentrates its rows in
+    one window partition — for extreme group skew pre-filter with
+    ``stratified_sample`` at a few·k/|group| rate first, then take
+    exact k from the survivors (nested sampling keeps determinism).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    from pyspark.sql import Window
+
+    u = split_bucket(F.col(id_col), seed)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__spg_rn", F.row_number().over(w))
+        .where(F.col("__spg_rn") <= k)
+        .drop("__spg_rn")
     )

@@ -2647,3 +2647,64 @@ def test_assign_row_ids_string_order(spark):
     )
     assert got["s"].tolist() == sorted(words)
     assert got["row_id"].tolist() == list(range(800))
+
+
+def test_deterministic_shuffle(spark):
+    """The permutation is the (split_bucket, id) total order, positions
+    contiguous, reruns identical, different seed = different permutation,
+    round-robin shards balanced to +-1."""
+    import hashlib
+
+    import pandas as pd
+
+    from drivel_spark.ops import deterministic_shuffle
+
+    n = 1000
+    pdf = pd.DataFrame({"doc_id": range(n), "x": [f"t{i}" for i in range(n)]})
+    df = spark.createDataFrame(pdf).repartition(7)
+    out = deterministic_shuffle(df, "doc_id", seed=42, n_shards=4, num_partitions=6)
+    got = out.orderBy("shuffle_pos").toPandas()
+    assert got["shuffle_pos"].tolist() == list(range(n))
+    # independent python replay of the md5 order
+    def bucket(i):
+        return int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) / 2**32
+    want = sorted(range(n), key=lambda i: (bucket(i), i))
+    assert got["doc_id"].tolist() == want
+    # rerun -> identical
+    again = deterministic_shuffle(df, "doc_id", seed=42, num_partitions=6)
+    assert again.orderBy("shuffle_pos").toPandas()["doc_id"].tolist() == want
+    # different seed -> different permutation
+    other = deterministic_shuffle(df, "doc_id", seed=7, num_partitions=6)
+    assert other.orderBy("shuffle_pos").toPandas()["doc_id"].tolist() != want
+    # shards balanced +-1 and each shard internally hash-ordered
+    sizes = got.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1 and len(sizes) == 4
+    with pytest.raises(ValueError, match="n_shards"):
+        deterministic_shuffle(df, "doc_id", n_shards=0)
+
+
+def test_sample_k_per_group(spark):
+    """Exact k per group, deterministic hash draw, small groups kept whole."""
+    import hashlib
+
+    import pandas as pd
+
+    from drivel_spark.ops import sample_k_per_group
+
+    pdf = pd.DataFrame(
+        {"id": range(300), "g": ["a"] * 200 + ["b"] * 97 + ["c"] * 3}
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    got = sample_k_per_group(df, "id", "g", k=10).toPandas()
+    sizes = got.groupby("g").size().to_dict()
+    assert sizes == {"a": 10, "b": 10, "c": 3}
+    # replay group a's draw in python
+    def bucket(i):
+        return int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) / 2**32
+    want_a = sorted(range(200), key=lambda i: (bucket(i), i))[:10]
+    assert sorted(got[got.g == "a"]["id"]) == sorted(want_a)
+    # determinism across reruns
+    again = sample_k_per_group(df, "id", "g", k=10).toPandas()
+    assert sorted(got["id"]) == sorted(again["id"])
+    with pytest.raises(ValueError, match="k must"):
+        sample_k_per_group(df, "id", "g", k=0)

@@ -1244,6 +1244,42 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+def q_quantile_gate_lineitem(spark, sf_dir):
+    """Quantile-bound validation (constraints/spec.py QuantileBound,
+    exact method): 'l_extendedprice p95 ≤ 80000' and 'l_quantity
+    median in [10, 40]' — tail gates that min/max/mean bounds cannot
+    express.  The exact path is the distributed histogram-refinement
+    order statistic (no sort); the oracle re-derives each value as
+    ORDER BY … LIMIT 1 OFFSET ceil(q·n)−1 and replays the verdict
+    arithmetic."""
+    from drivel_spark.constraints import QuantileBound, validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    cs = [
+        QuantileBound(
+            "price_p95", "l_extendedprice", q=0.95, hi=80000.0, method="exact"
+        ),
+        QuantileBound(
+            "qty_median", "l_quantity", q=0.5, lo=10.0, hi=40.0, method="exact"
+        ),
+    ]
+    res = validate(li, cs, cache_flags=False)
+    rows = [
+        (
+            d["constraint"],
+            d["column"],
+            float(d["q"]),
+            float(d["value"]),
+            bool(d["passed"]),
+        )
+        for d in res.dataset
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "constraint string, column string, q double, value double, passed boolean",
+    )
+
+
 def q_shuffle_documents(spark, sf_dir):
     """Deterministic corpus shuffle for training export (ops/splits.py
     deterministic_shuffle): the permutation is the (md5-bucket, id)
@@ -3332,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "shuffle_documents": q_shuffle_documents,
         "sample_per_lang_documents": q_sample_per_lang_documents,
+        "quantile_gate_lineitem": q_quantile_gate_lineitem,
         "snr_estimate_clips": q_snr_estimate_clips,
         "lm_scores_documents": q_lm_scores_documents,
         "value_histogram_lineitem": q_value_histogram_lineitem,
@@ -4856,6 +4893,27 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number()
                 OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
             ORDER BY user_id""",
+        "quantile_gate_lineitem": """
+            WITH price AS (
+              SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+            qty AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+              WHERE l_quantity IS NOT NULL),
+            p95 AS (
+              SELECT v FROM price ORDER BY v
+              LIMIT 1 OFFSET (SELECT CAST(ceil(0.95 * count(*)) AS BIGINT) - 1
+                              FROM price)),
+            med AS (
+              SELECT v FROM qty ORDER BY v
+              LIMIT 1 OFFSET (SELECT CAST(ceil(0.5 * count(*)) AS BIGINT) - 1
+                              FROM qty))
+            SELECT 'price_p95' AS "constraint", 'l_extendedprice' AS "column",
+                   0.95 AS q, v AS value, v <= 80000.0 AS passed FROM p95
+            UNION ALL
+            SELECT 'qty_median', 'l_quantity', 0.5, v,
+                   v >= 10.0 AND v <= 40.0 FROM med
+            ORDER BY "constraint" """,
         "shuffle_documents": """
             SELECT doc_id,
                    (row_number() OVER (

@@ -17,6 +17,7 @@ from .spec import (
     Drift,
     Enum,
     GroupBound,
+    QuantileBound,
     Format,
     Length,
     NotNull,
@@ -40,6 +41,7 @@ __all__ = [
     "Constraint",
     "Conditional",
     "GroupBound",
+    "QuantileBound",
     "group_bound_table",
     "from_spec_json",
     "load_spec_file",

@@ -240,6 +240,43 @@ class Referential(Constraint):
 
 
 @dataclass(frozen=True)
+class QuantileBound(Constraint):
+    """Dataset-level: THIS batch's q-quantile of ``column`` must land
+    in [lo, hi] — "dur_ms p99 ≤ 30000" catches tail corruption that
+    min/max/mean bounds miss (min/max are poisoned by a single wild
+    row; the mean hides the tail entirely).
+
+    ``method="sketch"`` (default) reads the pass-1 profile's mergeable
+    KLL sketch — ZERO extra scans, the quantile is a free byproduct of
+    the profile fold, with the sketch's rank error (~1.4% at the
+    default K).  ``method="exact"`` runs the distributed
+    histogram-refinement order statistic (ops/selection.exact_quantile:
+    scan + tiny agg per round, no sort) for enforce-grade gates where
+    the sketch's error band straddles the bound.
+
+    A column with no non-null numeric values FAILS the check (a
+    quantile bound on nothing is a broken contract, not a pass) —
+    same loud-failure stance as the spec-file front-end."""
+
+    q: float = 0.99
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+    method: str = "sketch"
+
+    def __post_init__(self):
+        if not (0.0 <= self.q <= 1.0):
+            raise ValueError(f"q must be in [0, 1]: {self.q}")
+        if self.lo is None and self.hi is None:
+            raise ValueError(f"QuantileBound {self.name!r} needs lo and/or hi")
+        if self.method not in ("sketch", "exact"):
+            raise ValueError(f"method must be sketch|exact: {self.method!r}")
+
+    @property
+    def is_row_level(self) -> bool:
+        return False
+
+
+@dataclass(frozen=True)
 class Drift(Constraint):
     """Dataset-level: distribution distance of this batch's sketch vs
     a baseline profile's sketch (drift.py).  KS and PSI always gate;

@@ -24,6 +24,8 @@ entry has ``type`` and ``column`` plus type-specific fields::
        "strategy": "bloom"},
       {"type": "group_bound", "column": "dur_ms", "group_col": "codec",
        "agg": "avg", "lo": 500, "hi": 12000},
+      {"type": "quantile_bound", "column": "dur_ms", "q": 0.99,
+       "hi": 30000, "method": "sketch"},
       {"type": "drift", "column": "dur_ms", "max_ks": 0.1, "max_psi": 0.2}
     ]}
 
@@ -47,6 +49,7 @@ from .spec import (
     GroupBound,
     Length,
     NotNull,
+    QuantileBound,
     Range,
     Referential,
     SpeechRate,
@@ -93,6 +96,11 @@ _TYPES: dict[str, tuple] = {
         GroupBound,
         {"group_col": "group_col", "agg": "agg", "lo": "lo", "hi": "hi"},
         ("group_col",),
+    ),
+    "quantile_bound": (
+        QuantileBound,
+        {"q": "q", "lo": "lo", "hi": "hi", "method": "method"},
+        (),
     ),
     "drift": (Drift, {"max_ks": "max_ks", "max_psi": "max_psi", "max_w1": "max_w1", "max_chi2": "max_chi2"}, ()),
 }

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .drift import drift_column
-from .spec import Constraint, Drift, GroupBound, Referential, Unique
+from .spec import Constraint, Drift, GroupBound, QuantileBound, Referential, Unique
 
 GLOBAL_SCOPE = -1  # partition_id for dataset-level constraint rows
 
@@ -324,6 +324,23 @@ def validate(
                     ).collect()[0]
                 )
                 lazy_cs.append((c, fut, gtab))
+            elif isinstance(c, QuantileBound):
+                if c.method == "exact":
+                    from ..ops.selection import exact_quantile
+
+                    def _exq(col=c.column, q=c.q):
+                        try:
+                            return exact_quantile(df, col, q)
+                        except ValueError:  # no non-null values → fail
+                            return None
+
+                    lazy_cs.append((c, pool.submit(_exq), None))
+                else:  # sketch: free from the pass-1 profile, no job
+                    if profile is None:
+                        raise ValueError(
+                            f"QuantileBound {c.name} (sketch) needs profile"
+                        )
+                    lazy_cs.append((c, None, None))
             elif isinstance(c, Drift):
                 if profile is None or baseline_profile is None:
                     raise ValueError(
@@ -353,6 +370,13 @@ def validate(
             res, vtab = _referential_result(c, fut.result(), aux, n_total)
         elif isinstance(c, GroupBound):
             res, vtab = _group_bound_result(c, fut.result(), aux)
+        elif isinstance(c, QuantileBound):
+            res, vtab = (
+                _quantile_bound_result(
+                    c, fut.result() if fut is not None else None, profile
+                ),
+                None,
+            )
         else:
             res, vtab = _check_drift(c, profile, baseline_profile), None
         dataset.append(res)
@@ -467,6 +491,38 @@ def _group_bound_result(c: GroupBound, agg_row, gtab: DataFrame):
         },
         gtab.filter(~F.col("passed")),
     )
+
+
+def _quantile_bound_result(
+    c: QuantileBound, exact_value, profile
+) -> dict[str, Any]:
+    """Verdict for a QuantileBound: exact path carries the refinement
+    search's value (None = empty column), sketch path reads the pass-1
+    profile's KLL.  A value of None FAILS — a quantile bound over no
+    data is a broken contract, never a silent pass."""
+    if c.method == "exact":
+        value = None if exact_value is None else float(exact_value)
+    else:
+        acc = profile.column(c.column) if c.column in profile.acc.cols else None
+        kll = getattr(acc, "kll", None)
+        value = float(kll.quantile(c.q)) if kll is not None and kll.n else None
+    failed = (
+        value is None
+        or (c.lo is not None and value < float(c.lo))
+        or (c.hi is not None and value > float(c.hi))
+    )
+    return {
+        "constraint": c.name,
+        "type": "quantile_bound",
+        "column": c.column,
+        "q": c.q,
+        "method": c.method,
+        "value": value,
+        "lo": c.lo,
+        "hi": c.hi,
+        "n_violations": int(failed),
+        "passed": not failed,
+    }
 
 
 def _check_drift(c: Drift, profile, baseline_profile) -> dict[str, Any]:

@@ -814,3 +814,94 @@ def test_drift_w1_threshold(spark):
         baseline_profile=p_base,
     )
     assert res2.dataset[0]["passed"]
+
+
+def test_quantile_bound_sketch_and_exact(spark):
+    """Sketch path reads the pass-1 KLL (zero extra scans); exact path
+    re-derives the upper-rounding order statistic; both verdict against
+    [lo, hi] and an empty/non-numeric column fails loudly."""
+    from drivel_spark.constraints import QuantileBound
+    from drivel_spark.ops import exact_quantile
+    from drivel_spark.profiling import profile
+
+    rng = np.random.default_rng(9)
+    vals = np.sort(rng.integers(100, 10000, 4000)).astype("int64")
+    pdf = pd.DataFrame({"dur_ms": vals, "clip_id": [f"c{i}" for i in range(len(vals))]})
+    df = spark.createDataFrame(pdf)
+    p = profile(df, columns=["dur_ms"])
+    true_p99 = float(np.sort(vals)[int(np.ceil(0.99 * len(vals))) - 1])
+
+    # sketch: within KLL rank tolerance of the true p99
+    res = validate(
+        df,
+        [QuantileBound("p99_dur", "dur_ms", q=0.99, hi=true_p99 * 1.05)],
+        profile=p,
+    )
+    d = {x["constraint"]: x for x in res.dataset}["p99_dur"]
+    assert d["passed"] and d["method"] == "sketch"
+    assert d["value"] == pytest.approx(true_p99, rel=0.05)
+
+    # exact: the order statistic itself, bit-equal to exact_quantile
+    res2 = validate(
+        df,
+        [QuantileBound("p99_exact", "dur_ms", q=0.99, hi=true_p99, method="exact")],
+        profile=p,
+    )
+    d2 = {x["constraint"]: x for x in res2.dataset}["p99_exact"]
+    assert d2["value"] == exact_quantile(df, "dur_ms", 0.99) == true_p99
+    assert d2["passed"]
+
+    # fail verdict: hi below the true quantile
+    res3 = validate(
+        df,
+        [QuantileBound("p99_tight", "dur_ms", q=0.99, hi=true_p99 - 1, method="exact")],
+        profile=p,
+    )
+    d3 = {x["constraint"]: x for x in res3.dataset}["p99_tight"]
+    assert not d3["passed"] and d3["n_violations"] == 1
+    # global passfail row carries the verdict
+    row = {r["constraint"]: r for r in res3.passfail.collect()}["p99_tight"]
+    assert row["n_violations"] == 1
+
+    # all-NULL column fails (both methods), never silently passes
+    nul = spark.createDataFrame(
+        pd.DataFrame({"dur_ms": pd.array([None, None], dtype="Int64")})
+    )
+    p_nul = profile(nul, columns=["dur_ms"])
+    for method in ("sketch", "exact"):
+        r = validate(
+            nul,
+            [QuantileBound("n", "dur_ms", q=0.5, lo=0.0, method=method)],
+            profile=p_nul,
+        )
+        d = r.dataset[0]
+        assert not d["passed"] and d["value"] is None
+
+
+def test_quantile_bound_validation_errors():
+    from drivel_spark.constraints import QuantileBound
+
+    with pytest.raises(ValueError, match="q must"):
+        QuantileBound("q", "x", q=1.5, hi=1.0)
+    with pytest.raises(ValueError, match="lo and/or hi"):
+        QuantileBound("q", "x", q=0.5)
+    with pytest.raises(ValueError, match="method"):
+        QuantileBound("q", "x", q=0.5, hi=1.0, method="approx")
+
+
+def test_quantile_bound_specfile_roundtrip():
+    from drivel_spark.constraints import QuantileBound
+    from drivel_spark.constraints.specfile import from_spec_json
+
+    cs = from_spec_json(
+        {
+            "constraints": [
+                {"type": "quantile_bound", "column": "dur_ms", "q": 0.99,
+                 "hi": 30000, "method": "exact"},
+            ]
+        }
+    )
+    assert cs == [
+        QuantileBound("dur_ms_quantile_bound", "dur_ms", q=0.99, hi=30000,
+                      method="exact")
+    ]

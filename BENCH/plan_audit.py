@@ -1038,6 +1038,52 @@ def main() -> None:
         )
     )
 
+    # 33. time-coverage gaps: the spine is generated (never data-
+    # sized), the missing set comes from an anti-join, and nothing
+    # data-sized sorts (the islands window sees only missing buckets)
+    from drivel_spark.ops import coverage_gaps
+
+    ev2 = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    p = fmt(coverage_gaps(ev2.where(~F.hour("ts").isin(3, 4)), "ts", "hour"))
+    sections.append(
+        (
+            "Time-coverage gap islands (generated spine, anti-join)",
+            p,
+            [
+                "missing set via anti-join (LeftAnti): "
+                + ("PASS" if "LeftAnti" in p else "FAIL"),
+                "all-JVM (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "scan pruned to the timestamp column: "
+                + ("PASS" if "event_type" not in p and "props" not in p
+                   else "FAIL"),
+            ],
+        )
+    )
+
+    # 34. per-group anomaly report: one map-side-combined groupBy for
+    # the stats; the median/MAD literals come from exact_quantile, so
+    # the final scoring projection carries no join and no sort of the
+    # stats table
+    from drivel_spark.ops import group_anomaly_report
+
+    shards = docs2.withColumn("shard", (F.col("doc_id") % 50).cast("int"))
+    p = fmt(group_anomaly_report(shards, "shard", "n_chars"))
+    sections.append(
+        (
+            "Per-group anomaly report (robust median/MAD scoring)",
+            p,
+            [
+                "partial+final per-group aggregation: "
+                + ("PASS" if "HashAggregate" in p else "FAIL"),
+                "center/spread are literals (no join in the scoring): "
+                + ("PASS" if "Join" not in p else "FAIL"),
+                "all-JVM (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

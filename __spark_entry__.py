@@ -1244,6 +1244,45 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+def q_coverage_gaps_events(spark, sf_dir):
+    """Ingest-SLA coverage check (ops/timeseries.py coverage_gaps):
+    hours with NO data, folded into contiguous gap islands — planted
+    here by dropping hours 3-4 of every day so both engines see the
+    same holes.  Spine is generated (O(span/hour) rows, never
+    data-sized); islands via the rn-difference trick over MISSING
+    buckets only.  Oracle replays generate_series + EXCEPT + the same
+    islands arithmetic."""
+    from drivel_spark.ops import coverage_gaps
+
+    ev = _t(spark, sf_dir, "events").where(~F.hour("ts").isin(3, 4))
+    return coverage_gaps(ev, "ts", "hour")
+
+
+def q_group_anomaly_documents(spark, sf_dir):
+    """Broken-shard detection (ops/skew.py group_anomaly_report):
+    per-shard mean n_chars scored against the robust median/MAD center
+    of all shards (shard = doc_id % 50 — a deterministic stand-in for
+    an ingest-batch id).  Integer-valued means keep the cross-engine
+    arithmetic bit-exact; the median and MAD are the engine's own
+    exact distributed order statistics, replayed in the oracle as
+    ORDER BY … LIMIT 1 OFFSET ceil(n/2)−1."""
+    from drivel_spark.ops import group_anomaly_report
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 50).cast("int")
+    )
+    rep = group_anomaly_report(docs, "shard", "n_chars", z_thresh=3.5)
+    return rep.select(
+        "group_key",
+        "n_rows",
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("center", 6).alias("center"),
+        F.round("mad", 6).alias("mad"),
+        F.round("robust_z", 6).alias("robust_z"),
+        "flagged",
+    ).orderBy("group_key")
+
+
 def q_quantile_gate_lineitem(spark, sf_dir):
     """Quantile-bound validation (constraints/spec.py QuantileBound,
     exact method): 'l_extendedprice p95 ≤ 80000' and 'l_quantity
@@ -3369,6 +3408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_documents": q_shuffle_documents,
         "sample_per_lang_documents": q_sample_per_lang_documents,
         "quantile_gate_lineitem": q_quantile_gate_lineitem,
+        "coverage_gaps_events": q_coverage_gaps_events,
+        "group_anomaly_documents": q_group_anomaly_documents,
         "snr_estimate_clips": q_snr_estimate_clips,
         "lm_scores_documents": q_lm_scores_documents,
         "value_histogram_lineitem": q_value_histogram_lineitem,
@@ -4893,6 +4934,51 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number()
                 OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
             ORDER BY user_id""",
+        "coverage_gaps_events": """
+            WITH ev AS (
+              SELECT DISTINCT date_trunc('hour', ts) AS bucket
+              FROM events
+              WHERE ts IS NOT NULL AND hour(ts) NOT IN (3, 4)),
+            rng AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM ev),
+            spine AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM rng),
+            miss AS (
+              SELECT bucket FROM spine
+              EXCEPT SELECT bucket FROM ev),
+            isl AS (
+              SELECT bucket,
+                     CAST(epoch(bucket) / 3600 AS BIGINT)
+                       - row_number() OVER (ORDER BY bucket) AS gid
+              FROM miss)
+            SELECT min(bucket) AS gap_start, max(bucket) AS gap_end,
+                   count(*)::BIGINT AS n_missing
+            FROM isl GROUP BY gid ORDER BY gap_start""",
+        "group_anomaly_documents": """
+            WITH stats AS (
+              SELECT (doc_id % 50)::INT AS group_key,
+                     count(*)::BIGINT AS n_rows,
+                     avg(n_chars::DOUBLE) AS mean_value
+              FROM documents GROUP BY 1),
+            med AS (
+              SELECT mean_value AS m FROM stats ORDER BY mean_value
+              LIMIT 1 OFFSET (SELECT CAST(ceil(0.5 * count(*)) AS BIGINT) - 1
+                              FROM stats)),
+            mad AS (
+              SELECT d AS m FROM (
+                SELECT abs(mean_value - (SELECT m FROM med)) AS d FROM stats)
+              ORDER BY d
+              LIMIT 1 OFFSET (SELECT CAST(ceil(0.5 * count(*)) AS BIGINT) - 1
+                              FROM stats))
+            SELECT s.group_key, s.n_rows,
+                   round(s.mean_value, 6) AS mean_value,
+                   round((SELECT m FROM med), 6) AS center,
+                   round((SELECT m FROM mad), 6) AS mad,
+                   round(abs(s.mean_value - (SELECT m FROM med))
+                         / (1.4826 * (SELECT m FROM mad)), 6) AS robust_z,
+                   abs(s.mean_value - (SELECT m FROM med))
+                     / (1.4826 * (SELECT m FROM mad)) > 3.5 AS flagged
+            FROM stats s ORDER BY s.group_key""",
         "quantile_gate_lineitem": """
             WITH price AS (
               SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem

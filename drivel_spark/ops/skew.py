@@ -197,3 +197,68 @@ def key_skew_report(df, key_col: str, top_k: int = 20):
             norm_ent.alias("norm_entropy"),
         )
     )
+
+
+def group_anomaly_report(
+    df,
+    group_col: str,
+    value_col: str,
+    z_thresh: float = 3.5,
+    n_buckets: int = 64,
+    leaf_limit: int = 65536,
+):
+    """Which ingest shard / codec / day is BROKEN?  Per-group mean of
+    ``value_col`` scored against the robust center of all the OTHER
+    groups: robust z = |mean − median(means)| / (1.4826 · MAD(means)),
+    flagged when it exceeds ``z_thresh`` (3.5 is the classic
+    Iglewicz–Hoaglin cut).  Median/MAD instead of mean/stddev so one
+    broken shard cannot hide itself by dragging the center toward
+    its own corruption — the failure mode that makes naive z-scores
+    useless for exactly this check.
+
+    Scale shape: one partial+final groupBy for the per-group stats
+    (hot groups absorbed map-side), then TWO exact distributed
+    order-statistic searches (selection.exact_quantile — scan + tiny
+    agg per round, no sort) over the O(groups) stats table for the
+    median and the MAD.  Nothing data-sized ever sorts or collects;
+    determinism is inherited from exact_quantile, so the report is
+    layout-independent and any ANSI engine can replay it.
+
+    MAD = 0 (over half the groups share one mean) flags every group
+    whose mean differs from the median at all — the strictest honest
+    reading; relax with z_thresh=inf if identical-mean corpora are
+    expected.
+    """
+    from pyspark.sql import functions as F
+
+    from .selection import exact_quantile
+
+    stats = df.groupBy(F.col(group_col).alias("group_key")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg(F.col(value_col).cast("double")).alias("mean_value"),
+    )
+    stats = stats.where(F.col("mean_value").isNotNull())
+    med = exact_quantile(
+        stats, "mean_value", 0.5, n_buckets=n_buckets, leaf_limit=leaf_limit
+    )
+    dev = stats.withColumn(
+        "__abs_dev", F.abs(F.col("mean_value") - F.lit(med))
+    )
+    mad = exact_quantile(
+        dev, "__abs_dev", 0.5, n_buckets=n_buckets, leaf_limit=leaf_limit
+    )
+    scale = 1.4826 * mad
+    if scale > 0:
+        z = F.abs(F.col("mean_value") - F.lit(med)) / F.lit(scale)
+    else:  # degenerate spread: any deviation is infinitely surprising
+        z = F.when(
+            F.col("mean_value") == F.lit(med), F.lit(0.0)
+        ).otherwise(F.lit(float("inf")))
+    return (
+        dev.drop("__abs_dev")
+        .withColumn("center", F.lit(med))
+        .withColumn("mad", F.lit(mad))
+        .withColumn("robust_z", z)
+        .withColumn("flagged", z > F.lit(float(z_thresh)))
+        .orderBy("group_key")
+    )

@@ -30,7 +30,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cusum_scores", "cusum_alarms"]
+__all__ = ["cusum_scores", "cusum_alarms", "coverage_gaps"]
 
 
 def cusum_scores(
@@ -119,4 +119,91 @@ def cusum_alarms(
         F.sum(alarmed.cast("long")).alias("n_alarms"),
         F.min(F.when(alarmed, F.col(ts_col))).alias("first_alarm_ts"),
         F.greatest(F.max("s_pos"), F.max("s_neg")).alias("max_s"),
+    )
+
+
+_TRUNC_STEP = {
+    "minute": "interval 1 minute",
+    "hour": "interval 1 hour",
+    "day": "interval 1 day",
+    "week": "interval 1 week",
+    "month": "interval 1 month",
+}
+
+
+def coverage_gaps(
+    df: DataFrame, ts_col: str, interval: str = "hour"
+) -> DataFrame:
+    """Missing time buckets as contiguous gap islands — the ingest-SLA
+    check ("which hours have NO data?") that row- and aggregate-level
+    constraints cannot see: an absent bucket produces no row to fail.
+
+    One distinct on the truncated bucket (partial+final, O(present
+    buckets) after combine), an O(1) min/max agg, a generated expected
+    spine (``sequence()`` between the observed ends — O(span/interval)
+    rows, never data-sized), an anti-join for the missing set, and the
+    classic rn-difference islands trick to fold runs of consecutive
+    missing buckets into (gap_start, gap_end, n_missing) rows.
+
+    The islands window sorts only MISSING buckets (bounded by the
+    spine, not the table).  Leading/trailing silence is invisible by
+    construction — the spine spans observed data only; pin the
+    expected ends with an explicit WHERE or a sentinel row if the SLA
+    covers them.  ``interval``: minute|hour|day|week|month.
+    """
+    if interval not in _TRUNC_STEP:
+        raise ValueError(
+            f"interval must be one of {sorted(_TRUNC_STEP)}: {interval!r}"
+        )
+    ts = F.col(ts_col)
+    buckets = (
+        df.where(ts.isNotNull())
+        .select(F.date_trunc(interval, ts).alias("bucket"))
+        .distinct()
+    )
+    lo, hi = buckets.agg(F.min("bucket"), F.max("bucket")).first()
+    spark = df.sparkSession
+    if lo is None:
+        return spark.createDataFrame(
+            [], "gap_start timestamp, gap_end timestamp, n_missing long"
+        )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(lo), F.lit(hi), F.expr(_TRUNC_STEP[interval])
+            )
+        ).alias("bucket")
+    )
+    missing = spine.join(buckets, "bucket", "left_anti")
+    # islands: consecutive buckets share (position - row_number)
+    w = Window.orderBy("bucket")
+    # month steps are not fixed-width seconds; use months_between for
+    # the position index so the rn-difference stays integral
+    if interval == "month":
+        pos = F.round(
+            F.months_between(F.col("bucket"), F.lit(lo))
+        ).cast("long")
+    else:
+        step_s = {
+            "minute": 60,
+            "hour": 3600,
+            "day": 86400,
+            "week": 604800,
+        }[interval]
+        pos = (
+            (F.unix_timestamp("bucket") - F.unix_timestamp(F.lit(lo)))
+            / F.lit(step_s)
+        ).cast("long")
+    grouped = missing.withColumn(
+        "__gap_id", pos - F.row_number().over(w)
+    )
+    return (
+        grouped.groupBy("__gap_id")
+        .agg(
+            F.min("bucket").alias("gap_start"),
+            F.max("bucket").alias("gap_end"),
+            F.count(F.lit(1)).alias("n_missing"),
+        )
+        .drop("__gap_id")
+        .orderBy("gap_start")
     )

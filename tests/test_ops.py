@@ -2708,3 +2708,71 @@ def test_sample_k_per_group(spark):
     assert sorted(got["id"]) == sorted(again["id"])
     with pytest.raises(ValueError, match="k must"):
         sample_k_per_group(df, "id", "g", k=0)
+
+
+def test_coverage_gaps(spark):
+    """Planted missing hours come back as contiguous gap islands;
+    dense data reports none; month interval uses months_between."""
+    import pandas as pd
+
+    from drivel_spark.ops import coverage_gaps
+
+    hours = pd.date_range("2024-01-01", periods=48, freq="h")
+    # drop hours 5-7 and 30 -> two gaps (one 3-wide, one 1-wide)
+    keep = [h for i, h in enumerate(hours) if i not in (5, 6, 7, 30)]
+    pdf = pd.DataFrame({"ts": [t for t in keep for _ in range(3)]})
+    df = spark.createDataFrame(pdf).repartition(4)
+    gaps = coverage_gaps(df, "ts", "hour").collect()
+    assert [(str(g["gap_start"]), str(g["gap_end"]), g["n_missing"]) for g in gaps] == [
+        ("2024-01-01 05:00:00", "2024-01-01 07:00:00", 3),
+        ("2024-01-02 06:00:00", "2024-01-02 06:00:00", 1),
+    ]
+    # dense -> empty
+    dense = spark.createDataFrame(pd.DataFrame({"ts": hours}))
+    assert coverage_gaps(dense, "ts", "hour").count() == 0
+    # months
+    months = pd.to_datetime(["2024-01-15", "2024-02-01", "2024-05-20"])
+    mdf = spark.createDataFrame(pd.DataFrame({"ts": months}))
+    mg = coverage_gaps(mdf, "ts", "month").collect()
+    assert len(mg) == 1 and mg[0]["n_missing"] == 2  # Mar, Apr
+    # empty input -> empty schema-stable frame
+    empty = spark.createDataFrame([], "ts timestamp")
+    assert coverage_gaps(empty, "ts").count() == 0
+    with pytest.raises(ValueError, match="interval"):
+        coverage_gaps(df, "ts", "fortnight")
+
+
+def test_group_anomaly_report(spark):
+    """A planted broken shard is flagged; healthy shards are not; the
+    median/MAD center replays in plain python."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import group_anomaly_report
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for g in range(20):
+        mu = 1000.0 + (g % 5)  # healthy shards cluster tightly
+        if g == 13:
+            mu = 5000.0  # broken shard
+        rows.append(pd.DataFrame({"shard": g, "dur": rng.normal(mu, 1.0, 50)}))
+    pdf = pd.concat(rows)
+    df = spark.createDataFrame(pdf).repartition(8)
+    rep = group_anomaly_report(df, "shard", "dur", z_thresh=3.5).toPandas()
+    flagged = rep[rep.flagged]["group_key"].tolist()
+    assert flagged == [13]
+    # python replay of the robust center
+    means = pdf.groupby("shard")["dur"].mean()
+    n = len(means)
+    srt = np.sort(means.values)
+    med = srt[int(np.ceil(0.5 * n)) - 1]
+    mad = np.sort(np.abs(means.values - med))[int(np.ceil(0.5 * n)) - 1]
+    assert rep["center"].iloc[0] == pytest.approx(med, abs=1e-9)
+    assert rep["mad"].iloc[0] == pytest.approx(mad, abs=1e-9)
+    # degenerate MAD=0: all means identical -> nothing flagged
+    same = spark.createDataFrame(
+        pd.DataFrame({"g": [1, 1, 2, 2, 3, 3], "v": [5.0] * 6})
+    )
+    rep2 = group_anomaly_report(same, "g", "v").toPandas()
+    assert not rep2["flagged"].any()

@@ -1244,6 +1244,36 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+def q_fd_ratio_documents(spark, sf_dir):
+    """Functional-dependency + distinct-ratio validation
+    (constraints/spec.py FunctionalDependency / DistinctRatio): does
+    lang determine source (it does not in this corpus — the violating
+    keys are counted), and is doc_id id-like (exact
+    distinct/non-null ratio ≥ 0.999).  FD = distinct (key, dep) pairs
+    → keys with >1 binding (NULL dependents ARE bindings); ratio =
+    one countDistinct aggregate.  The oracle replays both from the
+    same relational algebra."""
+    from drivel_spark.constraints import (
+        DistinctRatio,
+        FunctionalDependency,
+        validate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cs = [
+        FunctionalDependency("lang_source_fd", "lang", determines="source"),
+        DistinctRatio("docid_ratio", "doc_id", lo=0.999, method="exact"),
+    ]
+    res = validate(docs, cs, cache_flags=False)
+    rows = [
+        (d["constraint"], int(d["n_violations"]), bool(d["passed"]))
+        for d in res.dataset
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "constraint string, n_violations int, passed boolean"
+    )
+
+
 def q_coverage_gaps_events(spark, sf_dir):
     """Ingest-SLA coverage check (ops/timeseries.py coverage_gaps):
     hours with NO data, folded into contiguous gap islands — planted
@@ -3410,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_gate_lineitem": q_quantile_gate_lineitem,
         "coverage_gaps_events": q_coverage_gaps_events,
         "group_anomaly_documents": q_group_anomaly_documents,
+        "fd_ratio_documents": q_fd_ratio_documents,
         "snr_estimate_clips": q_snr_estimate_clips,
         "lm_scores_documents": q_lm_scores_documents,
         "value_histogram_lineitem": q_value_histogram_lineitem,
@@ -4934,6 +4965,23 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number()
                 OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
             ORDER BY user_id""",
+        "fd_ratio_documents": """
+            WITH pairs AS (SELECT DISTINCT lang, source FROM documents),
+            fd AS (
+              SELECT count(*)::INT AS n_viol FROM (
+                SELECT lang FROM pairs GROUP BY lang HAVING count(*) > 1)),
+            dr AS (
+              SELECT count(DISTINCT doc_id)::DOUBLE
+                       / sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS ratio
+              FROM documents)
+            SELECT 'docid_ratio' AS "constraint",
+                   CASE WHEN ratio >= 0.999 THEN 0 ELSE 1 END AS n_violations,
+                   ratio >= 0.999 AS passed
+            FROM dr
+            UNION ALL
+            SELECT 'lang_source_fd', n_viol, n_viol = 0 FROM fd
+            ORDER BY "constraint" """,
         "coverage_gaps_events": """
             WITH ev AS (
               SELECT DISTINCT date_trunc('hour', ts) AS bucket

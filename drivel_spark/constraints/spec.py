@@ -240,6 +240,65 @@ class Referential(Constraint):
 
 
 @dataclass(frozen=True)
+class FunctionalDependency(Constraint):
+    """Dataset-level: ``column`` DETERMINES ``determines`` — every
+    distinct value of ``column`` must co-occur with exactly one value
+    of ``determines`` (e.g. "codec determines container", "clip_id
+    determines speaker").  A violated FD is how mixed-up joins and
+    partial re-ingests announce themselves while every row
+    individually stays in range.
+
+    One partial+final two-column groupBy collapses to the distinct
+    (column, determines) pairs (map-side combine bounds shuffle volume
+    at pair cardinality), then an O(pairs) count of keys with >1
+    distinct dependent value.  NULL dependents count as a value (a key
+    mapping to both NULL and 'x' IS two bindings — that asymmetry is
+    precisely a broken backfill).  The violation table lists the
+    offending keys with their binding counts."""
+
+    determines: str = ""
+
+    def __post_init__(self):
+        if not self.determines:
+            raise ValueError(
+                f"FunctionalDependency {self.name!r} needs 'determines'"
+            )
+
+    @property
+    def is_row_level(self) -> bool:
+        return False
+
+
+@dataclass(frozen=True)
+class DistinctRatio(Constraint):
+    """Dataset-level: distinct(``column``) / rows must land in
+    [lo, hi] — ratio ≈ 1 pins id-like columns (silent duplicate
+    explosion shows up as a falling ratio long before Unique's exact
+    confirm is worth its shuffle), small expected ratios pin enum-like
+    columns (a ratio jump = someone started writing free text into a
+    category field).
+
+    ``method="sketch"`` (default) reads the pass-1 profile's HLL —
+    ZERO extra scans, ~2% standard error; ``method="exact"`` runs a
+    count-distinct aggregate (one shuffle).  Empty input fails loudly
+    (a ratio over nothing is a broken contract)."""
+
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+    method: str = "sketch"
+
+    def __post_init__(self):
+        if self.lo is None and self.hi is None:
+            raise ValueError(f"DistinctRatio {self.name!r} needs lo and/or hi")
+        if self.method not in ("sketch", "exact"):
+            raise ValueError(f"method must be sketch|exact: {self.method!r}")
+
+    @property
+    def is_row_level(self) -> bool:
+        return False
+
+
+@dataclass(frozen=True)
 class QuantileBound(Constraint):
     """Dataset-level: THIS batch's q-quantile of ``column`` must land
     in [lo, hi] — "dur_ms p99 ≤ 30000" catches tail corruption that

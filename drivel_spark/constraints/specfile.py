@@ -26,6 +26,9 @@ entry has ``type`` and ``column`` plus type-specific fields::
        "agg": "avg", "lo": 500, "hi": 12000},
       {"type": "quantile_bound", "column": "dur_ms", "q": 0.99,
        "hi": 30000, "method": "sketch"},
+      {"type": "functional_dependency", "column": "codec",
+       "determines": "container"},
+      {"type": "distinct_ratio", "column": "clip_id", "lo": 0.999},
       {"type": "drift", "column": "dur_ms", "max_ks": 0.1, "max_psi": 0.2}
     ]}
 
@@ -45,7 +48,9 @@ from .spec import (
     Constraint,
     Drift,
     Enum,
+    DistinctRatio,
     Format,
+    FunctionalDependency,
     GroupBound,
     Length,
     NotNull,
@@ -100,6 +105,16 @@ _TYPES: dict[str, tuple] = {
     "quantile_bound": (
         QuantileBound,
         {"q": "q", "lo": "lo", "hi": "hi", "method": "method"},
+        (),
+    ),
+    "functional_dependency": (
+        FunctionalDependency,
+        {"determines": "determines"},
+        ("determines",),
+    ),
+    "distinct_ratio": (
+        DistinctRatio,
+        {"lo": "lo", "hi": "hi", "method": "method"},
         (),
     ),
     "drift": (Drift, {"max_ks": "max_ks", "max_psi": "max_psi", "max_w1": "max_w1", "max_chi2": "max_chi2"}, ()),

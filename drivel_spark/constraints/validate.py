@@ -28,7 +28,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .drift import drift_column
-from .spec import Constraint, Drift, GroupBound, QuantileBound, Referential, Unique
+from .spec import (
+    Constraint,
+    DistinctRatio,
+    Drift,
+    FunctionalDependency,
+    GroupBound,
+    QuantileBound,
+    Referential,
+    Unique,
+)
 
 GLOBAL_SCOPE = -1  # partition_id for dataset-level constraint rows
 
@@ -324,6 +333,41 @@ def validate(
                     ).collect()[0]
                 )
                 lazy_cs.append((c, fut, gtab))
+            elif isinstance(c, FunctionalDependency):
+                bad_keys = (
+                    df.select(
+                        F.col(c.column).alias("key"),
+                        F.col(c.determines).alias("dep"),
+                    )
+                    .distinct()
+                    .groupBy("key")
+                    .agg(F.count(F.lit(1)).alias("n_bindings"))
+                    .filter(F.col("n_bindings") > 1)
+                )
+                fut = pool.submit(
+                    lambda b=bad_keys: b.agg(
+                        F.count(F.lit(1)).alias("k"),
+                        F.coalesce(F.sum("n_bindings"), F.lit(0)).alias("b"),
+                    ).collect()[0]
+                )
+                lazy_cs.append((c, fut, bad_keys))
+            elif isinstance(c, DistinctRatio):
+                if c.method == "exact":
+                    fut = pool.submit(
+                        lambda col=c.column: df.agg(
+                            F.countDistinct(F.col(col)).alias("d"),
+                            F.sum(
+                                F.col(col).isNotNull().cast("long")
+                            ).alias("nn"),
+                        ).collect()[0]
+                    )
+                    lazy_cs.append((c, fut, None))
+                else:
+                    if profile is None:
+                        raise ValueError(
+                            f"DistinctRatio {c.name} (sketch) needs profile"
+                        )
+                    lazy_cs.append((c, None, None))
             elif isinstance(c, QuantileBound):
                 if c.method == "exact":
                     from ..ops.selection import exact_quantile
@@ -370,6 +414,15 @@ def validate(
             res, vtab = _referential_result(c, fut.result(), aux, n_total)
         elif isinstance(c, GroupBound):
             res, vtab = _group_bound_result(c, fut.result(), aux)
+        elif isinstance(c, FunctionalDependency):
+            res, vtab = _functional_dependency_result(c, fut.result(), aux)
+        elif isinstance(c, DistinctRatio):
+            res, vtab = (
+                _distinct_ratio_result(
+                    c, fut.result() if fut is not None else None, profile
+                ),
+                None,
+            )
         elif isinstance(c, QuantileBound):
             res, vtab = (
                 _quantile_bound_result(
@@ -491,6 +544,60 @@ def _group_bound_result(c: GroupBound, agg_row, gtab: DataFrame):
         },
         gtab.filter(~F.col("passed")),
     )
+
+
+def _functional_dependency_result(c: FunctionalDependency, agg_row, bad_keys):
+    """Verdict for an FD check: n_violations = keys bound to more than
+    one dependent value; the violation table lists those keys with
+    their binding counts."""
+    n_bad_keys = int(agg_row["k"])
+    n_bindings = int(agg_row["b"])
+    return (
+        {
+            "constraint": c.name,
+            "type": "functional_dependency",
+            "column": c.column,
+            "determines": c.determines,
+            "n_violating_keys": n_bad_keys,
+            "n_bindings": n_bindings,
+            "n_violations": n_bad_keys,
+            "passed": n_bad_keys == 0,
+        },
+        bad_keys,
+    )
+
+
+def _distinct_ratio_result(c: DistinctRatio, agg_row, profile) -> dict[str, Any]:
+    """Verdict for a distinct-ratio check: ratio = distinct non-null
+    values / non-null rows (NULLs neither count as values nor depress
+    an id-column's ratio).  Empty input (no non-null rows) fails."""
+    if c.method == "exact":
+        d = int(agg_row["d"])
+        nn = int(agg_row["nn"] or 0)
+    else:
+        acc = profile.column(c.column) if c.column in profile.acc.cols else None
+        hll = getattr(acc, "hll", None)
+        d = int(round(hll.estimate())) if hll is not None else 0
+        nn = (acc.n - acc.n_null) if acc is not None else 0
+    ratio = (d / nn) if nn else None
+    failed = (
+        ratio is None
+        or (c.lo is not None and ratio < float(c.lo))
+        or (c.hi is not None and ratio > float(c.hi))
+    )
+    return {
+        "constraint": c.name,
+        "type": "distinct_ratio",
+        "column": c.column,
+        "method": c.method,
+        "n_distinct": d if nn else None,
+        "n_nonnull": nn,
+        "ratio": ratio,
+        "lo": c.lo,
+        "hi": c.hi,
+        "n_violations": int(failed),
+        "passed": not failed,
+    }
 
 
 def _quantile_bound_result(

@@ -905,3 +905,109 @@ def test_quantile_bound_specfile_roundtrip():
         QuantileBound("dur_ms_quantile_bound", "dur_ms", q=0.99, hi=30000,
                       method="exact")
     ]
+
+
+def test_functional_dependency(spark):
+    """codec->container FD: a planted double-binding key is the only
+    violation; NULL dependents count as a distinct binding."""
+    from drivel_spark.constraints import FunctionalDependency
+
+    pdf = pd.DataFrame(
+        {
+            "codec": ["wav", "wav", "flac", "flac", "mp3", "mp3", "ogg"],
+            "container": ["riff", "riff", "flac", "FLAC", "mpeg", "mpeg", None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    res = validate(
+        df, [FunctionalDependency("codec_fd", "codec", determines="container")]
+    )
+    d = res.dataset[0]
+    assert d["n_violations"] == 1 and not d["passed"]
+    bad = res.violation_tables["codec_fd"].collect()
+    assert len(bad) == 1 and bad[0]["key"] == "flac" and bad[0]["n_bindings"] == 2
+    # NULL + value = two bindings
+    pdf2 = pd.DataFrame({"k": ["a", "a"], "v": ["x", None]})
+    res2 = validate(
+        spark.createDataFrame(pdf2),
+        [FunctionalDependency("fd2", "k", determines="v")],
+    )
+    assert not res2.dataset[0]["passed"]
+    # clean FD passes
+    pdf3 = pd.DataFrame({"k": ["a", "a", "b"], "v": ["x", "x", "y"]})
+    res3 = validate(
+        spark.createDataFrame(pdf3),
+        [FunctionalDependency("fd3", "k", determines="v")],
+    )
+    assert res3.dataset[0]["passed"]
+    with pytest.raises(ValueError, match="determines"):
+        FunctionalDependency("fd", "k")
+
+
+def test_distinct_ratio(spark):
+    """Exact path is countDistinct/nonnull; sketch path reads the HLL;
+    empty input fails loudly."""
+    from drivel_spark.constraints import DistinctRatio
+    from drivel_spark.profiling import profile
+
+    pdf = pd.DataFrame(
+        {"clip_id": [f"c{i}" for i in range(100)] + ["c0", None]}
+    )
+    df = spark.createDataFrame(pdf)
+    p = profile(df, columns=["clip_id"])
+    # 100 distinct over 101 non-null rows
+    res = validate(
+        df,
+        [DistinctRatio("id_ratio", "clip_id", lo=0.95, method="exact")],
+        profile=p,
+    )
+    d = res.dataset[0]
+    assert d["passed"] and d["n_distinct"] == 100 and d["n_nonnull"] == 101
+    assert d["ratio"] == pytest.approx(100 / 101)
+    # sketch within HLL tolerance
+    res2 = validate(
+        df, [DistinctRatio("id_sketch", "clip_id", lo=0.9)], profile=p
+    )
+    d2 = res2.dataset[0]
+    assert d2["passed"] and d2["ratio"] == pytest.approx(100 / 101, rel=0.05)
+    # tight bound fails
+    res3 = validate(
+        df,
+        [DistinctRatio("too_tight", "clip_id", lo=0.9999, method="exact")],
+        profile=p,
+    )
+    assert not res3.dataset[0]["passed"]
+    # all-NULL column -> fail, ratio None
+    nul = spark.createDataFrame(pd.DataFrame({"clip_id": [None, None]}), "clip_id string")
+    p_nul = profile(nul, columns=["clip_id"])
+    for method in ("sketch", "exact"):
+        r = validate(
+            nul,
+            [DistinctRatio("n", "clip_id", lo=0.5, method=method)],
+            profile=p_nul,
+        )
+        assert not r.dataset[0]["passed"] and r.dataset[0]["ratio"] is None
+    with pytest.raises(ValueError, match="lo and/or hi"):
+        DistinctRatio("d", "x")
+
+
+def test_fd_distinct_ratio_specfile():
+    from drivel_spark.constraints import DistinctRatio, FunctionalDependency
+    from drivel_spark.constraints.specfile import from_spec_json
+
+    cs = from_spec_json(
+        {
+            "constraints": [
+                {"type": "functional_dependency", "column": "codec",
+                 "determines": "container"},
+                {"type": "distinct_ratio", "column": "clip_id",
+                 "lo": 0.999, "method": "exact"},
+            ]
+        }
+    )
+    assert cs == [
+        FunctionalDependency("codec_functional_dependency", "codec",
+                             determines="container"),
+        DistinctRatio("clip_id_distinct_ratio", "clip_id", lo=0.999,
+                      method="exact"),
+    ]

@@ -308,6 +308,70 @@ def cmd_mix(args) -> dict:
     }
 
 
+def cmd_shuffle(args) -> dict:
+    """Deterministic corpus shuffle as a job verb (ops/splits.py
+    deterministic_shuffle): the pre-training export step — assign
+    every row a global shuffle position from a pure md5 total order
+    (no RNG state, so reruns/resumes write byte-identical shards) and
+    optionally round-robin-shard the permutation for
+    ``write_partitioned(..., ["shard"])``.  The JSON line reports an
+    order-independent permutation digest (bit_xor of
+    xxhash64(pos, id)) so two runs — or two cluster sizes — can be
+    compared without diffing the data."""
+    from drivel_spark.io import read_table, write_partitioned
+    from drivel_spark.ops import deterministic_shuffle
+
+    spark = build_session("drivel-shuffle")
+    df = read_table(spark, args.data)
+    if args.where:
+        df = df.filter(args.where)
+    t0 = time.time()
+    shuffled = deterministic_shuffle(
+        df,
+        args.id_col,
+        seed=args.seed,
+        n_shards=args.shards,
+        num_partitions=args.partitions,
+    )
+    if args.shards:
+        write_partitioned(shuffled, args.out, ["shard"])
+    else:
+        shuffled.write.mode("overwrite").parquet(args.out)
+    wall = time.time() - t0
+    out = spark.read.parquet(args.out)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"bit_xor(xxhash64(shuffle_pos, {args.id_col}))"
+        ).alias("digest"),
+    ).collect()[0]
+    result = {
+        "job": "shuffle",
+        "id_col": args.id_col,
+        "seed": args.seed,
+        "n_rows": int(stats["n"]),
+        "permutation_digest": format(int(stats["digest"]) & (2**64 - 1), "016x"),
+        "wall_s": round(wall, 3),
+        "rows_per_sec": round(stats["n"] / wall, 1) if wall > 0 else None,
+        "out": args.out,
+    }
+    if args.shards:
+        bal = (
+            out.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.min("cnt").alias("mn"),
+                F.max("cnt").alias("mx"),
+                F.count(F.lit(1)).alias("k"),
+            )
+            .collect()[0]
+        )
+        result["shards"] = int(bal["k"])
+        result["shard_rows_min"] = int(bal["mn"])
+        result["shard_rows_max"] = int(bal["mx"])
+    return result
+
+
 def cmd_describe(args) -> dict:
     """The reference's `drivel describe` at table scale: one profile
     scan → human-readable schema (reference schema.rs:535-595) or JSON
@@ -859,6 +923,18 @@ def main(argv=None) -> None:
     sm.add_argument("--seed", type=int, default=42)
     sm.add_argument("--out", default=None, help="write survivors here (parquet)")
 
+    sh = sub.add_parser("shuffle")
+    sh.add_argument("--data", required=True, help="source table (path or iceberg: ref)")
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument("--seed", type=int, default=42)
+    sh.add_argument("--shards", type=int, default=None,
+                    help="round-robin shard count; written hive-partitioned by shard")
+    sh.add_argument("--partitions", type=int, default=None,
+                    help="row-id assignment bucket count (defaults to input partitions)")
+    sh.add_argument("--where", default=None,
+                    help="SQL predicate pushed to the source scan")
+    sh.add_argument("--out", required=True)
+
     ss = sub.add_parser("segment")
     ss.add_argument("--data", default=None, help="db dir containing /clips")
     ss.add_argument("--clips", default=None,
@@ -977,6 +1053,7 @@ def main(argv=None) -> None:
     out = {
         "prepare": cmd_prepare,
         "segment": cmd_segment,
+        "shuffle": cmd_shuffle,
         "mix": cmd_mix,
         "baseline": cmd_baseline,
         "validate": cmd_validate,

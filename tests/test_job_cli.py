@@ -489,3 +489,41 @@ def test_mix_verb(spark, tmp_path):
             data=src, by="lang", id_col="doc_id", weights="en:0.5",
             budget=None, size_col=None, seed=42, out=None,
         ))
+
+
+def test_shuffle_verb(spark, tmp_path):
+    """shuffle job verb: deterministic permutation + round-robin shards,
+    rerun-identical digest, seed-sensitive, hive-pruned shard layout."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from drivel_spark.job import cmd_shuffle
+
+    src = str(tmp_path / "docs")
+    pdf = pd.DataFrame({"doc_id": range(500), "text": [f"t{i}" for i in range(500)]})
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    def run(out, seed):
+        return cmd_shuffle(argparse.Namespace(
+            data=src, id_col="doc_id", seed=seed, shards=8,
+            partitions=None, where=None, out=str(tmp_path / out),
+        ))
+
+    a = run("out_a", 42)
+    b = run("out_b", 42)
+    c = run("out_c", 7)
+    assert a["n_rows"] == 500 and a["shards"] == 8
+    # round-robin balance: ±1 row per shard
+    assert a["shard_rows_max"] - a["shard_rows_min"] <= 1
+    # same seed → byte-identical permutation; new seed → a fresh one
+    assert a["permutation_digest"] == b["permutation_digest"]
+    assert a["permutation_digest"] != c["permutation_digest"]
+    written = spark.read.parquet(str(tmp_path / "out_a"))
+    # the permutation is total: positions are exactly 0..n-1
+    assert written.agg(
+        F.min("shuffle_pos"), F.max("shuffle_pos"),
+        F.countDistinct("shuffle_pos"),
+    ).collect()[0][:] == (0, 499, 500)
+    # shard column survives the hive round-trip and matches pos % shards
+    assert written.filter(
+        F.col("shard") != F.col("shuffle_pos") % 8).count() == 0

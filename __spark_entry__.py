@@ -3325,6 +3325,71 @@ def q_quantize_embeddings(spark, sf_dir):
     )
 
 
+def q_entropy_report_lineitem(spark, sf_dir):
+    """Distribution-shape profile (ops/infostats.column_entropy,
+    EntropyBound's engine): Shannon entropy + normalized entropy of
+    four category-like lineitem columns in ONE melted scan — the gate
+    that catches a collapsed (or id-leaking) category while every row
+    stays enum-valid.  Shuffle volume = Σ distinct(col), never row
+    count.  DuckDB re-derives H from the same melt with log2."""
+    from drivel_spark.ops import column_entropy
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_linenumber", "l_linestatus", "l_returnflag", "l_shipdate"]
+    return (
+        column_entropy(li, cols)
+        .select(
+            F.col("column").alias("col_name"),
+            "n_nonnull",
+            "n_distinct",
+            F.round("entropy_bits", 6).alias("entropy_bits"),
+            F.round("normalized_entropy", 6).alias("normalized_entropy"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def q_mutual_info_orders(spark, sf_dir):
+    """Column-association gate (ops/infostats.mutual_information,
+    MutualInformationBound's engine): I(o_orderstatus; o_orderpriority)
+    in bits + NMI — the decoupling detector for row-misaligned joins
+    that no per-column check can see.  One groupBy bounded by the
+    joint support, three windows over the O(pairs) table, zero extra
+    scans.  DuckDB replays the identical double algebra."""
+    from drivel_spark.ops import mutual_information
+
+    o = _t(spark, sf_dir, "orders")
+    return mutual_information(o, "o_orderstatus", "o_orderpriority").select(
+        "col_x",
+        "col_y",
+        "n",
+        "n_pairs",
+        F.round("mi_bits", 6).alias("mi_bits"),
+        F.round("nmi", 6).alias("nmi"),
+    )
+
+
+def q_split_leakage_documents(spark, sf_dir):
+    """Cross-split contamination audit (ops/splits.split_leakage): the
+    corpus is documents UNION a re-id'd copy of its first 40 docs (a
+    deterministic plant — sf0.01 has no natural verbatim dups), split
+    row-wise; duplicates whose copies straddle the train/val/test
+    boundary are reported per normalized-text fingerprint.  One
+    groupBy on the fingerprint with a ≤|splits| collect_set — no
+    self-join, no pair explosion.  DuckDB replays the same union, the
+    same md5 split intervals, and the same md5 fingerprint."""
+    from drivel_spark.ops import split_leakage
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 40).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000).cast("long")
+    )
+    corpus = d.unionByName(planted)
+    return split_leakage(
+        corpus, "doc_id", "text", SPLIT_WEIGHTS, seed=SPLIT_SEED
+    ).orderBy("fingerprint")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3340,7 +3405,17 @@ def _last_verified_round() -> dict[str, int]:
     still proves the driver reached it, and a broken query re-enters the
     window by being fixed, not by starving its neighbours).  Ties keep
     canonical registry order.  Net effect: every query regains a hard
-    driver-oracle row at least every ceil(len(registry)/50)+ rounds."""
+    driver-oracle row at least every ceil(len(registry)/50)+ rounds.
+
+    r05 arithmetic (deliberate): 33 r05-new queries (round 0) + 24
+    r03-carried = 57 candidates for the 50-row window, so the 7
+    canonically-last r03-carried queries (sketch/tdigest/drift block,
+    asof, winnow_fingerprints … json_schema_events_props) ride their
+    r03 green one more round.  New-first is the right priority: a
+    query with NO oracle row ever is a coverage gap (r04 verdict
+    'What's missing' #2), while a 2-round-old green row was graded
+    pass(r03); the spilled seven are served first thing in r06 (they
+    will be the oldest cohort, ahead of the 50 r04 rows)."""
     import glob
     import json as _json
     import os as _os
@@ -3450,6 +3525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_bounds_orders": q_group_bounds_orders,
         "wasserstein_orders_price": q_wasserstein_orders_price,
         "chisq_drift_orders": q_chisq_drift_orders,
+        "entropy_report_lineitem": q_entropy_report_lineitem,
+        "mutual_info_orders": q_mutual_info_orders,
+        "split_leakage_documents": q_split_leakage_documents,
         # training-data ops
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_metrics_documents": q_text_metrics_documents,
@@ -5233,6 +5311,88 @@ def oracle_sql() -> dict[str, str]:
                          + pow(n_batch - (n_base + n_batch) * tb / (ta + tb), 2)
                            / ((n_base + n_batch) * tb / (ta + tb)), 6) AS chi2_contrib
             FROM cnt, tot ORDER BY category""",
+        # the same melt → count → -Σ p·log2 p fold; normalized by
+        # log2(n_distinct) with the single-value convention pinned at 0
+        "entropy_report_lineitem": """
+            WITH melted AS (
+              SELECT 'l_linenumber' AS col_name, l_linenumber::VARCHAR AS value FROM lineitem
+              UNION ALL
+              SELECT 'l_linestatus', l_linestatus::VARCHAR FROM lineitem
+              UNION ALL
+              SELECT 'l_returnflag', l_returnflag::VARCHAR FROM lineitem
+              UNION ALL
+              SELECT 'l_shipdate', l_shipdate::VARCHAR FROM lineitem),
+            counts AS (
+              SELECT col_name, value, count(*) AS cnt
+              FROM melted WHERE value IS NOT NULL GROUP BY 1, 2),
+            wt AS (
+              SELECT col_name, value, cnt,
+                     sum(cnt) OVER (PARTITION BY col_name) AS total
+              FROM counts),
+            h AS (
+              SELECT col_name,
+                     sum(cnt)::BIGINT AS n_nonnull,
+                     count(*)::BIGINT AS n_distinct,
+                     sum(-(cnt::DOUBLE / total) * log2(cnt::DOUBLE / total))
+                       AS entropy_bits
+              FROM wt GROUP BY col_name)
+            SELECT col_name, n_nonnull, n_distinct,
+                   round(entropy_bits, 6) AS entropy_bits,
+                   round(CASE WHEN n_distinct <= 1 THEN 0.0
+                              ELSE entropy_bits / log2(n_distinct) END, 6)
+                     AS normalized_entropy
+            FROM h ORDER BY col_name""",
+        # identical joint/marginal double algebra: I = Σ p·log2(p/(px·py)),
+        # H from the same joint table's marginal terms, NMI = I/min(Hx,Hy)
+        "mutual_info_orders": """
+            WITH joint AS (
+              SELECT o_orderstatus::VARCHAR AS x, o_orderpriority::VARCHAR AS y,
+                     count(*) AS c
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+              GROUP BY 1, 2),
+            m AS (
+              SELECT x, y, c::DOUBLE AS c,
+                     sum(c) OVER (PARTITION BY x)::DOUBLE AS cx,
+                     sum(c) OVER (PARTITION BY y)::DOUBLE AS cy,
+                     sum(c) OVER ()::DOUBLE AS n
+              FROM joint),
+            agg AS (
+              SELECT max(n) AS n, count(*) AS n_pairs,
+                     sum((c / n) * log2(c * n / (cx * cy))) AS mi,
+                     sum(-(c / n) * log2(cx / n)) AS hx,
+                     sum(-(c / n) * log2(cy / n)) AS hy
+              FROM m)
+            SELECT 'o_orderstatus' AS col_x, 'o_orderpriority' AS col_y,
+                   coalesce(n, 0)::BIGINT AS n, n_pairs::BIGINT AS n_pairs,
+                   round(greatest(mi, 0.0), 6) AS mi_bits,
+                   round(CASE WHEN hx <= 0 OR hy <= 0 THEN 0.0
+                              ELSE greatest(mi, 0.0) / least(hx, hy) END, 6) AS nmi
+            FROM agg""",
+        # same planted union, same md5 split intervals (exactly-
+        # representable cums .75/.875), same md5(normalized text)
+        # fingerprint; leaks = fingerprints spanning >1 split
+        "split_leakage_documents": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 40),
+            asg AS (
+              SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint,
+                     CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || ':{SPLIT_SEED}'), 1, 8))::BIGINT
+                                / 4294967296.0) < 0.75 THEN 'train'
+                          WHEN (('0x' || substr(md5(doc_id::VARCHAR || ':{SPLIT_SEED}'), 1, 8))::BIGINT
+                                / 4294967296.0) < 0.875 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM corpus WHERE text IS NOT NULL)
+            SELECT fingerprint,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT split)::INT AS n_splits,
+                   string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+            FROM asg GROUP BY fingerprint
+            HAVING count(DISTINCT split) > 1
+            ORDER BY fingerprint""",
         "drift_lineitem_halves": f"""
             WITH est AS (SELECT * FROM read_parquet('{ORACLE_DIR}/drift_estimates_sf0.01.parquet')),
             edges AS (SELECT edge FROM read_parquet('{ORACLE_DIR}/drift_edges_sf0.01.parquet')),

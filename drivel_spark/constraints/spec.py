@@ -299,6 +299,71 @@ class DistinctRatio(Constraint):
 
 
 @dataclass(frozen=True)
+class EntropyBound(Constraint):
+    """Dataset-level: Shannon entropy (bits) of ``column``'s non-null
+    value distribution must land in [lo, hi] — the distribution-shape
+    gate enum/range checks cannot express.  H → 0 catches an ingest
+    pinning every row to one codec while each row stays enum-valid;
+    an H ceiling catches free text leaking into a category field
+    (DistinctRatio sees the cardinality jump, EntropyBound sees the
+    mass spreading even at FIXED cardinality).  ``normalized=True``
+    gates H/log2(n_distinct) in [0, 1] instead — scale-free, so one
+    bound serves columns of different cardinalities.
+
+    One groupBy bounded by the column's distinct cardinality
+    (ops/infostats.column_entropy); a column with no non-null values
+    FAILS loudly, same stance as QuantileBound."""
+
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+    normalized: bool = False
+
+    def __post_init__(self):
+        if self.lo is None and self.hi is None:
+            raise ValueError(f"EntropyBound {self.name!r} needs lo and/or hi")
+
+    @property
+    def is_row_level(self) -> bool:
+        return False
+
+
+@dataclass(frozen=True)
+class MutualInformationBound(Constraint):
+    """Dataset-level: mutual information I(``column``; ``other``) in
+    bits (or NMI = I/min(H_x, H_y) with ``normalized=True``) must land
+    in [lo, hi].  The association gate: healthy data co-moves
+    (codec↔container, codec↔sr_hz); MI collapsing to ~0 while both
+    marginals stay healthy is the signature of a row-misaligned join
+    or a column-wise backfill — invisible to every per-column check
+    including EntropyBound.  A NON-zero floor on an id↔payload pair
+    also works in reverse: MI ≈ H means one column leaks the other.
+
+    One groupBy bounded by the joint support |X×Y|
+    (ops/infostats.mutual_information); meaningful — and cheap — for
+    category-like columns, which is the intended domain.  No observed
+    pairs (all-null either side) FAILS loudly."""
+
+    other: str = ""
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+    normalized: bool = False
+
+    def __post_init__(self):
+        if not self.other:
+            raise ValueError(
+                f"MutualInformationBound {self.name!r} needs 'other'"
+            )
+        if self.lo is None and self.hi is None:
+            raise ValueError(
+                f"MutualInformationBound {self.name!r} needs lo and/or hi"
+            )
+
+    @property
+    def is_row_level(self) -> bool:
+        return False
+
+
+@dataclass(frozen=True)
 class QuantileBound(Constraint):
     """Dataset-level: THIS batch's q-quantile of ``column`` must land
     in [lo, hi] — "dur_ms p99 ≤ 30000" catches tail corruption that

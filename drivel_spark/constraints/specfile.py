@@ -49,9 +49,11 @@ from .spec import (
     Drift,
     Enum,
     DistinctRatio,
+    EntropyBound,
     Format,
     FunctionalDependency,
     GroupBound,
+    MutualInformationBound,
     Length,
     NotNull,
     QuantileBound,
@@ -116,6 +118,16 @@ _TYPES: dict[str, tuple] = {
         DistinctRatio,
         {"lo": "lo", "hi": "hi", "method": "method"},
         (),
+    ),
+    "entropy_bound": (
+        EntropyBound,
+        {"lo": "lo", "hi": "hi", "normalized": "normalized"},
+        (),
+    ),
+    "mutual_information_bound": (
+        MutualInformationBound,
+        {"other": "other", "lo": "lo", "hi": "hi", "normalized": "normalized"},
+        ("other",),
     ),
     "drift": (Drift, {"max_ks": "max_ks", "max_psi": "max_psi", "max_w1": "max_w1", "max_chi2": "max_chi2"}, ()),
 }

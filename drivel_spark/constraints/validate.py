@@ -32,8 +32,10 @@ from .spec import (
     Constraint,
     DistinctRatio,
     Drift,
+    EntropyBound,
     FunctionalDependency,
     GroupBound,
+    MutualInformationBound,
     QuantileBound,
     Referential,
     Unique,
@@ -368,6 +370,22 @@ def validate(
                             f"DistinctRatio {c.name} (sketch) needs profile"
                         )
                     lazy_cs.append((c, None, None))
+            elif isinstance(c, EntropyBound):
+                from ..ops.infostats import column_entropy
+
+                fut = pool.submit(
+                    lambda col=c.column: column_entropy(df, [col]).collect()[0]
+                )
+                lazy_cs.append((c, fut, None))
+            elif isinstance(c, MutualInformationBound):
+                from ..ops.infostats import mutual_information
+
+                fut = pool.submit(
+                    lambda a=c.column, b=c.other: mutual_information(
+                        df, a, b
+                    ).collect()[0]
+                )
+                lazy_cs.append((c, fut, None))
             elif isinstance(c, QuantileBound):
                 if c.method == "exact":
                     from ..ops.selection import exact_quantile
@@ -423,6 +441,10 @@ def validate(
                 ),
                 None,
             )
+        elif isinstance(c, EntropyBound):
+            res, vtab = _entropy_bound_result(c, fut.result()), None
+        elif isinstance(c, MutualInformationBound):
+            res, vtab = _mutual_information_result(c, fut.result()), None
         elif isinstance(c, QuantileBound):
             res, vtab = (
                 _quantile_bound_result(
@@ -593,6 +615,64 @@ def _distinct_ratio_result(c: DistinctRatio, agg_row, profile) -> dict[str, Any]
         "n_distinct": d if nn else None,
         "n_nonnull": nn,
         "ratio": ratio,
+        "lo": c.lo,
+        "hi": c.hi,
+        "n_violations": int(failed),
+        "passed": not failed,
+    }
+
+
+def _entropy_bound_result(c: EntropyBound, row) -> dict[str, Any]:
+    """Verdict for an entropy gate: the gated statistic is
+    entropy_bits, or normalized_entropy when c.normalized.  A column
+    with no non-null values fails loudly (entropy of nothing is a
+    broken contract, not a pass)."""
+    value = row["normalized_entropy"] if c.normalized else row["entropy_bits"]
+    failed = (
+        value is None
+        or (c.lo is not None and value < float(c.lo))
+        or (c.hi is not None and value > float(c.hi))
+    )
+    return {
+        "constraint": c.name,
+        "type": "entropy_bound",
+        "column": c.column,
+        "normalized": c.normalized,
+        "n_nonnull": int(row["n_nonnull"]),
+        "n_distinct": int(row["n_distinct"]),
+        "entropy_bits": row["entropy_bits"],
+        "value": value,
+        "lo": c.lo,
+        "hi": c.hi,
+        "n_violations": int(failed),
+        "passed": not failed,
+    }
+
+
+def _mutual_information_result(
+    c: MutualInformationBound, row
+) -> dict[str, Any]:
+    """Verdict for a mutual-information gate: gated statistic is
+    mi_bits, or nmi when c.normalized.  No observed (non-null, non-null)
+    pairs fails loudly."""
+    n = int(row["n"])
+    value = None if n == 0 else (row["nmi"] if c.normalized else row["mi_bits"])
+    failed = (
+        value is None
+        or (c.lo is not None and value < float(c.lo))
+        or (c.hi is not None and value > float(c.hi))
+    )
+    return {
+        "constraint": c.name,
+        "type": "mutual_information_bound",
+        "column": c.column,
+        "other": c.other,
+        "normalized": c.normalized,
+        "n": n,
+        "n_pairs": int(row["n_pairs"]),
+        "mi_bits": row["mi_bits"] if n else None,
+        "nmi": row["nmi"] if n else None,
+        "value": value,
         "lo": c.lo,
         "hi": c.hi,
         "n_violations": int(failed),

@@ -39,6 +39,7 @@ __all__ = [
     "stratified_sample",
     "deterministic_shuffle",
     "sample_k_per_group",
+    "split_leakage",
     "SPLIT_BUCKET_DENOM",
 ]
 
@@ -259,4 +260,58 @@ def sample_k_per_group(
         df.withColumn("__spg_rn", F.row_number().over(w))
         .where(F.col("__spg_rn") <= k)
         .drop("__spg_rn")
+    )
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: Mapping[str, float],
+    seed: int = 42,
+    group_col: Optional[str] = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split contamination audit: exact duplicates (normalized
+    text) that straddle a split boundary — the leak that silently
+    inflates eval scores.  ``stable_split`` keyed on a group column
+    prevents WITHIN-group leakage by construction, but verbatim
+    duplicates ACROSS groups (mirrors, syndicated articles, boilerplate)
+    still land in different splits; this op finds exactly those.
+
+    Returns one row per leaking fingerprint: ``(fingerprint, n_docs,
+    n_splits, splits)`` where ``fingerprint = md5(normalized text)``,
+    ``splits`` is the comma-joined sorted distinct split set, and only
+    fingerprints spanning >1 split are kept.  Empty result = no leakage.
+
+    Plan: assignment is the free per-row md5 expression; then ONE
+    partial+final groupBy on the fingerprint with a ``collect_set``
+    bounded by len(weights) (a few strings — never data-sized state),
+    filtered to n_splits > 1.  No self-join, no pair explosion: the
+    duplicate relation is resolved through the group key, so a
+    fingerprint duplicated k times costs one state row, not k².  Same
+    shape as exact dedup — holds at corpus scale.
+    """
+    from .text import normalize_text
+
+    assigned = stable_split(
+        df, id_col, weights, seed=seed, group_col=group_col,
+        split_col=split_col,
+    )
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        assigned.filter(F.col(text_col).isNotNull())
+        .select(fp.alias("fingerprint"), F.col(split_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_set(split_col)).alias("__ss"),
+        )
+        .filter(F.size("__ss") > 1)
+        .select(
+            "fingerprint",
+            "n_docs",
+            F.size("__ss").alias("n_splits"),
+            F.array_join("__ss", ",").alias("splits"),
+        )
     )

@@ -2776,3 +2776,152 @@ def test_group_anomaly_report(spark):
     )
     rep2 = group_anomaly_report(same, "g", "v").toPandas()
     assert not rep2["flagged"].any()
+
+
+def test_column_entropy(spark):
+    """Planted distributions with closed-form entropies; one-pass melt
+    covers multiple columns; all-null and constant edge cases."""
+    import math
+
+    import pandas as pd
+
+    from drivel_spark.ops import column_entropy
+
+    pdf = pd.DataFrame(
+        {
+            "half": ["a", "a", "b", "b"],            # H = 1 bit
+            "uniform4": ["p", "q", "r", "s"],        # H = 2 bits
+            "constant": ["x", "x", "x", "x"],        # H = 0
+            "skew": ["a", "a", "a", "b"],            # H = 0.25·log2 terms
+            "allnull": pd.array([None] * 4, dtype="string"),
+        }
+    )
+    rows = {
+        r["column"]: r
+        for r in column_entropy(
+            spark.createDataFrame(pdf),
+            ["half", "uniform4", "constant", "skew", "allnull"],
+        ).collect()
+    }
+    assert abs(rows["half"]["entropy_bits"] - 1.0) < 1e-12
+    assert abs(rows["half"]["normalized_entropy"] - 1.0) < 1e-12
+    assert abs(rows["uniform4"]["entropy_bits"] - 2.0) < 1e-12
+    assert rows["constant"]["entropy_bits"] == 0.0
+    assert rows["constant"]["normalized_entropy"] == 0.0
+    h_skew = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(rows["skew"]["entropy_bits"] - h_skew) < 1e-12
+    assert rows["allnull"]["n_nonnull"] == 0
+    assert rows["allnull"]["entropy_bits"] is None
+    # numeric columns melt through the string cast
+    num = spark.createDataFrame(pd.DataFrame({"v": [1, 1, 2, 2]}))
+    r = column_entropy(num, ["v"]).collect()[0]
+    assert abs(r["entropy_bits"] - 1.0) < 1e-12
+    with _pytest_raises_value_error("unknown column"):
+        column_entropy(num, ["nope"]).collect()
+
+
+def _pytest_raises_value_error(match):
+    import pytest
+
+    return pytest.raises(ValueError, match=match)
+
+
+def test_mutual_information(spark):
+    """MI closed forms: identity (MI = H, NMI = 1), independence
+    (MI = 0), constant column (NMI = 0 by convention), null handling."""
+    import pandas as pd
+
+    from drivel_spark.ops import mutual_information
+
+    # perfectly dependent: y = f(x), uniform over 2 values → MI = 1 bit
+    dep = spark.createDataFrame(
+        pd.DataFrame({"x": ["a", "a", "b", "b"], "y": ["u", "u", "v", "v"]})
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert abs(r["mi_bits"] - 1.0) < 1e-12 and abs(r["nmi"] - 1.0) < 1e-12
+    assert r["n"] == 4 and r["n_pairs"] == 2
+    # independent product distribution → MI = 0
+    ind = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "x": ["a", "a", "b", "b"],
+                "y": ["u", "v", "u", "v"],
+            }
+        )
+    )
+    r2 = mutual_information(ind, "x", "y").collect()[0]
+    assert abs(r2["mi_bits"]) < 1e-12 and r2["nmi"] == 0.0 or r2["nmi"] < 1e-12
+    # constant column: H = 0 → NMI defined as 0
+    con = spark.createDataFrame(
+        pd.DataFrame({"x": ["a", "b"], "y": ["k", "k"]})
+    )
+    r3 = mutual_information(con, "x", "y").collect()[0]
+    assert r3["mi_bits"] == 0.0 and r3["nmi"] == 0.0
+    # null rows on either side are excluded from the joint
+    nul = spark.createDataFrame(
+        pd.DataFrame({"x": ["a", None, "b"], "y": [None, "u", "v"]})
+    )
+    assert mutual_information(nul, "x", "y").collect()[0]["n"] == 1
+
+
+def test_split_leakage(spark):
+    """Cross-split exact-dup audit: a verbatim duplicate straddling
+    splits is reported (normalized text), co-assigned dups are not."""
+    import pandas as pd
+
+    from drivel_spark.ops import split_leakage, stable_split
+
+    # craft doc ids whose split assignments differ, with duplicate text
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "text": [f"unique text {i}" for i in range(38)]
+            + ["  The SAME   article ", "the same article"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    weights = {"train": 0.5, "test": 0.5}
+    asg = {
+        r["doc_id"]: r["split"]
+        for r in stable_split(df, "doc_id", weights).collect()
+    }
+    leaks = split_leakage(df, "doc_id", "text", weights).collect()
+    if asg[38] != asg[39]:
+        assert len(leaks) == 1
+        (leak,) = leaks
+        assert leak["n_docs"] == 2 and leak["n_splits"] == 2
+        assert leak["splits"] == "test,train"
+    else:  # seed happens to co-assign → no leak reported
+        assert leaks == []
+    # force both outcomes deterministically via group co-assignment:
+    # keying the split on a shared group makes the dup co-assign → clean
+    df2 = df.withColumn(
+        "grp", (F.col("doc_id") >= 38).cast("int").cast("string")
+    )
+    assert (
+        split_leakage(
+            df2, "doc_id", "text", weights, group_col="grp"
+        ).count()
+        == 0
+    )
+    # and splitting the dup pair across groups guarantees the leak when
+    # the two groups land in different splits
+    asg2 = {
+        r["grp"]: r["split"]
+        for r in stable_split(
+            df2, "doc_id", weights, group_col="grp"
+        ).select("grp", "split").distinct().collect()
+    }
+    df3 = df2.withColumn(
+        "grp2", F.when(F.col("doc_id") == 39, F.lit("zzz")).otherwise(F.col("grp"))
+    )
+    asg3 = {
+        r["grp2"]: r["split"]
+        for r in stable_split(
+            df3, "doc_id", weights, group_col="grp2"
+        ).select("grp2", "split").distinct().collect()
+    }
+    if asg3["1"] != asg3["zzz"]:
+        assert split_leakage(
+            df3, "doc_id", "text", weights, group_col="grp2"
+        ).count() == 1

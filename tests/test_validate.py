@@ -1011,3 +1011,117 @@ def test_fd_distinct_ratio_specfile():
         DistinctRatio("clip_id_distinct_ratio", "clip_id", lo=0.999,
                       method="exact"),
     ]
+
+
+def test_entropy_bound(spark):
+    """Entropy gate: collapsed distribution fails the floor, healthy
+    passes; normalized mode; all-null column fails loudly."""
+    from drivel_spark.constraints import EntropyBound
+
+    healthy = spark.createDataFrame(
+        pd.DataFrame({"codec": ["wav", "flac", "mp3", "ogg"] * 10})
+    )
+    collapsed = spark.createDataFrame(
+        pd.DataFrame({"codec": ["wav"] * 39 + ["flac"]})
+    )
+    c = EntropyBound("codec_entropy", "codec", lo=1.0)
+    r = validate(healthy, [c]).dataset[0]
+    assert r["passed"] and abs(r["entropy_bits"] - 2.0) < 1e-12
+    r2 = validate(collapsed, [c]).dataset[0]
+    assert not r2["passed"] and r2["n_violations"] == 1
+    # normalized mode is scale-free: healthy uniform → 1.0
+    cn = EntropyBound("codec_nent", "codec", lo=0.9, normalized=True)
+    assert validate(healthy, [cn]).dataset[0]["value"] == 1.0
+    # ceiling catches spreading mass (id-like leak into a category)
+    idish = spark.createDataFrame(
+        pd.DataFrame({"codec": [f"v{i}" for i in range(64)]})
+    )
+    chi = EntropyBound("codec_ceiling", "codec", hi=3.0)
+    assert not validate(idish, [chi]).dataset[0]["passed"]
+    # all-null fails loudly
+    nul = spark.createDataFrame(pd.DataFrame({"codec": pd.array([None] * 5, dtype="string")}))
+    assert not validate(nul, [c]).dataset[0]["passed"]
+    with pytest.raises(ValueError, match="lo and/or hi"):
+        EntropyBound("e", "codec")
+    # global passfail row present
+    pf = validate(collapsed, [c]).passfail_pdf()
+    row = pf[pf["constraint"] == "codec_entropy"]
+    assert len(row) == 1 and not bool(row["passed"].iloc[0])
+
+
+def test_mutual_information_bound(spark):
+    """MI gate: a decoupled (independent) pair fails the association
+    floor while each marginal stays healthy; dependent pair passes;
+    ceiling mode catches id↔payload leakage."""
+    from drivel_spark.constraints import MutualInformationBound
+
+    dep = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "codec": ["wav", "wav", "flac", "flac"] * 10,
+                "container": ["riff", "riff", "flac", "flac"] * 10,
+            }
+        )
+    )
+    ind = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "codec": ["wav", "wav", "flac", "flac"] * 10,
+                "container": ["riff", "flac", "riff", "flac"] * 10,
+            }
+        )
+    )
+    c = MutualInformationBound(
+        "codec_container_mi", "codec", other="container", lo=0.5
+    )
+    assert validate(dep, [c]).dataset[0]["passed"]
+    r = validate(ind, [c]).dataset[0]
+    assert not r["passed"] and r["mi_bits"] < 1e-9
+    # normalized ceiling: identity mapping → NMI 1 → fails hi=0.9
+    cn = MutualInformationBound(
+        "leak", "codec", other="container", hi=0.9, normalized=True
+    )
+    assert not validate(dep, [cn]).dataset[0]["passed"]
+    # no observed pairs fails loudly
+    nul = spark.createDataFrame(
+        pd.DataFrame({"codec": ["a", "b"], "container": pd.array([None, None], dtype="string")})
+    )
+    assert not validate(nul, [c]).dataset[0]["passed"]
+    with pytest.raises(ValueError, match="other"):
+        MutualInformationBound("m", "codec", lo=0.1)
+
+
+def test_entropy_mi_specfile_roundtrip(tmp_path, spark):
+    """entropy_bound / mutual_information_bound parse from the
+    declarative spec-file front-end and gate through validate()."""
+    import json
+
+    from drivel_spark.constraints.specfile import load_spec_file
+
+    spec = {
+        "constraints": [
+            {"type": "entropy_bound", "name": "e", "column": "codec", "lo": 1.0},
+            {
+                "type": "mutual_information_bound",
+                "name": "m",
+                "column": "codec",
+                "other": "container",
+                "lo": 0.5,
+                "normalized": True,
+            },
+        ]
+    }
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(spec))
+    cs = load_spec_file(str(p))
+    assert [c.name for c in cs] == ["e", "m"]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "codec": ["wav", "flac"] * 10,
+                "container": ["riff", "flac"] * 10,
+            }
+        )
+    )
+    res = validate(df, cs)
+    assert all(d["passed"] for d in res.dataset)

@@ -3390,6 +3390,64 @@ def q_split_leakage_documents(spark, sf_dir):
     ).orderBy("fingerprint")
 
 
+def q_audio_corpus_report(spark, sf_dir):
+    """Duration-weighted corpus composition (ops/multimodal.
+    audio_corpus_report): hours of audio per codec — the unit models
+    train on — plus share, mean duration, distinct sample rates.
+    Metadata-only narrow scan (bytes never leaves parquet), one
+    groupBy bounded by the codec enum.  The oracle aggregates the
+    exported fixture metadata independently in DuckDB (exact integer
+    ms sums ⇒ bit-identical doubles)."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips, clips_pdf
+    from drivel_spark.ops import audio_corpus_report
+
+    n = 400 if "0.01" in sf_dir else 200
+    spec = ClipFixtureSpec(with_audio=False)
+    if not _engine_only():
+        import numpy as np
+
+        pdf = clips_pdf(np.arange(n), spec)[
+            ["clip_id", "codec", "dur_ms", "sr_hz"]
+        ]
+        _export_oracle(pdf, "corpus_meta", sf_dir)
+    clips = build_clips(spark, n, 8, spec)
+    return audio_corpus_report(clips)
+
+
+def q_monotonic_events(spark, sf_dir):
+    """Ordering-invariant gates (ops/timeseries.monotonic_violations,
+    Monotonic constraint's engine): per-user, is `ts` non-decreasing
+    along event_id (ingest-order sanity) and is `value` non-decreasing
+    along (ts, event_id) (expected to violate — pins that the detector
+    counts real inversions)?  One lag window per check (hash shuffle
+    on user_id, deterministic unique tiebreak), violation totals plus
+    the shared adjacent-pair denominator.  DuckDB replays both lag
+    windows with identical ordering."""
+    from drivel_spark.ops import monotonic_violations
+
+    ev = _t(spark, sf_dir, "events")
+    n_pairs = ev.agg(
+        (F.count(F.lit(1)) - F.countDistinct("user_id")).alias("n_pairs")
+    )
+
+    def rep(name, viol):
+        return (
+            viol.agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+            .crossJoin(F.broadcast(n_pairs))
+        )
+
+    a = monotonic_violations(
+        ev, "value", ["ts", "event_id"], group_col="user_id"
+    )
+    b = monotonic_violations(ev, "ts", ["event_id"], group_col="user_id")
+    return (
+        rep("ts_by_event_id", b)
+        .unionByName(rep("value_by_ts", a))
+        .orderBy("check_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3407,14 +3465,14 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 33 r05-new queries (round 0) + 24
-    r03-carried = 57 candidates for the 50-row window, so the 7
-    canonically-last r03-carried queries (sketch/tdigest/drift block,
-    asof, winnow_fingerprints … json_schema_events_props) ride their
-    r03 green one more round.  New-first is the right priority: a
-    query with NO oracle row ever is a coverage gap (r04 verdict
+    r05 arithmetic (deliberate): 35 r05-new queries (round 0) + 24
+    r03-carried = 59 candidates for the 50-row window, so the 9
+    canonically-last r03-carried queries (tdigest/drift sketch block,
+    asof, winnowing, range join, minhash/simhash, json_schema) ride
+    their r03 green one more round.  New-first is the right priority:
+    a query with NO oracle row ever is a coverage gap (r04 verdict
     'What's missing' #2), while a 2-round-old green row was graded
-    pass(r03); the spilled seven are served first thing in r06 (they
+    pass(r03); the spilled nine are served first thing in r06 (they
     will be the oldest cohort, ahead of the 50 r04 rows)."""
     import glob
     import json as _json
@@ -3528,6 +3586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_report_lineitem": q_entropy_report_lineitem,
         "mutual_info_orders": q_mutual_info_orders,
         "split_leakage_documents": q_split_leakage_documents,
+        "monotonic_events": q_monotonic_events,
+        "audio_corpus_report_clips": q_audio_corpus_report,
         # training-data ops
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_metrics_documents": q_text_metrics_documents,
@@ -5393,6 +5453,51 @@ def oracle_sql() -> dict[str, str]:
             FROM asg GROUP BY fingerprint
             HAVING count(DISTINCT split) > 1
             ORDER BY fingerprint""",
+        # independent DuckDB aggregation of the exported fixture
+        # metadata: integer ms sums are exact, so hours/share doubles
+        # are bit-identical across engines
+        "audio_corpus_report_clips": f"""
+            WITH m AS (
+              SELECT codec, dur_ms, sr_hz
+              FROM read_parquet('{ORACLE_DIR}/corpus_meta_sf0.01.parquet')),
+            per AS (
+              SELECT codec, count(*)::BIGINT AS n_clips,
+                     sum(dur_ms::BIGINT) AS ms,
+                     avg(dur_ms) AS avg_dur,
+                     count(DISTINCT sr_hz)::BIGINT AS n_sr
+              FROM m GROUP BY codec),
+            tot AS (SELECT sum(ms) AS total FROM per)
+            SELECT codec, n_clips,
+                   round(ms / 3600000.0, 6) AS hours,
+                   round(ms::DOUBLE / total, 6) AS share_hours,
+                   round(avg_dur, 2) AS avg_dur_ms,
+                   n_sr
+            FROM per, tot ORDER BY codec""",
+        # same two lag windows, same deterministic (ts, event_id) /
+        # event_id orderings, same NULL-pair exclusion semantics
+        "monotonic_events": """
+            WITH a AS (
+              SELECT count(*)::BIGINT AS v FROM (
+                SELECT value,
+                       lag(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS pv
+                FROM events)
+              WHERE pv IS NOT NULL AND pv > value),
+            b AS (
+              SELECT count(*)::BIGINT AS v FROM (
+                SELECT ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS pt
+                FROM events)
+              WHERE pt IS NOT NULL AND pt > ts),
+            np AS (
+              SELECT (count(*) - count(DISTINCT user_id))::BIGINT AS n_pairs
+              FROM events)
+            SELECT 'ts_by_event_id' AS check_name,
+                   (SELECT v FROM b) AS n_violations, n_pairs FROM np
+            UNION ALL
+            SELECT 'value_by_ts', (SELECT v FROM a), n_pairs FROM np
+            ORDER BY check_name""",
         "drift_lineitem_halves": f"""
             WITH est AS (SELECT * FROM read_parquet('{ORACLE_DIR}/drift_estimates_sf0.01.parquet')),
             edges AS (SELECT edge FROM read_parquet('{ORACLE_DIR}/drift_edges_sf0.01.parquet')),

@@ -299,6 +299,37 @@ class DistinctRatio(Constraint):
 
 
 @dataclass(frozen=True)
+class Monotonic(Constraint):
+    """Dataset-level: ``column`` must be non-decreasing (``strict``:
+    strictly increasing) along ``order_by`` — per ``group_col`` when
+    given, globally otherwise.  Catches replayed ingests, clock skew,
+    and merge-order bugs ("sequence numbers went backwards in shard 7")
+    that per-row range checks can't see.  ``order_by`` should include a
+    unique tiebreaker column so the adjacency relation is deterministic.
+
+    Per-group: one hash shuffle + lag window.  Global: value-bucketed
+    row-id assignment + pos↔pos+1 join (ops/timeseries.
+    monotonic_violations) — no single-partition window at any scale.
+    The violation table lists the offending adjacent pairs."""
+
+    order_by: tuple = ()
+    group_col: Optional[str] = None
+    strict: bool = False
+
+    def __post_init__(self):
+        if not self.order_by:
+            raise ValueError(f"Monotonic {self.name!r} needs order_by")
+        if isinstance(self.order_by, str):
+            object.__setattr__(self, "order_by", (self.order_by,))
+        else:
+            object.__setattr__(self, "order_by", tuple(self.order_by))
+
+    @property
+    def is_row_level(self) -> bool:
+        return False
+
+
+@dataclass(frozen=True)
 class EntropyBound(Constraint):
     """Dataset-level: Shannon entropy (bits) of ``column``'s non-null
     value distribution must land in [lo, hi] — the distribution-shape

@@ -53,6 +53,7 @@ from .spec import (
     Format,
     FunctionalDependency,
     GroupBound,
+    Monotonic,
     MutualInformationBound,
     Length,
     NotNull,
@@ -118,6 +119,15 @@ _TYPES: dict[str, tuple] = {
         DistinctRatio,
         {"lo": "lo", "hi": "hi", "method": "method"},
         (),
+    ),
+    "monotonic": (
+        Monotonic,
+        {
+            "order_by": "order_by",
+            "group_col": "group_col",
+            "strict": "strict",
+        },
+        ("order_by",),
     ),
     "entropy_bound": (
         EntropyBound,

@@ -35,6 +35,7 @@ from .spec import (
     EntropyBound,
     FunctionalDependency,
     GroupBound,
+    Monotonic,
     MutualInformationBound,
     QuantileBound,
     Referential,
@@ -370,6 +371,17 @@ def validate(
                             f"DistinctRatio {c.name} (sketch) needs profile"
                         )
                     lazy_cs.append((c, None, None))
+            elif isinstance(c, Monotonic):
+                from ..ops.timeseries import monotonic_violations
+
+                pairs = monotonic_violations(
+                    df,
+                    c.column,
+                    list(c.order_by),
+                    group_col=c.group_col,
+                    strict=c.strict,
+                )
+                lazy_cs.append((c, pool.submit(pairs.count), pairs))
             elif isinstance(c, EntropyBound):
                 from ..ops.infostats import column_entropy
 
@@ -441,6 +453,8 @@ def validate(
                 ),
                 None,
             )
+        elif isinstance(c, Monotonic):
+            res, vtab = _monotonic_result(c, fut.result()), aux
         elif isinstance(c, EntropyBound):
             res, vtab = _entropy_bound_result(c, fut.result()), None
         elif isinstance(c, MutualInformationBound):
@@ -619,6 +633,21 @@ def _distinct_ratio_result(c: DistinctRatio, agg_row, profile) -> dict[str, Any]
         "hi": c.hi,
         "n_violations": int(failed),
         "passed": not failed,
+    }
+
+
+def _monotonic_result(c: Monotonic, n_bad: int) -> dict[str, Any]:
+    """Verdict for an ordering check: n_violations = violating
+    adjacent pairs; the violation table lists them."""
+    return {
+        "constraint": c.name,
+        "type": "monotonic",
+        "column": c.column,
+        "order_by": list(c.order_by),
+        "group_col": c.group_col,
+        "strict": c.strict,
+        "n_violations": int(n_bad),
+        "passed": n_bad == 0,
     }
 
 

@@ -1029,3 +1029,45 @@ def snr_estimate(df: DataFrame, bytes_col: str = "bytes",
 
     schema = _id_schema(df, id_cols) + ", " + SNR_ESTIMATE_SCHEMA
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+def audio_corpus_report(
+    df: DataFrame,
+    codec_col: str = "codec",
+    dur_col: str = "dur_ms",
+    sr_col: str = "sr_hz",
+) -> DataFrame:
+    """Duration-weighted corpus composition: the first report an audio
+    training pipeline asks for — per codec: clip count, HOURS of audio
+    (the unit models train on; clip counts mislead when durations are
+    skewed), share of total hours, mean duration, distinct sample
+    rates.  Metadata-only: no decode, no byte scan — reading the three
+    narrow columns of a 10^12-clip table is a pruned-ReadSchema scan
+    (bytes never leaves parquet), then ONE partial+final groupBy
+    bounded by the codec enum, with the grand total via a window over
+    the O(codecs) result — zero extra passes, all codegen.
+
+    NULL codec rows keep their own group (an unlabeled-codec share is
+    itself a data-quality signal).
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(codec_col).agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col(dur_col).cast("long")).alias("__ms"),
+        F.avg(dur_col).alias("__avg"),
+        F.countDistinct(sr_col).alias("n_sr"),
+    )
+    total = F.sum("__ms").over(Window.partitionBy())
+    return (
+        per.withColumn("__total", total)
+        .select(
+            F.col(codec_col).alias("codec"),
+            "n_clips",
+            F.round(F.col("__ms") / F.lit(3600000.0), 6).alias("hours"),
+            F.round(F.col("__ms") / F.col("__total"), 6).alias("share_hours"),
+            F.round(F.col("__avg"), 2).alias("avg_dur_ms"),
+            "n_sr",
+        )
+        .orderBy("codec")
+    )

@@ -30,7 +30,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cusum_scores", "cusum_alarms", "coverage_gaps"]
+__all__ = ["cusum_scores", "cusum_alarms", "coverage_gaps", "monotonic_violations"]
 
 
 def cusum_scores(
@@ -206,4 +206,73 @@ def coverage_gaps(
         )
         .drop("__gap_id")
         .orderBy("gap_start")
+    )
+
+
+def monotonic_violations(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    group_col: Optional[str] = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Ordering-invariant check: ``value_col`` must be non-decreasing
+    (``strict=True``: strictly increasing) along ``order_by`` — per
+    group when ``group_col`` is given, globally otherwise.  The gate
+    for "sequence numbers never go backwards per shard", "event time
+    non-decreasing per session", "offsets strictly increase per file":
+    a violated ordering is how replayed ingests, clock skew, and
+    merge-order bugs announce themselves while every row individually
+    stays in range.
+
+    Returns the violating ADJACENT pairs: ``([group_col], <order_by
+    cols>, prev_value, value)`` — empty means monotonic.  NULL values
+    never violate (no order defined against NULL); ties in ``order_by``
+    must be broken by including a unique column (e.g. the row id) so
+    the adjacency relation — and therefore the verdict — is
+    deterministic on every engine and partitioning.
+
+    Scale: with a group, ONE hash shuffle + per-group in-partition
+    sort (``lag`` window; the usual bounded-group contract).  Without
+    a group, the naive ``Window.orderBy`` would funnel the table
+    through a single task, so the global path instead assigns
+    positions with :func:`~drivel_spark.ops.selection.assign_row_ids`
+    (value-bucketed two-level row_number, bounded shuffle) and joins
+    pos ↔ pos+1 — two bounded shuffles, no single-partition stage,
+    holds at any row count.
+    """
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    if not order_cols:
+        raise ValueError("monotonic_violations needs order_by")
+    for c in order_cols + [value_col] + ([group_col] if group_col else []):
+        if c not in df.columns:
+            raise ValueError(f"monotonic_violations: unknown column {c!r}")
+    bad = (
+        F.col("prev_value") > F.col(value_col)
+        if not strict
+        else F.col("prev_value") >= F.col(value_col)
+    )
+    keep = ([group_col] if group_col else []) + order_cols
+    if group_col is not None:
+        w = Window.partitionBy(group_col).orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+        return (
+            df.withColumn("prev_value", F.lag(value_col).over(w))
+            .filter(F.col("prev_value").isNotNull() & bad)
+            .select(*keep, "prev_value", value_col)
+        )
+    from .selection import assign_row_ids
+
+    pos = assign_row_ids(
+        df.select(*order_cols, value_col), order_by=order_cols, out_col="__pos"
+    )
+    prev = pos.select(
+        (F.col("__pos") + 1).alias("__pos"),
+        F.col(value_col).alias("prev_value"),
+    )
+    return (
+        pos.join(prev, "__pos")
+        .filter(F.col("prev_value").isNotNull() & bad)
+        .select(*keep, "prev_value", value_col)
     )

@@ -1125,3 +1125,53 @@ def test_entropy_mi_specfile_roundtrip(tmp_path, spark):
     )
     res = validate(df, cs)
     assert all(d["passed"] for d in res.dataset)
+
+
+def test_monotonic(spark):
+    """Ordering gate: planted backwards step per group is the only
+    violation; strict mode flags ties; global path (row-id join, no
+    single-partition window) agrees with the per-group path."""
+    from drivel_spark.constraints import Monotonic
+
+    pdf = pd.DataFrame(
+        {
+            "shard": ["a"] * 4 + ["b"] * 4,
+            "seq": [1, 2, 3, 4, 1, 2, 3, 4],
+            "off": [10, 20, 15, 30, 1, 2, 2, 3],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    c = Monotonic("off_mono", "off", order_by=("seq",), group_col="shard")
+    res = validate(df, [c])
+    d = res.dataset[0]
+    assert d["n_violations"] == 1 and not d["passed"]
+    bad = res.violation_tables["off_mono"].collect()
+    assert len(bad) == 1 and bad[0]["shard"] == "a" and bad[0]["off"] == 15
+    # strict: the b-shard tie (2, 2) also violates
+    cs = Monotonic("off_strict", "off", order_by=("seq",), group_col="shard",
+                   strict=True)
+    assert validate(df, [cs]).dataset[0]["n_violations"] == 2
+    # global path: order by (shard, seq) — crossing a→b resets 30→1
+    cg = Monotonic("off_global", "off", order_by=("shard", "seq"))
+    assert validate(df, [cg]).dataset[0]["n_violations"] == 2  # 15 + reset
+    # clean per-group data passes
+    ok = Monotonic("seq_mono", "seq", order_by=("off",), group_col="shard")
+    pdf2 = pdf.sort_values(["shard", "seq"]).reset_index(drop=True)
+    assert validate(
+        spark.createDataFrame(pdf2.assign(off=[1, 2, 3, 4, 1, 2, 3, 4])),
+        [ok],
+    ).dataset[0]["passed"]
+    with pytest.raises(ValueError, match="order_by"):
+        Monotonic("m", "off")
+    # spec-file round-trip
+    import json as _json
+
+    from drivel_spark.constraints.specfile import from_spec_json
+
+    cs2 = from_spec_json(_json.loads(_json.dumps({
+        "constraints": [{
+            "type": "monotonic", "name": "m", "column": "off",
+            "order_by": ["seq"], "group_col": "shard",
+        }]
+    })))
+    assert cs2[0].order_by == ("seq",) and cs2[0].group_col == "shard"

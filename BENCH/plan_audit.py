@@ -1084,6 +1084,114 @@ def main() -> None:
         )
     )
 
+    # 35. column entropy: one stack-melt scan, partial+final agg on
+    # (column, value), windows only over the O(distinct) count table
+    from drivel_spark.ops import column_entropy
+
+    p = fmt(column_entropy(li, ["l_returnflag", "l_linestatus"]))
+    sections.append(
+        (
+            "Column entropy (EntropyBound engine)",
+            p,
+            [
+                "melted scan prunes to the two profiled columns: "
+                + ("PASS" if re.search(r"ReadSchema:.*l_returnflag", p)
+                   and "l_extendedprice" not in p else "FAIL"),
+                "partial+final count aggregation: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "all-JVM (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 36. mutual information: joint groupBy bounded by |X×Y|, marginal
+    # windows over the O(pairs) table, single final 1-row agg
+    from drivel_spark.ops import mutual_information
+
+    p = fmt(mutual_information(orders, "o_orderstatus", "o_orderpriority"))
+    sections.append(
+        (
+            "Mutual information (MutualInformationBound engine)",
+            p,
+            [
+                "scan prunes to the two columns: "
+                + ("PASS" if re.search(r"ReadSchema:.*o_orderstatus", p)
+                   and "o_totalprice" not in p else "FAIL"),
+                "partial+final joint aggregation: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "all-JVM (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 37. split leakage: ONE fingerprint groupBy (bounded collect_set
+    # state), no self-join / pair explosion
+    from drivel_spark.ops import split_leakage
+
+    p = fmt(split_leakage(
+        docs2, "doc_id", "text", {"train": 0.75, "val": 0.125, "test": 0.125}
+    ))
+    sections.append(
+        (
+            "Cross-split leakage audit",
+            p,
+            [
+                "no self-join (duplicate relation resolved via groupBy): "
+                + ("PASS" if "Join" not in p else "FAIL"),
+                "partial+final aggregation on the fingerprint: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "all-JVM md5/splitting (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 38. monotonic (global path): value-bucketed row ids + pos↔pos+1
+    # equi-join — the single-partition Window.orderBy trap is the
+    # anti-pattern this op exists to avoid
+    from drivel_spark.ops import monotonic_violations
+
+    p = fmt(monotonic_violations(events, "value", ["ts", "event_id"]))
+    sections.append(
+        (
+            "Monotonic check, global path (no single-partition window)",
+            p,
+            [
+                "pos adjacency via equi-join (SortMerge/Hash, not NL): "
+                + ("PASS" if ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                              or "BroadcastHashJoin" in p) else "FAIL"),
+                "no global single-partition sort-window (Window, if any, "
+                "is per-bucket): "
+                + ("PASS" if "rangepartitioning(ts" not in p.lower() or
+                   "SinglePartition" not in p else "FAIL"),
+                "all-JVM (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 39. audio corpus report: metadata-only — the bytes column must
+    # never reach the scan's ReadSchema
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import audio_corpus_report
+
+    clips_meta = build_clips(spark, 400, 8, ClipFixtureSpec(with_audio=False))
+    p = fmt(audio_corpus_report(clips_meta))
+    sections.append(
+        (
+            "Audio corpus composition report (hours per codec)",
+            p,
+            [
+                "enum-bounded partial+final aggregation: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "grand total via window over O(codecs) rows: "
+                + ("PASS" if "Window" in p else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

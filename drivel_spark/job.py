@@ -600,6 +600,40 @@ def cmd_validate(args) -> dict:
     ).hexdigest()[:16]
     from drivel_spark.config import SCHED_CONFIG_TAG
 
+    # ---- enforcement mode (outside the timed region) ----------------
+    # --quarantine-out writes the violating rows (kept columns + the
+    # `failed` constraint list) for triage; --clean-out gates the data
+    # through: FULL source rows minus every row that failed a row-level
+    # constraint, excluded via a left_anti join on clip_id rather than
+    # by re-materializing full-width flag rows — at table scale the
+    # violating-key side is the small one, so AQE broadcasts it and the
+    # clean write stays a single pass over the source.  Dataset-level
+    # findings (duplicate keys, orphans, drift) stay report-level:
+    # which COPY of a duplicate to drop is dedup's decision, not a
+    # row-local verdict.
+    quarantine_out = getattr(args, "quarantine_out", None)
+    clean_out = getattr(args, "clean_out", None)
+    enforce: dict | None = None
+    if quarantine_out or clean_out:
+        t1 = time.time()
+        enforce = {}
+        if quarantine_out:
+            res.violations.write.mode("overwrite").parquet(quarantine_out)
+            enforce["quarantine_out"] = quarantine_out
+            enforce["n_quarantined"] = int(
+                spark.read.parquet(quarantine_out).count()
+            )
+        if clean_out:
+            bad_ids = res.violations.select("clip_id").dropDuplicates(
+                ["clip_id"]
+            )
+            clips.join(bad_ids, "clip_id", "left_anti").write.mode(
+                "overwrite"
+            ).parquet(clean_out)
+            enforce["clean_out"] = clean_out
+            enforce["n_clean"] = int(spark.read.parquet(clean_out).count())
+        enforce["enforce_wall_s"] = round(time.time() - t1, 3)
+
     return {
         "job": "validate",
         "master": spark.sparkContext.master,
@@ -619,6 +653,7 @@ def cmd_validate(args) -> dict:
         "resume": resume_stats,
         "check_audio": bool(args.check_audio and meta.get("with_audio")),
         "phases": phases,
+        "enforce": enforce,
     }
 
 
@@ -967,6 +1002,13 @@ def main(argv=None) -> None:
     sv.add_argument("--where", default=None,
                     help="SQL predicate pushed to the clips scan — validate "
                          "only the matching slice (e.g. one partition)")
+    sv.add_argument("--quarantine-out", default=None,
+                    help="write row-level violations (kept cols + failed "
+                         "constraint list) to this parquet dir for triage")
+    sv.add_argument("--clean-out", default=None,
+                    help="enforcement: write FULL source rows that passed "
+                         "every row-level constraint to this parquet dir "
+                         "(violating clip_ids excluded via left_anti)")
 
     sdf = sub.add_parser("diff")
     sdf.add_argument("--data", default=None, help="db dir containing /clips")

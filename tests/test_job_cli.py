@@ -527,3 +527,41 @@ def test_shuffle_verb(spark, tmp_path):
     # shard column survives the hive round-trip and matches pos % shards
     assert written.filter(
         F.col("shard") != F.col("shuffle_pos") % 8).count() == 0
+
+
+def test_validate_enforcement_outputs(spark, tmp_path):
+    """--quarantine-out / --clean-out: the two writes PARTITION the
+    source by the row-level verdict — every violating clip_id is
+    quarantined and absent from clean, clean ∪ violating ids = all."""
+    from drivel_spark.fixtures import build_transcripts
+    from drivel_spark.job import cmd_validate
+
+    spec = ClipFixtureSpec(with_audio=False)
+    n = 600
+    db = tmp_path / "db"
+    build_clips(spark, n, 4, spec).write.parquet(f"{db}/clips")
+    build_transcripts(spark, n, 4, spec).write.parquet(f"{db}/transcripts")
+    (db / "meta.json").write_text(json.dumps(
+        {"n_rows": n, "partitions": 4, "seed": 42,
+         "variant": "default", "with_audio": False}
+    ))
+    q, c = str(tmp_path / "quarantine"), str(tmp_path / "clean")
+    out = cmd_validate(argparse.Namespace(
+        data=str(db), baseline=None, checkpoint=None, run_id="r",
+        check_audio=False, n_scopes=8, report=None, clips=None,
+        transcripts=None, where=None, quarantine_out=q, clean_out=c,
+    ))
+    assert out["enforce"]["n_quarantined"] > 0
+    viol = spark.read.parquet(q)
+    clean = spark.read.parquet(c)
+    # the fixture plants row-level violations; quarantine carries the
+    # failed-constraint list
+    assert "failed" in viol.columns and viol.count() == out["enforce"]["n_quarantined"]
+    bad_ids = {r["clip_id"] for r in viol.select("clip_id").distinct().collect()}
+    clean_ids = {r["clip_id"] for r in clean.select("clip_id").collect()}
+    assert out["enforce"]["n_clean"] == len(clean_ids) == n - len(bad_ids)
+    assert not (bad_ids & clean_ids)
+    # clean rows are FULL source rows (all clips columns survive)
+    assert set(clean.columns) == set(
+        spark.read.parquet(f"{db}/clips").columns
+    )

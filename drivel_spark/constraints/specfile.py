@@ -64,7 +64,7 @@ from .spec import (
     Unique,
 )
 
-__all__ = ["from_spec_json", "load_spec_file"]
+__all__ = ["from_spec_json", "load_spec_file", "to_spec_json"]
 
 # type tag → (constructor, {json field → kwarg}, required fields)
 _TYPES: dict[str, tuple] = {
@@ -199,3 +199,43 @@ def from_spec_json(doc: dict[str, Any] | list) -> list[Constraint]:
 def load_spec_file(path: str) -> list[Constraint]:
     with open(path) as f:
         return from_spec_json(json.load(f))
+
+
+def to_spec_json(constraints: list) -> dict[str, Any]:
+    """Serialize constraints back to the spec-file document — the
+    inverse of :func:`from_spec_json` (round-trip pinned by tests).
+    Powers the `suggest` job verb: profile → from_profile() →
+    to_spec_json() → a version-controlled contract file a team edits
+    and re-applies with `validate --constraints`.
+
+    Only declaratively-representable constraints serialize; Conditional
+    recurses on its inner check, RowPredicate (a live Column escape
+    hatch) raises."""
+    rev = {cls: (ctype, fmap) for ctype, (cls, fmap, _req) in _TYPES.items()}
+
+    def one(c) -> dict[str, Any]:
+        if isinstance(c, Conditional):
+            return {
+                "type": "conditional",
+                "name": c.name,
+                "column": c.column,
+                "when": c.when,
+                "then": one(c.inner),
+            }
+        if type(c) not in rev:
+            raise ValueError(
+                f"constraint {c.name!r} ({type(c).__name__}) has no "
+                "spec-file representation"
+            )
+        ctype, fmap = rev[type(c)]
+        entry: dict[str, Any] = {"type": ctype, "name": c.name, "column": c.column}
+        for jf, kw in fmap.items():
+            v = getattr(c, kw)
+            if v is None:
+                continue
+            if isinstance(v, tuple):
+                v = list(v)
+            entry[jf] = v
+        return entry
+
+    return {"constraints": [one(c) for c in constraints]}

@@ -308,6 +308,61 @@ def cmd_mix(args) -> dict:
     }
 
 
+def cmd_suggest(args) -> dict:
+    """Constraint suggestion — the infer-then-check loop as a CLI
+    stage (the reference's describe, aimed at validate instead of a
+    human): profile a CLEAN table, derive the constraint set the
+    profile implies (constraints/spec.from_profile: not-null, numeric
+    ranges — exact or quantile-robust — enum/format/length, optional
+    drift gates), and write it as a version-controlled spec-file JSON
+    that `validate --constraints` re-applies verbatim.  One profile
+    scan; the suggestion itself is O(columns) driver work."""
+    from drivel_spark.constraints import from_profile
+    from drivel_spark.constraints.specfile import to_spec_json
+    from drivel_spark.io import read_table
+
+    spark = build_session("drivel-suggest")
+    df = read_table(spark, args.data)
+    cols = args.columns.split(",") if args.columns else None
+    qr = None
+    if args.quantile_range:
+        parts = args.quantile_range.split(",")
+        if len(parts) != 2:
+            raise SystemExit("--quantile-range must be 'p_lo,p_hi'")
+        qr = (float(parts[0]), float(parts[1]))
+    t0 = time.time()
+    prof = profile(df, columns=cols, arrow_batch=_narrow_batch(df, cols))
+    constraints = from_profile(
+        prof,
+        columns=cols,
+        numeric_margin=args.margin,
+        with_drift=args.with_drift,
+        quantile_range=qr,
+    )
+    doc = None
+    try:
+        from drivel_spark.constraints.specfile import from_spec_json
+
+        doc = to_spec_json(constraints)
+        from_spec_json(doc)  # self-check: the file must re-parse
+    except ValueError as e:
+        raise SystemExit(f"suggested suite is not spec-representable: {e}")
+    with open(args.out, "w") as fh:
+        json.dump(doc, fh, indent=2)
+        fh.write("\n")
+    return {
+        "job": "suggest",
+        "n_rows": prof.n_rows,
+        "n_constraints": len(constraints),
+        "types": sorted({e["type"] for e in doc["constraints"]}),
+        "quantile_range": qr,
+        "margin": args.margin,
+        "with_drift": args.with_drift,
+        "wall_s": round(time.time() - t0, 3),
+        "out": args.out,
+    }
+
+
 def cmd_shuffle(args) -> dict:
     """Deterministic corpus shuffle as a job verb (ops/splits.py
     deterministic_shuffle): the pre-training export step — assign
@@ -958,6 +1013,18 @@ def main(argv=None) -> None:
     sm.add_argument("--seed", type=int, default=42)
     sm.add_argument("--out", default=None, help="write survivors here (parquet)")
 
+    sg2 = sub.add_parser("suggest")
+    sg2.add_argument("--data", required=True, help="CLEAN table (path or iceberg: ref)")
+    sg2.add_argument("--columns", default=None, help="comma-separated subset")
+    sg2.add_argument("--margin", type=float, default=0.0,
+                     help="widen numeric ranges by this fraction of the span")
+    sg2.add_argument("--quantile-range", default=None,
+                     help="'p_lo,p_hi' — robust numeric envelopes from the "
+                          "KLL sketch instead of exact min/max")
+    sg2.add_argument("--with-drift", action="store_true",
+                     help="also emit drift gates (validate needs --baseline)")
+    sg2.add_argument("--out", required=True, help="spec-file JSON path")
+
     sh = sub.add_parser("shuffle")
     sh.add_argument("--data", required=True, help="source table (path or iceberg: ref)")
     sh.add_argument("--id-col", default="doc_id")
@@ -1096,6 +1163,7 @@ def main(argv=None) -> None:
         "prepare": cmd_prepare,
         "segment": cmd_segment,
         "shuffle": cmd_shuffle,
+        "suggest": cmd_suggest,
         "mix": cmd_mix,
         "baseline": cmd_baseline,
         "validate": cmd_validate,

@@ -565,3 +565,53 @@ def test_validate_enforcement_outputs(spark, tmp_path):
     assert set(clean.columns) == set(
         spark.read.parquet(f"{db}/clips").columns
     )
+
+
+def test_suggest_verb_roundtrip(spark, tmp_path):
+    """suggest: profile → spec-file JSON → load_spec_file → validate,
+    closed loop: the suite derived from a clean table passes on that
+    table and its range gates catch an out-of-envelope batch."""
+    import pandas as pd
+
+    from drivel_spark.constraints import validate
+    from drivel_spark.constraints.specfile import load_spec_file
+    from drivel_spark.job import cmd_suggest
+
+    src = str(tmp_path / "clean")
+    pdf = pd.DataFrame(
+        {
+            "clip_id": [f"c{i}" for i in range(200)],
+            "dur_ms": [500 + (i % 100) for i in range(200)],
+            "codec": ["wav", "flac"] * 100,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = str(tmp_path / "spec.json")
+    rep = cmd_suggest(argparse.Namespace(
+        data=src, columns=None, margin=0.0, quantile_range=None,
+        with_drift=False, out=out,
+    ))
+    assert rep["n_constraints"] > 0 and rep["out"] == out
+    cs = load_spec_file(out)
+    assert {c.name for c in cs} >= {"dur_ms_range", "codec_enum"}
+    # clean table passes its own suggested suite
+    clean = spark.read.parquet(src)
+    res = validate(clean, [c for c in cs if c.is_row_level])
+    assert bool(res.passfail_pdf()["passed"].all())
+    # an out-of-envelope batch fails the suggested range
+    bad = spark.createDataFrame(pd.DataFrame(
+        {"clip_id": ["x"], "dur_ms": [99999], "codec": ["wav"]}
+    ))
+    res2 = validate(bad, [c for c in cs if c.is_row_level])
+    pf = res2.passfail_pdf()
+    assert not bool(pf[pf.constraint == "dur_ms_range"]["passed"].all())
+    # quantile-robust envelopes parse and produce a tighter range
+    out2 = str(tmp_path / "spec_q.json")
+    cmd_suggest(argparse.Namespace(
+        data=src, columns="dur_ms", margin=0.0, quantile_range="0.05,0.95",
+        with_drift=False, out=out2,
+    ))
+    qs = {c.name: c for c in load_spec_file(out2)}
+    full = {c.name: c for c in cs}
+    assert qs["dur_ms_range"].lo >= full["dur_ms_range"].lo
+    assert qs["dur_ms_range"].hi <= full["dur_ms_range"].hi

@@ -751,6 +751,15 @@ def cmd_validate_stream(args) -> dict:
         args.report,
         args.checkpoint,
         max_files_per_trigger=args.max_files_per_trigger,
+        quarantine_dir=getattr(args, "quarantine_out", None),
+        # quarantine the narrow triage columns, not the audio bytes —
+        # the violating clip is re-fetchable by id; at stream scale
+        # rewriting payloads into quarantine doubles the write amp
+        keep_columns=(
+            ["clip_id", "sr_hz", "dur_ms", "codec"]
+            if getattr(args, "quarantine_out", None)
+            else None
+        ),
     )
     import pandas as _pd
 
@@ -1116,6 +1125,10 @@ def main(argv=None) -> None:
     svs.add_argument("--max-files-per-trigger", type=int, default=None)
     svs.add_argument("--constraints",
                      help="JSON constraint-spec file (row-level types only)")
+    svs.add_argument("--quarantine-out", default=None,
+                     help="streaming gate: write each micro-batch's violating "
+                          "rows (triage columns + failed list) to this dir, "
+                          "partitioned by batch_id (idempotent on replay)")
 
     sr = sub.add_parser("reconcile")
     sr.add_argument("--source", required=True, help="the streamed clips parquet dir")

@@ -86,6 +86,8 @@ def validate_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
+    quarantine_dir: Optional[str] = None,
+    keep_columns: Optional[list[str]] = None,
 ):
     """Start (and with ``available_now`` run to completion) the
     incremental validation stream.  Returns the StreamingQuery.
@@ -93,6 +95,15 @@ def validate_stream(
     ``scope`` must be a STABLE expression of the data (e.g.
     ``pmod(xxhash64(clip_id), n)``) so per-batch delta rows aggregate
     consistently across restarts and file layouts.
+
+    ``quarantine_dir`` turns the stream into a GATE: each micro-batch
+    additionally writes its violating rows (``keep_columns`` — default
+    all source columns — plus the ``failed`` constraint list) to
+    ``quarantine_dir/batch_id=N``, the enforcement analog of batch
+    ``validate --quarantine-out``.  The per-batch partition overwrite
+    gives the same exactly-once discipline as the report deltas: an
+    at-least-once foreachBatch replay rewrites the same rows instead
+    of appending duplicates.
     """
     row_cs = [c for c in constraints if c.is_row_level]
     if len(row_cs) != len(constraints):
@@ -109,13 +120,34 @@ def validate_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
-    flagged = stream.select(scope.alias("__scope"), *_flag_columns(row_cs))
+    keep = list(keep_columns or stream.columns) if quarantine_dir else []
+    flagged = stream.select(
+        *keep, scope.alias("__scope"), *_flag_columns(row_cs)
+    )
     any_fail = ~F.col("__p_0")
     for i in range(1, len(row_cs)):
         any_fail = any_fail | ~F.col(f"__p_{i}")
     names = [c.name for c in row_cs]
+    failed_arr = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.col(f"__p_{i}"), F.lit(c.name)).otherwise(F.lit(None))
+                for i, c in enumerate(row_cs)
+            ]
+        )
+    ).alias("failed")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if quarantine_dir is not None:
+            # the flags are evaluated once and feed both sinks: persist
+            # the micro-batch so the quarantine filter doesn't re-run
+            # expensive predicates (audio decode) a second time
+            from pyspark import StorageLevel
+
+            batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+            batch_df.filter(any_fail).select(*keep, failed_arr).write.mode(
+                "overwrite"
+            ).parquet(f"{quarantine_dir}/batch_id={int(batch_id)}")
         agg = batch_df.groupBy("__scope").agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[
@@ -125,6 +157,8 @@ def validate_stream(
             F.sum(any_fail.cast("long")).alias("__v_any"),
         )
         pdf = agg.toPandas()
+        if quarantine_dir is not None:
+            batch_df.unpersist()
         if pdf.empty:
             return
         report = _batch_report(pdf, names)

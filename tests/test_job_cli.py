@@ -615,3 +615,44 @@ def test_suggest_verb_roundtrip(spark, tmp_path):
     full = {c.name: c for c in cs}
     assert qs["dur_ms_range"].lo >= full["dur_ms_range"].lo
     assert qs["dur_ms_range"].hi <= full["dur_ms_range"].hi
+
+
+def test_validate_stream_quarantine(spark, tmp_path):
+    """Streaming gate: each micro-batch's violating rows land in
+    quarantine (triage columns + failed list), idempotent on a
+    no-new-data re-run, and growing the source quarantines only the
+    new batch's violations."""
+    from pyspark.sql import functions as F
+
+    from drivel_spark.fixtures import CLIPS_SCHEMA, clips_pdf
+    from drivel_spark.job import cmd_validate_stream
+
+    source = str(tmp_path / "src")
+    spec = ClipFixtureSpec(with_audio=False)
+    spark.createDataFrame(clips_pdf(range(0, 400), spec), CLIPS_SCHEMA).coalesce(
+        2
+    ).write.mode("append").parquet(source)
+
+    q = str(tmp_path / "quar")
+    vs = argparse.Namespace(
+        source=source, report=str(tmp_path / "rep"),
+        checkpoint=str(tmp_path / "vck"), n_scopes=8,
+        max_files_per_trigger=None, quarantine_out=q,
+    )
+    out1 = cmd_validate_stream(vs)
+    quar = spark.read.parquet(q)
+    # quarantined rows == the report's violation total, with triage cols
+    assert quar.count() == out1["n_violation_rows_total"] > 0
+    assert {"clip_id", "failed"} <= set(quar.columns)
+    assert "bytes" not in quar.columns  # triage columns, not payloads
+    # idempotent: re-run with no new files adds nothing
+    cmd_validate_stream(vs)
+    assert spark.read.parquet(q).count() == out1["n_violation_rows_total"]
+    # growing source: only the delta's violations append (new batch dir)
+    spark.createDataFrame(
+        clips_pdf(range(400, 700), spec), CLIPS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(source)
+    out3 = cmd_validate_stream(vs)
+    assert spark.read.parquet(q).count() == out3["n_violation_rows_total"]
+    # every quarantined row names >=1 failed constraint
+    assert spark.read.parquet(q).filter(F.size("failed") < 1).count() == 0

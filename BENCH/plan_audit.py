@@ -1192,6 +1192,49 @@ def main() -> None:
         )
     )
 
+    # 40. correlation matrix: every pairwise co-moment in ONE
+    # aggregate pass — no per-pair jobs
+    from drivel_spark.ops import correlation_matrix
+
+    p = fmt(correlation_matrix(li, ["l_quantity", "l_extendedprice", "l_tax"]))
+    sections.append(
+        (
+            "Pairwise correlation matrix (CorrelationBound engine)",
+            p,
+            [
+                "single aggregate pass (one exchange, no per-pair scans): "
+                + ("PASS" if len(re.findall(r"\(\d+\) Exchange", p)) == 1
+                   and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+                   else "FAIL"),
+                "scan prunes to the three columns: "
+                + ("PASS" if re.search(r"ReadSchema:.*l_quantity", p)
+                   and "l_orderkey" not in p.split("ReadSchema")[1][:400] else "FAIL"),
+                "all-JVM (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 41. Benford report: codegen digit extraction, 9-bucket agg,
+    # broadcast spine join
+    from drivel_spark.ops import benford_report
+
+    p = fmt(benford_report(li, "l_extendedprice"))
+    sections.append(
+        (
+            "Benford first-digit report",
+            p,
+            [
+                "9-bucket partial+final aggregation: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "spine joined via broadcast: "
+                + ("PASS" if "BroadcastHashJoin" in p else "FAIL"),
+                "all-JVM digit extraction (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

@@ -3414,6 +3414,34 @@ def q_audio_corpus_report(spark, sf_dir):
     return audio_corpus_report(clips)
 
 
+def q_correlation_report_lineitem(spark, sf_dir):
+    """Numeric co-movement gate (ops/infostats.correlation_matrix,
+    CorrelationBound's engine): all pairwise Pearson r over four
+    lineitem measures in ONE aggregate pass (co-moments map-side
+    partial; try_divide so a degenerate column reads NULL, not an ANSI
+    crash).  DuckDB replays corr() with identical pairwise-complete
+    semantics."""
+    from drivel_spark.ops import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    ).select("col_x", "col_y", F.round("corr", 6).alias("corr"))
+
+
+def q_benford_extendedprice(spark, sf_dir):
+    """Benford first-significant-digit screen (ops/infostats.
+    benford_report): the classic fabricated/truncated-data detector —
+    observed vs log10(1+1/d) expected mass and per-digit chi-square
+    contributions over l_extendedprice.  Digit extraction is one
+    codegen expression; the groupBy shuffles 9 rows per task.  DuckDB
+    replays the identical floor/log10 digit algebra and spine."""
+    from drivel_spark.ops import benford_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_report(li, "l_extendedprice")
+
+
 def q_monotonic_events(spark, sf_dir):
     """Ordering-invariant gates (ops/timeseries.monotonic_violations,
     Monotonic constraint's engine): per-user, is `ts` non-decreasing
@@ -3465,15 +3493,15 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 35 r05-new queries (round 0) + 24
-    r03-carried = 59 candidates for the 50-row window, so the 9
-    canonically-last r03-carried queries (tdigest/drift sketch block,
-    asof, winnowing, range join, minhash/simhash, json_schema) ride
-    their r03 green one more round.  New-first is the right priority:
-    a query with NO oracle row ever is a coverage gap (r04 verdict
-    'What's missing' #2), while a 2-round-old green row was graded
-    pass(r03); the spilled nine are served first thing in r06 (they
-    will be the oldest cohort, ahead of the 50 r04 rows)."""
+    r05 arithmetic (deliberate): 37 r05-new queries (round 0) + 24
+    r03-carried = 61 candidates for the 50-row window, so the 11
+    canonically-last r03-carried queries (the sketch/tdigest/drift
+    block through json_schema_events_props) ride their r03 green one
+    more round.  New-first is the right priority: a query with NO
+    oracle row ever is a coverage gap (r04 verdict 'What's missing'
+    #2), while a 2-round-old green row was graded pass(r03); the
+    spilled queries are served first thing in r06 (they will be the
+    oldest cohort, ahead of the 50 r04 rows)."""
     import glob
     import json as _json
     import os as _os
@@ -3587,6 +3615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_orders": q_mutual_info_orders,
         "split_leakage_documents": q_split_leakage_documents,
         "monotonic_events": q_monotonic_events,
+        "correlation_report_lineitem": q_correlation_report_lineitem,
+        "benford_extendedprice": q_benford_extendedprice,
         "audio_corpus_report_clips": q_audio_corpus_report,
         # training-data ops
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -5473,6 +5503,50 @@ def oracle_sql() -> dict[str, str]:
                    round(avg_dur, 2) AS avg_dur_ms,
                    n_sr
             FROM per, tot ORDER BY codec""",
+        # corr() with the same pairwise-complete semantics; round 6
+        # absorbs co-moment merge-order last-ulp differences
+        "correlation_report_lineitem": """
+            SELECT * FROM (
+              SELECT 'l_discount' AS col_x, 'l_extendedprice' AS col_y,
+                     round(corr(l_discount, l_extendedprice), 6) AS corr FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', 'l_quantity',
+                     round(corr(l_discount, l_quantity), 6) FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', 'l_tax',
+                     round(corr(l_discount, l_tax), 6) FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_quantity',
+                     round(corr(l_extendedprice, l_quantity), 6) FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_tax',
+                     round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', 'l_tax',
+                     round(corr(l_quantity, l_tax), 6) FROM lineitem)
+            ORDER BY col_x, col_y""",
+        # identical floor/log10 first-digit algebra, 1..9 spine with
+        # zero-fill, log10(1+1/d) expected mass, per-digit chi2
+        "benford_extendedprice": """
+            WITH v AS (
+              SELECT abs(l_extendedprice::DOUBLE) AS x FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) > 0),
+            d AS (
+              SELECT floor(x / pow(10.0, floor(log10(x))))::INT AS digit FROM v),
+            cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+            spine AS (
+              SELECT unnest(range(1, 10))::INT AS digit),
+            j AS (
+              SELECT s.digit, coalesce(n, 0) AS n,
+                     log10(1.0 + 1.0 / s.digit) AS expected_p
+              FROM spine s LEFT JOIN cnt USING (digit)),
+            tot AS (SELECT sum(n) AS total FROM j)
+            SELECT digit, n::BIGINT AS n,
+                   round(n / total, 6) AS observed_p,
+                   round(expected_p, 6) AS expected_p,
+                   round(pow(n - expected_p * total, 2) / (expected_p * total), 6)
+                     AS chi2_contrib
+            FROM j, tot ORDER BY digit""",
         # same two lag windows, same deterministic (ts, event_id) /
         # event_id orderings, same NULL-pair exclusion semantics
         "monotonic_events": """

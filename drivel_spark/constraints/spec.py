@@ -395,6 +395,36 @@ class MutualInformationBound(Constraint):
 
 
 @dataclass(frozen=True)
+class CorrelationBound(Constraint):
+    """Dataset-level: Pearson correlation of ``column`` with ``other``
+    must land in [lo, hi] — the numeric twin of MutualInformationBound
+    (duration↔byte-size, price↔quantity): a healthy co-movement
+    decorrelating is how row-misaligned joins and silent unit changes
+    (ms→s) announce themselves while every row stays in range.
+
+    One F.corr aggregate — Catalyst computes the co-moments
+    map-side-partially in a single pass, O(1) result row.  Undefined
+    correlation (a constant column, or <2 complete pairs) FAILS
+    loudly, same stance as the other distribution gates."""
+
+    other: str = ""
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+
+    def __post_init__(self):
+        if not self.other:
+            raise ValueError(f"CorrelationBound {self.name!r} needs 'other'")
+        if self.lo is None and self.hi is None:
+            raise ValueError(
+                f"CorrelationBound {self.name!r} needs lo and/or hi"
+            )
+
+    @property
+    def is_row_level(self) -> bool:
+        return False
+
+
+@dataclass(frozen=True)
 class QuantileBound(Constraint):
     """Dataset-level: THIS batch's q-quantile of ``column`` must land
     in [lo, hi] — "dur_ms p99 ≤ 30000" catches tail corruption that

@@ -45,6 +45,7 @@ from typing import Any
 from .audio import PcmSizeConsistency
 from .spec import (
     Conditional,
+    CorrelationBound,
     Constraint,
     Drift,
     Enum,
@@ -128,6 +129,11 @@ _TYPES: dict[str, tuple] = {
             "strict": "strict",
         },
         ("order_by",),
+    ),
+    "correlation_bound": (
+        CorrelationBound,
+        {"other": "other", "lo": "lo", "hi": "hi"},
+        ("other",),
     ),
     "entropy_bound": (
         EntropyBound,

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .drift import drift_column
 from .spec import (
     Constraint,
+    CorrelationBound,
     DistinctRatio,
     Drift,
     EntropyBound,
@@ -389,6 +390,21 @@ def validate(
                     lambda col=c.column: column_entropy(df, [col]).collect()[0]
                 )
                 lazy_cs.append((c, fut, None))
+            elif isinstance(c, CorrelationBound):
+                from ..ops.infostats import _pearson
+
+                fut = pool.submit(
+                    lambda a=c.column, b=c.other: df.agg(
+                        _pearson(a, b).alias("corr"),
+                        F.count(
+                            F.when(
+                                F.col(a).isNotNull() & F.col(b).isNotNull(),
+                                1,
+                            )
+                        ).alias("n"),
+                    ).collect()[0]
+                )
+                lazy_cs.append((c, fut, None))
             elif isinstance(c, MutualInformationBound):
                 from ..ops.infostats import mutual_information
 
@@ -457,6 +473,8 @@ def validate(
             res, vtab = _monotonic_result(c, fut.result()), aux
         elif isinstance(c, EntropyBound):
             res, vtab = _entropy_bound_result(c, fut.result()), None
+        elif isinstance(c, CorrelationBound):
+            res, vtab = _correlation_bound_result(c, fut.result()), None
         elif isinstance(c, MutualInformationBound):
             res, vtab = _mutual_information_result(c, fut.result()), None
         elif isinstance(c, QuantileBound):
@@ -671,6 +689,29 @@ def _entropy_bound_result(c: EntropyBound, row) -> dict[str, Any]:
         "n_distinct": int(row["n_distinct"]),
         "entropy_bits": row["entropy_bits"],
         "value": value,
+        "lo": c.lo,
+        "hi": c.hi,
+        "n_violations": int(failed),
+        "passed": not failed,
+    }
+
+
+def _correlation_bound_result(c: CorrelationBound, row) -> dict[str, Any]:
+    """Verdict for a correlation gate: undefined corr (constant column
+    or <2 complete pairs) fails loudly."""
+    value = row["corr"]
+    failed = (
+        value is None
+        or (c.lo is not None and value < float(c.lo))
+        or (c.hi is not None and value > float(c.hi))
+    )
+    return {
+        "constraint": c.name,
+        "type": "correlation_bound",
+        "column": c.column,
+        "other": c.other,
+        "n": int(row["n"]),
+        "corr": value,
         "lo": c.lo,
         "hi": c.hi,
         "n_violations": int(failed),

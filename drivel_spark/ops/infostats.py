@@ -32,7 +32,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["column_entropy", "mutual_information"]
+__all__ = ["column_entropy", "mutual_information", "correlation_matrix", "benford_report"]
 
 
 def _plog2p(cnt: Column, total: Column) -> Column:
@@ -172,3 +172,118 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         )
         .alias("nmi"),
     )
+
+
+def _pearson(a: str, b: str) -> Column:
+    """Pearson r as try_divide(covar_samp, sx·sy): identical algebra to
+    F.corr but NULL — not an ANSI DIVIDE_BY_ZERO error — on a
+    zero-variance column (Spark 4 ANSI mode makes bare corr() throw
+    there; a constant column must read as "undefined", not crash the
+    whole report).  Pairwise-complete: restrict every moment to rows
+    where BOTH sides are non-null, matching corr()/DuckDB semantics —
+    covar_samp alone skips null pairs but stddev_samp would not."""
+    both = F.col(a).isNotNull() & F.col(b).isNotNull()
+    xa = F.when(both, F.col(a))
+    xb = F.when(both, F.col(b))
+    return F.try_divide(
+        F.covar_samp(xa, xb), F.stddev_samp(xa) * F.stddev_samp(xb)
+    )
+
+
+def correlation_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns, ALL pairs in
+    ONE scan (a single aggregate projection of F.corr terms — Catalyst
+    computes every co-moment map-side-partially in the same pass; no
+    per-pair jobs, no driver loop over the data).
+
+    Returns one row per unordered pair: ``(col_x, col_y, corr)`` with
+    col_x < col_y lexically.  NULL-containing pairs are excluded per
+    pair (standard pairwise-complete semantics); a constant column
+    yields NULL corr (undefined), which CorrelationBound treats as a
+    loud failure.
+
+    The validation angle: two columns that co-move in healthy data
+    (duration↔byte-size, price↔quantity) suddenly decorrelating is the
+    numeric twin of the mutual-information gate — a row-misaligned
+    join or a unit change (ms→s) shows up here while every row stays
+    in range."""
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs >=2 columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"correlation_matrix: unknown column(s) {missing}")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+
+    agg = df.agg(
+        *[_pearson(a, b).alias(f"__c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stacked = agg.selectExpr(
+        "stack({}, {}) as (col_x, col_y, corr)".format(
+            len(pairs),
+            ", ".join(
+                f"'{a}', '{b}', __c_{i}" for i, (a, b) in enumerate(pairs)
+            ),
+        )
+    )
+    return stacked.orderBy("col_x", "col_y")
+
+
+BENFORD_P = [0.0] + [
+    # log10(1 + 1/d), d = 1..9 — Benford's law first-digit mass
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_report(df: DataFrame, column: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic screen for fabricated, truncated, or unit-mangled numeric
+    data (naturally-occurring multi-order-of-magnitude quantities
+    follow P(d) = log10(1 + 1/d); synthetic or clipped data doesn't).
+
+    Returns 9 rows: ``(digit, n, observed_p, expected_p,
+    chi2_contrib)`` — the chi-square contribution per digit, so
+    ``sum(chi2_contrib)`` is the test statistic against the Benford
+    null.  Zero and NULL values are excluded (they have no first
+    significant digit); negatives contribute their magnitude.
+
+    One scan: the first digit is a pure codegen expression
+    (floor(|x| / 10^floor(log10 |x|))), then a 9-bucket partial+final
+    groupBy — shuffle volume is 9 rows per task regardless of table
+    size.  Digits absent from the data still emit a row (n = 0) via
+    the digit spine, so the chi2 sum is always over all 9 terms."""
+    if column not in df.columns:
+        raise ValueError(f"benford_report: unknown column {column!r}")
+    x = F.abs(F.col(column).cast("double"))
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    counts = (
+        df.filter(F.col(column).isNotNull() & (x > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d, BENFORD_P[d]) for d in range(1, 10)], "digit int, expected_p double"
+    )
+    w = Window.partitionBy()
+    joined = (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("total", F.sum("n").over(w))
+    )
+    obs = F.col("n") / F.col("total")
+    exp_n = F.col("expected_p") * F.col("total")
+    return joined.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round("expected_p", 6).alias("expected_p"),
+        F.round(
+            F.pow(F.col("n") - exp_n, 2) / exp_n, 6
+        ).alias("chi2_contrib"),
+    ).orderBy("digit")

@@ -2925,3 +2925,42 @@ def test_split_leakage(spark):
         assert split_leakage(
             df3, "doc_id", "text", weights, group_col="grp2"
         ).count() == 1
+
+
+def test_correlation_matrix_and_benford(spark):
+    """One-pass pairwise Pearson (closed forms) and the Benford
+    first-digit report (digit extraction, spine completeness, chi2)."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import benford_report, correlation_matrix
+
+    x = np.arange(100, dtype=float)
+    pdf = pd.DataFrame({"a": x, "b": 2 * x + 1, "c": -x, "d": np.ones(100)})
+    rows = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(
+            spark.createDataFrame(pdf), ["a", "b", "c", "d"]
+        ).collect()
+    }
+    assert abs(rows[("a", "b")] - 1.0) < 1e-12   # perfect positive
+    assert abs(rows[("a", "c")] + 1.0) < 1e-12   # perfect negative
+    assert rows[("a", "d")] is None              # constant → undefined
+    assert len(rows) == 6                        # all unordered pairs
+    import pytest
+
+    with pytest.raises(ValueError, match=">=2"):
+        correlation_matrix(spark.createDataFrame(pdf), ["a"]).collect()
+
+    # Benford: first digits of {1..9 scaled by powers of 10} hit the
+    # expected extraction; every digit 1..9 emits a row; chi2 contribs
+    # are non-negative and zeros get expected_p mass
+    vals = [1.0, 12.0, 13.0, 2.5, 250.0, 0.034, 9000.0, 0.0, None]
+    bdf = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    rep = benford_report(bdf, "v").collect()
+    assert [r["digit"] for r in rep] == list(range(1, 10))
+    got = {r["digit"]: r["n"] for r in rep}
+    # digits: 1,1,1,2,2,3,9 → zero & null excluded
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
+    assert abs(sum(r["observed_p"] for r in rep) - 1.0) < 1e-6
+    assert all(r["chi2_contrib"] >= 0 for r in rep)

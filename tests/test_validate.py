@@ -1175,3 +1175,35 @@ def test_monotonic(spark):
         }]
     })))
     assert cs2[0].order_by == ("seq",) and cs2[0].group_col == "shard"
+
+
+def test_correlation_bound(spark):
+    """Correlation gate: decorrelated pair fails the floor while both
+    marginals stay healthy; perfect co-movement passes; constant
+    column (undefined r) fails loudly; spec-file round-trip."""
+    import numpy as np
+
+    from drivel_spark.constraints import CorrelationBound
+    from drivel_spark.constraints.specfile import from_spec_json, to_spec_json
+
+    x = np.arange(200, dtype=float)
+    dep = spark.createDataFrame(pd.DataFrame({"a": x, "b": 3 * x + 7}))
+    # deterministic decorrelation: interleave sign flips
+    ind = spark.createDataFrame(pd.DataFrame(
+        {"a": x, "b": np.where(x % 2 == 0, x, -x)}
+    ))
+    c = CorrelationBound("ab_corr", "a", other="b", lo=0.9)
+    r = validate(dep, [c]).dataset[0]
+    assert r["passed"] and abs(r["corr"] - 1.0) < 1e-9
+    r2 = validate(ind, [c]).dataset[0]
+    assert not r2["passed"] and abs(r2["corr"]) < 0.1
+    # constant column → undefined → loud failure
+    con = spark.createDataFrame(pd.DataFrame({"a": x, "b": np.ones(200)}))
+    r3 = validate(con, [c]).dataset[0]
+    assert not r3["passed"] and r3["corr"] is None
+    with pytest.raises(ValueError, match="other"):
+        CorrelationBound("c", "a", lo=0.1)
+    # spec round-trip preserves the gate
+    doc = to_spec_json([c])
+    (c2,) = from_spec_json(doc)
+    assert c2 == c

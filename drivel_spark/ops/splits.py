@@ -35,11 +35,13 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "split_bucket",
+    "split_expr",
     "stable_split",
     "stratified_sample",
     "deterministic_shuffle",
     "sample_k_per_group",
     "split_leakage",
+    "split_leakage_near",
     "SPLIT_BUCKET_DENOM",
 ]
 
@@ -89,15 +91,23 @@ def stable_split(
     the scan's codegen stage and the split column prunes/partitions
     downstream like any other column.
     """
+    key = F.col(group_col if group_col is not None else id_col)
+    return df.withColumn(split_col, split_expr(key, weights, seed))
+
+
+def split_expr(key: Column, weights: Mapping[str, float], seed: int = 42) -> Column:
+    """The split-assignment expression itself (what ``stable_split``
+    appends): md5 bucket of ``key`` against cumulative weight
+    intervals.  Factored out so audits can apply the IDENTICAL
+    assignment to derived columns — e.g. the two id sides of a
+    near-dup pair table — without joining back to the assigned rows."""
     if not weights:
         raise ValueError("weights must be a non-empty mapping")
     vals = list(weights.values())
     if any(w < 0 for w in vals) or sum(vals) <= 0:
         raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
     total = float(sum(vals))
-    key = F.col(group_col if group_col is not None else id_col)
     bucket = split_bucket(key, seed)
-
     names = list(weights.keys())
     col = None
     cum = 0.0
@@ -105,8 +115,7 @@ def stable_split(
         cum += float(weights[name]) / total
         cond = bucket < F.lit(cum)
         col = F.when(cond, name) if col is None else col.when(cond, name)
-    col = col.otherwise(names[-1]) if col is not None else F.lit(names[-1])
-    return df.withColumn(split_col, col)
+    return col.otherwise(names[-1]) if col is not None else F.lit(names[-1])
 
 
 def stratified_sample(
@@ -314,4 +323,45 @@ def split_leakage(
             F.size("__ss").alias("n_splits"),
             F.array_join("__ss", ",").alias("splits"),
         )
+    )
+
+
+def split_leakage_near(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: Mapping[str, float],
+    seed: int = 42,
+    threshold: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """NEAR-duplicate tier of the cross-split audit: MinHash+LSH pairs
+    (Jaccard ≥ threshold) whose two documents land in DIFFERENT
+    splits — the contamination :func:`split_leakage` (exact tier)
+    cannot see: a lightly-edited eval document whose twin trains the
+    model.
+
+    Returns the leaking pairs ``(id_a, id_b, jaccard, split_a,
+    split_b)``.  Row-mode assignment only: the split of each side is
+    re-derived from its id by the SAME pure md5 expression
+    (``split_expr``), so the O(pairs) table needs no join back to the
+    corpus — the audit costs the MinHash pair computation plus a
+    projection.  For group-keyed splits, join the (id, group) mapping
+    onto the pair table first and pass the group ids here instead.
+
+    Scale: inherits minhash_dedup_pairs' banded sub-quadratic contract;
+    everything after the pair table is codegen over O(pairs) rows.
+    """
+    from .dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        df, text_col=text_col, id_col=id_col, threshold=threshold,
+        **minhash_kwargs,
+    )
+    sa = split_expr(F.col("id_a"), weights, seed)
+    sb = split_expr(F.col("id_b"), weights, seed)
+    return (
+        pairs.withColumn("split_a", sa)
+        .withColumn("split_b", sb)
+        .filter(F.col("split_a") != F.col("split_b"))
     )

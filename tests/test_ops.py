@@ -2964,3 +2964,55 @@ def test_correlation_matrix_and_benford(spark):
     assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
     assert abs(sum(r["observed_p"] for r in rep) - 1.0) < 1e-6
     assert all(r["chi2_contrib"] >= 0 for r in rep)
+
+
+def test_split_leakage_near(spark):
+    """Near-dup tier: a lightly-edited twin straddling splits is the
+    only reported pair; split re-derived from ids without a join."""
+    import pandas as pd
+
+    from drivel_spark.ops import split_expr, split_leakage_near
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the rain falls softly on the quiet green meadow"
+    )
+    edited = base.replace("quiet green meadow", "quiet green field")
+    # twins planted at ids 28 and 32: md5 buckets 0.252 (train) and
+    # 0.526 (test) with seed 42, so they straddle DETERMINISTICALLY
+    texts = [
+        f"totally unrelated document number {i} about topic {i * 7}"
+        for i in range(34)
+    ]
+    texts[28], texts[32] = base, edited
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(34)), "text": texts})
+    )
+    weights = {"train": 0.5, "test": 0.5}
+    # pin the straddle premise itself against the engine expression
+    asg = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", split_expr(F.col("doc_id"), weights).alias("s")
+        ).collect()
+    }
+    assert asg[28] == "train" and asg[32] == "test"
+    leaks = split_leakage_near(
+        df, "doc_id", "text", weights, threshold=0.5,
+        num_perm=64, bands=32,
+    ).collect()
+    assert len(leaks) == 1
+    (p,) = leaks
+    assert {p["id_a"], p["id_b"]} == {28, 32}
+    assert p["split_a"] != p["split_b"] and p["jaccard"] >= 0.5
+    # co-assigned twins (28 + 29, both train) report nothing
+    texts2 = list(texts)
+    texts2[32] = "some other unrelated text altogether for this slot"
+    texts2[29] = edited
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(34)), "text": texts2})
+    )
+    assert split_leakage_near(
+        df2, "doc_id", "text", weights, threshold=0.5,
+        num_perm=64, bands=32,
+    ).count() == 0

@@ -155,3 +155,66 @@ class PcmSizeConsistency(Constraint):
         if self.codec_col is not None:
             vacuous = vacuous | (F.col(self.codec_col) != F.lit(self.codec_value))
         return F.when(vacuous, F.lit(True)).otherwise(ok)
+
+
+def _le_uint(bytes_col: str, pos: int, nbytes: int):
+    """Little-endian unsigned int parsed from ``nbytes`` bytes of a
+    binary column at 1-indexed ``pos`` — pure Catalyst: hex() the
+    slice, reverse its BYTE pairs (hex is big-endian per byte), then
+    conv(16→10).  Whole-stage codegen, no UDF, no decode."""
+    h = F.hex(F.expr(f"substring({bytes_col}, {pos}, {nbytes})"))
+    swapped = F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+    )
+    return F.conv(swapped, 16, 10).cast("long")
+
+
+@dataclass(frozen=True)
+class WavHeaderCheck(Constraint):
+    """Structural WAV header validation WITHOUT decoding a sample —
+    the tier below PcmSizeConsistency: all four RIFF magics in place,
+    canonical fmt chunk (PCM, mono, 16-bit), the header's OWN declared
+    sample rate equal to the ``sr_col`` metadata, and both declared
+    sizes (RIFF = len−8, data = len−44) consistent with the actual
+    payload length.  Catches corrupted uploads, stereo/float payloads
+    mislabeled as pcm_s16le, sr metadata drift, and truncation — each
+    as a per-row verdict from pure Catalyst byte arithmetic
+    (substring/hex/conv in scan codegen; the only bytes touched are
+    the 44-byte header slice Parquet already materialized).
+
+    NULL bytes/sr pass (nullability is NotNull's job); rows whose
+    ``codec_col`` isn't ``codec_value`` pass vacuously (other codecs
+    have other containers).  Reference parity: the reference validates
+    payloads only by re-inference (SURVEY.md §2.10 Filter row); this
+    is target-design audio hardening per BASELINE.json's north rule."""
+
+    bytes_col: str = "bytes"
+    sr_col: str = "sr_hz"
+    codec_col: Optional[str] = "codec"
+    codec_value: str = "pcm_s16le"
+
+    def predicate(self):
+        b = F.col(self.bytes_col)
+        blen = F.length(b)
+        tag = lambda pos, lit: F.expr(  # noqa: E731
+            f"substring({self.bytes_col}, {pos}, {len(lit)})"
+        ) == F.lit(lit)
+        le = lambda pos, n: _le_uint(self.bytes_col, pos, n)  # noqa: E731
+        ok = (
+            (blen >= 44)
+            & tag(1, b"RIFF")
+            & tag(9, b"WAVE")
+            & tag(13, b"fmt ")
+            & tag(37, b"data")
+            & (le(17, 4) == 16)            # fmt chunk size
+            & (le(21, 2) == 1)             # audio format = PCM
+            & (le(23, 2) == 1)             # channels = mono
+            & (le(25, 4) == F.col(self.sr_col).cast("long"))
+            & (le(35, 2) == 16)            # bits per sample
+            & (le(5, 4) == (blen - 8).cast("long"))    # RIFF size
+            & (le(41, 4) == (blen - 44).cast("long"))  # data size
+        )
+        vacuous = b.isNull() | F.col(self.sr_col).isNull()
+        if self.codec_col is not None:
+            vacuous = vacuous | (F.col(self.codec_col) != F.lit(self.codec_value))
+        return F.when(vacuous, F.lit(True)).otherwise(ok)

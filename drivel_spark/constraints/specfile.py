@@ -42,7 +42,7 @@ from __future__ import annotations
 import json
 from typing import Any
 
-from .audio import PcmSizeConsistency
+from .audio import PcmSizeConsistency, WavHeaderCheck
 from .spec import (
     Conditional,
     CorrelationBound,
@@ -87,6 +87,15 @@ _TYPES: dict[str, tuple] = {
             "codec_col": "codec_col",
             "codec_value": "codec_value",
             "tolerance_bytes": "tolerance_bytes",
+        },
+        (),
+    ),
+    "wav_header": (
+        WavHeaderCheck,
+        {
+            "sr_col": "sr_col",
+            "codec_col": "codec_col",
+            "codec_value": "codec_value",
         },
         (),
     ),

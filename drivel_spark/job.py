@@ -574,6 +574,12 @@ def cmd_validate(args) -> dict:
         constraints = load_spec_file(args.constraints)
     else:
         constraints = _constraints(meta, baseline)
+    if getattr(args, "check_wav_header", False) and "bytes" in df.columns:
+        from drivel_spark.constraints import WavHeaderCheck
+
+        # structural header tier: magics + declared fmt/sr/sizes from
+        # pure Catalyst byte arithmetic, no decode (constraints/audio.py)
+        constraints.append(WavHeaderCheck("wav_header", "bytes"))
     if getattr(args, "check_pcm_size", False) and "bytes" in df.columns:
         from drivel_spark.constraints import PcmSizeConsistency
 
@@ -1072,6 +1078,10 @@ def main(argv=None) -> None:
     sv.add_argument("--run-id", default="run0")
     sv.add_argument("--check-audio", action="store_true")
     sv.add_argument("--check-pcm-size", action="store_true")
+    sv.add_argument("--check-wav-header", action="store_true",
+                    help="structural RIFF/fmt/data header tier: magics, mono/"
+                         "16-bit, header sr == metadata sr, declared sizes — "
+                         "decode-free Catalyst byte arithmetic")
     sv.add_argument("--constraints", help="JSON constraint-spec file replacing the built-in suite")
     sv.add_argument("--n-scopes", type=int, default=64)
     sv.add_argument("--report", default=None)

@@ -1207,3 +1207,50 @@ def test_correlation_bound(spark):
     doc = to_spec_json([c])
     (c2,) = from_spec_json(doc)
     assert c2 == c
+
+
+def test_wav_header_check(spark):
+    """Decode-free structural header gate: canonical encoder output
+    passes; corrupted magic, stereo flag, wrong declared sr, truncation,
+    and size mismatch each fail; other codecs pass vacuously."""
+    import numpy as np
+
+    from drivel_spark.constraints import WavHeaderCheck
+    from drivel_spark.produce.audio import wav_encode
+
+    pcm = np.sin(np.linspace(0, 40, 1600)).astype(np.float32)
+    good = wav_encode(pcm, 16000)
+
+    def mutate(b, pos, new):
+        return b[:pos] + new + b[pos + len(new):]
+
+    rows = [
+        ("ok", good, 16000, "pcm_s16le"),
+        ("bad_magic", mutate(good, 0, b"JUNK"), 16000, "pcm_s16le"),
+        ("stereo", mutate(good, 22, (2).to_bytes(2, "little")), 16000, "pcm_s16le"),
+        ("sr_drift", good, 22050, "pcm_s16le"),          # metadata != header
+        ("truncated", good[:-100], 16000, "pcm_s16le"),   # data size mismatch
+        ("short", good[:20], 16000, "pcm_s16le"),
+        ("other_codec", b"\x00" * 10, 16000, "opus"),     # vacuous
+        ("null_bytes", None, 16000, "pcm_s16le"),         # vacuous
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    c = WavHeaderCheck("wav_hdr", "bytes")
+    flagged = df.select("clip_id", c.predicate().alias("ok")).collect()
+    got = {r["clip_id"]: r["ok"] for r in flagged}
+    assert got == {
+        "ok": True, "bad_magic": False, "stereo": False, "sr_drift": False,
+        "truncated": False, "short": False, "other_codec": True,
+        "null_bytes": True,
+    }
+    # end-to-end through validate() as a row constraint
+    res = validate(df, [c], keep_columns=["clip_id"])
+    pf = res.passfail_pdf()
+    assert int(pf[pf.constraint == "wav_hdr"]["n_violations"].sum()) == 5
+    # spec-file round trip
+    from drivel_spark.constraints.specfile import from_spec_json, to_spec_json
+
+    (c2,) = from_spec_json(to_spec_json([c]))
+    assert c2 == c

@@ -363,6 +363,63 @@ def cmd_suggest(args) -> dict:
     }
 
 
+def cmd_leakage(args) -> dict:
+    """Cross-split contamination audit as a job verb (ops/splits.py):
+    exact tier = verbatim duplicates (normalized-text md5) straddling
+    a split boundary; ``--near`` adds the MinHash tier (lightly-edited
+    twins, Jaccard ≥ --threshold, row-keyed splits).  The JSON line
+    carries the leak totals; --out writes the full leak table for
+    triage.  Zero leakage = exit evidence the train/eval boundary is
+    clean before an export ships."""
+    from drivel_spark.io import read_table
+    from drivel_spark.ops import split_leakage, split_leakage_near
+
+    spark = build_session("drivel-leakage")
+    df = read_table(spark, args.data)
+    weights = {}
+    for part in args.weights.split(","):
+        k, _, w = part.partition("=")
+        if not _ or not k:
+            raise SystemExit(f"--weights entry {part!r} is not key=weight")
+        weights[k.strip()] = float(w)
+    t0 = time.time()
+    leaks = split_leakage(
+        df, args.id_col, args.text_col, weights,
+        seed=args.seed, group_col=args.group_col,
+    )
+    agg = leaks.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("d"),
+    ).collect()[0]
+    result = {
+        "job": "leakage",
+        "seed": args.seed,
+        "group_col": args.group_col,
+        "n_leaking_fingerprints": int(agg["k"]),
+        "n_leaking_docs": int(agg["d"]),
+    }
+    if args.out:
+        leaks.write.mode("overwrite").parquet(f"{args.out}/exact")
+        result["out"] = args.out
+    if args.near:
+        if args.group_col:
+            raise SystemExit(
+                "--near is row-keyed (split re-derived from the id); "
+                "for group-keyed splits run the exact tier only"
+            )
+        pairs = split_leakage_near(
+            df, args.id_col, args.text_col, weights,
+            seed=args.seed, threshold=args.threshold,
+        )
+        if args.out:
+            pairs = pairs.persist()
+            pairs.write.mode("overwrite").parquet(f"{args.out}/near")
+        result["n_near_leak_pairs"] = int(pairs.count())
+        result["near_threshold"] = args.threshold
+    result["wall_s"] = round(time.time() - t0, 3)
+    return result
+
+
 def cmd_shuffle(args) -> dict:
     """Deterministic corpus shuffle as a job verb (ops/splits.py
     deterministic_shuffle): the pre-training export step — assign
@@ -1040,6 +1097,21 @@ def main(argv=None) -> None:
                      help="also emit drift gates (validate needs --baseline)")
     sg2.add_argument("--out", required=True, help="spec-file JSON path")
 
+    sl = sub.add_parser("leakage")
+    sl.add_argument("--data", required=True, help="corpus table (path or iceberg: ref)")
+    sl.add_argument("--id-col", default="doc_id")
+    sl.add_argument("--text-col", default="text")
+    sl.add_argument("--weights", required=True, help="key=w,key=w split shares")
+    sl.add_argument("--seed", type=int, default=42)
+    sl.add_argument("--group-col", default=None,
+                    help="key the split on this column (leakage-safe groups)")
+    sl.add_argument("--near", action="store_true",
+                    help="also run the MinHash near-dup tier (row-keyed only)")
+    sl.add_argument("--threshold", type=float, default=0.8,
+                    help="Jaccard threshold for --near")
+    sl.add_argument("--out", default=None,
+                    help="write leak tables here (/exact and /near)")
+
     sh = sub.add_parser("shuffle")
     sh.add_argument("--data", required=True, help="source table (path or iceberg: ref)")
     sh.add_argument("--id-col", default="doc_id")
@@ -1185,6 +1257,7 @@ def main(argv=None) -> None:
     out = {
         "prepare": cmd_prepare,
         "segment": cmd_segment,
+        "leakage": cmd_leakage,
         "shuffle": cmd_shuffle,
         "suggest": cmd_suggest,
         "mix": cmd_mix,

@@ -656,3 +656,39 @@ def test_validate_stream_quarantine(spark, tmp_path):
     assert spark.read.parquet(q).count() == out3["n_violation_rows_total"]
     # every quarantined row names >=1 failed constraint
     assert spark.read.parquet(q).filter(F.size("failed") < 1).count() == 0
+
+
+def test_leakage_verb(spark, tmp_path):
+    """leakage job verb: exact + near tiers end to end; group-keyed
+    split clears the exact leak; --near with --group-col rejected."""
+    import pandas as pd
+
+    from drivel_spark.job import cmd_leakage
+
+    src = str(tmp_path / "docs")
+    texts = [f"unique document {i} about {i * 3}" for i in range(40)]
+    texts[28] = "the same exact article body"
+    texts[32] = "  The SAME   exact article body "  # normalizes equal
+    pdf = pd.DataFrame({
+        "doc_id": range(40), "text": texts,
+        "grp": ["g1"] * 40,
+    })
+    spark.createDataFrame(pdf).write.parquet(src)
+    base = dict(data=src, id_col="doc_id", text_col="text",
+                weights="train=0.5,test=0.5", seed=42, threshold=0.5)
+    out = cmd_leakage(argparse.Namespace(
+        **base, group_col=None, near=True, out=str(tmp_path / "leaks")))
+    # ids 28 (train) / 32 (test) straddle deterministically (md5 seed 42)
+    assert out["n_leaking_fingerprints"] == 1 and out["n_leaking_docs"] == 2
+    # exact dups are near dups too
+    assert out["n_near_leak_pairs"] >= 1
+    assert spark.read.parquet(str(tmp_path / "leaks/exact")).count() == 1
+    # group-keyed split co-assigns everything → clean
+    out2 = cmd_leakage(argparse.Namespace(
+        **base, group_col="grp", near=False, out=None))
+    assert out2["n_leaking_fingerprints"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="row-keyed"):
+        cmd_leakage(argparse.Namespace(
+            **base, group_col="grp", near=True, out=None))

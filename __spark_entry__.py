@@ -3442,6 +3442,38 @@ def q_benford_extendedprice(spark, sf_dir):
     return benford_report(li, "l_extendedprice")
 
 
+def q_grouped_profile_events(spark, sf_dir):
+    """Per-group pass-1 profile (profiling/grouped.grouped_profile —
+    "profile BY event_type"): the same mergeable-accumulator fold as
+    the global profiler, run per group in ONE scan; partials are
+    O(partitions × groups) pickled KBs, only they shuffle.  The exact
+    fields (counts, nulls, min/max, mean) oracle against a plain
+    DuckDB GROUP BY; the sketch fields are pinned by pytest."""
+    from drivel_spark.profiling import grouped_profile
+
+    ev = _t(spark, sf_dir, "events")
+    gp = grouped_profile(ev, "event_type", columns=["value"])
+    rows = []
+    for group in sorted(k for k in gp if k is not None):
+        acc = gp[group].column("value")
+        nv = acc.n - acc.n_null
+        rows.append(
+            (
+                group,
+                int(acc.n),
+                int(acc.n_null),
+                round(float(acc.min_v), 6),
+                round(float(acc.max_v), 6),
+                round(acc.sum_v / nv, 6) if nv else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n long, n_null long, "
+        "min_value double, max_value double, mean_value double",
+    )
+
+
 def q_monotonic_events(spark, sf_dir):
     """Ordering-invariant gates (ops/timeseries.monotonic_violations,
     Monotonic constraint's engine): per-user, is `ts` non-decreasing
@@ -3493,8 +3525,8 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 37 r05-new queries (round 0) + 24
-    r03-carried = 61 candidates for the 50-row window, so the 11
+    r05 arithmetic (deliberate): 38 r05-new queries (round 0) + 24
+    r03-carried = 62 candidates for the 50-row window, so the 12
     canonically-last r03-carried queries (the sketch/tdigest/drift
     block through json_schema_events_props) ride their r03 green one
     more round.  New-first is the right priority: a query with NO
@@ -3615,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_orders": q_mutual_info_orders,
         "split_leakage_documents": q_split_leakage_documents,
         "monotonic_events": q_monotonic_events,
+        "grouped_profile_events": q_grouped_profile_events,
         "correlation_report_lineitem": q_correlation_report_lineitem,
         "benford_extendedprice": q_benford_extendedprice,
         "audio_corpus_report_clips": q_audio_corpus_report,
@@ -5547,6 +5580,16 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(n - expected_p * total, 2) / (expected_p * total), 6)
                      AS chi2_contrib
             FROM j, tot ORDER BY digit""",
+        # plain GROUP BY replay of the grouped fold's exact fields
+        "grouped_profile_events": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(sum(value) / count(value), 6) AS mean_value
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type ORDER BY event_type""",
         # same two lag windows, same deterministic (ts, event_id) /
         # event_id orderings, same NULL-pair exclusion semantics
         "monotonic_events": """

@@ -3,6 +3,7 @@ mapInPandas seqOp, tree combine, TableProfile result object."""
 
 from .accumulator import ProfilerOptions, TableAccumulator, make_column_acc
 from .diff import DIFF_SCHEMA, diff_profiles
+from .grouped import grouped_drift, grouped_profile
 from .profiler import (
     TableProfile,
     partition_accumulators,
@@ -18,6 +19,8 @@ __all__ = [
     "TableProfile",
     "DIFF_SCHEMA",
     "diff_profiles",
+    "grouped_profile",
+    "grouped_drift",
     "partition_accumulators",
     "profile",
     "profile_json_column",

@@ -237,3 +237,60 @@ def test_table_profile_merge_equals_union_profile(spark):
     # mismatched column sets refuse to merge
     with pytest.raises(ValueError, match="different columns"):
         profile(a, columns=["sr_hz"]).merge(profile(b, columns=["dur_ms"]))
+
+
+def test_grouped_profile_and_drift(spark):
+    """Per-group pass-1 fold: group row counts and exact stats match a
+    plain groupBy; merging all group accs reproduces the global
+    profile (monoid invariant); NULL keys profile under None; drift
+    report flags the drifted group column and added/removed groups."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.profiling import grouped_drift, grouped_profile, profile
+
+    pdf = pd.DataFrame(
+        {
+            "codec": (["wav"] * 60 + ["flac"] * 30 + [None] * 10),
+            "dur": np.concatenate(
+                [np.arange(60) * 10.0, np.arange(30) * 100.0, np.full(10, 7.0)]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(6)
+    gp = grouped_profile(df, "codec", columns=["dur"])
+    assert set(gp) == {"wav", "flac", None}
+    assert gp["wav"].n_rows == 60 and gp["flac"].n_rows == 30
+    assert gp[None].n_rows == 10
+    wav = gp["wav"].column("dur")
+    assert wav.min_v == 0.0 and wav.max_v == 590.0
+    assert gp[None].column("dur").min_v == 7.0
+    # monoid invariant: merged group accs == global profile
+    from drivel_spark.profiling import TableAccumulator
+
+    accs = [p.acc for p in gp.values()]
+    merged = accs[0]
+    for a in accs[1:]:
+        merged = merged.merge(a)
+    full = profile(df, columns=["dur"])
+    assert merged.n_rows == full.n_rows == 100
+    assert merged.cols["dur"].min_v == full.column("dur").min_v
+    assert merged.cols["dur"].max_v == full.column("dur").max_v
+    assert merged.cols["dur"].sum_v == full.column("dur").sum_v
+
+    # drift: shift only the flac group; wav must stay calm
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.codec == "flac", "dur"] += 5000.0
+    gp2 = grouped_profile(
+        spark.createDataFrame(pdf2).repartition(6), "codec", columns=["dur"]
+    )
+    rep = grouped_drift(gp, gp2)
+    by_g = {(r.group, r.column): r for r in rep.itertuples()}
+    assert by_g[("flac", "dur")].ks > 0.9
+    assert by_g[("wav", "dur")].ks < 0.05
+    # added / removed groups
+    del gp2["flac"]
+    gp2["opus"] = gp["wav"]
+    rep2 = grouped_drift(gp, gp2)
+    status = {r.group: r.status for r in rep2.itertuples() if r.status != "both"}
+    assert status == {"flac": "removed", "opus": "added"}

@@ -184,6 +184,22 @@ def cmd_baseline(args) -> dict:
     spark = build_session("drivel-baseline")
     df = spark.read.parquet(f"{args.data}/clips")
     cols = _profile_columns(df, getattr(args, "columns", None))
+    by = getattr(args, "by", None)
+    if by:
+        # grouped baseline: {group: TableProfile} via the one-scan
+        # per-group fold (profiling/grouped.py) — the per-codec drift
+        # reference the north rule's codec/sr frequency maps imply
+        from drivel_spark.profiling import grouped_profile
+
+        gp = grouped_profile(df, by, columns=[c for c in cols if c != by])
+        with open(args.out, "wb") as fh:
+            pickle.dump({"by": by, "groups": gp}, fh)
+        return {
+            "baseline": args.out,
+            "by": by,
+            "n_groups": len(gp),
+            "n_rows": int(sum(p.n_rows for p in gp.values())),
+        }
     prof = profile(
         df,
         columns=cols,
@@ -215,6 +231,35 @@ def cmd_diff(args) -> dict:
         raise SystemExit("diff needs --data or --clips")
     ref = args.clips or f"{args.data}/clips"
     df = read_table(spark, ref)
+    if isinstance(baseline, dict) and "groups" in baseline:
+        # grouped baseline → per-group drift report (grouped_drift):
+        # per-group KS/PSI/W1/chi2 + added/removed groups, one scan
+        from drivel_spark.profiling import grouped_drift, grouped_profile
+
+        by = baseline["by"]
+        cols = _profile_columns(df, args.columns)
+        gp = grouped_profile(df, by, columns=[c for c in cols if c != by])
+        rep = grouped_drift(baseline["groups"], gp)
+        rows = [
+            {
+                k: (None if v is None or (isinstance(v, float) and v != v)
+                    else (round(v, 6) if isinstance(v, float) else v))
+                for k, v in r.items()
+            }
+            for r in rep.to_dict("records")
+        ]
+        return {
+            "job": "diff",
+            "data": ref,
+            "baseline": args.baseline,
+            "by": by,
+            "n_groups": len(gp),
+            "n_report_rows": len(rows),
+            "groups_changed": sorted(
+                {r["group"] for r in rows if r["status"] != "both"}
+            ),
+            "report": rows,
+        }
     cols = _profile_columns(df, args.columns)
     prof = profile(df, columns=cols, arrow_batch=_narrow_batch(df, cols))
     changes = diff_profiles(prof, baseline)
@@ -1138,6 +1183,9 @@ def main(argv=None) -> None:
     sb.add_argument("--data", required=True)
     sb.add_argument("--out", required=True)
     sb.add_argument("--columns", default=None, help="comma-separated subset")
+    sb.add_argument("--by", default=None,
+                    help="grouped baseline: one profile per value of this "
+                         "category column (per-codec drift reference)")
 
     sv = sub.add_parser("validate")
     sv.add_argument("--data", required=True)

@@ -692,3 +692,35 @@ def test_leakage_verb(spark, tmp_path):
     with _pytest.raises(SystemExit, match="row-keyed"):
         cmd_leakage(argparse.Namespace(
             **base, group_col="grp", near=True, out=None))
+
+
+def test_grouped_baseline_diff(spark, tmp_path):
+    """baseline --by codec → diff reports PER-GROUP drift: only the
+    planted group's column drifts; group removal is reported."""
+    from pyspark.sql import functions as F
+
+    from drivel_spark.job import cmd_baseline, cmd_diff
+
+    spec = ClipFixtureSpec(with_audio=False)
+    db_a, db_b = tmp_path / "a", tmp_path / "b"
+    clips = build_clips(spark, 1500, 4, spec)
+    clips.write.parquet(f"{db_a}/clips")
+    # batch: double dur_ms for flac only, drop the 'wat' codec rows
+    (clips.withColumn(
+        "dur_ms",
+        F.when(F.col("codec") == "flac", F.col("dur_ms") * 4)
+        .otherwise(F.col("dur_ms")).cast("int"),
+    ).filter(F.col("codec") != "wat").write.parquet(f"{db_b}/clips"))
+
+    bl = str(tmp_path / "grouped.pkl")
+    out = cmd_baseline(argparse.Namespace(
+        data=str(db_a), out=bl, columns="sr_hz,dur_ms,codec", by="codec"))
+    assert out["by"] == "codec" and out["n_groups"] >= 4
+    rep = cmd_diff(argparse.Namespace(
+        data=str(db_b), clips=None, baseline=bl, columns="sr_hz,dur_ms,codec"))
+    assert rep["by"] == "codec"
+    assert "wat" in rep["groups_changed"]
+    rows = {(r["group"], r["column"]): r for r in rep["report"]}
+    assert rows[("flac", "dur_ms")]["ks"] > 0.5       # planted shift
+    assert rows[("pcm_s16le", "dur_ms")]["ks"] < 0.05  # sibling calm
+    assert rows[("flac", "sr_hz")]["ks"] < 0.05        # other column calm

@@ -491,10 +491,21 @@ def from_profile(
     numeric_margin: float = 0.0,
     with_drift: bool = False,
     quantile_range: Optional[tuple] = None,
+    with_distribution: bool = False,
+    distribution_margin: float = 0.25,
 ) -> list[Constraint]:
     """Infer-then-check: derive the constraint set a baseline profile
     implies.  ``numeric_margin`` widens numeric ranges by a fraction of
     the observed span (0 = exact observed bounds, reference semantics).
+
+    ``with_distribution=True`` additionally gates each enum column's
+    SHAPE: an EntropyBound at the baseline's observed Shannon entropy
+    ± ``distribution_margin`` (fraction).  The enum constraint pins
+    WHICH values appear; the entropy gate pins how the mass spreads —
+    a batch that is 99% one codec stays enum-valid but fails the
+    entropy floor.  Computed from the baseline's frequency state (for
+    enum-cardinality columns the SpaceSaving map is exact); constant
+    columns (H = 0) get no gate (the enum already pins them).
 
     ``quantile_range=(p_lo, p_hi)`` switches numeric envelopes from the
     exact min/max to the baseline's KLL quantile sketch at those ranks —
@@ -528,6 +539,26 @@ def from_profile(
             node = profile._column_node(acc)
             if node.str_type == STR_ENUM:
                 out.append(Enum(f"{name}_enum", name, tuple(sorted(node.variants))))
+                if with_distribution:
+                    import math
+
+                    counts = list(acc.freq.counts.values())
+                    total = float(sum(counts))
+                    h = -sum(
+                        (c / total) * math.log2(c / total)
+                        for c in counts
+                        if c > 0
+                    ) if total else 0.0
+                    if h > 0.0:
+                        m = float(distribution_margin)
+                        out.append(
+                            EntropyBound(
+                                f"{name}_entropy",
+                                name,
+                                lo=round(h * (1.0 - m), 6),
+                                hi=round(h * (1.0 + m), 6),
+                            )
+                        )
             elif node.str_type != STR_UNKNOWN:
                 out.append(Format(f"{name}_format", name, node.str_type))
             elif acc.min_len is not None:

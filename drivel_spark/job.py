@@ -383,6 +383,7 @@ def cmd_suggest(args) -> dict:
         numeric_margin=args.margin,
         with_drift=args.with_drift,
         quantile_range=qr,
+        with_distribution=getattr(args, "with_distribution", False),
     )
     doc = None
     try:
@@ -1140,6 +1141,9 @@ def main(argv=None) -> None:
                           "KLL sketch instead of exact min/max")
     sg2.add_argument("--with-drift", action="store_true",
                      help="also emit drift gates (validate needs --baseline)")
+    sg2.add_argument("--with-distribution", action="store_true",
+                     help="also emit entropy gates at each enum column's "
+                          "observed Shannon entropy ±25%")
     sg2.add_argument("--out", required=True, help="spec-file JSON path")
 
     sl = sub.add_parser("leakage")

@@ -1254,3 +1254,35 @@ def test_wav_header_check(spark):
 
     (c2,) = from_spec_json(to_spec_json([c]))
     assert c2 == c
+
+
+def test_from_profile_with_distribution(spark):
+    """Suggested entropy gates: the baseline's own batch passes; an
+    enum-valid but mass-collapsed batch fails the suggested floor."""
+    from drivel_spark.constraints import EntropyBound
+    from drivel_spark.constraints.spec import from_profile
+    from drivel_spark.profiling import ProfilerOptions, profile
+
+    base = spark.createDataFrame(
+        pd.DataFrame({"codec": ["wav", "flac", "mp3", "ogg"] * 50})
+    )
+    prof = profile(base, opts=ProfilerOptions(infer_enum=True))
+    cs = from_profile(prof, with_distribution=True)
+    gates = [c for c in cs if isinstance(c, EntropyBound)]
+    assert len(gates) == 1 and gates[0].name == "codec_entropy"
+    # the clean uniform baseline sits inside its own envelope (H=2.0)
+    assert gates[0].lo <= 2.0 <= gates[0].hi
+    res = validate(base, [gates[0]])
+    assert res.dataset[0]["passed"]
+    # enum-valid collapse: 99% one codec → fails the floor
+    collapsed = spark.createDataFrame(
+        pd.DataFrame({"codec": ["wav"] * 198 + ["flac", "mp3"]})
+    )
+    assert not validate(collapsed, [gates[0]]).dataset[0]["passed"]
+    # constant column gets no gate (enum pins it)
+    con = spark.createDataFrame(pd.DataFrame({"codec": ["wav"] * 100}))
+    prof2 = profile(con, opts=ProfilerOptions(infer_enum=True))
+    assert not [
+        c for c in from_profile(prof2, with_distribution=True)
+        if isinstance(c, EntropyBound)
+    ]

@@ -3474,6 +3474,74 @@ def q_grouped_profile_events(spark, sf_dir):
     )
 
 
+def q_null_pattern_events(spark, sf_dir):
+    """Completeness-structure matrix (ops/completeness.
+    null_pattern_report): per-column null ratios can't tell "the same
+    2% of rows lost user_id AND value" (one bad batch) from "disjoint
+    4% unusable" (two failures) — the null-PATTERN distribution can.
+    sf0.01 events are fully populated, so the query plants a
+    deterministic corruption (user_id ∅ at event_id%7, value ∅ at
+    event_id%5 — co-missing exactly at %35) and reports all four
+    patterns.  One groupBy bounded by 2^k patterns, ratio via a window
+    over the ≤4-row result.  DuckDB replays the same corruption and
+    bit-string algebra."""
+    from drivel_spark.ops import null_pattern_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 7 != 0, F.col("user_id")).alias("user_id"),
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("value"),
+    )
+    return null_pattern_report(ev, ["user_id", "value"]).orderBy("pattern")
+
+
+def q_k_anonymity_customer(spark, sf_dir):
+    """Re-identification-risk gate (ops/completeness.
+    k_anonymity_report, KAnonymity's engine): rows whose
+    (c_nationkey, c_mktsegment) quasi-identifier combination has
+    fewer than k=7 peers are publishable risk; l-diversity over
+    c_acctbal flags homogeneous groups.  groupBy(QI) bounded by the
+    125-combo support → one O(groups)→1 aggregate — the two-level
+    skew-report discipline, holds at any row count.  DuckDB replays
+    the group-size algebra exactly."""
+    from drivel_spark.ops import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment"], k=7, sensitive_col="c_acctbal"
+    )
+
+
+def q_interval_overlaps_orders(spark, sf_dir):
+    """Per-key interval-disjointness audit (ops/timeseries.
+    interval_overlap_violations — THE segment-table invariant:
+    overlapping segments double-cover audio invisibly to dedup),
+    exercised on a natural interval layout: each order opens a 30-day
+    service window per customer, overlapping windows are violations.
+    One hash shuffle on o_custkey + an in-partition running-max
+    window, no joins; the query folds the violation rows to one
+    summary row.  DuckDB replays the same running-max window and the
+    day differencing."""
+    from drivel_spark.ops import interval_overlap_violations
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("e"),
+    )
+    v = interval_overlap_violations(
+        o, "o_custkey", "s", "e", tiebreak=["o_orderkey"]
+    )
+    return v.agg(
+        F.count(F.lit(1)).alias("n_violations"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.coalesce(F.sum(F.datediff("prev_end", "s")), F.lit(0)).cast("long").alias(
+            "total_overlap_days"
+        ),
+        F.max(F.datediff("prev_end", "s")).alias("max_overlap_days"),
+    )
+
+
 def q_monotonic_events(spark, sf_dir):
     """Ordering-invariant gates (ops/timeseries.monotonic_violations,
     Monotonic constraint's engine): per-user, is `ts` non-decreasing
@@ -3647,6 +3715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_orders": q_mutual_info_orders,
         "split_leakage_documents": q_split_leakage_documents,
         "monotonic_events": q_monotonic_events,
+        "null_pattern_events": q_null_pattern_events,
+        "k_anonymity_customer": q_k_anonymity_customer,
+        "interval_overlaps_orders": q_interval_overlaps_orders,
         "grouped_profile_events": q_grouped_profile_events,
         "correlation_report_lineitem": q_correlation_report_lineitem,
         "benford_extendedprice": q_benford_extendedprice,
@@ -5592,6 +5663,58 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type ORDER BY event_type""",
         # same two lag windows, same deterministic (ts, event_id) /
         # event_id orderings, same NULL-pair exclusion semantics
+        "null_pattern_events": """
+            WITH ev AS (
+              SELECT CASE WHEN event_id % 7 != 0 THEN user_id END AS u,
+                     CASE WHEN event_id % 5 != 0 THEN value END AS v
+              FROM events),
+            pats AS (
+              SELECT concat(CASE WHEN u IS NULL THEN '1' ELSE '0' END,
+                            CASE WHEN v IS NULL THEN '1' ELSE '0' END) AS pattern,
+                     concat_ws(',', CASE WHEN u IS NULL THEN 'user_id' END,
+                               CASE WHEN v IS NULL THEN 'value' END) AS null_cols,
+                     ((u IS NULL)::INT + (v IS NULL)::INT) AS n_null_cols,
+                     count(*)::BIGINT AS n_rows
+              FROM ev GROUP BY 1, 2, 3)
+            SELECT pattern, null_cols, n_null_cols,
+                   n_rows,
+                   round(n_rows / sum(n_rows) OVER ()::DOUBLE, 6) AS ratio
+            FROM pats ORDER BY pattern""",
+        "k_anonymity_customer": """
+            WITH g AS (
+              SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS gs,
+                     count(DISTINCT c_acctbal)::BIGINT AS ld
+              FROM customer GROUP BY 1, 2)
+            SELECT 7 AS k,
+                   coalesce(sum(gs), 0)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_groups,
+                   min(gs)::BIGINT AS min_group_size,
+                   max(gs)::BIGINT AS max_group_size,
+                   coalesce(sum((gs = 1)::INT), 0)::BIGINT AS singleton_groups,
+                   coalesce(sum((gs < 7)::INT), 0)::BIGINT AS groups_below_k,
+                   coalesce(sum(CASE WHEN gs < 7 THEN gs END), 0)::BIGINT AS rows_below_k,
+                   round(coalesce(sum(CASE WHEN gs < 7 THEN gs END), 0)
+                         / greatest(sum(gs), 1)::DOUBLE, 6) AS risk_ratio,
+                   min(ld)::BIGINT AS min_l_diversity,
+                   coalesce(sum((ld = 1)::INT), 0)::BIGINT AS groups_l1
+            FROM g""",
+        "interval_overlaps_orders": """
+            WITH iv AS (
+              SELECT o_custkey, o_orderkey, o_orderdate AS s,
+                     o_orderdate + INTERVAL 30 DAY AS e
+              FROM orders),
+            v AS (
+              SELECT o_custkey, s,
+                     max(e) OVER (PARTITION BY o_custkey
+                                  ORDER BY s, e, o_orderkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS pe
+              FROM iv)
+            SELECT count(*)::BIGINT AS n_violations,
+                   count(DISTINCT o_custkey)::BIGINT AS n_customers,
+                   coalesce(sum(date_diff('day', s, pe)), 0)::BIGINT AS total_overlap_days,
+                   max(date_diff('day', s, pe))::BIGINT AS max_overlap_days
+            FROM v WHERE s < pe""",
         "monotonic_events": """
             WITH a AS (
               SELECT count(*)::BIGINT AS v FROM (

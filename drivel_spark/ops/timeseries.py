@@ -30,7 +30,13 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cusum_scores", "cusum_alarms", "coverage_gaps", "monotonic_violations"]
+__all__ = [
+    "cusum_scores",
+    "cusum_alarms",
+    "coverage_gaps",
+    "monotonic_violations",
+    "interval_overlap_violations",
+]
 
 
 def cusum_scores(
@@ -275,4 +281,60 @@ def monotonic_violations(
         pos.join(prev, "__pos")
         .filter(F.col("prev_value").isNotNull() & bad)
         .select(*keep, "prev_value", value_col)
+    )
+
+
+def interval_overlap_violations(
+    df: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+    tiebreak: Sequence[str] = (),
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group interval disjointness check: within each ``group_col``
+    the ``[start_col, end_col)`` intervals must not overlap — THE
+    structural invariant of a segment table (segments of one clip must
+    tile it, never double-cover: an overlap means the same audio lands
+    in the corpus twice under different segment ids, a dedup-invisible
+    duplication) and of any per-key bookings/validity/session layout.
+
+    Returns the violating rows: ``(group_col, *keep_cols, start_col,
+    end_col, prev_end)`` where ``prev_end`` is the running maximum of
+    the ends of the intervals ordered BEFORE this row — a row is
+    emitted iff ``start < prev_end`` (half-open semantics: touching
+    endpoints are legal).  Empty result = disjoint everywhere.
+    ``prev_end`` is emitted rather than a subtraction so the op stays
+    type-generic (dates, timestamps, ints, doubles); the caller
+    differences in its own unit.
+
+    Ordering is ``(start, end, *tiebreak)``; pass a unique column
+    (seg_idx, line number) as ``tiebreak`` so the adjacency relation —
+    and therefore the verdict — is deterministic on any partitioning.
+    Rows with NULL start or end are excluded (no order against NULL);
+    an inverted interval (end < start) is a Range/Conditional check's
+    job, but it cannot corrupt this detector — the running max simply
+    ignores it.
+
+    Scale: ONE hash shuffle on ``group_col`` + an in-partition sort
+    (``max(...).over(rowsBetween(unboundedPreceding, -1))`` — the
+    bounded-group contract shared with session windows and CUSUM); no
+    joins, no self-pairing, pure whole-stage codegen.
+    """
+    for c in [group_col, start_col, end_col, *tiebreak, *keep_cols]:
+        if c not in df.columns:
+            raise ValueError(f"interval_overlap_violations: unknown column {c!r}")
+    order = [F.col(start_col).asc(), F.col(end_col).asc()] + [
+        F.col(c).asc() for c in tiebreak
+    ]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+        .withColumn("prev_end", F.max(end_col).over(w))
+        .filter(F.col(start_col) < F.col("prev_end"))
+        .select(group_col, *keep_cols, start_col, end_col, "prev_end")
     )

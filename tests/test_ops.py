@@ -3016,3 +3016,123 @@ def test_split_leakage_near(spark):
         df2, "doc_id", "text", weights, threshold=0.5,
         num_perm=64, bands=32,
     ).count() == 0
+
+
+def test_null_pattern_report(spark):
+    """Null-pattern matrix: co-occurrence structure per-column ratios
+    can't see — counts, bit patterns, readable names, ratio mass."""
+    import pandas as pd
+    import pytest
+
+    from drivel_spark.ops import null_pattern_report
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, None, 1.0, None, 1.0, 1.0, 1.0, 1.0],
+            "b": ["x", None, "y", None, None, "z", "w", "v"],
+        }
+    )
+    rep = {
+        r["pattern"]: r
+        for r in null_pattern_report(spark.createDataFrame(pdf), ["a", "b"]).collect()
+    }
+    # 5× both present, 2× both null (SAME rows — the healthy co-miss),
+    # 1× only b null
+    assert rep["00"]["n_rows"] == 5 and rep["00"]["null_cols"] == ""
+    assert rep["11"]["n_rows"] == 2 and rep["11"]["null_cols"] == "a,b"
+    assert rep["01"]["n_rows"] == 1 and rep["01"]["null_cols"] == "b"
+    assert "10" not in rep
+    assert rep["11"]["n_null_cols"] == 2
+    assert abs(sum(r["ratio"] for r in rep.values()) - 1.0) < 1e-6
+    assert abs(rep["00"]["ratio"] - 0.625) < 1e-9
+    with pytest.raises(ValueError, match="unknown column"):
+        null_pattern_report(spark.createDataFrame(pdf), ["a", "nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        null_pattern_report(spark.createDataFrame(pdf), [])
+
+
+def test_k_anonymity_report(spark):
+    """k-anonymity summary + risky-group triage: group-size algebra,
+    NULL-as-identifying-value, l-diversity homogeneity flag."""
+    import pandas as pd
+    import pytest
+
+    from drivel_spark.ops import k_anonymity_report, k_anonymity_risky_groups
+
+    rows = (
+        [("wav", 16000, f"s{i}") for i in range(6)]      # size 6, 6 speakers
+        + [("mp3", 16000, "solo")] * 3                   # size 3, ONE speaker
+        + [("flac", 44100, "a"), ("flac", 44100, "b")]   # size 2
+        + [("ogg", 8000, "x")]                           # singleton
+        + [(None, 8000, "y")]                            # NULL QI = fingerprint
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["codec", "sr_hz", "speaker"]).astype(
+            {"sr_hz": "int64"}
+        )
+    )
+    rep = k_anonymity_report(
+        df, ["codec", "sr_hz"], k=5, sensitive_col="speaker"
+    ).collect()[0]
+    assert rep["n_rows"] == 13 and rep["n_groups"] == 5
+    assert rep["min_group_size"] == 1 and rep["max_group_size"] == 6
+    assert rep["singleton_groups"] == 2          # ogg AND the NULL combo
+    assert rep["groups_below_k"] == 4 and rep["rows_below_k"] == 7
+    assert abs(rep["risk_ratio"] - round(7 / 13, 6)) < 1e-9
+    # mp3 group: 3 rows, one speaker → k-anonymous-ish yet fully
+    # disclosed — the l-diversity columns must flag it
+    assert rep["min_l_diversity"] == 1 and rep["groups_l1"] >= 1
+    risky = k_anonymity_risky_groups(df, ["codec", "sr_hz"], k=5).collect()
+    assert [r["group_size"] for r in risky] == [1, 1, 2, 3]
+    assert risky[-1]["codec"] == "mp3"
+    # without sensitive_col the l-diversity columns are absent
+    slim = k_anonymity_report(df, ["codec"], k=2)
+    assert "min_l_diversity" not in slim.columns
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_report(df, ["codec"], k=0)
+    with pytest.raises(ValueError, match="unknown column"):
+        k_anonymity_risky_groups(df, ["nope"])
+
+
+def test_interval_overlap_violations(spark):
+    """Per-group interval disjointness: overlap flagged with the
+    running-max prev_end, touching endpoints legal, NULLs excluded,
+    clean groups silent."""
+    import pandas as pd
+    import pytest
+
+    from drivel_spark.ops import interval_overlap_violations
+
+    rows = [
+        # clip A: [0,10) [10,20) touch (legal), [15,30) overlaps,
+        #         [18,19) contained (prev_end = running max 30, not 20)
+        ("A", 1, 0, 10),
+        ("A", 2, 10, 20),
+        ("A", 3, 15, 30),
+        ("A", 4, 18, 19),
+        # clip B: disjoint — silent
+        ("B", 1, 0, 5),
+        ("B", 2, 7, 9),
+        # clip C: NULL end — excluded, not a crash
+        ("C", 1, 0, None),
+        ("C", 2, 1, 4),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "seg_idx", "s", "e"]).astype(
+            {"e": "Int64"}
+        )
+    )
+    out = interval_overlap_violations(
+        df, "clip_id", "s", "e", tiebreak=["seg_idx"], keep_cols=["seg_idx"]
+    ).collect()
+    got = {(r["clip_id"], r["seg_idx"]): r["prev_end"] for r in out}
+    # seg 3 overlaps seg 2 (prev_end 20); seg 4 sits inside seg 3 —
+    # prev_end is the RUNNING MAX 30, not the adjacent 20
+    assert got == {("A", 3): 20, ("A", 4): 30}
+    clean = interval_overlap_violations(
+        df.filter("clip_id = 'B'"), "clip_id", "s", "e"
+    )
+    assert clean.count() == 0
+    assert clean.columns == ["clip_id", "s", "e", "prev_end"]
+    with pytest.raises(ValueError, match="unknown column"):
+        interval_overlap_violations(df, "clip_id", "s", "nope")

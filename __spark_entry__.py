@@ -3576,6 +3576,54 @@ def q_monotonic_events(spark, sf_dir):
     )
 
 
+def q_dup_spans_documents(spark, sf_dir):
+    """Span-level exact dedup (ops/spans.py — the ExactSubstr setting
+    of Lee et al. 2022): every position whose 20-gram occurs >= 2 times
+    corpus-wide is flagged and flagged runs merge into maximal
+    [start, end) spans, entirely in Catalyst (count -> semi-join ->
+    lag/sum gaps-and-islands window).  Oracle: the rolling-hash series
+    is exported via a DISTRIBUTED write (skipped under
+    DRIVEL_ENGINE_ONLY); DuckDB independently re-derives the WHOLE
+    pipeline — duplicate-hash set, flagged positions, island labeling,
+    span closing — in plain SQL, taking only the 63-bit hashes as
+    given (the hash kernel itself is pinned by the spans pytest
+    round-trips and shares its base/mask with the winnowing queries)."""
+    from drivel_spark.ops import duplicate_spans, lgram_series
+
+    d = _t(spark, sf_dir, "documents")
+    series = lgram_series(d, text_col="text", id_col="doc_id", L=20)
+    if not _engine_only():
+        _export_oracle_df(series, "lgram_series", sf_dir)
+    return duplicate_spans(
+        d, text_col="text", id_col="doc_id", L=20, min_count=2, series=series
+    )
+
+
+def q_edit_distance_parts(spark, sf_dir):
+    """Edit-distance similarity self-join on part names (ops/joins.py
+    edit_distance_join): distinct-value prejoin -> PassJoin pigeonhole
+    segment candidates -> built-in levenshtein(l, r, threshold) verify
+    -> id expansion, every stage an equi-join in whole-stage codegen.
+    Result is aggregated to (unordered name pair, dist, n_id_pairs) so
+    the oracle pins BOTH the verified string-pair set and the
+    distinct-to-id expansion counts.  DuckDB re-derives with its native
+    levenshtein() over the brute-force length-banded self-join — an
+    O(v^2) plan that is only feasible oracle-side."""
+    from drivel_spark.ops import edit_distance_join
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("s")
+    )
+    pairs = edit_distance_join(
+        p, None, string_col="s", id_col="id", max_dist=1, keep_strings=True
+    )
+    return pairs.groupBy(
+        F.least("s_a", "s_b").alias("name_a"),
+        F.greatest("s_a", "s_b").alias("name_b"),
+        F.col("dist").cast("long").alias("dist"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3593,8 +3641,8 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 38 r05-new queries (round 0) + 24
-    r03-carried = 62 candidates for the 50-row window, so the 12
+    r05 arithmetic (deliberate): 40 r05-new queries (round 0) + 24
+    r03-carried = 64 candidates for the 50-row window, so the 14
     canonically-last r03-carried queries (the sketch/tdigest/drift
     block through json_schema_events_props) ride their r03 green one
     more round.  New-first is the right priority: a query with NO
@@ -3724,6 +3772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_corpus_report_clips": q_audio_corpus_report,
         # training-data ops
         "dedup_exact_documents": q_dedup_exact_documents,
+        "dup_spans_documents": q_dup_spans_documents,
+        "edit_distance_parts": q_edit_distance_parts,
         "text_metrics_documents": q_text_metrics_documents,
         "lang_id_documents": q_lang_id_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -4177,6 +4227,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*)::BIGINT AS n_docs,
                    count(DISTINCT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT AS n_unique_texts
             FROM documents""",
+        # span-level exact dedup: DuckDB re-derives the full pipeline
+        # (duplicate-hash set -> flagged positions -> gaps-and-islands
+        # merge -> [min, max+L) span closing) from the exported
+        # rolling-hash series; only the hash values are taken as given
+        "dup_spans_documents": f"""
+            WITH s AS (SELECT * FROM read_parquet('{ORACLE_DIR}/lgram_series_sf0.01.pq/*.parquet')),
+            dup AS (SELECT h FROM s GROUP BY h HAVING count(*) >= 2),
+            d AS (SELECT s.doc_id, s.pos FROM s JOIN dup USING (h)),
+            f AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+                         THEN 0 ELSE 1 END AS brk
+                  FROM d),
+            g AS (SELECT doc_id, pos,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM f)
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end,
+                   max(pos) + 20 - min(pos) AS span_len
+            FROM g GROUP BY doc_id, grp""",
+        # edit-distance similarity join: DuckDB verifies with its
+        # native levenshtein() over the brute-force length-banded
+        # self-join (feasible only oracle-side at sf0.01)
+        "edit_distance_parts": """
+            WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part)
+            SELECT least(a.s, b.s) AS name_a, greatest(a.s, b.s) AS name_b,
+                   levenshtein(a.s, b.s)::BIGINT AS dist,
+                   count(*)::BIGINT AS n_pairs
+            FROM p a JOIN p b ON a.id < b.id
+            WHERE abs(length(a.s) - length(b.s)) <= 1
+              AND levenshtein(a.s, b.s) <= 1
+            GROUP BY 1, 2, 3""",
         "text_metrics_documents": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' OR text IS NULL THEN 0

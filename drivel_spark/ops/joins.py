@@ -150,3 +150,141 @@ def range_join(
         )
         .drop("__bucket")
     )
+
+
+def edit_distance_join(
+    a: DataFrame,
+    b: DataFrame | None = None,
+    string_col: str = "s",
+    id_col: str = "id",
+    max_dist: int = 1,
+    keep_strings: bool = False,
+) -> DataFrame:
+    """Similarity join under edit (Levenshtein) distance: all pairs
+    with ``levenshtein(a.s, b.s) <= max_dist``.  ``b=None`` is the
+    self-join (``id_a < id_b``).  Output: ``(id_a, id_b, dist)`` plus
+    ``(s_a, s_b)`` when ``keep_strings``.
+
+    Three-stage shape, every stage an equi-join in whole-stage codegen
+    (no Python, no cross join, no similarity UDF):
+
+    1. **Distinct-value prejoin.**  Real string columns are heavily
+       duplicated (transcripts, product names, normalized titles), so
+       candidates are generated over DISTINCT strings only and the
+       verified string-pairs are multiplied back to id-pairs by two
+       equi-joins at the end.  A column with v distinct values costs
+       candidate work O(f(v)), not O(f(rows)).
+    2. **PassJoin-style pigeonhole candidates** (Li/Deng/Feng 2011,
+       public literature): partition each right string v (length n)
+       into ``max_dist+1`` contiguous segments; if ``ed(u, v) <=
+       max_dist`` then u must contain at least one segment verbatim,
+       within ``max_dist`` of its home position.  Candidates are the
+       equi-join of v's (n, seg_idx, seg_str) against u's enumerated
+       (n, seg_idx, substring) probes — substrings of length ~n/(d+1),
+       far more selective than q-grams and with no stop-gram hot key.
+       Fan-out per distinct string is (d+1)(2d+1) segments x (2d+1)
+       length bands — constant, ~45 rows at d=2.
+    3. **Exact verify** with Spark's built-in ``levenshtein(l, r,
+       threshold)`` (JVM codegen, early-exit DP).
+
+    Strings shorter than ``max_dist + 1`` cannot be segmented; they are
+    routed through a broadcast band-cross arm against strings of length
+    <= 2·max_dist — an alphabet-bounded set, so the cross stays O(1)
+    relative to corpus size.
+
+    NULL strings never match (SQL join semantics drop them).
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0: {max_dist}")
+    d = int(max_dist)
+    self_join = b is None
+    if self_join:
+        b = a
+
+    ua = a.select(F.col(string_col).alias("u")).filter(
+        F.col("u").isNotNull()
+    ).distinct()
+    vb = b.select(F.col(string_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    ).distinct()
+
+    if d == 0:
+        matched = ua.join(vb, ua["u"] == vb["v"]).select(
+            "u", "v", F.lit(0).alias("dist")
+        )
+    else:
+        # segments of v: i-th of d+1 even parts, start floor(i*n/(d+1))
+        nv = F.length("v")
+        segs = (
+            vb.withColumn("n", nv)
+            .filter(F.col("n") >= d + 1)
+            .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(d))))
+            .withColumn("st", F.floor(F.col("i") * F.col("n") / F.lit(d + 1)))
+            .withColumn(
+                "ln",
+                F.floor((F.col("i") + 1) * F.col("n") / F.lit(d + 1))
+                - F.col("st"),
+            )
+            .withColumn(
+                "key", F.expr("substring(v, cast(st + 1 as int), cast(ln as int))")
+            )
+            .select("n", "i", "key", "v")
+        )
+        # probes of u: for each candidate right-length n in [m-d, m+d]
+        # and segment i, every substring of the segment's length within
+        # +-d of the segment's home position (guarded sequence: Spark's
+        # sequence(lo, hi) DESCENDS when lo > hi instead of yielding
+        # empty, so clamp via when())
+        m = F.length("u")
+        lo = F.greatest(F.lit(0), F.col("st") - F.lit(d))
+        hi = F.least(F.col("m") - F.col("ln"), F.col("st") + F.lit(d))
+        probes = (
+            ua.withColumn("m", m)
+            .withColumn(
+                "n",
+                F.explode(F.sequence(F.col("m") - F.lit(d), F.col("m") + F.lit(d))),
+            )
+            .filter(F.col("n") >= d + 1)
+            .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(d))))
+            .withColumn("st", F.floor(F.col("i") * F.col("n") / F.lit(d + 1)))
+            .withColumn(
+                "ln",
+                F.floor((F.col("i") + 1) * F.col("n") / F.lit(d + 1))
+                - F.col("st"),
+            )
+            .withColumn(
+                "p",
+                F.explode(
+                    F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+                        F.array().cast("array<bigint>")
+                    )
+                ),
+            )
+            .withColumn(
+                "key", F.expr("substring(u, cast(p + 1 as int), cast(ln as int))")
+            )
+            .select("n", "i", "key", "u")
+        )
+        cands = probes.join(segs, ["n", "i", "key"]).select("u", "v").distinct()
+
+        # short-string arm: v with n < d+1 against u with m <= 2d
+        shorts_v = vb.filter(F.length("v") < d + 1)
+        shorts_u = ua.filter(F.length("u") <= 2 * d)
+        short_cands = shorts_u.crossJoin(F.broadcast(shorts_v)).select("u", "v")
+
+        matched = (
+            cands.union(short_cands)
+            .distinct()
+            .withColumn("dist", F.levenshtein("u", "v", d))
+            .filter(F.col("dist") >= 0)
+        )
+
+    ids_a = a.select(F.col(id_col).alias("id_a"), F.col(string_col).alias("u"))
+    ids_b = b.select(F.col(id_col).alias("id_b"), F.col(string_col).alias("v"))
+    out = matched.join(ids_a, "u").join(ids_b, "v")
+    if self_join:
+        out = out.filter(F.col("id_a") < F.col("id_b"))
+    cols = ["id_a", "id_b", "dist"]
+    if keep_strings:
+        cols += [F.col("u").alias("s_a"), F.col("v").alias("s_b")]
+    return out.select(*cols)

@@ -3136,3 +3136,173 @@ def test_interval_overlap_violations(spark):
     assert clean.columns == ["clip_id", "s", "e", "prev_end"]
     with pytest.raises(ValueError, match="unknown column"):
         interval_overlap_violations(df, "clip_id", "s", "nope")
+
+
+# ---------------------------------------------------------------------------
+# span-level exact dedup (ops/spans.py)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_exact_boundaries(spark):
+    from drivel_spark.ops import duplicate_spans
+
+    shared = "the quick brown fox jumps"  # 25 chars, repeated across docs
+    data = [
+        (1, "AAA " + shared + " over something unique one"),
+        (2, "BBBBB " + shared + " elsewhere entirely zzz"),
+        (3, "completely different text with no repeats at all here!!"),
+    ]
+    df = spark.createDataFrame(data, "doc_id int, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in duplicate_spans(df, L=10, cross_doc_only=True).collect()
+    }
+    # maximal merged span covers the shared region plus the flanking
+    # spaces (every 10-gram window touching only shared chars repeats)
+    assert set(spans) == {1, 2}
+    for did, (s, e) in spans.items():
+        text = data[did - 1][1]
+        assert shared in text[s:e]
+        # span never exceeds the true duplicated region by >= L chars
+        assert text[s:e].strip() == shared
+
+
+def test_duplicate_spans_within_doc_and_min_count(spark):
+    from drivel_spark.ops import duplicate_spans
+
+    rep = "ABCDEFGHIJKLMNOP"  # 16 chars, repeated twice inside ONE doc
+    data = [(1, rep + "-middle filler-" + rep), (2, "no repeats here at all ok")]
+    df = spark.createDataFrame(data, "doc_id int, text string")
+    # occurrence counting flags the within-doc repeat...
+    spans = duplicate_spans(df, L=16, min_count=2).collect()
+    assert {r.doc_id for r in spans} == {1}
+    got = sorted((r.span_start, r.span_end) for r in spans)
+    assert got == [(0, 16), (31, 47)]
+    # ...cross_doc_only does not
+    assert duplicate_spans(df, L=16, cross_doc_only=True).count() == 0
+
+
+def test_strip_duplicate_spans_rebuild(spark):
+    from drivel_spark.ops import duplicate_spans, strip_duplicate_spans
+
+    data = [
+        (1, "xx SHARED-SEGMENT-HERE yy"),
+        (2, "qqqq SHARED-SEGMENT-HERE wwww"),
+        (3, "untouched document stays whole"),
+    ]
+    df = spark.createDataFrame(data, "doc_id int, text string")
+    spans = duplicate_spans(df, L=12, cross_doc_only=True)
+    out = {
+        r.doc_id: r.text
+        for r in strip_duplicate_spans(df, spans).collect()
+    }
+    ref = {r[0]: r[1] for r in data}
+    # manual rebuild from the span table must equal the operator output
+    by_doc = {}
+    for r in spans.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for did, text in ref.items():
+        cut = by_doc.get(did, [])
+        cut.sort()
+        expect, upto = "", 0
+        for s, e in cut:
+            expect += text[upto:s]
+            upto = e
+        expect += text[upto:]
+        assert out[did] == expect, did
+    assert out[3] == ref[3]
+
+
+def test_lgram_series_matches_python(spark):
+    from drivel_spark.ops import lgram_series
+    from drivel_spark.ops.spans import _raw_lgram_hashes
+
+    texts = [(1, "hello world, hello"), (2, "shrt"), (3, None), (4, "exact")]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.pos): r.h for r in lgram_series(df, L=5).collect()
+    }
+    expect = {}
+    for did, t in texts:
+        if t is None:
+            continue
+        for p, h in enumerate(_raw_lgram_hashes(t, 5)):
+            expect[(did, p)] = int(h)
+    assert got == expect
+    # raw text: case and whitespace are significant (unlike winnowing)
+    assert _raw_lgram_hashes("Hello", 5)[0] != _raw_lgram_hashes("hello", 5)[0]
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (ops/joins.py)
+# ---------------------------------------------------------------------------
+
+
+def _ed(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_join_vs_bruteforce(spark):
+    from drivel_spark.ops import edit_distance_join
+
+    strings = [
+        "kitten", "sitten", "sittin", "sitting", "mitten",
+        "a", "b", "ab", "", "abcdefgh", "abcdefxh", "xbcdefgh",
+        "the same", "the same", "thesame", "совсем другой",
+    ]
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "id int, s string")
+    for d in (0, 1, 2):
+        got = sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(df, None, "s", "id", max_dist=d).collect()
+        )
+        expect = sorted(
+            (i, j, _ed(si, sj))
+            for i, si in rows
+            for j, sj in rows
+            if i < j and _ed(si, sj) <= d
+        )
+        assert got == expect, f"d={d}"
+
+
+def test_edit_distance_join_two_tables(spark):
+    from drivel_spark.ops import edit_distance_join
+
+    a = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "id int, s string"
+    )
+    b = spark.createDataFrame(
+        [(10, "alphq"), (11, "betas"), (12, "gamma"), (13, "alpha")],
+        "id int, s string",
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(a, b, "s", "id", max_dist=1).collect()
+    )
+    assert got == [(1, 10, 1), (1, 13, 0), (2, 11, 1)]
+
+
+def test_edit_distance_join_duplicate_expansion(spark):
+    from drivel_spark.ops import edit_distance_join
+
+    # 3 ids share "red widget", 2 share "red widgets": the distinct
+    # prejoin must expand back to every id pair exactly once
+    rows = [(1, "red widget"), (2, "red widget"), (3, "red widget"),
+            (4, "red widgets"), (5, "red widgets")]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, None, "s", "id", max_dist=1).collect()
+    )
+    expect = sorted(
+        (i, j, 0 if si == sj else 1)
+        for i, si in rows for j, sj in rows if i < j
+    )
+    assert got == expect

@@ -1235,6 +1235,54 @@ def main() -> None:
         )
     )
 
+    # 42. span-level exact dedup: Arrow scan -> hash count -> semi-join
+    # -> gaps-and-islands window, no Python after the series scan
+    from drivel_spark.ops import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = fmt(duplicate_spans(docs, L=20))
+    sections.append(
+        (
+            "Span-level exact dedup (duplicate_spans)",
+            p,
+            [
+                "exactly one Arrow stage (the rolling-hash series scan): "
+                + ("PASS" if p.count("ArrowEvalPython") <= 1 and "MapInPandas" in p else "FAIL"),
+                "duplicate-hash count is partial+final: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "flagged positions via LeftSemi (no row duplication): "
+                + ("PASS" if "LeftSemi" in p else "FAIL"),
+                "island merge is a codegen Window (no Python): "
+                + ("PASS" if "Window" in p and "BatchEvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 43. edit-distance join: distinct prejoin, segment equi-join,
+    # levenshtein verify — no cross join on the main arm, no Python
+    from drivel_spark.ops import edit_distance_join
+
+    parts = spark.read.parquet(f"{SF_DIR}/part.parquet").selectExpr(
+        "p_partkey as id", "p_name as s"
+    )
+    p = fmt(edit_distance_join(parts, None, "s", "id", max_dist=1))
+    sections.append(
+        (
+            "Edit-distance similarity join (edit_distance_join)",
+            p,
+            [
+                "candidates via equi-join on (n, i, key) segments: "
+                + ("PASS" if "SortMergeJoin" in p or "BroadcastHashJoin" in p else "FAIL"),
+                "short-string arm is the only cross join and is broadcast: "
+                + ("PASS" if p.count("CartesianProduct") == 0 else "FAIL"),
+                "all-JVM (levenshtein + substring codegen, no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "distinct prejoin present (HashAggregate on strings): "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

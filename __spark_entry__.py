@@ -3599,6 +3599,35 @@ def q_dup_spans_documents(spark, sf_dir):
     )
 
 
+def q_audio_dup_segments_clips(spark, sf_dir):
+    """Repeated-AUDIO-segment detection (ops/multimodal.py
+    audio_dup_segments — the jingle/segment-bank problem), sharing the
+    payload-agnostic count→flag→islands pipeline with text span dedup
+    (ops/spans.py duplicate_spans_from_series).  The fixture plants ONE
+    common 750 ms tone into every 5th clip at 8 kHz with room
+    (FIXTURES shared-segment hook, offsets on the 250 ms hop grid), so
+    ground truth is exact.  Oracle: the window-hash series is exported
+    via a DISTRIBUTED write; DuckDB independently re-derives the whole
+    consumer — cross-clip duplicate-hash set, flagged positions,
+    island labeling, [min, max+win) span closing — taking only the
+    63-bit hashes as given (the hash+decode kernel is pinned by the
+    planted-offset pytest)."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import audio_window_hash_series
+    from drivel_spark.ops.spans import duplicate_spans_from_series
+
+    n = 400 if "0.01" in sf_dir else 200
+    clips = build_clips(
+        spark, n, 8, ClipFixtureSpec(with_audio=True, shared_seg_every=5)
+    )
+    series = audio_window_hash_series(clips, win_ms=500, hop_ms=250)
+    if not _engine_only():
+        _export_oracle_df(series, "audio_win_hashes", sf_dir)
+    return duplicate_spans_from_series(
+        series, id_col="clip_id", L=500, cross_doc_only=True
+    )
+
+
 def q_strip_spans_documents(spark, sf_dir):
     """The span CONSUMER: strip_duplicate_spans cuts every duplicated
     region out of each doc with a pure-Catalyst aggregate fold
@@ -3666,8 +3695,8 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 44 r05-new queries (round 0) + 24
-    r03-carried = 68 candidates for the 50-row window, so the 18
+    r05 arithmetic (deliberate): 45 r05-new queries (round 0) + 24
+    r03-carried = 69 candidates for the 50-row window, so the 19
     canonically-last r03-carried queries (the sketch/tdigest/drift
     block through json_schema_events_props) ride their r03 green one
     more round.  New-first is the right priority: a query with NO
@@ -3731,6 +3760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_normalize_clips": q_audio_normalize_clips,
         "audio_prep_clips": q_audio_prep_clips,
         "audio_dedup_clips": q_audio_dedup_clips,
+        "audio_dup_segments_clips": q_audio_dup_segments_clips,
         "speech_rate_clips": q_speech_rate_clips,
         "embedding_drift_halves": q_embedding_drift_halves,
         "ann_topk_embeddings": q_ann_topk_embeddings,
@@ -4274,6 +4304,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end,
                    max(pos) + 20 - min(pos) AS span_len
             FROM g GROUP BY doc_id, grp""",
+        # audio segment dedup: DuckDB re-derives the cross-clip
+        # duplicate-hash set, flagged positions, islands, and
+        # [min, max+500) span closing from the exported window series
+        "audio_dup_segments_clips": f"""
+            WITH s AS (SELECT * FROM read_parquet('{ORACLE_DIR}/audio_win_hashes_sf0.01.pq/*.parquet')),
+            dup AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT clip_id) >= 2),
+            d AS (SELECT s.clip_id, s.pos FROM s JOIN dup USING (h)),
+            f AS (SELECT clip_id, pos,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY clip_id ORDER BY pos) <= 500
+                         THEN 0 ELSE 1 END AS brk
+                  FROM d),
+            g AS (SELECT clip_id, pos,
+                    sum(brk) OVER (PARTITION BY clip_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM f)
+            SELECT clip_id, min(pos) AS span_start, max(pos) + 500 AS span_end,
+                   max(pos) + 500 - min(pos) AS span_len
+            FROM g GROUP BY clip_id, grp""",
         # span strip: DuckDB rebuilds the stripped text itself from
         # the exported span table (whose derivation dup_spans_documents
         # verifies independently) — lag-window segment boundaries,

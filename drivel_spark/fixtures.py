@@ -92,6 +92,18 @@ class ClipFixtureSpec:
     distort_every: int = 0
     distort_gain: float = 4.0
     distort_dc: float = 0.05
+    # shared-segment fixture hook (off by default — digests of the
+    # validate tables are untouched): every clip with idx %
+    # shared_seg_every == 0 whose effective rate is 8000 Hz (the modal
+    # rate — bit-identical segments require one rate) and whose
+    # effective duration fits gets the PCM span [shared_seg_at_ms,
+    # shared_seg_at_ms + shared_seg_ms) replaced by ONE common planted
+    # tone — exactly-known repeated-audio regions for the
+    # segment-dedup oracles (audio_dup_segments).  Offsets are
+    # multiples of 250 ms so the default hop grid detects them.
+    shared_seg_every: int = 0
+    shared_seg_ms: int = 750
+    shared_seg_at_ms: int = 250
 
 
 def _u(ids: np.ndarray, salt: int) -> np.ndarray:
@@ -179,7 +191,13 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
             idx, srk, durk = int(ids[k]), int(sr_c[k]), int(dur_c[k])
             silent = spec.silence_every and idx % spec.silence_every == 1
             distort = spec.distort_every and idx % spec.distort_every == 2
-            if silent or distort:
+            share = (
+                spec.shared_seg_every
+                and idx % spec.shared_seg_every == 0
+                and srk == 8000
+                and durk >= spec.shared_seg_at_ms + spec.shared_seg_ms
+            )
+            if silent or distort or share:
                 pcm = synth_pcm(idx, srk, durk, seed)
                 if silent:
                     a = int(len(pcm) * spec.silence_span[0])
@@ -187,6 +205,10 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
                     pcm[a:b] = 0.0
                 if distort:
                     pcm = pcm * spec.distort_gain + spec.distort_dc
+                if share:
+                    seg = synth_pcm(999_999_937, srk, spec.shared_seg_ms, seed)
+                    a = srk * spec.shared_seg_at_ms // 1000
+                    pcm[a : a + len(seg)] = seg
                 payload[k] = wav_encode(pcm, srk)
             else:
                 payload[k] = synth_wav(idx, srk, durk, seed)

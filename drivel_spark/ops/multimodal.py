@@ -1071,3 +1071,109 @@ def audio_corpus_report(
         )
         .orderBy("codec")
     )
+
+
+def audio_window_hash_series(
+    df: DataFrame,
+    win_ms: int = 500,
+    hop_ms: int = 250,
+    bytes_col: str = "bytes",
+    id_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """(id, pos, h) for every hop-aligned PCM window of every clip —
+    the audio counterpart of ops/spans.py ``lgram_series``.  ``pos``
+    is the window start in MILLISECONDS (so the span unit is
+    sample-rate independent and ``duplicate_spans_from_series`` can
+    merge with a constant L = win_ms); ``h`` is a stable 63-bit hash
+    of (sr_hz ‖ the window's decoded float32 PCM bytes — int16/32767
+    is exact in float32, so equal int16 windows hash equal), so
+    windows only match when both the samples AND the rate agree.
+
+    One narrow scan → mapInPandas; rows out = dur/hop per clip (a
+    constant fan-out), rows stay in the producing partition — no
+    shuffle.  Undecodable/NULL payloads contribute no rows (the
+    quality screen owns those).  Windows start at exact hop-grid
+    sample offsets ``k * (sr*hop_ms//1000)``, so only duplication
+    aligned to the hop grid is detectable — the practical case
+    (corpora re-spliced from a shared segment bank); halve ``hop_ms``
+    to tighten the grid at linear cost.
+    """
+    if win_ms <= 0 or hop_ms <= 0 or hop_ms > win_ms:
+        raise ValueError(f"need 0 < hop_ms <= win_ms: {hop_ms}/{win_ms}")
+    id_cols = id_cols or ["clip_id"]
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = {c: [] for c in id_cols}
+            poss, wins = [], []
+            for i, b in enumerate(pdf[bytes_col]):
+                if b is None:
+                    continue
+                try:
+                    pcm, sr = wav_decode(bytes(b))
+                except ValueError:
+                    continue
+                win = sr * win_ms // 1000
+                hop = sr * hop_ms // 1000
+                if win < 1 or hop < 1:
+                    continue
+                sr_prefix = int(sr).to_bytes(4, "little")
+                p = 0
+                while p + win <= len(pcm):
+                    for c in id_cols:
+                        out[c].append(pdf[c].iloc[i])
+                    poss.append(p * 1000 // sr)
+                    wins.append(sr_prefix + pcm[p : p + win].tobytes())
+                    p += hop
+            h = hash64(np.array(wins, dtype=object)) & np.uint64(
+                0x7FFFFFFFFFFFFFFF
+            ) if wins else np.empty(0, dtype=np.uint64)
+            yield pd.DataFrame(
+                {**out, "pos": pd.Series(poss, dtype="int64"),
+                 "h": pd.Series(h.astype("int64"), dtype="int64")}
+            )
+
+    schema = _id_schema(df, id_cols) + ", pos long, h long"
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+def audio_dup_segments(
+    df: DataFrame,
+    win_ms: int = 500,
+    hop_ms: int = 250,
+    min_count: int = 2,
+    cross_clip_only: bool = True,
+    bytes_col: str = "bytes",
+    id_col: str = "clip_id",
+    series: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Repeated-AUDIO-segment detection — the jingle/intro/segment-bank
+    problem: regions of PCM that occur more than once across the corpus
+    (or, with ``cross_clip_only=False``, also repeated inside one
+    clip), reported as maximal ``[span_start, span_end)`` millisecond
+    spans per clip.  The audio analog of span-level text dedup
+    (ops/spans.py, Lee et al. 2022 ExactSubstr) and of
+    ``audio_fingerprint`` whole-clip dedup, sharing the exact same
+    payload-agnostic pipeline: window-hash series → corpus-wide count
+    (partial+final, uniform 63-bit key) → left-semi flag → per-clip
+    gaps-and-islands merge, everything after the Arrow decode scan in
+    whole-stage codegen.
+
+    Exact-match semantics (bit-identical PCM at the same sample rate,
+    hop-grid aligned); for perceptual near-dup use the spectral
+    ``audio_fingerprint`` tier.
+    """
+    from .spans import duplicate_spans_from_series
+
+    s = (
+        series
+        if series is not None
+        else audio_window_hash_series(
+            df, win_ms=win_ms, hop_ms=hop_ms, bytes_col=bytes_col,
+            id_cols=[id_col],
+        )
+    )
+    return duplicate_spans_from_series(
+        s, id_col=id_col, L=win_ms, min_count=min_count,
+        cross_doc_only=cross_clip_only,
+    )

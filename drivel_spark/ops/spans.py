@@ -58,6 +58,7 @@ from .text import _MASK63, _WINNOW_BASE
 __all__ = [
     "lgram_series",
     "duplicate_spans",
+    "duplicate_spans_from_series",
     "strip_duplicate_spans",
 ]
 
@@ -150,6 +151,26 @@ def duplicate_spans(
     is whole-stage codegen.
     """
     s = series if series is not None else lgram_series(df, text_col, id_col, L)
+    return duplicate_spans_from_series(
+        s, id_col=id_col, L=L, min_count=min_count, cross_doc_only=cross_doc_only
+    )
+
+
+def duplicate_spans_from_series(
+    series: DataFrame,
+    id_col: str = "doc_id",
+    L: int = 20,
+    min_count: int = 2,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """The payload-agnostic half of :func:`duplicate_spans`: given any
+    (id, pos, h) window series where each window covers ``[pos,
+    pos + L)`` in SOME unit (characters for text, milliseconds for
+    audio — ops/multimodal.py ``audio_dup_segments``), flag windows
+    whose hash repeats and merge flagged runs closer than L into
+    maximal spans.  Count → left-semi flag → gaps-and-islands window →
+    span closing, all whole-stage codegen after the series."""
+    s = series
     if cross_doc_only:
         dup = (
             s.groupBy("h")

@@ -3384,3 +3384,116 @@ def test_edit_distance_join_randomized_vs_bruteforce(spark):
                 if i < j and _ed(si, sj) <= d
             )
             assert got == expect, f"seed={seed} d={d}"
+
+
+def test_audio_dup_segments_planted_and_replay(spark):
+    """audio_dup_segments finds EXACTLY the fixture's planted shared
+    segments ([250, 1000) ms in every 5th 8 kHz clip with room) and
+    matches a plain-python replay of window-hash -> cross-clip count
+    -> island merge over the same payloads."""
+    import numpy as np
+
+    from drivel_spark.fixtures import (
+        ClipFixtureSpec,
+        build_clips,
+        clips_pdf,
+        expected_audio_params,
+    )
+    from drivel_spark.ops import audio_dup_segments
+    from drivel_spark.produce.audio import wav_decode
+    from drivel_spark.sketches.hashing import hash64
+
+    n = 300
+    spec = ClipFixtureSpec(with_audio=True, shared_seg_every=5)
+    ids = np.arange(n)
+    sr_c, dur_c = expected_audio_params(ids, spec)
+    planted = (ids % 5 == 0) & (sr_c == 8000) & (dur_c >= 1000)
+    assert planted.sum() >= 3  # the fixture must actually plant
+
+    clips = build_clips(spark, n, 8, spec)
+    got = sorted(
+        (r.clip_id, r.span_start, r.span_end, r.span_len)
+        for r in audio_dup_segments(
+            clips, win_ms=500, hop_ms=250, cross_clip_only=True
+        ).collect()
+    )
+
+    # ground truth 1: exactly the planted clips, exactly [250, 1000)
+    pdf = clips_pdf(ids, spec)
+    planted_ids = sorted(pdf.loc[planted, "clip_id"])
+    assert got == [(cid, 250, 1000, 750) for cid in planted_ids]
+
+    # ground truth 2: full python replay of the pipeline
+    from collections import Counter, defaultdict
+
+    win_by, series = Counter(), defaultdict(list)
+    for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+        if b is None:
+            continue
+        pcm, sr = wav_decode(bytes(b))
+        win, hop = sr * 500 // 1000, sr * 250 // 1000
+        p = 0
+        while p + win <= len(pcm):
+            key = (
+                int(
+                    hash64(
+                        np.array(
+                            [
+                                int(sr).to_bytes(4, "little")
+                                + pcm[p : p + win].tobytes()
+                            ],
+                            dtype=object,
+                        )
+                    )[0]
+                )
+                & 0x7FFFFFFFFFFFFFFF
+            )
+            series[cid].append((p * 1000 // sr, key))
+            win_by[key] += 0  # ensure key exists
+            p += hop
+    docs_per_hash = defaultdict(set)
+    for cid, rows in series.items():
+        for _, h in rows:
+            docs_per_hash[h].add(cid)
+    expect = []
+    for cid, rows in series.items():
+        flagged = sorted(p for p, h in rows if len(docs_per_hash[h]) >= 2)
+        cur = None
+        for p in flagged:
+            if cur is None:
+                cur = [p, p + 500]
+            elif p <= cur[1]:
+                cur[1] = p + 500
+            else:
+                expect.append((cid, cur[0], cur[1], cur[1] - cur[0]))
+                cur = [p, p + 500]
+        if cur is not None:
+            expect.append((cid, cur[0], cur[1], cur[1] - cur[0]))
+    assert got == sorted(expect)
+
+
+def test_fixture_shared_seg_hook_off_keeps_digest(spark):
+    """The default spec (hook off) produces byte-identical payloads to
+    the pre-hook fixture: no planted rows, no digest drift."""
+    import numpy as np
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+    from drivel_spark.ops import audio_dup_segments
+
+    ids = np.arange(120)
+    base = clips_pdf(ids, ClipFixtureSpec(with_audio=True))
+    on = clips_pdf(ids, ClipFixtureSpec(with_audio=True, shared_seg_every=5))
+    n_diff = sum(
+        1
+        for a, b in zip(base["bytes"], on["bytes"])
+        if (a is None) != (b is None) or (a is not None and bytes(a) != bytes(b))
+    )
+    assert n_diff > 0  # the hook really rewrites planted clips
+    same = [
+        bytes(a) == bytes(b)
+        for a, b in zip(base["bytes"], on["bytes"])
+        if a is not None and b is not None
+    ]
+    # every non-planted clip byte-identical
+    df_on = spark.createDataFrame(on)
+    assert sum(not s for s in same) == n_diff

@@ -1283,6 +1283,28 @@ def main() -> None:
         )
     )
 
+    # 44. audio segment dedup: one Arrow decode scan feeds the same
+    # codegen count/flag/islands pipeline as text span dedup
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import audio_dup_segments
+
+    clips = build_clips(spark, 50, 4, ClipFixtureSpec(with_audio=True))
+    p = fmt(audio_dup_segments(clips, win_ms=500, hop_ms=250))
+    sections.append(
+        (
+            "Audio segment-level dedup (audio_dup_segments)",
+            p,
+            [
+                "decode+window-hash is the only Python stage: "
+                + ("PASS" if "MapInPandas" in p and "BatchEvalPython" not in p else "FAIL"),
+                "cross-clip count is partial+final: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "flag via LeftSemi, merge via codegen Window: "
+                + ("PASS" if "LeftSemi" in p and "Window" in p else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

@@ -1305,6 +1305,27 @@ def main() -> None:
         )
     )
 
+    # 45. encoding-artifact screen: a pure projection — no exchange,
+    # no Python, pushed column pruning
+    from drivel_spark.ops import encoding_report
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = fmt(encoding_report(docs))
+    sections.append(
+        (
+            "Encoding-artifact screen (encoding_report)",
+            p,
+            [
+                "no shuffle (projection only): "
+                + ("PASS" if "Exchange" not in p else "FAIL"),
+                "all-JVM regexp_count (no Python): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "scan pruned to (doc_id, text): "
+                + ("PASS" if "n_chars" not in p.split("ReadSchema")[-1] else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

@@ -3599,6 +3599,15 @@ def q_dup_spans_documents(spark, sf_dir):
     )
 
 
+# deterministic encoding-artifact injections (q_encoding_report_documents):
+# mojibake pairs that survive the cp1252-as-latin1 read, replacement
+# chars, and C0+C1 controls -- shared with the oracle SQL below
+_ENC_A = " caf\u00c3\u00a9 na\u00c3\u00afve \u00e2\u20ac\u2122s"
+_ENC_B = "\ufffd\ufffd"
+_ENC_C = "\u0007 \u0081"
+from drivel_spark.ops.text import ENCODING_PATTERNS as _ENC_PAT  # noqa: E402
+
+
 def q_audio_dup_segments_clips(spark, sf_dir):
     """Repeated-AUDIO-segment detection (ops/multimodal.py
     audio_dup_segments — the jingle/segment-bank problem), sharing the
@@ -3625,6 +3634,38 @@ def q_audio_dup_segments_clips(spark, sf_dir):
         _export_oracle_df(series, "audio_win_hashes", sf_dir)
     return duplicate_spans_from_series(
         series, id_col="clip_id", L=500, cross_doc_only=True
+    )
+
+
+def q_encoding_report_documents(spark, sf_dir):
+    """Encoding-artifact screen (ops/text.py encoding_report): per-doc
+    replacement-char / C0 / C1 / mojibake counts as one codegen
+    regexp_count projection over patterns shared VERBATIM with the
+    oracle (ENCODING_PATTERNS -- literal chars, no lookaround, so Java
+    regex and RE2 agree).  sf docs are clean, so the query plants
+    deterministic artifacts (mojibake at doc_id%7, U+FFFD at %11,
+    C0+C1 controls at %13); DuckDB replays the identical injection and
+    recounts every family with regexp_extract_all."""
+    from drivel_spark.ops import encoding_report
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_ENC_A)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(_ENC_B)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(_ENC_C)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    r = encoding_report(d, text_col="text", id_col="doc_id")
+    return r.select(
+        "doc_id",
+        F.col("n_replacement").cast("long").alias("n_replacement"),
+        F.col("n_c0_control").cast("long").alias("n_c0_control"),
+        F.col("n_c1_control").cast("long").alias("n_c1_control"),
+        F.col("n_mojibake").cast("long").alias("n_mojibake"),
+        "artifact_ratio",
+        "is_suspect",
     )
 
 
@@ -3695,8 +3736,8 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 45 r05-new queries (round 0) + 24
-    r03-carried = 69 candidates for the 50-row window, so the 19
+    r05 arithmetic (deliberate): 46 r05-new queries (round 0) + 24
+    r03-carried = 70 candidates for the 50-row window, so the 20
     canonically-last r03-carried queries (the sketch/tdigest/drift
     block through json_schema_events_props) ride their r03 green one
     more round.  New-first is the right priority: a query with NO
@@ -3831,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "dup_spans_documents": q_dup_spans_documents,
         "strip_spans_documents": q_strip_spans_documents,
+        "encoding_report_documents": q_encoding_report_documents,
         "edit_distance_parts": q_edit_distance_parts,
         "text_metrics_documents": q_text_metrics_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -4322,6 +4364,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, min(pos) AS span_start, max(pos) + 500 AS span_end,
                    max(pos) + 500 - min(pos) AS span_len
             FROM g GROUP BY clip_id, grp""",
+        # encoding screen: identical injection replayed, every family
+        # recounted with regexp_extract_all over the SHARED patterns
+        "encoding_report_documents": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     concat(text,
+                            CASE WHEN doc_id % 7 = 0 THEN '{_ENC_A}' ELSE '' END,
+                            CASE WHEN doc_id % 11 = 0 THEN '{_ENC_B}' ELSE '' END,
+                            CASE WHEN doc_id % 13 = 0 THEN '{_ENC_C}' ELSE '' END) AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{_ENC_PAT["replacement"]}'))::BIGINT AS n_replacement,
+                     len(regexp_extract_all(text, '{_ENC_PAT["c0_control"]}'))::BIGINT AS n_c0_control,
+                     len(regexp_extract_all(text, '{_ENC_PAT["c1_control"]}'))::BIGINT AS n_c1_control,
+                     len(regexp_extract_all(text, '{_ENC_PAT["mojibake"]}'))::BIGINT AS n_mojibake,
+                     length(text) AS n_chars
+              FROM d)
+            SELECT doc_id, n_replacement, n_c0_control, n_c1_control, n_mojibake,
+                   round(CASE WHEN n_chars > 0
+                              THEN (n_replacement + n_c0_control + n_c1_control + n_mojibake) / n_chars::DOUBLE
+                              ELSE 0.0 END, 6) AS artifact_ratio,
+                   (n_replacement + n_c0_control + n_c1_control + n_mojibake) > 0 AS is_suspect
+            FROM c""",
         # span strip: DuckDB rebuilds the stripped text itself from
         # the exported span table (whose derivation dup_spans_documents
         # verifies independently) — lag-window segment boundaries,

@@ -79,7 +79,8 @@ PROFILE_COLUMNS = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
 def cmd_prepare(args) -> dict:
     spark = build_session("drivel-prepare")
     spec = ClipFixtureSpec(
-        seed=args.seed, variant=args.variant, with_audio=not args.no_audio
+        seed=args.seed, variant=args.variant, with_audio=not args.no_audio,
+        shared_seg_every=args.shared_seg_every,
     )
     t0 = time.time()
     clips = build_clips(spark, args.n_rows, args.partitions, spec)
@@ -93,6 +94,7 @@ def cmd_prepare(args) -> dict:
         "seed": args.seed,
         "variant": args.variant,
         "with_audio": not args.no_audio,
+        "shared_seg_every": args.shared_seg_every,
         "prepare_wall_s": round(time.time() - t0, 3),
     }
     with open(f"{args.out}/meta.json", "w") as fh:
@@ -137,6 +139,53 @@ def cmd_segment(args) -> dict:
         "n_undecodable": n_undecodable,
         "wall_s": round(wall, 3),
         "segments_per_sec": round(n_segments / wall, 1) if wall > 0 else None,
+        "out": args.out,
+    }
+
+
+def cmd_dup_segments(args) -> dict:
+    """Repeated-audio-segment audit at the CLI: clips -> maximal
+    duplicated PCM spans per clip (ops/multimodal.py
+    audio_dup_segments -- the jingle/segment-bank detector), spans
+    written as a table plus a one-line JSON summary.  Optional --where
+    pushes a predicate to the clips scan (same discipline as
+    validate/segment --where); --within-clip also flags repetition
+    inside a single clip (default counts cross-clip duplication
+    only)."""
+    from drivel_spark.io import read_table
+    from drivel_spark.ops import audio_dup_segments
+
+    if not args.clips and not args.data:
+        raise SystemExit("dup-segments needs --data (db dir) or --clips (table ref)")
+    spark = build_session("drivel-dup-segments")
+    ref = args.clips or f"{args.data}/clips"
+    clips = read_table(spark, ref)
+    if args.where:
+        clips = clips.filter(args.where)
+    t0 = time.time()
+    spans = audio_dup_segments(
+        clips,
+        win_ms=args.win_ms,
+        hop_ms=args.hop_ms,
+        cross_clip_only=not args.within_clip,
+    )
+    spans.write.mode("overwrite").parquet(args.out)
+    wall = time.time() - t0
+    out = spark.read.parquet(args.out)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.countDistinct("clip_id").alias("n_clips_with_dups"),
+        F.coalesce(F.sum("span_len"), F.lit(0)).alias("dup_ms_total"),
+    ).collect()[0]
+    return {
+        "job": "dup-segments",
+        "win_ms": args.win_ms,
+        "hop_ms": args.hop_ms,
+        "cross_clip_only": not args.within_clip,
+        "n_spans": int(agg["n_spans"]),
+        "n_clips_with_dups": int(agg["n_clips_with_dups"]),
+        "dup_ms_total": int(agg["dup_ms_total"]),
+        "wall_s": round(wall, 3),
         "out": args.out,
     }
 
@@ -1118,6 +1167,10 @@ def main(argv=None) -> None:
     sp.add_argument("--seed", type=int, default=42)
     sp.add_argument("--variant", default="default")
     sp.add_argument("--no-audio", action="store_true")
+    sp.add_argument("--shared-seg-every", type=int, default=0,
+                    help="plant one common 750ms PCM segment into every "
+                         "k-th eligible clip (the jingle fixture hook, "
+                         "for dup-segments)")
     sp.add_argument("--out", required=True)
 
     sm = sub.add_parser("mix")
@@ -1181,6 +1234,18 @@ def main(argv=None) -> None:
     ss.add_argument("--seg-ms", type=int, default=500)
     ss.add_argument("--min-tail-ms", type=int, default=200)
     ss.add_argument("--where", default=None,
+                    help="SQL predicate pushed to the clips scan")
+
+    sd = sub.add_parser("dup-segments")
+    sd.add_argument("--data", default=None, help="db dir containing /clips")
+    sd.add_argument("--clips", default=None,
+                    help="override clips table (path or iceberg:db.tbl ref)")
+    sd.add_argument("--out", required=True, help="duplicated-span table dir")
+    sd.add_argument("--win-ms", type=int, default=500)
+    sd.add_argument("--hop-ms", type=int, default=250)
+    sd.add_argument("--within-clip", action="store_true",
+                    help="also flag repetition inside a single clip")
+    sd.add_argument("--where", default=None,
                     help="SQL predicate pushed to the clips scan")
 
     sb = sub.add_parser("baseline")
@@ -1309,6 +1374,7 @@ def main(argv=None) -> None:
     out = {
         "prepare": cmd_prepare,
         "segment": cmd_segment,
+        "dup-segments": cmd_dup_segments,
         "leakage": cmd_leakage,
         "shuffle": cmd_shuffle,
         "suggest": cmd_suggest,

@@ -953,3 +953,64 @@ def lm_quality_scores(
             F.avg(logp).alias("mean_logprob"),
         )
     )
+
+
+# Encoding-artifact patterns, shared verbatim with the DuckDB oracle:
+# the RUNTIME pattern strings use only literal printable characters,
+# plain classes, and two-digit \\xNN code-point escapes (no
+# lookaround, no engine-specific syntax), so Java regex and RE2
+# compile them identically; non-overlapping leftmost match counts
+# agree between Spark's regexp_count and DuckDB's
+# len(regexp_extract_all(...)).  Control characters are spelled as
+# \\xNN ESCAPES rather than literal bytes so the pattern text stays
+# printable ASCII -- a literal NUL in the pattern would terminate any
+# SQL string it is interpolated into.
+ENCODING_PATTERNS = {
+    # U+FFFD: a decoder already gave up once
+    "replacement": "\ufffd",
+    # C0 controls minus \t\n\r: never legitimate in text corpora
+    "c0_control": "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]",
+    # C1 block: the classic byte-transcoding residue (cp1252 bytes
+    # read as latin-1 land here)
+    "c1_control": "[\\x80-\\x9f]",
+    # UTF-8 bytes decoded as latin-1/cp1252: 'A-tilde'+high-latin1
+    # covers the accented-letter family, 'a-circumflex euro'+any the
+    # curly-punctuation family, 'A-circumflex'+high the NBSP family
+    "mojibake": "\u00c3[\u0080-\u00ff]|\u00e2\u20ac.|\u00c2[\u00a0-\u00bf]",
+}
+
+
+def encoding_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document encoding-artifact screen: counts of replacement
+    characters (U+FFFD), C0/C1 control characters, and double-decoded
+    UTF-8 ("mojibake") signatures, plus an artifact ratio and a
+    boolean flag.  The decoder-health sibling of the PII scan: a
+    corpus whose artifact ratio drifts up just changed ingestion
+    decoders, not content.
+
+    Everything is a codegen projection over shared literal patterns
+    (``ENCODING_PATTERNS``): one ``regexp_count`` per family, no
+    shuffle, no Python -- the shape that survives any corpus size.
+    NULL text rows report NULL counts and ``is_suspect=false``.
+    """
+    c = F.col(text_col)
+    counts = {
+        f"n_{name}": F.regexp_count(c, F.lit(pat))
+        for name, pat in ENCODING_PATTERNS.items()
+    }
+    total = None
+    for expr in counts.values():
+        total = expr if total is None else total + expr
+    chars = F.length(c)
+    return df.select(
+        id_col,
+        *[expr.alias(name) for name, expr in counts.items()],
+        F.round(
+            F.when(chars > 0, total / chars).otherwise(F.lit(0.0)), 6
+        ).alias("artifact_ratio"),
+        F.coalesce(total > 0, F.lit(False)).alias("is_suspect"),
+    )

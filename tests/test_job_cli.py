@@ -724,3 +724,50 @@ def test_grouped_baseline_diff(spark, tmp_path):
     assert rows[("flac", "dur_ms")]["ks"] > 0.5       # planted shift
     assert rows[("pcm_s16le", "dur_ms")]["ks"] < 0.05  # sibling calm
     assert rows[("flac", "sr_hz")]["ks"] < 0.05        # other column calm
+
+
+def test_dup_segments_verb(spark, tmp_path):
+    """dup-segments writes the duplicated-span table (exactly the
+    fixture's planted regions) and the summary counts agree; --where
+    slices the input before decoding."""
+    import numpy as np
+
+    from drivel_spark.fixtures import (
+        ClipFixtureSpec,
+        build_clips,
+        expected_audio_params,
+    )
+    from drivel_spark.job import cmd_dup_segments
+
+    data = str(tmp_path / "clips")
+    spec = ClipFixtureSpec(with_audio=True, shared_seg_every=5)
+    n = 200
+    build_clips(spark, n, 4, spec).write.parquet(data)
+    ids = np.arange(n)
+    sr_c, dur_c = expected_audio_params(ids, spec)
+    n_planted = int(((ids % 5 == 0) & (sr_c == 8000) & (dur_c >= 1000)).sum())
+    assert n_planted >= 2
+
+    out_dir = str(tmp_path / "dups")
+    out = cmd_dup_segments(
+        argparse.Namespace(
+            data=None, clips=data, out=out_dir, win_ms=500, hop_ms=250,
+            within_clip=False, where=None,
+        )
+    )
+    assert out["n_spans"] == n_planted
+    assert out["n_clips_with_dups"] == n_planted
+    assert out["dup_ms_total"] == 750 * n_planted
+    spans = spark.read.parquet(out_dir)
+    assert sorted(
+        (r.span_start, r.span_end) for r in spans.collect()
+    ) == [(250, 1000)] * n_planted
+
+    # a slice that excludes the planted rate finds nothing
+    none = cmd_dup_segments(
+        argparse.Namespace(
+            data=None, clips=data, out=str(tmp_path / "dups2"), win_ms=500,
+            hop_ms=250, within_clip=False, where="sr_hz <> 8000",
+        )
+    )
+    assert none["n_spans"] == 0

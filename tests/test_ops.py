@@ -3497,3 +3497,32 @@ def test_fixture_shared_seg_hook_off_keeps_digest(spark):
     # every non-planted clip byte-identical
     df_on = spark.createDataFrame(on)
     assert sum(not s for s in same) == n_diff
+
+
+def test_encoding_report_counts(spark):
+    """Planted artifacts counted exactly per family; clean and NULL
+    rows unflagged."""
+    from drivel_spark.ops import encoding_report
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "caf\u00c3\u00a9 and \u00e2\u20ac\u0153x\u00e2\u20ac\u009d"),  # 1 + 2 mojibake (2nd ends with C1 9d)
+        (3, "bad\ufffddecode\ufffd"),
+        (4, "ctl\u0001\u0002 and c1 \u0085"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in encoding_report(df).collect()}
+    assert got[1].is_suspect is False and got[1].n_mojibake == 0
+    # doc 2: mojibake matches non-overlapping leftmost: "\u00c3\u00a9",
+    # "\u00e2\u20ac\u0153", "\u00e2\u20ac\u009d"; families scan the raw
+    # text INDEPENDENTLY, so the \u009d inside the third mojibake match
+    # is also counted by the c1 family
+    assert got[2].n_mojibake == 3, got[2]
+    assert got[2].n_c1_control == 1, got[2]
+    assert got[3].n_replacement == 2 and got[3].is_suspect is True
+    assert got[4].n_c0_control == 2 and got[4].n_c1_control == 1
+    assert got[5].is_suspect is False and got[5].n_replacement is None
+    assert got[6].artifact_ratio == 0.0 and got[6].is_suspect is False
+    assert got[3].artifact_ratio == round(2 / len("bad\ufffddecode\ufffd"), 6)

@@ -36,6 +36,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # computation runs Spark-side in ANY mode — the exact recomputations
 # live entirely in the DuckDB oracle SQL.
 ORACLE_DIR = "/root/repo/.oracle"
+import tempfile as _tempfile  # noqa: E402
+_TMPDIR = _tempfile.gettempdir()
 
 
 def _engine_only() -> bool:
@@ -3719,6 +3721,110 @@ def q_edit_distance_parts(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+
+
+def q_join_cardinality_events_orders(spark, sf_dir):
+    """Join-explosion preflight (ops/audit.py join_cardinality_report):
+    exact inner-join output cardinality and fan-out risk for the
+    genuinely many-to-many events.user_id x orders.o_custkey pair,
+    computed from per-key multiplicities WITHOUT materialising a
+    single joined row.  DuckDB re-derives the full report from first
+    principles (two GROUP BYs + a FULL OUTER JOIN of the count
+    tables); at sf0.01 the pair amplifies ~25k input rows to ~96k
+    join rows, so the explosion math is exercised for real."""
+    from drivel_spark.ops import join_cardinality_report
+
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    od = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return join_cardinality_report(ev, od, "k", explosion_factor=4.0)
+
+
+def q_snapshot_diff_orders(spark, sf_dir):
+    """Snapshot-churn audit (ops/audit.py snapshot_diff_summary): the
+    incremental-ingest validation gate.  The "new" snapshot is a
+    deterministic in-query mutation of orders (drop keys %13, +1.0 on
+    o_totalprice for keys %7, add copies under offset keys for %17);
+    the engine detects added/removed/changed/unchanged via narrow
+    (key, 64-bit content hash) full-outer compare, DuckDB replays the
+    identical mutation and re-derives every status with direct
+    column-by-column IS DISTINCT FROM comparison — so the hash-based
+    and value-based change detectors must agree row-for-row."""
+    from drivel_spark.ops import snapshot_diff_summary
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    mutated = o.filter(k % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    added = o.filter(k % 17 == 0).withColumn(
+        "o_orderkey", k + F.lit(2_000_000_000)
+    )
+    new = mutated.unionByName(added)
+    return snapshot_diff_summary(o, new, "o_orderkey")
+
+
+def q_file_layout_documents(spark, sf_dir):
+    """File-layout audit (ops/audit.py file_layout_report): documents
+    written as a deterministically hash-partitioned 8-file parquet
+    dataset, then audited per physical file.  The engine derives rows
+    per file from one input_file_name() aggregation; DuckDB recounts
+    from the very same files with read_parquet(..., filename=true) —
+    a genuinely independent per-file row accounting.  (Byte sizes and
+    the compaction recommendation are pytest-pinned instead: DuckDB
+    has no portable file-size listing.)"""
+    import os
+    import tempfile
+
+    from drivel_spark.ops import file_layout_report
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"drivel_layout_{tag}")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs.repartition(8, "doc_id").write.mode("overwrite").parquet(out)
+    return file_layout_report(spark, out).select(
+        "file", F.col("n_rows").cast("long").alias("n_rows")
+    )
+
+
+def q_transcript_consistency_clips(spark, sf_dir):
+    """Cross-modal label consistency (ops/multimodal.py
+    transcript_consistency_report): per audio-fingerprint group, the
+    number of DISTINCT normalized transcripts claiming to describe
+    the same audio.  The fixture's tones repeat every 40 clip indices
+    while transcripts vary per index (and go NULL at ids%200==13), so
+    genuine conflicts exist by construction.  The oracle side-table is
+    fully independent: stdlib-wave float64 decode + numpy rFFT
+    (_local_spectral_features' convention) zipped with the driver-side
+    fixture transcripts; DuckDB replays the fingerprint quantization
+    AND the text normalization (lower + whitespace collapse + NULL
+    sentinel) and regroups from scratch."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        import pandas as pd
+
+        from drivel_spark.fixtures import clips_pdf
+
+        feats = _local_spectral_features(n)
+        tr = clips_pdf(range(n), ClipFixtureSpec(with_audio=False))
+        side = feats.merge(
+            pd.DataFrame(
+                {"clip_id": tr["clip_id"], "transcript": tr["transcript"]}
+            ),
+            on="clip_id",
+            how="left",
+        )[["clip_id", "transcript", "n_samples", "sr_hz", "dominant_freq_hz"]]
+        _export_oracle(side, "transcript_consistency", sf_dir)
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
+    from drivel_spark.ops import transcript_consistency_report
+
+    return transcript_consistency_report(clips)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3873,6 +3979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_documents": q_dup_spans_documents,
         "strip_spans_documents": q_strip_spans_documents,
         "encoding_report_documents": q_encoding_report_documents,
+        "join_cardinality_events_orders": q_join_cardinality_events_orders,
+        "snapshot_diff_orders": q_snapshot_diff_orders,
+        "file_layout_documents": q_file_layout_documents,
+        "transcript_consistency_clips": q_transcript_consistency_clips,
         "edit_distance_parts": q_edit_distance_parts,
         "text_metrics_documents": q_text_metrics_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -4388,6 +4498,101 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS artifact_ratio,
                    (n_replacement + n_c0_control + n_c1_control + n_mojibake) > 0 AS is_suspect
             FROM c""",
+        # join preflight re-derived from first principles: per-key
+        # multiplicities, FULL OUTER of the count tables, exact
+        # inner-join cardinality as sum(nl*nr) over common keys
+        "join_cardinality_events_orders": """
+            WITH l AS (SELECT user_id AS k, count(*) AS nl
+                       FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+            r AS (SELECT o_custkey AS k, count(*) AS nr
+                  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+            m AS (SELECT coalesce(nl, 0) AS nl, coalesce(nr, 0) AS nr
+                  FROM l FULL OUTER JOIN r ON l.k = r.k),
+            a AS (
+              SELECT sum(nl)::BIGINT AS n_left_rows,
+                     sum(nr)::BIGINT AS n_right_rows,
+                     count(*) FILTER (nl > 0)::BIGINT AS n_left_keys,
+                     count(*) FILTER (nr > 0)::BIGINT AS n_right_keys,
+                     count(*) FILTER (nl > 0 AND nr > 0)::BIGINT AS n_common_keys,
+                     coalesce(sum(nl * nr) FILTER (nl > 0 AND nr > 0), 0)::BIGINT AS inner_rows,
+                     coalesce(max(nl * nr) FILTER (nl > 0 AND nr > 0), 0)::BIGINT AS max_key_out,
+                     coalesce(sum(nl) FILTER (nr > 0), 0)::BIGINT AS left_matched_rows,
+                     coalesce(sum(nr) FILTER (nl > 0), 0)::BIGINT AS right_matched_rows
+              FROM m)
+            SELECT *,
+                   round(CASE WHEN greatest(n_left_rows, n_right_rows) > 0
+                              THEN inner_rows / greatest(n_left_rows, n_right_rows)::DOUBLE
+                              ELSE 0.0 END, 6) AS amplification,
+                   inner_rows > 4.0 * greatest(n_left_rows, n_right_rows) AS explodes
+            FROM a""",
+        # identical snapshot mutation replayed, statuses re-derived by
+        # direct value comparison (IS DISTINCT FROM) instead of the
+        # engine's 64-bit content hash -- the two detectors must agree
+        "snapshot_diff_orders": """
+            WITH newt AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 13 <> 0
+              UNION ALL
+              SELECT o_orderkey + 2000000000, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 17 = 0),
+            j AS (
+              SELECT CASE
+                       WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                         OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                         OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                         OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+                         OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                       THEN 'changed' ELSE 'unchanged' END AS status
+              FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey),
+            c AS (
+              SELECT count(*) FILTER (status = 'added')::BIGINT AS n_added,
+                     count(*) FILTER (status = 'removed')::BIGINT AS n_removed,
+                     count(*) FILTER (status = 'changed')::BIGINT AS n_changed,
+                     count(*) FILTER (status = 'unchanged')::BIGINT AS n_unchanged
+              FROM j)
+            SELECT *,
+                   round(CASE WHEN n_added + n_changed + n_unchanged > 0
+                              THEN (n_added + n_removed + n_changed)
+                                   / (n_added + n_changed + n_unchanged)::DOUBLE
+                              ELSE 0.0 END, 6) AS churn_ratio
+            FROM c""",
+        # per-file row accounting recounted from the very same parquet
+        # files the engine wrote, via DuckDB's filename=true
+        "file_layout_documents": f"""
+            SELECT regexp_extract(filename, '[^/]+$') AS file,
+                   count(*)::BIGINT AS n_rows
+            FROM read_parquet('{_TMPDIR}/drivel_layout_sf0.01/*.parquet',
+                              filename=true)
+            GROUP BY 1""",
+        # fingerprint quantization AND text normalization replayed over
+        # the independent float64-decode + fixture-transcript export
+        "transcript_consistency_clips": f"""
+            WITH fp AS (
+              SELECT clip_id,
+                     CAST(round(dominant_freq_hz / 5.0) * 5.0 AS INT)::VARCHAR
+                       || ':' ||
+                     CAST(floor((n_samples * 1000.0 / sr_hz) / 250.0) AS INT)::VARCHAR
+                       AS fingerprint,
+                     coalesce(
+                       trim(regexp_replace(lower(transcript), '\\s+', ' ', 'g')),
+                       ' <null>') AS label
+              FROM read_parquet('{ORACLE_DIR}/transcript_consistency_sf0.01.parquet')
+              WHERE n_samples IS NOT NULL),
+            pl AS (SELECT fingerprint, label, count(*) AS n,
+                          min(clip_id) AS min_id
+                   FROM fp GROUP BY 1, 2)
+            SELECT fingerprint, sum(n)::BIGINT AS n_clips,
+                   count(*)::BIGINT AS n_transcripts,
+                   count(*) > 1 AS conflict,
+                   min(min_id) AS example_clip_id
+            FROM pl GROUP BY fingerprint""",
+
         # span strip: DuckDB rebuilds the stripped text itself from
         # the exported span table (whose derivation dup_spans_documents
         # verifies independently) — lag-window segment boundaries,

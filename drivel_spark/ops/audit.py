@@ -1,0 +1,334 @@
+"""Table-level audit operators: join preflight, snapshot churn, and
+file-layout health.
+
+These are the checks a validation engine runs BEFORE and BETWEEN the
+row-level passes (reference scope: hgrsd/drivel src/infer.rs runs
+per-value; these extend the same infer-then-check loop to properties
+of whole tables and table *pairs*):
+
+* ``join_cardinality_report`` — exact join-output cardinality and
+  explosion risk computed from per-key multiplicities, WITHOUT
+  running the join.  At 10^12 rows an unnoticed many-to-many key
+  turns a "join two tables" step into 10^15 output rows; the
+  preflight costs two count aggregations over keys (map-side partial
+  combine, key-sized shuffle) instead.
+* ``snapshot_diff`` / ``snapshot_diff_summary`` — added / removed /
+  changed / unchanged row accounting between two snapshots of the
+  same logical table, shuffling only ``(key, 8-byte content hash)``
+  so the compare is narrow regardless of row width.
+* ``file_layout_report`` / ``file_layout_summary`` — the small-files
+  audit: rows and bytes per physical parquet file plus a recommended
+  compaction partition count.  A 100 TB table that is physically
+  1e7 × 10 MB files spends its runtime in task scheduling and footer
+  reads, not in the query.
+
+Everything is pure Catalyst (whole-stage codegen, partial+final
+aggregation); nothing here collects data rows to the driver — the
+file listing in ``file_layout_report`` is driver-side *metadata*, the
+same listing the planner itself performs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# join preflight
+# --------------------------------------------------------------------------
+
+
+def join_key_multiplicity(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Per-key multiplicity table for a prospective equi-join: one row
+    per key value present on EITHER side with columns ``n_left``,
+    ``n_right`` (0 when absent) and ``n_out = n_left * n_right`` (the
+    key's exact inner-join contribution).
+
+    Keys with NULLs are excluded, matching equi-join semantics (a
+    NULL key never matches anything, so it contributes 0 output
+    rows).  Plan shape: two hash aggregations (partial+final, so a
+    hot key is collapsed map-side before the shuffle) and one join of
+    two *key-sized* count tables — the data rows themselves are never
+    joined or widened.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    not_null = None
+    for k in keys:
+        cond = F.col(k).isNotNull()
+        not_null = cond if not_null is None else (not_null & cond)
+    lc = left.filter(not_null).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.filter(not_null).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    m = lc.join(rc, keys, "full_outer").select(
+        *keys,
+        F.coalesce("n_left", F.lit(0)).alias("n_left"),
+        F.coalesce("n_right", F.lit(0)).alias("n_right"),
+    )
+    return m.withColumn("n_out", F.col("n_left") * F.col("n_right"))
+
+
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    explosion_factor: float = 4.0,
+) -> DataFrame:
+    """One-row preflight report for an equi-join: exact inner-join
+    output cardinality, match coverage on both sides, the worst
+    single-key fan-out, and an ``explodes`` flag (output rows >
+    ``explosion_factor`` × the larger input).
+
+    Columns: ``n_left_rows, n_right_rows, n_left_keys, n_right_keys,
+    n_common_keys, inner_rows, max_key_out, left_matched_rows,
+    right_matched_rows, amplification, explodes``.
+
+    ``inner_rows`` is Σ over common keys of (left count × right
+    count) — exact, not an estimate, and obtained without
+    materialising a single joined row.  ``amplification`` is
+    inner_rows / max(input rows); a many-to-many key inflates it
+    immediately.  Deciding broadcast-vs-shuffle, pre-aggregation, or
+    key-dedup from this one row is the difference between a plan that
+    finishes and one that writes 10^15 shuffle rows at corpus scale.
+    """
+    m = join_key_multiplicity(left, right, on)
+    common = (F.col("n_left") > 0) & (F.col("n_right") > 0)
+    rep = m.agg(
+        F.sum("n_left").cast("long").alias("n_left_rows"),
+        F.sum("n_right").cast("long").alias("n_right_rows"),
+        F.sum((F.col("n_left") > 0).cast("long")).alias("n_left_keys"),
+        F.sum((F.col("n_right") > 0).cast("long")).alias("n_right_keys"),
+        F.sum(common.cast("long")).alias("n_common_keys"),
+        F.coalesce(F.sum(F.when(common, F.col("n_out"))), F.lit(0))
+        .cast("long")
+        .alias("inner_rows"),
+        F.coalesce(F.max(F.when(common, F.col("n_out"))), F.lit(0))
+        .cast("long")
+        .alias("max_key_out"),
+        F.coalesce(F.sum(F.when(common, F.col("n_left"))), F.lit(0))
+        .cast("long")
+        .alias("left_matched_rows"),
+        F.coalesce(F.sum(F.when(common, F.col("n_right"))), F.lit(0))
+        .cast("long")
+        .alias("right_matched_rows"),
+    )
+    bigger = F.greatest("n_left_rows", "n_right_rows")
+    return rep.select(
+        "*",
+        F.round(
+            F.when(bigger > 0, F.col("inner_rows") / bigger).otherwise(0.0), 6
+        ).alias("amplification"),
+        (
+            F.col("inner_rows")
+            > F.lit(float(explosion_factor)) * bigger
+        ).alias("explodes"),
+    )
+
+
+def join_explosion_keys(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    top_k: int = 20,
+) -> DataFrame:
+    """The ``top_k`` keys by inner-join output contribution — the
+    concrete keys to dedup, salt, or drop when
+    :func:`join_cardinality_report` flags an explosion.  TakeOrdered
+    shape: per-partition top-k then driver merge, never a full sort.
+    """
+    m = join_key_multiplicity(left, right, on).filter(
+        (F.col("n_left") > 0) & (F.col("n_right") > 0)
+    )
+    keys = [on] if isinstance(on, str) else list(on)
+    return m.orderBy(F.col("n_out").desc(), *keys).limit(top_k)
+
+
+# --------------------------------------------------------------------------
+# snapshot churn
+# --------------------------------------------------------------------------
+
+_STATUSES = ("added", "removed", "changed", "unchanged")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level churn between two snapshots of the same logical
+    table: one output row per key present in either snapshot, with
+    ``status`` ∈ {added, removed, changed, unchanged}.
+
+    ``compare_cols`` defaults to every shared non-key column.  Each
+    side is first projected to ``(key, content_hash)`` where the hash
+    is ``xxhash64(to_json(struct(compare_cols)))`` with null fields
+    KEPT in the JSON — so the full-outer compare shuffles ~16 bytes
+    per row no matter how wide the table is, and ``(NULL, 'a')``
+    never collides with ``('a', NULL)`` the way bare multi-arg
+    ``xxhash64`` would (it skips null arguments).  Change detection
+    is hash equality: an undetected change requires a 64-bit
+    collision.
+
+    Duplicate keys within a snapshot are collapsed by hash-of-multiset
+    (sum of per-row hashes per key), so re-ordered duplicates compare
+    equal and the op never explodes on a many-to-many self-pairing.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    if not compare_cols:
+        raise ValueError("snapshot_diff: no columns to compare")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        h = F.xxhash64(
+            F.to_json(
+                F.struct(*[F.col(c) for c in compare_cols]),
+                {"ignoreNullFields": "false"},
+            )
+        )
+        # multiset hash = SUM of per-row hashes, accumulated in
+        # decimal(38,0): order-insensitive, duplicate-sensitive (unlike
+        # XOR, where a duplicated row cancels itself out), and immune
+        # to ANSI long-overflow up to ~1e19 rows per key
+        return df.groupBy(*keys).agg(
+            F.sum(h.cast("decimal(38,0)")).alias(f"{tag}_hash"),
+            F.count(F.lit(1)).alias(f"{tag}_rows"),
+        )
+
+    o = side(old, "old")
+    n = side(new, "new")
+    j = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_hash") == F.col("new_hash"))
+            & (F.col("old_rows") == F.col("new_rows")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, status.alias("status"))
+
+
+def snapshot_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-row churn summary: ``n_added, n_removed, n_changed,
+    n_unchanged, churn_ratio`` where churn_ratio = (added + removed +
+    changed) / keys-in-new-snapshot (0.0 when the new snapshot is
+    empty).  The number an incremental-ingest validation gates on:
+    a corpus refresh that silently rewrites 40% of its rows is a
+    pipeline bug long before any per-row check fires."""
+    d = snapshot_diff(old, new, key_cols, compare_cols)
+    agg = d.agg(
+        *[
+            F.sum((F.col("status") == s).cast("long")).alias(f"n_{s}")
+            for s in _STATUSES
+        ]
+    )
+    n_new = F.col("n_added") + F.col("n_changed") + F.col("n_unchanged")
+    churned = F.col("n_added") + F.col("n_removed") + F.col("n_changed")
+    return agg.select(
+        "*",
+        F.round(
+            F.when(n_new > 0, churned / n_new).otherwise(0.0), 6
+        ).alias("churn_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# file-layout health
+# --------------------------------------------------------------------------
+
+
+def file_layout_report(spark: SparkSession, path: str) -> DataFrame:
+    """Per-physical-file layout table for a parquet dataset: one row
+    per file with ``file`` (basename), ``n_rows``, and ``bytes``.
+
+    Row counts come from one narrow scan grouped by
+    ``input_file_name()`` (metadata-only column, no data read beyond
+    what the count needs); byte sizes come from the same recursive
+    Hadoop FileSystem listing the planner performs — driver-side
+    metadata, O(#files), never row data.  Works against any Hadoop
+    filesystem (local, HDFS, s3a) because it goes through the
+    FileSystem API rather than ``os``.
+    """
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file_uri"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.element_at(F.split("file_uri", "/"), -1).alias("file"), "n_rows"
+        )
+    )
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    sizes = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            sizes.append((name, int(st.getLen())))
+    size_df = spark.createDataFrame(sizes, "file string, bytes long")
+    return rows.join(F.broadcast(size_df), "file", "left")
+
+
+def file_layout_summary(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 512,
+    small_file_mb: int = 32,
+) -> DataFrame:
+    """One-row small-files audit: ``n_files, n_rows, total_bytes,
+    min_file_bytes, max_file_bytes, avg_file_bytes, n_small_files,
+    small_file_ratio, recommended_files``.
+
+    ``recommended_files = ceil(total_bytes / target_file_mb)`` is the
+    ``repartition(n)`` / ``coalesce(n)`` argument that compacts the
+    dataset to the target file size — the standard remedy once
+    ``small_file_ratio`` crosses ~0.5.  At 100 TB the difference
+    between 10 MB and 512 MB files is ~10^7 extra tasks and footer
+    reads per full scan."""
+    rep = file_layout_report(spark, path)
+    small = F.lit(int(small_file_mb) * 1024 * 1024)
+    agg = rep.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.min("bytes").cast("long").alias("min_file_bytes"),
+        F.max("bytes").cast("long").alias("max_file_bytes"),
+        F.round(F.avg("bytes"), 1).alias("avg_file_bytes"),
+        F.sum((F.col("bytes") < small).cast("long")).alias("n_small_files"),
+    )
+    return agg.select(
+        "*",
+        F.round(
+            F.when(
+                F.col("n_files") > 0, F.col("n_small_files") / F.col("n_files")
+            ).otherwise(0.0),
+            6,
+        ).alias("small_file_ratio"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(
+                F.col("total_bytes") / F.lit(int(target_file_mb) * 1024 * 1024)
+            ),
+        )
+        .cast("long")
+        .alias("recommended_files"),
+    )

@@ -1177,3 +1177,67 @@ def audio_dup_segments(
         s, id_col=id_col, L=win_ms, min_count=min_count,
         cross_doc_only=cross_clip_only,
     )
+
+
+def transcript_consistency_report(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "clip_id",
+    transcript_col: str = "transcript",
+    freq_quant_hz: float = 5.0,
+    dur_quant_ms: float = 250.0,
+) -> DataFrame:
+    """Cross-modal label-consistency audit: for every audio
+    fingerprint group (same :func:`audio_fingerprint` bucket -- i.e.
+    perceptually the same clip), how many DISTINCT normalized
+    transcripts claim to describe it?  A group with ``n_transcripts >
+    1`` is a labeling conflict: the same audio shipped under
+    different transcripts, which poisons supervised training far more
+    than a missing row would.  The inverse defect (one transcript
+    attached to many different fingerprints) is visible in the same
+    output by re-grouping, so the report carries both counts.
+
+    Output: one row per fingerprint with ``fingerprint, n_clips,
+    n_transcripts, conflict`` (and ``example_clip_id`` = min id for
+    triage).  NULL transcripts count as their own label (an audio
+    that is sometimes labeled and sometimes not IS a conflict);
+    undecodable clips (NULL fingerprint) are excluded.
+
+    Plan shape: one decode scan (:func:`spectral_features` with the
+    transcript carried through the Arrow batch as an id column -- no
+    join back to the wide table), then a (fingerprint, transcript)
+    pre-distinct-style counting aggregation: the skew-safe
+    exact-distinct shape from ops/skew.py, so a viral jingle
+    fingerprint with 10^8 copies spreads over reducers by transcript
+    value instead of funnelling through one.
+    """
+    from drivel_spark.ops.text import normalize_text
+
+    feats = spectral_features(
+        df.select(id_col, transcript_col, bytes_col),
+        bytes_col=bytes_col,
+        id_cols=[id_col, transcript_col],
+    )
+    # concat_ws never returns NULL, so gate decodability on a feature
+    # column: undecodable payloads have NULL n_samples
+    fp = audio_fingerprint(
+        feats, freq_quant_hz=freq_quant_hz, dur_quant_ms=dur_quant_ms
+    ).filter(F.col("n_samples").isNotNull())
+    # NULL-distinguishing canonical label: normalized text, with NULL
+    # kept as a sentinel distinct from every real label (leading space
+    # cannot survive normalize_text, so no real label collides)
+    label = F.coalesce(
+        normalize_text(F.col(transcript_col)), F.lit(" <null>")
+    )
+    pairs = fp.select(
+        "fingerprint", label.alias("_label"), F.col(id_col).alias("_id")
+    )
+    per_label = pairs.groupBy("fingerprint", "_label").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_min_id")
+    )
+    return per_label.groupBy("fingerprint").agg(
+        F.sum("_n").cast("long").alias("n_clips"),
+        F.count(F.lit(1)).cast("long").alias("n_transcripts"),
+        (F.count(F.lit(1)) > 1).alias("conflict"),
+        F.min("_min_id").alias("example_clip_id"),
+    )

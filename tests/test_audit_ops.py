@@ -1,0 +1,221 @@
+"""Tests for the table-level audit operators (ops/audit.py) and the
+cross-modal transcript-consistency report (ops/multimodal.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# join preflight
+# --------------------------------------------------------------------------
+
+
+def test_join_cardinality_exact_vs_real_join(spark, sf_small_dir):
+    """inner_rows equals the actually-executed inner join's count on a
+    genuine M:N pair (events.user_id x orders.o_custkey)."""
+    from drivel_spark.ops import join_cardinality_report
+
+    ev = spark.read.parquet(f"{sf_small_dir}/events.parquet").select(
+        F.col("user_id").alias("k")
+    )
+    od = spark.read.parquet(f"{sf_small_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("k")
+    )
+    rep = join_cardinality_report(ev, od, "k").collect()[0]
+    real = ev.join(od, "k").count()
+    assert rep["inner_rows"] == real
+    assert rep["n_left_rows"] == ev.filter("k is not null").count()
+    assert rep["n_right_rows"] == od.filter("k is not null").count()
+    assert rep["amplification"] == pytest.approx(
+        real / max(rep["n_left_rows"], rep["n_right_rows"]), abs=1e-6
+    )
+
+
+def test_join_cardinality_flags_and_nulls(spark):
+    """Hand-built multiplicities: NULL keys excluded, explodes flag,
+    matched-row coverage, max single-key fan-out, top keys ordering."""
+    from drivel_spark.ops import join_cardinality_report, join_explosion_keys
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("only_l",)] + [(None,)] * 4,
+        "k string",
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 1 + [("only_r",)] * 2 + [(None,)],
+        "k string",
+    )
+    r = join_cardinality_report(left, right, "k", explosion_factor=2.0)
+    row = r.collect()[0]
+    assert row["n_left_rows"] == 6 and row["n_right_rows"] == 8  # NULLs out
+    assert row["n_left_keys"] == 3 and row["n_right_keys"] == 3
+    assert row["n_common_keys"] == 2
+    assert row["inner_rows"] == 3 * 5 + 2 * 1
+    assert row["max_key_out"] == 15
+    assert row["left_matched_rows"] == 5 and row["right_matched_rows"] == 6
+    assert row["explodes"] is True  # 17 > 2.0 * 8
+
+    top = join_explosion_keys(left, right, "k", top_k=1).collect()
+    assert len(top) == 1 and top[0]["k"] == "a" and top[0]["n_out"] == 15
+
+
+def test_join_cardinality_composite_key(spark):
+    from drivel_spark.ops import join_cardinality_report
+
+    left = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2)], "k string, j int"
+    )
+    right = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("b", 1)], "k string, j int"
+    )
+    row = join_cardinality_report(left, right, ["k", "j"]).collect()[0]
+    assert row["inner_rows"] == 2 * 1 + 1 * 2
+    assert row["n_common_keys"] == 2
+    assert row["explodes"] is False
+
+
+# --------------------------------------------------------------------------
+# snapshot churn
+# --------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from drivel_spark.ops import snapshot_diff, snapshot_diff_summary
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, None, 30.0),  # NULL field survives hashing distinctly
+            (4, "d", 40.0),
+        ],
+        "id int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),      # unchanged
+            (2, "B", 20.0),      # changed
+            (3, "c", 30.0),      # changed: NULL -> 'c' must be detected
+            (5, "e", 50.0),      # added  (4 removed)
+        ],
+        "id int, s string, v double",
+    )
+    d = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id").collect()}
+    assert d == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",
+        4: "removed",
+        5: "added",
+    }
+    s = snapshot_diff_summary(old, new, "id").collect()[0]
+    assert (s["n_added"], s["n_removed"], s["n_changed"], s["n_unchanged"]) == (
+        1, 1, 2, 1,
+    )
+    assert s["churn_ratio"] == pytest.approx(4 / 4, abs=1e-6)
+
+
+def test_snapshot_diff_duplicate_keys_order_insensitive(spark):
+    """Multiset semantics: reordered duplicate rows compare equal;
+    a count change or a content change under the same key is
+    'changed'."""
+    from drivel_spark.ops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "p"), (3, "q"), (3, "q")],
+        "id int, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, "y"), (1, "x"), (2, "p"), (2, "p"), (3, "q")],
+        "id int, s string",
+    )
+    d = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id").collect()}
+    assert d[1] == "unchanged"   # same multiset, different order
+    assert d[2] == "changed"     # same content hashes but count 1 -> 2
+    assert d[3] == "changed"     # count 2 -> 1
+
+
+def test_snapshot_diff_compare_cols_and_errors(spark):
+    from drivel_spark.ops import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1)], "id int, s string, extra int")
+    new = spark.createDataFrame([(1, "a", 9)], "id int, s string, extra int")
+    # restricted compare ignores the changed column
+    d = snapshot_diff(old, new, "id", compare_cols=["s"]).collect()
+    assert d[0]["status"] == "unchanged"
+    with pytest.raises(ValueError):
+        snapshot_diff(old.select("id"), new.select("id"), "id")
+
+
+# --------------------------------------------------------------------------
+# file layout
+# --------------------------------------------------------------------------
+
+
+def test_file_layout_report_and_summary(spark, tmp_path):
+    from drivel_spark.ops import file_layout_report, file_layout_summary
+
+    out = str(tmp_path / "t")
+    df = spark.range(10_000).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    df.repartition(7).write.parquet(out)
+
+    rep = file_layout_report(spark, out)
+    rows = rep.collect()
+    assert len(rows) == 7
+    assert sum(r["n_rows"] for r in rows) == 10_000
+    assert all(r["bytes"] and r["bytes"] > 0 for r in rows)
+
+    s = file_layout_summary(
+        spark, out, target_file_mb=512, small_file_mb=32
+    ).collect()[0]
+    assert s["n_files"] == 7 and s["n_rows"] == 10_000
+    assert s["total_bytes"] == sum(r["bytes"] for r in rows)
+    assert s["n_small_files"] == 7  # tiny local files
+    assert s["small_file_ratio"] == pytest.approx(1.0)
+    assert s["recommended_files"] == 1  # everything fits one 512MB file
+
+
+# --------------------------------------------------------------------------
+# cross-modal transcript consistency
+# --------------------------------------------------------------------------
+
+
+def test_transcript_consistency_conflicts(spark):
+    """Two clips with byte-identical audio but different transcripts
+    conflict; same transcript up to normalization does not; NULL vs
+    labeled on the same audio conflicts."""
+    from drivel_spark.ops import transcript_consistency_report
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    def wav(clip_idx):
+        # synth_pcm's tone frequency is a function of clip_idx: same
+        # idx => same fingerprint bucket, different idx => different
+        return wav_encode(synth_pcm(clip_idx, 8000, 1000, seed=1), 8000)
+
+    rows = [
+        # fingerprint group A (idx 0): consistent up to normalization
+        ("a1", wav(0), "Hello  World"),
+        ("a2", wav(0), "hello world"),
+        # group B (idx 1): genuine conflict
+        ("b1", wav(1), "foo"),
+        ("b2", wav(1), "bar"),
+        # group C (idx 2): labeled vs NULL -> conflict
+        ("c1", wav(2), "baz"),
+        ("c2", wav(2), None),
+        # undecodable payload: excluded entirely
+        ("x1", b"notawav", "junk"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, transcript string"
+    )
+    rep = {
+        r["example_clip_id"]: r
+        for r in transcript_consistency_report(df).collect()
+    }
+    assert set(rep) == {"a1", "b1", "c1"}
+    assert rep["a1"]["n_clips"] == 2 and rep["a1"]["n_transcripts"] == 1
+    assert rep["a1"]["conflict"] is False
+    assert rep["b1"]["n_transcripts"] == 2 and rep["b1"]["conflict"] is True
+    assert rep["c1"]["n_transcripts"] == 2 and rep["c1"]["conflict"] is True

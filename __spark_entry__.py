@@ -3825,6 +3825,89 @@ def q_transcript_consistency_clips(spark, sf_dir):
     return transcript_consistency_report(clips)
 
 
+def q_fd_report_orders(spark, sf_dir):
+    """Functional-dependency audit (ops/audit.py fd_report): does
+    lhs → rhs hold, over three dependencies of opposite character —
+    o_orderkey→o_custkey (holds: orderkey is a key),
+    o_custkey→o_orderstatus (violated: customers order in many
+    states), and the composite (o_orderstatus, o_orderpriority)→
+    o_custkey (massively violated).  DuckDB re-derives each row from
+    first principles with its own GROUP BY + NULL-distinguishing
+    distinct count — no engine intermediate is reused."""
+    from drivel_spark.ops import fd_report
+
+    o = _t(spark, sf_dir, "orders")
+    return fd_report(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderstatus"),
+            (["o_orderstatus", "o_orderpriority"], "o_custkey"),
+        ],
+    )
+
+
+def q_candidate_keys_orders(spark, sf_dir):
+    """Candidate-key discovery (ops/audit.py candidate_key_report)
+    with confirm_threshold=0.0 (exact confirmation of every
+    candidate, so the DuckDB oracle needn't replicate Spark's HLL
+    screen; the screen-then-confirm path is pytest-pinned instead).
+    The HLL `approx_distinct` column is dropped from the contract
+    projection for the same reason.  Candidates span a true key
+    (o_orderkey), a duplicated column (o_custkey), and a composite
+    (o_custkey, o_orderdate, o_totalprice)."""
+    from drivel_spark.ops import candidate_key_report
+
+    o = _t(spark, sf_dir, "orders")
+    rep = candidate_key_report(
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            ["o_custkey", "o_orderdate", "o_totalprice"],
+        ],
+        confirm_threshold=0.0,
+    )
+    return rep.select(
+        "key", "n_rows", "n_distinct", "n_dup_keys", "n_dup_rows", "is_key"
+    )
+
+
+def q_file_clustering_documents(spark, sf_dir):
+    """Zone-map clustering audit (ops/audit.py
+    file_clustering_summary): documents written in two layouts —
+    range-partitioned + sorted by n_chars (disjoint zones) and
+    hash-partitioned by doc_id (every zone overlaps) — then the
+    boundary-sweep summary per layout.  DuckDB recomputes per-file
+    min/max from the very same parquet files (filename=true) and
+    replays the sweep with its own window sum, so depth and
+    overlap-pair math is independently re-derived."""
+    import os
+    import tempfile
+
+    from drivel_spark.ops import file_clustering_summary
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"drivel_cluster_{tag}")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    (
+        docs.repartitionByRange(8, "n_chars")
+        .sortWithinPartitions("n_chars")
+        .write.mode("overwrite")
+        .parquet(base + "_range")
+    )
+    docs.repartition(8, "doc_id").write.mode("overwrite").parquet(
+        base + "_hash"
+    )
+    out = None
+    for layout in ("range", "hash"):
+        s = file_clustering_summary(
+            spark, f"{base}_{layout}", "n_chars"
+        ).select(F.lit(layout).alias("layout"), "*")
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3983,6 +4066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "file_layout_documents": q_file_layout_documents,
         "transcript_consistency_clips": q_transcript_consistency_clips,
+        "fd_report_orders": q_fd_report_orders,
+        "candidate_keys_orders": q_candidate_keys_orders,
+        "file_clustering_documents": q_file_clustering_documents,
         "edit_distance_parts": q_edit_distance_parts,
         "text_metrics_documents": q_text_metrics_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -4592,6 +4678,108 @@ def oracle_sql() -> dict[str, str]:
                    count(*) > 1 AS conflict,
                    min(min_id) AS example_clip_id
             FROM pl GROUP BY fingerprint""",
+        # each dependency re-derived with DuckDB's own GROUP BY and a
+        # NULL-distinguishing distinct count (count(DISTINCT rhs) + 1
+        # when the group also has NULL rhs)
+        "fd_report_orders": """
+            WITH g1 AS (
+              SELECT count(DISTINCT o_custkey)
+                       + max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_rhs,
+                     count(*) AS n
+              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey),
+            g2 AS (
+              SELECT count(DISTINCT o_orderstatus)
+                       + max(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_rhs,
+                     count(*) AS n
+              FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+            g3 AS (
+              SELECT count(DISTINCT o_custkey)
+                       + max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_rhs,
+                     count(*) AS n
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+              GROUP BY o_orderstatus, o_orderpriority),
+            r1 AS (SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs, * FROM g1),
+            r2 AS (SELECT 'o_custkey', 'o_orderstatus', * FROM g2),
+            r3 AS (SELECT 'o_orderstatus+o_orderpriority', 'o_custkey', * FROM g3),
+            u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+                  UNION ALL SELECT * FROM r3)
+            SELECT lhs, rhs,
+                   count(*)::BIGINT AS n_groups,
+                   count(*) FILTER (n_rhs > 1)::BIGINT AS n_violating_groups,
+                   coalesce(sum(n) FILTER (n_rhs > 1), 0)::BIGINT AS n_violating_rows,
+                   round(CASE WHEN sum(n) > 0
+                              THEN coalesce(sum(n) FILTER (n_rhs > 1), 0)
+                                   / sum(n)::DOUBLE
+                              ELSE 0.0 END, 6) AS violation_ratio,
+                   count(*) FILTER (n_rhs > 1) = 0 AS holds
+            FROM u GROUP BY lhs, rhs""",
+        # each candidate's uniqueness re-derived by direct GROUP BY
+        # (the engine's HLL screen is disabled in the contract query)
+        "candidate_keys_orders": """
+            WITH c1 AS (SELECT count(*) AS n FROM orders
+                        WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey),
+            c2 AS (SELECT count(*) AS n FROM orders
+                   WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+            c3 AS (SELECT count(*) AS n FROM orders
+                   WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                     AND o_totalprice IS NOT NULL
+                   GROUP BY o_custkey, o_orderdate, o_totalprice),
+            s1 AS (SELECT 'o_orderkey' AS key, * FROM c1),
+            s2 AS (SELECT 'o_custkey', * FROM c2),
+            s3 AS (SELECT 'o_custkey+o_orderdate+o_totalprice', * FROM c3),
+            u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+                  UNION ALL SELECT * FROM s3)
+            SELECT key,
+                   sum(n)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_distinct,
+                   count(*) FILTER (n > 1)::BIGINT AS n_dup_keys,
+                   coalesce(sum(n) FILTER (n > 1), 0)::BIGINT AS n_dup_rows,
+                   count(*) FILTER (n > 1) = 0 AND sum(n) > 0 AS is_key
+            FROM u GROUP BY key""",
+        # per-file zones recounted from the engine's own parquet files,
+        # boundary sweep replayed with DuckDB's window sum (starts
+        # before ends at equal values -- inclusive ranges)
+        "file_clustering_documents": f"""
+            WITH zr AS (
+              SELECT min(n_chars)::DOUBLE AS min_v, max(n_chars)::DOUBLE AS max_v,
+                     count(*) AS n_rows
+              FROM read_parquet('{_TMPDIR}/drivel_cluster_sf0.01_range/*.parquet',
+                                filename=true)
+              GROUP BY filename),
+            zh AS (
+              SELECT min(n_chars)::DOUBLE AS min_v, max(n_chars)::DOUBLE AS max_v,
+                     count(*) AS n_rows
+              FROM read_parquet('{_TMPDIR}/drivel_cluster_sf0.01_hash/*.parquet',
+                                filename=true)
+              GROUP BY filename),
+            er AS (SELECT min_v AS v, 0 AS tb, 1 AS delta FROM zr
+                   WHERE min_v IS NOT NULL
+                   UNION ALL SELECT max_v, 1, -1 FROM zr WHERE min_v IS NOT NULL),
+            eh AS (SELECT min_v AS v, 0 AS tb, 1 AS delta FROM zh
+                   WHERE min_v IS NOT NULL
+                   UNION ALL SELECT max_v, 1, -1 FROM zh WHERE min_v IS NOT NULL),
+            sr AS (SELECT tb, sum(delta) OVER
+                     (ORDER BY v, tb ROWS UNBOUNDED PRECEDING) AS depth FROM er),
+            sh AS (SELECT tb, sum(delta) OVER
+                     (ORDER BY v, tb ROWS UNBOUNDED PRECEDING) AS depth FROM eh),
+            one AS (
+              SELECT 'range' AS layout,
+                     (SELECT count(*) FROM zr)::BIGINT AS n_files,
+                     (SELECT sum(n_rows) FROM zr)::BIGINT AS n_rows,
+                     (SELECT coalesce(max(depth) FILTER (tb = 0), 0)
+                      FROM sr)::BIGINT AS max_point_depth,
+                     (SELECT coalesce(sum(depth - 1) FILTER (tb = 0), 0)
+                      FROM sr)::BIGINT AS overlapping_pairs
+              UNION ALL
+              SELECT 'hash',
+                     (SELECT count(*) FROM zh)::BIGINT,
+                     (SELECT sum(n_rows) FROM zh)::BIGINT,
+                     (SELECT coalesce(max(depth) FILTER (tb = 0), 0)
+                      FROM sh)::BIGINT,
+                     (SELECT coalesce(sum(depth - 1) FILTER (tb = 0), 0)
+                      FROM sh)::BIGINT)
+            SELECT *, overlapping_pairs = 0 AS perfectly_clustered FROM one""",
 
         # span strip: DuckDB rebuilds the stripped text itself from
         # the exported span table (whose derivation dup_spans_documents

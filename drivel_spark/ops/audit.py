@@ -332,3 +332,284 @@ def file_layout_summary(
         .cast("long")
         .alias("recommended_files"),
     )
+
+# --------------------------------------------------------------------------
+# functional-dependency / candidate-key discovery
+# --------------------------------------------------------------------------
+
+
+def fd_report(
+    df: DataFrame,
+    dependencies: list[tuple],
+) -> DataFrame:
+    """Approximate-functional-dependency audit: for each ``(lhs, rhs)``
+    in ``dependencies`` (lhs a column name or list of names, rhs one
+    column), does lhs → rhs hold, and how badly is it violated?
+
+    One output row per dependency: ``lhs, rhs, n_groups,
+    n_violating_groups, n_violating_rows, violation_ratio, holds``.
+    A group (= one distinct lhs value, NULL-lhs rows excluded) violates
+    when it maps to more than one rhs value; a NULL rhs counts as its
+    own value, so a group that is sometimes labeled and sometimes not
+    IS a violation — the same convention the reference's enum/null
+    tracking uses for "required" (reference scope: hgrsd/drivel
+    src/infer.rs tracks seen-null per key; this lifts the idea to
+    cross-column invariants).  ``violation_ratio`` is violating rows /
+    rows with non-NULL lhs.
+
+    Why it matters at corpus scale: "codec determines container
+    sample layout", "clip_id determines transcript" are the invariants
+    a training pipeline silently assumes; an FD audit turns each
+    assumption into one number per ingest.  Plan shape per dependency:
+    one hash aggregation on lhs (partial+final; ``count(distinct)``
+    inside ``groupBy`` is Spark's two-phase expand, map-side combined)
+    then an O(groups)→1 rollup; the dependencies are independent
+    single-shuffle jobs unioned at the end — no data row is ever
+    joined or widened.
+    """
+    reports = []
+    for lhs, rhs in dependencies:
+        lhs_cols = [lhs] if isinstance(lhs, str) else list(lhs)
+        not_null = None
+        for k in lhs_cols:
+            cond = F.col(k).isNotNull()
+            not_null = cond if not_null is None else (not_null & cond)
+        # NULL-distinguishing distinct count: countDistinct ignores
+        # NULLs, so add 1 when the group contains any NULL rhs
+        per_group = (
+            df.filter(not_null)
+            .groupBy(*lhs_cols)
+            .agg(
+                (
+                    F.countDistinct(rhs)
+                    + F.max(F.col(rhs).isNull().cast("int"))
+                ).alias("n_rhs"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        viol = F.col("n_rhs") > 1
+        rep = per_group.agg(
+            F.lit("+".join(lhs_cols)).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(viol.cast("long")).cast("long").alias("n_violating_groups"),
+            F.coalesce(F.sum(F.when(viol, F.col("n_rows"))), F.lit(0))
+            .cast("long")
+            .alias("n_violating_rows"),
+            F.sum("n_rows").cast("long").alias("_n_total"),
+        )
+        reports.append(rep)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "lhs",
+        "rhs",
+        "n_groups",
+        "n_violating_groups",
+        "n_violating_rows",
+        F.round(
+            F.when(
+                F.col("_n_total") > 0,
+                F.col("n_violating_rows") / F.col("_n_total"),
+            ).otherwise(0.0),
+            6,
+        ).alias("violation_ratio"),
+        (F.col("n_violating_groups") == 0).alias("holds"),
+    )
+
+
+def candidate_key_report(
+    df: DataFrame,
+    candidates: list,
+    confirm_threshold: float = 0.9,
+) -> DataFrame:
+    """Candidate-key discovery with the sketch-then-exact-confirm
+    discipline (the same two-pass shape the engine's clip_id
+    uniqueness check uses: HLL screen, exact hash-repartition confirm
+    only when the screen says "maybe").
+
+    ``candidates`` is a list of column names or column-name lists.
+    Pass 1 computes ``approx_count_distinct`` for EVERY candidate in a
+    single scan (one partial+final aggregation, no data shuffle — the
+    sketches merge map-side).  Pass 2 runs the exact groupBy count
+    ONLY for candidates whose approx distinct ratio ≥
+    ``confirm_threshold``; hopeless candidates never pay a shuffle.
+    ``confirm_threshold=0.0`` forces exact confirmation of every
+    candidate (deterministic mode, used by the contract query so the
+    oracle needn't replicate Spark's HLL).
+
+    One row per candidate: ``key, n_rows, approx_distinct, n_distinct,
+    n_dup_keys, n_dup_rows, is_key``.  ``n_distinct`` and the dup
+    columns are NULL for unconfirmed candidates; ``is_key`` is FALSE
+    for them (an unconfirmed candidate is not a key claim).  Rows with
+    any NULL in the candidate columns are excluded from that
+    candidate's accounting (SQL keys are non-NULL).
+    """
+    cand_cols = [[c] if isinstance(c, str) else list(c) for c in candidates]
+    names = ["+".join(c) for c in cand_cols]
+    approx_aggs = [F.count(F.lit(1)).alias("_n_all")]
+    for name, cols in zip(names, cand_cols):
+        nn = None
+        for k in cols:
+            cond = F.col(k).isNotNull()
+            nn = cond if nn is None else (nn & cond)
+        tup = F.when(nn, F.struct(*[F.col(k) for k in cols]))
+        approx_aggs.append(F.approx_count_distinct(tup).alias(f"_ad_{name}"))
+        approx_aggs.append(F.sum(nn.cast("long")).alias(f"_nn_{name}"))
+    screen = df.agg(*approx_aggs).first()
+
+    spark = df.sparkSession
+    rows = []
+    for name, cols in zip(names, cand_cols):
+        n_rows = int(screen[f"_nn_{name}"] or 0)
+        approx = int(screen[f"_ad_{name}"] or 0)
+        ratio = (approx / n_rows) if n_rows else 0.0
+        rows.append((name, cols, n_rows, approx, ratio))
+
+    exact_parts = []
+    for name, cols, n_rows, approx, ratio in rows:
+        base = spark.createDataFrame(
+            [(name, n_rows, approx)],
+            "key string, n_rows long, approx_distinct long",
+        )
+        if n_rows and ratio >= confirm_threshold:
+            nn = None
+            for k in cols:
+                cond = F.col(k).isNotNull()
+                nn = cond if nn is None else (nn & cond)
+            per_key = df.filter(nn).groupBy(*cols).agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            dup = F.col("_n") > 1
+            ex = per_key.agg(
+                F.lit(name).alias("key"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum(dup.cast("long")).cast("long").alias("n_dup_keys"),
+                F.coalesce(F.sum(F.when(dup, F.col("_n"))), F.lit(0))
+                .cast("long")
+                .alias("n_dup_rows"),
+            )
+            part = base.join(F.broadcast(ex), "key", "left").withColumn(
+                "is_key",
+                (F.col("n_dup_keys") == 0) & (F.col("n_rows") > 0),
+            )
+        else:
+            part = base.select(
+                "*",
+                F.lit(None).cast("long").alias("n_distinct"),
+                F.lit(None).cast("long").alias("n_dup_keys"),
+                F.lit(None).cast("long").alias("n_dup_rows"),
+                F.lit(False).alias("is_key"),
+            )
+        exact_parts.append(
+            part.select(
+                "key", "n_rows", "approx_distinct", "n_distinct",
+                "n_dup_keys", "n_dup_rows", "is_key",
+            )
+        )
+    out = exact_parts[0]
+    for p in exact_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# file clustering (zone-map / data-skipping effectiveness)
+# --------------------------------------------------------------------------
+
+
+def file_clustering_report(
+    spark: SparkSession, path: str, col: str
+) -> DataFrame:
+    """Per-physical-file zone map for ``col``: one row per parquet
+    file with ``file, min_v, max_v, n_rows`` (values cast to double).
+    This is exactly the min/max statistic Iceberg/parquet footers
+    carry per file — the input to every data-skipping decision — so
+    auditing it tells you whether a point/range predicate on ``col``
+    can prune files at all.  One narrow scan grouped by
+    ``input_file_name()``; NULLs in ``col`` don't contribute to the
+    zone (a file of all-NULL ``col`` reports NULL min/max).
+    """
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file_uri"))
+        .agg(
+            F.min(F.col(col).cast("double")).alias("min_v"),
+            F.max(F.col(col).cast("double")).alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.element_at(F.split("file_uri", "/"), -1).alias("file"),
+            "min_v",
+            "max_v",
+            "n_rows",
+        )
+    )
+
+
+def file_clustering_summary(
+    spark: SparkSession, path: str, col: str
+) -> DataFrame:
+    """One-row clustering-health summary for ``col`` over a parquet
+    dataset: ``n_files, n_rows, max_point_depth, overlapping_pairs,
+    perfectly_clustered``.
+
+    ``max_point_depth`` = the most files any single value of ``col``
+    can live in = the number of files a point-lookup predicate must
+    read after zone-map pruning (1 ⇔ perfect clustering, n_files ⇔
+    the column is useless for skipping).  ``overlapping_pairs`` = how
+    many file pairs have intersecting [min, max] ranges (0 ⇔ totally
+    ordered zones).  At 100 TB this single row is the difference
+    between a point query that opens 1 file and one that opens 10^5:
+    it is the metric an OPTIMIZE/cluster-by maintenance job gates on.
+
+    Both numbers come from one boundary sweep: each file contributes a
+    (+1 at min_v) and a (−1 just after max_v) event; a running sum
+    over the 2·n_files events (ordered by value, starts before ends at
+    ties — ranges are inclusive) gives the depth at every boundary.
+    ``overlapping_pairs`` = Σ over start events of (depth_incl − 1),
+    which is tie-order-invariant within equal values.  The sweep is a
+    window over *metadata-sized* input (2 rows per file), so the
+    single-partition sort is O(#files log #files), never row data.
+    """
+    rep = file_clustering_report(spark, path, col).filter(
+        F.col("min_v").isNotNull()
+    )
+    starts = rep.select(
+        F.col("min_v").alias("v"), F.lit(0).alias("tb"), F.lit(1).alias("delta")
+    )
+    ends = rep.select(
+        F.col("max_v").alias("v"), F.lit(1).alias("tb"), F.lit(-1).alias("delta")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("v", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = (
+        starts.unionByName(ends)
+        .withColumn("depth_incl", F.sum("delta").over(w))
+    )
+    sweep_agg = swept.agg(
+        F.coalesce(
+            F.max(F.when(F.col("tb") == 0, F.col("depth_incl"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("max_point_depth"),
+        F.coalesce(
+            F.sum(F.when(F.col("tb") == 0, F.col("depth_incl") - 1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("overlapping_pairs"),
+    )
+    totals = rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+    return totals.crossJoin(F.broadcast(sweep_agg)).select(
+        "*",
+        (F.col("overlapping_pairs") == 0).alias("perfectly_clustered"),
+    )

@@ -219,3 +219,152 @@ def test_transcript_consistency_conflicts(spark):
     assert rep["a1"]["conflict"] is False
     assert rep["b1"]["n_transcripts"] == 2 and rep["b1"]["conflict"] is True
     assert rep["c1"]["n_transcripts"] == 2 and rep["c1"]["conflict"] is True
+
+
+# --------------------------------------------------------------------------
+# functional dependencies / candidate keys
+# --------------------------------------------------------------------------
+
+
+def test_fd_report_holds_and_violates(spark):
+    """Hand-built FDs: a holding dependency, a violated one (incl. a
+    mixed NULL/non-NULL rhs group counting as a violation), NULL-lhs
+    rows excluded, composite lhs."""
+    from drivel_spark.ops import fd_report
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "x"),
+            ("a", 1, "x"),
+            ("b", 2, "x"),
+            ("b", 2, "y"),      # b -> {x, y}: violates c1->c3
+            ("c", 3, None),
+            ("c", 3, "z"),      # mixed NULL/real rhs: violates
+            (None, 9, "q"),     # NULL lhs: excluded everywhere
+        ],
+        "c1 string, c2 int, c3 string",
+    )
+    rep = {r["lhs"] + "->" + r["rhs"]: r for r in fd_report(
+        df, [("c1", "c2"), ("c1", "c3"), (["c1", "c2"], "c3")]
+    ).collect()}
+    holds = rep["c1->c2"]
+    assert holds["holds"] is True and holds["n_violating_groups"] == 0
+    assert holds["n_groups"] == 3
+    viol = rep["c1->c3"]
+    assert viol["holds"] is False
+    assert viol["n_violating_groups"] == 2       # b and c
+    assert viol["n_violating_rows"] == 4
+    assert viol["violation_ratio"] == pytest.approx(4 / 6, abs=1e-6)
+    comp = rep["c1+c2->c3"]
+    assert comp["n_groups"] == 3 and comp["holds"] is False
+
+
+def test_fd_report_real_key_dependency(spark, sf_small_dir):
+    """o_orderkey -> o_custkey holds (orderkey is a key); o_custkey ->
+    o_orderstatus does not (customers place orders in many states)."""
+    from drivel_spark.ops import fd_report
+
+    o = spark.read.parquet(f"{sf_small_dir}/orders.parquet")
+    rep = {r["lhs"]: r for r in fd_report(
+        o, [("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus")]
+    ).collect()}
+    assert rep["o_orderkey"]["holds"] is True
+    assert rep["o_custkey"]["holds"] is False
+
+
+def test_candidate_key_report_exact_confirm(spark):
+    """confirm_threshold=0.0 exact-confirms every candidate; dup keys
+    and dup rows counted; NULL-bearing rows excluded per candidate;
+    composite candidate becomes a key when the single column is not."""
+    from drivel_spark.ops import candidate_key_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", 20),
+            (2, "b", 30),       # id=2 duplicated
+            (None, "c", 40),    # NULL id: out of id's accounting
+        ],
+        "id int, grp string, v int",
+    )
+    rep = {r["key"]: r for r in candidate_key_report(
+        df, ["id", "grp", ["id", "grp"], "v"], confirm_threshold=0.0
+    ).collect()}
+    rid = rep["id"]
+    assert rid["n_rows"] == 3 and rid["n_distinct"] == 2
+    assert rid["n_dup_keys"] == 1 and rid["n_dup_rows"] == 2
+    assert rid["is_key"] is False
+    assert rep["grp"]["is_key"] is False          # 'a' twice
+    comp = rep["id+grp"]
+    assert comp["n_rows"] == 3 and comp["is_key"] is True
+    assert rep["v"]["is_key"] is True
+
+
+def test_candidate_key_report_screen_skips_hopeless(spark):
+    """With a high confirm threshold the low-cardinality candidate is
+    screened out by the sketch pass: exact columns NULL, is_key False,
+    and no exact shuffle was paid for it."""
+    from drivel_spark.ops import candidate_key_report
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).alias("lowcard")
+    )
+    rep = {r["key"]: r for r in candidate_key_report(
+        df, ["id", "lowcard"], confirm_threshold=0.9
+    ).collect()}
+    assert rep["id"]["is_key"] is True and rep["id"]["n_distinct"] == 1000
+    low = rep["lowcard"]
+    assert low["n_distinct"] is None and low["n_dup_keys"] is None
+    assert low["is_key"] is False
+    assert low["approx_distinct"] <= 10
+
+
+# --------------------------------------------------------------------------
+# file clustering (zone-map effectiveness)
+# --------------------------------------------------------------------------
+
+
+def test_file_clustering_sorted_vs_hashed(spark, tmp_path):
+    """Range-partitioned+sorted layout has non-overlapping zones
+    (max_point_depth 1, 0 overlapping pairs); hash layout's zones all
+    overlap (depth == n_files)."""
+    from drivel_spark.ops import file_clustering_report, file_clustering_summary
+
+    df = spark.range(10_000).select(F.col("id").cast("long").alias("k"))
+    sorted_dir = str(tmp_path / "sorted")
+    hashed_dir = str(tmp_path / "hashed")
+    df.repartitionByRange(8, "k").sortWithinPartitions("k") \
+        .write.mode("overwrite").parquet(sorted_dir)
+    df.repartition(8, "k").write.mode("overwrite").parquet(hashed_dir)
+
+    s = file_clustering_summary(spark, sorted_dir, "k").collect()[0]
+    assert s["n_files"] == 8 and s["n_rows"] == 10_000
+    assert s["max_point_depth"] == 1 and s["overlapping_pairs"] == 0
+    assert s["perfectly_clustered"] is True
+
+    h = file_clustering_summary(spark, hashed_dir, "k").collect()[0]
+    assert h["n_files"] == 8
+    assert h["max_point_depth"] == 8
+    assert h["overlapping_pairs"] == 8 * 7 // 2
+    assert h["perfectly_clustered"] is False
+
+    rep = file_clustering_report(spark, sorted_dir, "k").collect()
+    zones = sorted((r["min_v"], r["max_v"]) for r in rep)
+    for (lo1, hi1), (lo2, _) in zip(zones, zones[1:]):
+        assert hi1 < lo2  # truly disjoint
+
+
+def test_file_clustering_touching_zones_overlap(spark, tmp_path):
+    """Inclusive ranges: two files sharing one boundary value DO
+    overlap (depth 2 at the shared value) — the pruning-correct
+    convention, since a point query for that value must read both."""
+    from drivel_spark.ops import file_clustering_summary
+
+    a = spark.createDataFrame([(0,), (5,)], "k int").coalesce(1)
+    b = spark.createDataFrame([(5,), (9,)], "k int").coalesce(1)
+    d2 = str(tmp_path / "p")
+    a.write.mode("overwrite").parquet(d2)
+    b.write.mode("append").parquet(d2)
+    s = file_clustering_summary(spark, d2, "k").collect()[0]
+    assert s["n_files"] == 2
+    assert s["max_point_depth"] == 2 and s["overlapping_pairs"] == 1

@@ -870,6 +870,169 @@ def cmd_validate(args) -> dict:
     }
 
 
+def cmd_validate_delta(args) -> dict:
+    """Delta validation (constraints/delta.py): validate a refreshed
+    snapshot by re-running the row-level pass ONLY over the scopes
+    touched by churn vs the previous snapshot, carrying the untouched
+    scopes' report rows (and violation rows) forward from the previous
+    ``--report`` directory, and recomputing every dataset-level check
+    globally.  The merged report byte-matches a full ``validate`` of
+    the new snapshot (same passfail_digest) — pinned by
+    tests/test_delta_validate.py — while the decode-bearing scan
+    touches only the churned fraction of the table.  Requires the
+    previous report to have been produced with the same constraint
+    suite, seed, and --n-scopes."""
+    spark = build_session("drivel-validate-delta")
+    with open(f"{args.data}/meta.json") as fh:
+        meta = json.load(fh)
+    with open(f"{args.old_data}/meta.json") as fh:
+        old_meta = json.load(fh)
+    if old_meta.get("seed") != meta.get("seed"):
+        raise SystemExit(
+            "validate-delta: old and new snapshots were prepared with "
+            "different seeds; carried report rows would not match"
+        )
+    baseline = None
+    if args.baseline:
+        with open(args.baseline, "rb") as fh:
+            baseline = pickle.load(fh)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from drivel_spark.constraints import churned_scopes, validate_delta
+    from drivel_spark.constraints.delta import scope_of
+    from drivel_spark.io import read_table
+
+    t0 = time.time()
+    phases: dict[str, float] = {}
+    clips = read_table(spark, f"{args.data}/clips")
+    old_clips = read_table(spark, f"{args.old_data}/clips")
+    transcripts = read_table(spark, f"{args.data}/transcripts")
+
+    # ---- churn detection: narrow (key, hash) compare ------------------
+    t1 = time.time()
+    dirty, churn = churned_scopes(
+        old_clips, clips, "clip_id", args.n_scopes
+    )
+    phases["churn_detect_s"] = round(time.time() - t1, 3)
+
+    # ---- pass-1 profile over the full new snapshot (cheap scan; feeds
+    # the Unique HLL context and Drift, exactly as full validate does)
+    prof_pool = ThreadPoolExecutor(max_workers=1)
+    fut_prof = prof_pool.submit(profile, clips, columns=PROFILE_COLUMNS)
+
+    constraints = _constraints(meta, baseline)
+    if getattr(args, "check_wav_header", False) and "bytes" in clips.columns:
+        from drivel_spark.constraints import WavHeaderCheck
+
+        constraints.append(WavHeaderCheck("wav_header", "bytes"))
+    if getattr(args, "check_pcm_size", False) and "bytes" in clips.columns:
+        from drivel_spark.constraints import PcmSizeConsistency
+
+        constraints.append(PcmSizeConsistency("pcm_size_consistency", "bytes"))
+
+    prepare_row_df = None
+    if args.check_audio and meta.get("with_audio") and "bytes" in clips.columns:
+        snr = make_snr_udf(seed=meta["seed"])
+        constraints.append(
+            RowPredicate(
+                "audio_snr_30db",
+                "bytes",
+                snr(F.col("bytes"), F.col("clip_idx"), F.col("sr_hz"), F.col("dur_ms"))
+                >= F.lit(30.0),
+            )
+        )
+
+        # idx join + UDF-stream cap applied AFTER the dirty-scope
+        # filter, so even the preparation join scales with churn
+        def prepare_row_df(df):  # noqa: F811
+            df = attach_clip_idx(df, spark, meta["n_rows"], seed=meta["seed"])
+            master = spark.sparkContext.master or ""
+            streams = int(os.environ.get("DRIVEL_UDF_STREAMS", "8"))
+            local_cores = 0
+            if master.startswith("local["):
+                tok = master[6:-1]
+                local_cores = os.cpu_count() if tok == "*" else int(tok)
+            if streams > 0 and local_cores > streams:
+                df = df.coalesce(streams)
+            return df
+
+    row_cs = [c for c in constraints if c.is_row_level]
+    ds_cs = [c for c in constraints if not c.is_row_level]
+
+    prev_passfail = spark.read.parquet(f"{args.prev_report}/passfail")
+    prev_violations = spark.read.parquet(f"{args.prev_report}/violations")
+
+    t1 = time.time()
+    res = validate_delta(
+        clips,
+        row_cs,
+        ds_cs,
+        key_col="clip_id",
+        n_scopes=args.n_scopes,
+        dirty_scopes=dirty,
+        churn=churn,
+        prev_passfail=prev_passfail,
+        prev_violations=prev_violations,
+        prepare_row_df=prepare_row_df,
+        ref_tables={"transcripts": transcripts},
+        profile=fut_prof.result,
+        baseline_profile=baseline,
+        keep_columns=["clip_id", "sr_hz", "dur_ms", "codec"],
+    )
+    phases["delta_validate_s"] = round(time.time() - t1, 3)
+    prof_pool.shutdown()
+
+    passfail = res.passfail_pdf
+    import hashlib
+
+    digest = hashlib.sha256(
+        passfail.to_csv(index=False).encode()
+    ).hexdigest()[:16]
+    if args.report:
+        t1 = time.time()
+        spark.createDataFrame(passfail).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{args.report}/passfail")
+        res.violations.write.mode("overwrite").parquet(
+            f"{args.report}/violations"
+        )
+        phases["report_write_s"] = round(time.time() - t1, 3)
+    wall = time.time() - t0
+    n_total = int(meta["n_rows"])
+    from drivel_spark.config import SCHED_CONFIG_TAG
+
+    return {
+        "job": "validate-delta",
+        "master": spark.sparkContext.master,
+        "sched_config": SCHED_CONFIG_TAG,
+        "n_rows": n_total,
+        "n_rows_revalidated": int(res.n_rows_revalidated),
+        "revalidate_fraction": round(
+            res.n_rows_revalidated / n_total, 6
+        ) if n_total else 0.0,
+        "n_dirty_scopes": len(res.dirty_scopes),
+        "n_scopes": args.n_scopes,
+        "churn": res.churn,
+        "wall_s": round(wall, 3),
+        "clips_per_sec": round(n_total / wall, 1),
+        "n_passfail_rows": int(len(passfail)),
+        "passfail_digest": digest,  # must equal full validate's digest
+        "n_violation_rows": int(
+            passfail.loc[
+                passfail.constraint == "_rows_any_violation", "n_violations"
+            ].sum()
+        ),
+        "all_passed": bool(res.all_passed()),
+        "dataset_checks": [
+            {k: d[k] for k in ("constraint", "n_violations", "passed")}
+            for d in res.dataset
+        ],
+        "check_audio": bool(args.check_audio and meta.get("with_audio")),
+        "phases": phases,
+    }
+
+
 def cmd_validate_stream(args) -> dict:
     """Incremental validation via Structured Streaming: each invocation
     processes only files not yet seen by the checkpoint (availableNow),
@@ -1285,6 +1448,22 @@ def main(argv=None) -> None:
                          "every row-level constraint to this parquet dir "
                          "(violating clip_ids excluded via left_anti)")
 
+    svd = sub.add_parser("validate-delta")
+    svd.add_argument("--data", required=True, help="NEW snapshot db dir")
+    svd.add_argument("--old-data", required=True, help="previous snapshot db dir")
+    svd.add_argument("--prev-report", required=True,
+                     help="report dir a prior `validate --report` (or "
+                          "validate-delta --report) wrote for the old snapshot")
+    svd.add_argument("--baseline", default=None)
+    svd.add_argument("--check-audio", action="store_true")
+    svd.add_argument("--check-pcm-size", action="store_true")
+    svd.add_argument("--check-wav-header", action="store_true")
+    svd.add_argument("--n-scopes", type=int, default=64,
+                     help="must match the previous report's value")
+    svd.add_argument("--report", default=None,
+                     help="write the MERGED report here (chains into the "
+                          "next day's --prev-report)")
+
     sdf = sub.add_parser("diff")
     sdf.add_argument("--data", default=None, help="db dir containing /clips")
     sdf.add_argument("--clips", default=None,
@@ -1381,6 +1560,7 @@ def main(argv=None) -> None:
         "mix": cmd_mix,
         "baseline": cmd_baseline,
         "validate": cmd_validate,
+        "validate-delta": cmd_validate_delta,
         "diff": cmd_diff,
         "describe": cmd_describe,
         "produce": cmd_produce,

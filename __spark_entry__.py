@@ -3825,6 +3825,77 @@ def q_transcript_consistency_clips(spark, sf_dir):
     return transcript_consistency_report(clips)
 
 
+def q_delta_validate_orders(spark, sf_dir):
+    """Delta validation end-to-end (constraints/delta.py): previous
+    full report over orders, deterministic churn (drop %13, reprice %7,
+    add offset copies %17, duplicate keys %23==1), then the merged
+    delta report — row constraints re-evaluated ONLY on dirty scopes,
+    clean scopes carried from the previous report, uniqueness
+    recomputed globally.  The contract: the merged per-scope pass/fail
+    table is indistinguishable from a full validate of the new
+    snapshot, so DuckDB's oracle simply recomputes per-scope counts
+    over the replayed mutation from scratch — any carry/merge mistake
+    (a stale carried row, a missed dirty scope) breaks the hash.
+    Scope = o_orderkey % 16 (SQL-replayable, unlike the CLI's
+    xxhash64 scope which pytest pins instead)."""
+    from drivel_spark.constraints import (
+        RowPredicate,
+        Unique,
+        churned_scopes,
+        validate,
+        validate_delta,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    mutated = o.filter(k % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    added = o.filter(k % 17 == 0).withColumn(
+        "o_orderkey", k + F.lit(2_000_000_000)
+    )
+    dups = o.filter(k % 23 == 1)  # same keys again -> Unique violations
+    new = mutated.unionByName(added).unionByName(dups)
+
+    row_cs = [
+        RowPredicate(
+            "totalprice_low", "o_totalprice", F.col("o_totalprice") < 200000.0
+        ),
+        RowPredicate(
+            "priority_known",
+            "o_orderpriority",
+            F.col("o_orderpriority") != "3-MEDIUM",
+        ),
+    ]
+    ds_cs = [Unique("orderkey_unique", "o_orderkey")]
+    scope = F.pmod(F.col("o_orderkey"), F.lit(16)).cast("long")
+    prev = validate(
+        o, row_cs + ds_cs, scope=scope, keep_columns=["o_orderkey"]
+    )
+    dirty, churn = churned_scopes(o, new, "o_orderkey", 16, scope=scope)
+    res = validate_delta(
+        new,
+        row_cs,
+        ds_cs,
+        key_col="o_orderkey",
+        n_scopes=16,
+        dirty_scopes=dirty,
+        churn=churn,
+        prev_passfail=prev.passfail_pdf(),
+        prev_violations=prev.violations,
+        scope=scope,
+        keep_columns=["o_orderkey"],
+    )
+    return spark.createDataFrame(
+        res.passfail_pdf,
+        "partition_id long, constraint string, n_rows long, "
+        "n_violations long, passed boolean",
+    )
+
+
 def q_fd_report_orders(spark, sf_dir):
     """Functional-dependency audit (ops/audit.py fd_report): does
     lhs → rhs hold, over three dependencies of opposite character —
@@ -4066,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "file_layout_documents": q_file_layout_documents,
         "transcript_consistency_clips": q_transcript_consistency_clips,
+        "delta_validate_orders": q_delta_validate_orders,
         "fd_report_orders": q_fd_report_orders,
         "candidate_keys_orders": q_candidate_keys_orders,
         "file_clustering_documents": q_file_clustering_documents,
@@ -4678,6 +4750,51 @@ def oracle_sql() -> dict[str, str]:
                    count(*) > 1 AS conflict,
                    min(min_id) AS example_clip_id
             FROM pl GROUP BY fingerprint""",
+        # the delta-merge contract IS "merged == full validate of the
+        # new snapshot", so the oracle replays the identical mutation
+        # and recomputes every per-scope count and the GLOBAL unique
+        # row from scratch -- a stale carried row or missed dirty
+        # scope breaks the hash
+        "delta_validate_orders": """
+            WITH newt AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 13 <> 0
+              UNION ALL
+              SELECT o_orderkey + 2000000000, o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey % 17 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey % 23 = 1),
+            scoped AS (
+              SELECT o_orderkey % 16 AS pid,
+                     (o_totalprice >= 200000.0)::INT AS v1,
+                     (o_orderpriority = '3-MEDIUM')::INT AS v2
+              FROM newt),
+            per AS (
+              SELECT pid, count(*) AS n_rows,
+                     sum(v1) AS nv1, sum(v2) AS nv2,
+                     sum((v1 + v2 > 0)::INT) AS nva
+              FROM scoped GROUP BY pid),
+            uniq AS (
+              SELECT count(*) AS n, count(DISTINCT o_orderkey) AS d
+              FROM newt),
+            rows_out AS (
+              SELECT pid AS partition_id, 'totalprice_low' AS "constraint",
+                     n_rows, nv1 AS n_violations FROM per
+              UNION ALL
+              SELECT pid, 'priority_known', n_rows, nv2 FROM per
+              UNION ALL
+              SELECT pid, '_rows_any_violation', n_rows, nva FROM per
+              UNION ALL
+              SELECT -1, 'orderkey_unique', n, n - d FROM uniq)
+            SELECT partition_id::BIGINT AS partition_id, "constraint",
+                   n_rows::BIGINT AS n_rows,
+                   n_violations::BIGINT AS n_violations,
+                   n_violations = 0 AS passed
+            FROM rows_out""",
         # each dependency re-derived with DuckDB's own GROUP BY and a
         # NULL-distinguishing distinct count (count(DISTINCT rhs) + 1
         # when the group also has NULL rhs)

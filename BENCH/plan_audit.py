@@ -1326,6 +1326,108 @@ def main() -> None:
         )
     )
 
+    # 46. join preflight: two key-sized partial+final aggs joined —
+    # the data rows themselves never join
+    from drivel_spark.ops import join_cardinality_report
+
+    ev = events.select(F.col("user_id").alias("k"))
+    od = orders.select(F.col("o_custkey").alias("k"))
+    p = fmt(join_cardinality_report(ev, od, "k"))
+    sections.append(
+        (
+            "Join-explosion preflight (join_cardinality_report)",
+            p,
+            [
+                "both sides partial+final aggregated before the join: "
+                + ("PASS" if p.count("HashAggregate") >= 4 else "FAIL"),
+                "scans pruned to the key column: "
+                + ("PASS" if "o_totalprice" not in p and "event_type" not in p
+                   else "FAIL"),
+                "no Python: " + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 47. snapshot diff: the compare shuffles (key, 8-byte hash), not
+    # row width — hash projection sits under the aggregation exchange
+    from drivel_spark.ops import snapshot_diff_summary
+
+    mutated = orders.filter(F.col("o_orderkey") % 13 != 0)
+    p = fmt(snapshot_diff_summary(orders, mutated, "o_orderkey"))
+    sections.append(
+        (
+            "Snapshot churn diff (snapshot_diff_summary)",
+            p,
+            [
+                "per-side (key, multiset-hash) partial+final aggs: "
+                + ("PASS" if p.count("HashAggregate") >= 4 else "FAIL"),
+                "xxhash64 content hash computed JVM-side pre-shuffle: "
+                + ("PASS" if "xxhash64" in p and "EvalPython" not in p
+                   else "FAIL"),
+                "full-outer compare is a join of key-sized tables: "
+                + ("PASS" if "FullOuter" in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 48. FD audit: per-dependency two-phase distinct aggregation
+    from drivel_spark.ops import fd_report
+
+    p = fmt(fd_report(orders, [("o_custkey", "o_orderstatus")]))
+    sections.append(
+        (
+            "Functional-dependency audit (fd_report)",
+            p,
+            [
+                "two-phase (expand) count-distinct, map-side combined: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "scan pruned to (lhs, rhs): "
+                + ("PASS" if "o_totalprice" not in p.split("ReadSchema")[-1]
+                   else "FAIL"),
+                "no Python: " + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 49. delta validation row pass: the dirty-scope filter must apply
+    # BEFORE the Arrow decode stage, so Python cost scales with churn
+    from drivel_spark.constraints import RowPredicate, validate
+    from drivel_spark.constraints.delta import scope_of
+
+    import pandas as _pd
+
+    def _fake_decode(it):
+        for pdf in it:
+            yield pdf.assign(ok=_pd.Series([True] * len(pdf)))
+
+    s = scope_of("o_orderkey", 16)
+    slice_df = orders.filter(s.isin([1, 2, 3])).mapInPandas(
+        _fake_decode, "o_orderkey long, o_totalprice double, ok boolean"
+    )
+    res = validate(
+        slice_df,
+        [RowPredicate("ok", "ok", F.col("ok"))],
+        scope=F.pmod(F.col("o_orderkey"), F.lit(16)).cast("long"),
+        cache_flags=False,
+        keep_columns=["o_orderkey"],
+    )
+    p = fmt(res.passfail)
+    m_filter = re.search(r"\((\d+)\) Filter", p)
+    m_py = re.search(r"\((\d+)\) MapInPandas", p)
+    ordered = bool(m_filter and m_py and int(m_filter.group(1)) < int(m_py.group(1)))
+    sections.append(
+        (
+            "Delta validation row pass (dirty-scope filter before decode)",
+            p,
+            [
+                "scope filter executes before the Arrow decode stage: "
+                + ("PASS" if ordered else "FAIL"),
+                "pass/fail agg partial+final over the slice: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

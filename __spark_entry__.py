@@ -3825,6 +3825,55 @@ def q_transcript_consistency_clips(spark, sf_dir):
     return transcript_consistency_report(clips)
 
 
+def q_audio_drift_clips(spark, sf_dir):
+    """Decoded-feature drift between two clip batches (ops/multimodal.py
+    audio_feature_drift): default vs the 'drifted' fixture variant
+    (dur_ms ×1.5), W1 + means on duration_ms and rms.  The oracle side
+    table is the INDEPENDENT stdlib-wave float64 decode of both
+    batches, unpivoted to (feature, batch, v); DuckDB re-derives the
+    exact empirical W1 with its own window cumsum over the sorted
+    union (the engine uses the bucketed decomposition — same integral,
+    different evaluation order) and the means from scratch.  Outputs
+    rounded to 3 decimals: the two sides decode at different float
+    widths (engine float32 PCM, oracle float64), a deliberate
+    independence that costs ~1e-7 relative on rms."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import audio_feature_drift
+
+    n = 240 if "0.01" in sf_dir else 120
+    spec_a = ClipFixtureSpec(with_audio=True)
+    spec_b = ClipFixtureSpec(with_audio=True, variant="drifted")
+    if not _engine_only():
+        import numpy as np
+        import pandas as pd
+
+        recs = []
+        for tag, spec in (("a", spec_a), ("b", spec_b)):
+            for cid, i, pcm, sr in _decode_clips_stdlib(n, spec):
+                recs.append(
+                    ("duration_ms", tag, 1000.0 * len(pcm) / sr)
+                )
+                recs.append(
+                    ("rms", tag, float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
+                )
+        _export_oracle(
+            pd.DataFrame(recs, columns=["feature", "batch", "v"]),
+            "audio_drift",
+            sf_dir,
+        )
+    a = build_clips(spark, n, 8, spec_a)
+    b = build_clips(spark, n, 8, spec_b)
+    rep = audio_feature_drift(a, b, features=("duration_ms", "rms"))
+    return rep.select(
+        "feature",
+        F.round("w1", 3).alias("w1"),
+        F.round("mean_a", 3).alias("mean_a"),
+        F.round("mean_b", 3).alias("mean_b"),
+        "n_a",
+        "n_b",
+    )
+
+
 def q_delta_validate_orders(spark, sf_dir):
     """Delta validation end-to-end (constraints/delta.py): previous
     full report over orders, deterministic churn (drop %13, reprice %7,
@@ -4137,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "file_layout_documents": q_file_layout_documents,
         "transcript_consistency_clips": q_transcript_consistency_clips,
+        "audio_drift_clips": q_audio_drift_clips,
         "delta_validate_orders": q_delta_validate_orders,
         "fd_report_orders": q_fd_report_orders,
         "candidate_keys_orders": q_candidate_keys_orders,
@@ -4750,6 +4800,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) > 1 AS conflict,
                    min(min_id) AS example_clip_id
             FROM pl GROUP BY fingerprint""",
+        # exact empirical W1 re-derived with DuckDB's own window cumsum
+        # over the sorted union of the independently-decoded features
+        "audio_drift_clips": f"""
+            WITH pts AS (
+              SELECT feature, v,
+                     sum(CASE WHEN batch = 'a' THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN batch = 'b' THEN 1 ELSE 0 END) AS cb
+              FROM read_parquet('{ORACLE_DIR}/audio_drift_sf0.01.parquet')
+              GROUP BY feature, v),
+            tot AS (SELECT feature, sum(ca) AS na, sum(cb) AS nb,
+                           sum(v * ca) / sum(ca) AS mean_a,
+                           sum(v * cb) / sum(cb) AS mean_b
+                    FROM pts GROUP BY feature),
+            st AS (
+              SELECT p.feature, v,
+                     sum(ca) OVER (PARTITION BY p.feature ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cca,
+                     sum(cb) OVER (PARTITION BY p.feature ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS ccb,
+                     lead(v) OVER (PARTITION BY p.feature ORDER BY v) AS nxt,
+                     na, nb
+              FROM pts p JOIN tot USING (feature)),
+            w AS (
+              SELECT feature,
+                     coalesce(sum(abs(cca / na::DOUBLE - ccb / nb::DOUBLE)
+                                  * (nxt - v)), 0.0) AS w1
+              FROM st WHERE nxt IS NOT NULL GROUP BY feature)
+            SELECT t.feature, round(w.w1, 3) AS w1,
+                   round(t.mean_a, 3) AS mean_a,
+                   round(t.mean_b, 3) AS mean_b,
+                   t.na::BIGINT AS n_a, t.nb::BIGINT AS n_b
+            FROM tot t JOIN w USING (feature)""",
         # the delta-merge contract IS "merged == full validate of the
         # new snapshot", so the oracle replays the identical mutation
         # and recomputes every per-scope count and the GLOBAL unique

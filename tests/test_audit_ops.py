@@ -368,3 +368,55 @@ def test_file_clustering_touching_zones_overlap(spark, tmp_path):
     s = file_clustering_summary(spark, d2, "k").collect()[0]
     assert s["n_files"] == 2
     assert s["max_point_depth"] == 2 and s["overlapping_pairs"] == 1
+
+
+# --------------------------------------------------------------------------
+# audio feature drift
+# --------------------------------------------------------------------------
+
+
+def _np_w1(a, b):
+    """Exact empirical W1 = integral |F_a - F_b| dv, numpy reference."""
+    import numpy as np
+
+    a, b = np.sort(np.asarray(a, float)), np.sort(np.asarray(b, float))
+    vs = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, vs, side="right") / len(a)
+    fb = np.searchsorted(b, vs, side="right") / len(b)
+    return float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(vs)))
+
+
+def test_audio_feature_drift_detects_duration_shift(spark):
+    """default vs drifted fixture: decoded duration_ms drifts (the
+    variant scales dur x1.5), W1 matches a numpy exact reference, and
+    identical batches report exactly zero drift."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import audio_feature_drift, extract_audio_features
+
+    n = 60
+    a = build_clips(spark, n, 4, ClipFixtureSpec(with_audio=True))
+    b = build_clips(
+        spark, n, 4, ClipFixtureSpec(with_audio=True, variant="drifted")
+    )
+    rep = {
+        r["feature"]: r
+        for r in audio_feature_drift(
+            a, b, features=("duration_ms", "rms")
+        ).collect()
+    }
+    dur = rep["duration_ms"]
+    assert dur["n_a"] == n and dur["n_b"] == n
+    assert dur["w1"] > 50.0  # the x1.5 shift is hundreds of ms of W1
+    assert dur["mean_b"] > dur["mean_a"]
+
+    # numpy cross-check of the exact W1 on the engine's own features
+    fa = extract_audio_features(a).select("duration_ms").toPandas()
+    fb = extract_audio_features(b).select("duration_ms").toPandas()
+    expect = _np_w1(fa["duration_ms"], fb["duration_ms"])
+    assert dur["w1"] == pytest.approx(expect, rel=1e-9)
+
+    same = {
+        r["feature"]: r
+        for r in audio_feature_drift(a, a, features=("duration_ms",)).collect()
+    }
+    assert same["duration_ms"]["w1"] == pytest.approx(0.0, abs=1e-12)

@@ -392,7 +392,9 @@ def fd_report(
             F.lit("+".join(lhs_cols)).alias("lhs"),
             F.lit(rhs).alias("rhs"),
             F.count(F.lit(1)).cast("long").alias("n_groups"),
-            F.sum(viol.cast("long")).cast("long").alias("n_violating_groups"),
+            F.coalesce(F.sum(viol.cast("long")), F.lit(0))
+            .cast("long")
+            .alias("n_violating_groups"),
             F.coalesce(F.sum(F.when(viol, F.col("n_rows"))), F.lit(0))
             .cast("long")
             .alias("n_violating_rows"),

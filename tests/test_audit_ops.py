@@ -420,3 +420,57 @@ def test_audio_feature_drift_detects_duration_shift(spark):
         for r in audio_feature_drift(a, a, features=("duration_ms",)).collect()
     }
     assert same["duration_ms"]["w1"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_snapshot_diff_randomized_vs_bruteforce(spark):
+    """Randomized multiset property test: snapshot_diff's hash-based
+    statuses equal a brute-force python dict-of-multisets compare, over
+    tables with duplicate keys, NULL fields, and reordered rows."""
+    import numpy as np
+
+    from collections import Counter
+
+    from drivel_spark.ops import snapshot_diff
+
+    rng = np.random.default_rng(23)
+    for trial in range(5):
+        def draw():
+            n = int(rng.integers(20, 60))
+            keys = rng.integers(0, 25, n)          # heavy duplication
+            vals = rng.integers(0, 4, n)
+            strs = rng.integers(0, 5, n)
+            return [
+                (
+                    int(k),
+                    None if s == 0 else f"s{s}",
+                    float(v),
+                )
+                for k, s, v in zip(keys, strs, vals)
+            ]
+
+        old_rows, new_rows = draw(), draw()
+        old = spark.createDataFrame(old_rows, "id int, s string, v double")
+        new = spark.createDataFrame(new_rows, "id int, s string, v double")
+
+        def multisets(rows):
+            out = {}
+            for k, s, v in rows:
+                out.setdefault(k, Counter())[(s, v)] += 1
+            return out
+
+        mo, mn = multisets(old_rows), multisets(new_rows)
+        expect = {}
+        for k in set(mo) | set(mn):
+            if k not in mo:
+                expect[k] = "added"
+            elif k not in mn:
+                expect[k] = "removed"
+            elif mo[k] == mn[k]:
+                expect[k] = "unchanged"
+            else:
+                expect[k] = "changed"
+
+        got = {
+            r["id"]: r["status"] for r in snapshot_diff(old, new, "id").collect()
+        }
+        assert got == expect, f"trial {trial}"

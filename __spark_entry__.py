@@ -839,7 +839,25 @@ def q_schema_diff_orders(spark, sf_dir):
     exhibiting the change (e.g. the range_widened_lo row appears only
     if the doubled subset's min undercuts the baseline min — it
     can't, for positive prices, on either side)."""
-    from drivel_spark.profiling import DIFF_SCHEMA, diff_profiles, profile
+    from drivel_spark.profiling import DIFF_SCHEMA, diff_profiles
+
+    cur_prof, base_prof = _schema_diff_profile_pair(spark, sf_dir)
+    rows = diff_profiles(cur_prof, base_prof)
+    return spark.createDataFrame(
+        [
+            (r["column"], r["change"], r["before"], r["after"], r["detail"])
+            for r in rows
+        ],
+        DIFF_SCHEMA,
+    ).orderBy("column", "change")
+
+
+def _schema_diff_profile_pair(spark, sf_dir):
+    """The (current, baseline) profile pair behind schema_diff_orders
+    and compat_gate_orders: orders as-is vs orders with five injected
+    changes (dropped column, added column, int arriving as strings,
+    doubled prices on 1/7 of keys, nulls + a new enum variant)."""
+    from drivel_spark.profiling import profile
 
     o = _t(spark, sf_dir, "orders")
     base = o.select(
@@ -864,13 +882,32 @@ def q_schema_diff_orders(spark, sf_dir):
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_cur, f_base = pool.submit(profile, cur), pool.submit(profile, base)
-        rows = diff_profiles(f_cur.result(), f_base.result())
+        return f_cur.result(), f_base.result()
+
+
+def q_compat_gate_orders(spark, sf_dir):
+    """Schema-evolution compatibility gate (profiling/compat.py): the
+    schema_diff rows classified with the BACKWARD-policy severity —
+    the Avro/Iceberg-style "may this batch land" decision re-expressed
+    for the engine's observed-profile lattice (the gate a user of the
+    reference's infer → emit → re-check loop applies between two runs
+    of it).  Same two concurrent profile scans as schema_diff_orders,
+    then a pure driver-side O(columns) classification.  The DuckDB
+    oracle wraps the schema_diff re-derivation with the identical
+    severity CASE map."""
+    from drivel_spark.profiling import COMPAT_SCHEMA, compat_report
+
+    cur_prof, base_prof = _schema_diff_profile_pair(spark, sf_dir)
+    rows = compat_report(cur_prof, base_prof)
     return spark.createDataFrame(
         [
-            (r["column"], r["change"], r["before"], r["after"], r["detail"])
+            (
+                r["column"], r["change"], r["before"], r["after"],
+                r["detail"], r["severity"],
+            )
             for r in rows
         ],
-        DIFF_SCHEMA,
+        COMPAT_SCHEMA,
     ).orderBy("column", "change")
 
 
@@ -4207,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": q_repetition_documents,
         "stable_split_documents": q_stable_split_documents,
         "schema_diff_orders": q_schema_diff_orders,
+        "compat_gate_orders": q_compat_gate_orders,
         "stratified_sample_documents": q_stratified_sample_documents,
         "chunking_documents": q_chunking_documents,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -4491,7 +4529,7 @@ def oracle_sql() -> dict[str, str]:
             ("_rows_any_violation", "c_any"),
         )
     ) + " ORDER BY \"constraint\", partition_id"
-    return {
+    sqls = {
         "profile_lineitem_numeric": profile_numeric,
         "profile_strings": profile_strings,
         "null_ratio_events": null_ratio,
@@ -6653,3 +6691,17 @@ def oracle_sql() -> dict[str, str]:
         # read the side-tables exported by their queries (see
         # _export_oracle); clips_validation_passfail is closed-form
     }
+    # compat gate = the schema_diff rows + the BACKWARD severity map
+    # (profiling/compat.py SEVERITY_BACKWARD) — the oracle wraps the
+    # schema_diff re-derivation with the identical CASE classification
+    sqls["compat_gate_orders"] = f"""
+        SELECT d.*, CASE d.change
+            WHEN 'column_removed' THEN 'block'
+            WHEN 'type_changed' THEN 'block'
+            WHEN 'nulls_appeared' THEN 'block'
+            WHEN 'format_changed' THEN 'block'
+            WHEN 'column_added' THEN 'ok'
+            ELSE 'warn' END AS severity
+        FROM ({sqls["schema_diff_orders"]}) d
+        ORDER BY "column", change"""
+    return sqls

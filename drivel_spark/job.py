@@ -311,6 +311,22 @@ def cmd_diff(args) -> dict:
         }
     cols = _profile_columns(df, args.columns)
     prof = profile(df, columns=cols, arrow_batch=_narrow_batch(df, cols))
+    if getattr(args, "gate", False):
+        # compat gate: same diff rows + a severity each, folded to the
+        # table-level verdict — the CI decision "may this batch land"
+        from drivel_spark.profiling import compat_report, compat_verdict
+
+        changes = compat_report(prof, baseline)
+        out = {
+            "job": "diff",
+            "data": ref,
+            "baseline": args.baseline,
+            "n_rows": prof.acc.n_rows,
+            "n_changes": len(changes),
+            "changes": changes,
+        }
+        out.update(compat_verdict(changes))
+        return out
     changes = diff_profiles(prof, baseline)
     return {
         "job": "diff",
@@ -1471,6 +1487,10 @@ def main(argv=None) -> None:
     sdf.add_argument("--baseline", required=True,
                      help="baseline profile pickle from the `baseline` verb")
     sdf.add_argument("--columns", default=None, help="comma-separated subset")
+    sdf.add_argument("--gate", action="store_true",
+                     help="classify each change with a backward-compat "
+                          "severity (profiling/compat.py) and emit the "
+                          "table-level verdict / gate_passed fields")
 
     sd = sub.add_parser("describe")
     sd.add_argument("--data", default=None, help="path or iceberg:db.tbl")

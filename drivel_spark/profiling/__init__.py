@@ -2,6 +2,12 @@
 mapInPandas seqOp, tree combine, TableProfile result object."""
 
 from .accumulator import ProfilerOptions, TableAccumulator, make_column_acc
+from .compat import (
+    COMPAT_SCHEMA,
+    SEVERITY_BACKWARD,
+    compat_report,
+    compat_verdict,
+)
 from .diff import DIFF_SCHEMA, diff_profiles
 from .grouped import grouped_drift, grouped_profile
 from .profiler import (
@@ -17,6 +23,10 @@ __all__ = [
     "TableAccumulator",
     "make_column_acc",
     "TableProfile",
+    "COMPAT_SCHEMA",
+    "SEVERITY_BACKWARD",
+    "compat_report",
+    "compat_verdict",
     "DIFF_SCHEMA",
     "diff_profiles",
     "grouped_profile",

@@ -207,6 +207,38 @@ def test_diff_verb_baseline_roundtrip(spark, tmp_path):
     assert rt["n_changes"] == 0
 
 
+def test_diff_gate_verb(spark, tmp_path):
+    """diff --gate: the same CLI diff plus a severity per change and
+    the table-level verdict/gate_passed fields — a dropped column
+    blocks, added column + widened range alone only warn/ok."""
+    from pyspark.sql import functions as F
+
+    from drivel_spark.job import cmd_baseline, cmd_diff
+
+    db = tmp_path / "db"
+    clips = build_clips(spark, 300, 4, ClipFixtureSpec(with_audio=False))
+    clips.write.parquet(str(db / "clips"))
+    base_pkl = str(tmp_path / "base.pkl")
+    cmd_baseline(argparse.Namespace(data=str(db), out=base_pkl))
+
+    breaking = str(tmp_path / "breaking")
+    clips.drop("codec").withColumn("origin", F.lit("b7")).write.parquet(breaking)
+    out = cmd_diff(argparse.Namespace(
+        data=None, clips=breaking, baseline=base_pkl, columns=None, gate=True,
+    ))
+    assert out["verdict"] == "block" and out["gate_passed"] is False
+    assert {c["severity"] for c in out["changes"]} >= {"block", "ok"}
+    assert out["n_block"] >= 1 and out["n_ok"] >= 1
+
+    benign = str(tmp_path / "benign")
+    clips.withColumn("origin", F.lit("b7")).write.parquet(benign)
+    out2 = cmd_diff(argparse.Namespace(
+        data=None, clips=benign, baseline=base_pkl, columns=None, gate=True,
+    ))
+    assert out2["gate_passed"] is True and out2["verdict"] == "ok"
+    assert all(c["severity"] == "ok" for c in out2["changes"])
+
+
 def test_track_stream_verb(spark, tmp_path):
     """track-stream job verb: keyed online tracking over a growing
     source; second invocation with the same checkpoint resumes state

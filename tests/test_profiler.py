@@ -212,6 +212,85 @@ def test_diff_profiles_change_kinds(spark):
     assert diff_profiles(profile(base_df), profile(base_df)) == []
 
 
+def test_compat_report_and_verdict(spark):
+    """Compat gate over the same change construction: every diff row
+    gets its documented BACKWARD severity, the verdict is the worst
+    severity present, overrides re-pin kinds, and bad overrides fail
+    loudly (profiling/compat.py)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from drivel_spark.profiling import (
+        SEVERITY_BACKWARD,
+        compat_report,
+        compat_verdict,
+        diff_profiles,
+        profile,
+    )
+
+    base_df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("s"),
+        F.when(F.col("id") % 2 == 0, "red").otherwise("blue").alias("e"),
+        F.col("id").alias("gone"),
+    )
+    cur_df = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("k"),                    # block
+        F.when(F.col("id") % 4 == 0, (F.col("id") % 100) * 3.0 - 50.0)
+        .otherwise((F.col("id") % 100).cast("double")).alias("v"),  # warn
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.concat(F.lit("user"), F.col("id").cast("string")))
+        .alias("s"),                                              # block+warn
+        F.when(F.col("id") % 3 == 0, "green")
+        .when(F.col("id") % 2 == 0, "red").otherwise("blue").alias("e"),  # warn
+        F.lit("web").alias("added"),                              # ok
+    )
+    cur_p, base_p = profile(cur_df), profile(base_df)
+    rep = compat_report(cur_p, base_p)
+
+    # report = diff rows + severity, nothing else reordered or dropped
+    plain = diff_profiles(cur_p, base_p)
+    assert [{k: v for k, v in r.items() if k != "severity"} for r in rep] == plain
+    for r in rep:
+        assert r["severity"] == SEVERITY_BACKWARD[r["change"]]
+    by = {(r["column"], r["change"]): r["severity"] for r in rep}
+    assert by[("k", "type_changed")] == "block"
+    assert by[("s", "nulls_appeared")] == "block"
+    assert by[("gone", "column_removed")] == "block"
+    assert by[("added", "column_added")] == "ok"
+    assert by[("v", "range_widened_hi")] == "warn"
+    assert by[("e", "enum_variants_added")] == "warn"
+
+    v = compat_verdict(rep)
+    assert v["verdict"] == "block" and v["gate_passed"] is False
+    assert v["n_ok"] + v["n_warn"] + v["n_block"] == len(rep)
+    assert v["n_block"] >= 3 and v["n_ok"] >= 1
+
+    # overrides re-pin a kind; the verdict follows the worst present
+    only_warn = [r for r in rep if r["column"] in ("v", "e")]
+    assert compat_verdict(only_warn)["verdict"] == "warn"
+    repinned = compat_report(
+        cur_p, base_p, severity_overrides={"enum_variants_added": "block"}
+    )
+    assert {r["severity"] for r in repinned if r["change"] == "enum_variants_added"} == {"block"}
+
+    # identical profiles: empty report, ok verdict, gate passes
+    empty = compat_report(base_p, base_p)
+    assert empty == []
+    v0 = compat_verdict(empty)
+    assert v0 == {
+        "n_ok": 0, "n_warn": 0, "n_block": 0,
+        "verdict": "ok", "gate_passed": True,
+    }
+
+    # typos cannot silently weaken the gate
+    with _pytest.raises(ValueError, match="unknown change kind"):
+        compat_report(cur_p, base_p, severity_overrides={"nope": "ok"})
+    with _pytest.raises(ValueError, match="severity must be one of"):
+        compat_report(cur_p, base_p, severity_overrides={"type_changed": "meh"})
+
+
 def test_table_profile_merge_equals_union_profile(spark):
     """profile(A).merge(profile(B)) ≡ profile(A ∪ B) on every scalar
     stat and within sketch tolerance on quantiles/distincts — the

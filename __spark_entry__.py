@@ -2977,13 +2977,21 @@ def q_retrieval_recall_embeddings(spark, sf_dir):
     )
     dim = len(e.select("emb_d").first()[0])
     indexed, planes = build_lsh_index(e, dim=dim, n_planes=6, vec_col="emb_d")
-    cents = train_ivf_centroids(
-        e, n_centroids=8, sample_n=20000, iters=10, vec_col="emb_d"
-    )
+    # the two quantizer trainings are independent bounded-sample Spark
+    # jobs — overlap them on driver threads like the recall fan-out
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cents = pool.submit(
+            train_ivf_centroids, e, n_centroids=8, sample_n=20000,
+            iters=10, vec_col="emb_d",
+        )
+        f_books = pool.submit(
+            train_pq_codebooks, e, dim=dim, m=8, k=16, sample_n=20000,
+            iters=8, vec_col="emb_d",
+        )
+        cents, books = f_cents.result(), f_books.result()
     assigned = assign_ivf(e, cents, vec_col="emb_d")
-    books = train_pq_codebooks(
-        e, dim=dim, m=8, k=16, sample_n=20000, iters=8, vec_col="emb_d"
-    )
     coded = assign_pq(e, books, vec_col="emb_d")
 
     qrows = e.select("vec_id", "emb_d").orderBy("vec_id").limit(3).collect()

@@ -522,37 +522,59 @@ def retrieval_recall_report(
     DataFrame`` carrying ``id_col`` (e.g. closures over ann_topk /
     ivf_topk / pq_topk and their trained structures).  ``query_vecs``
     is a BOUNDED list of ``(query_id, vector)`` pairs: the harness is a
-    driver-side loop over n_queries × n_methods jobs BY DESIGN — each
-    individual retrieval is fully distributed, and the loop is O(eval
-    sample), the same bounded-evaluation contract as the deterministic
-    training samples above.  Size it like a hold-out set, never like
-    the table.
+    driver-side fan-out over n_queries × n_methods jobs BY DESIGN —
+    each individual retrieval is fully distributed, the jobs run
+    CONCURRENTLY on driver threads (wall = max, not sum), and the
+    fan-out is O(eval sample), the same bounded-evaluation contract as
+    the deterministic training samples above.  Size it like a hold-out
+    set, never like the table.
 
     Returns one row per (method, query): n_truth, n_returned, n_hit,
     recall = |approx ∩ exact| / k.  ``include_ids=True`` appends the
     returned id list (retrieval order) — the hook the contract query's
     oracle export uses; recall semantics are unchanged."""
     spark = df.sparkSession
-    rows = []
-    for qid, qv in query_vecs:
-        truth = {
+    # each (query, method) retrieval and each exact-truth top-k is a
+    # small independent Spark job: submit them all concurrently on
+    # driver threads (the engine's validate pass-2 pattern) instead of
+    # a sequential loop — wall time becomes max(job) not sum(job).
+    # Worker cap 8 matches the per-JVM Arrow stream cap (config.py).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _truth(qv):
+        return {
             r[id_col]
             for r in cosine_topk(
                 df, qv, k=k, vec_col=vec_col, id_col=id_col
             ).collect()
         }
-        for name, fn in methods.items():
-            got = [r[id_col] for r in fn(qv, k).collect()]
-            n_hit = len(set(got) & truth)
-            row = (
-                name,
-                int(qid),
-                len(truth),
-                len(got),
-                n_hit,
-                round(n_hit / float(k), 6),
-            )
-            rows.append(row + (got,) if include_ids else row)
+
+    def _got(fn, qv):
+        return [r[id_col] for r in fn(qv, k).collect()]
+
+    n_jobs = len(query_vecs) * (1 + len(methods))
+    with ThreadPoolExecutor(max_workers=max(1, min(8, n_jobs))) as pool:
+        truth_f = {qid: pool.submit(_truth, qv) for qid, qv in query_vecs}
+        got_f = {
+            (name, qid): pool.submit(_got, fn, qv)
+            for qid, qv in query_vecs
+            for name, fn in methods.items()
+        }
+        rows = []
+        for qid, qv in query_vecs:  # deterministic assembly order
+            truth = truth_f[qid].result()
+            for name in methods:
+                got = got_f[(name, qid)].result()
+                n_hit = len(set(got) & truth)
+                row = (
+                    name,
+                    int(qid),
+                    len(truth),
+                    len(got),
+                    n_hit,
+                    round(n_hit / float(k), 6),
+                )
+                rows.append(row + (got,) if include_ids else row)
     schema = (
         "method string, query_id long, n_truth int, n_returned int, "
         "n_hit int, recall double"

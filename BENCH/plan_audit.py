@@ -1428,6 +1428,66 @@ def main() -> None:
         )
     )
 
+    # 50. benchmark decontamination: the 10^12-doc training side must
+    # flag itself with a BROADCAST left-semi join on its exploded
+    # 13-grams — no shuffle of the big side, no Python anywhere
+    from drivel_spark.ops import decontaminate_flags
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    dec = decontaminate_flags(docs, bench, n=13).select(
+        "doc_id", "is_contaminated"
+    )
+    p = fmt(dec)
+    read_schemas = re.findall(r"ReadSchema: \S+", p)
+    sections.append(
+        (
+            "Benchmark decontamination (broadcast 13-gram semi-join)",
+            p,
+            [
+                "training side flags itself via broadcast semi-join "
+                "(no big-side shuffle): "
+                + ("PASS" if "BroadcastHashJoin" in p and "LeftSemi" in p
+                   else "FAIL"),
+                "pure Catalyst n-grams (no EvalPython): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "scans pruned to (doc_id, text) — no stray columns: "
+                + ("PASS" if read_schemas and all(
+                    "lang" not in rs and "n_chars" not in rs
+                    for rs in read_schemas
+                ) else "FAIL"),
+            ],
+        )
+    )
+
+    # 51. bloom referential pre-filter: probe = ONE Arrow-vectorized
+    # stage over the broadcast bitmap; misses are orphans with ZERO
+    # shuffle — the only join in the whole plan is the exact confirm
+    # of the hit set
+    from drivel_spark.constraints.bloom import referential_bloom
+
+    rb = referential_bloom(li, "l_orderkey", orders, "o_orderkey")
+    p = fmt(rb)
+    join_nodes = re.findall(
+        r"\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p
+    )
+    sections.append(
+        (
+            "Bloom referential pre-filter (broadcast bitmap probe + exact confirm)",
+            p,
+            [
+                "probe is Arrow-vectorized (ArrowEvalPython, never "
+                "row-at-a-time BatchEvalPython): "
+                + ("PASS" if "ArrowEvalPython" in p
+                   and "BatchEvalPython" not in p else "FAIL"),
+                "miss path is join-free — the plan's only join is the "
+                "hit-set exact confirm (left_anti): "
+                + ("PASS" if len(join_nodes) == 1 and "LeftAnti" in p
+                   else f"FAIL ({len(join_nodes)} join nodes)"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

@@ -281,6 +281,15 @@ def cmd_diff(args) -> dict:
     ref = args.clips or f"{args.data}/clips"
     df = read_table(spark, ref)
     if isinstance(baseline, dict) and "groups" in baseline:
+        if getattr(args, "gate", False):
+            # fail loudly instead of silently ignoring the flag: the
+            # compat severity map is defined over table-level diffs
+            raise SystemExit(
+                "diff --gate needs a table-level baseline; this pickle "
+                "is a grouped baseline (baseline --by). Re-run baseline "
+                "without --by to gate, or run diff without --gate for "
+                "the per-group drift report."
+            )
         # grouped baseline → per-group drift report (grouped_drift):
         # per-group KS/PSI/W1/chi2 + added/removed groups, one scan
         from drivel_spark.profiling import grouped_drift, grouped_profile

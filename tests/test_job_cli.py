@@ -5,6 +5,8 @@ import argparse
 import json
 import os
 
+import pytest
+
 from drivel_spark.fixtures import ClipFixtureSpec, build_clips
 
 
@@ -237,6 +239,18 @@ def test_diff_gate_verb(spark, tmp_path):
     ))
     assert out2["gate_passed"] is True and out2["verdict"] == "ok"
     assert all(c["severity"] == "ok" for c in out2["changes"])
+
+    # --gate on a GROUPED baseline fails loudly instead of silently
+    # ignoring the flag (the severity map is table-level)
+    grouped_pkl = str(tmp_path / "grouped.pkl")
+    cmd_baseline(argparse.Namespace(
+        data=str(db), out=grouped_pkl, by="codec", columns=None,
+    ))
+    with pytest.raises(SystemExit, match="table-level baseline"):
+        cmd_diff(argparse.Namespace(
+            data=str(db), clips=None, baseline=grouped_pkl, columns=None,
+            gate=True,
+        ))
 
 
 def test_track_stream_verb(spark, tmp_path):

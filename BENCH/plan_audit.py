@@ -1488,6 +1488,81 @@ def main() -> None:
         )
     )
 
+    # 20. skew-safe per-key cap: two pure-Catalyst window stages, the
+    # salted pre-window spreading the hot key over (key, salt), no
+    # Python anywhere in the plan
+    from drivel_spark.ops import cap_rows_per_key
+
+    docs_c = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    capped = cap_rows_per_key(
+        docs_c, ["source"], 20, [F.desc("n_chars"), F.asc("doc_id")],
+        salt_source="doc_id", buckets=16,
+    )
+    p = fmt(capped)
+    tree = p.split("\n\n")[0]
+    n_windows = tree.count("Window (")
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    salted_first = any("__cap_salt" in e for e in exchanges[:1])
+    sections.append(
+        (
+            "Skew-safe per-key cap (salted two-phase window prune)",
+            p,
+            [
+                "two window stages (salted pre-prune, then final per-key "
+                "rank): " + ("PASS" if n_windows == 2 else f"FAIL ({n_windows})"),
+                "rank-limit pushdown: WindowGroupLimit prunes each sort "
+                "to the top-n BEFORE the full window evaluates: "
+                + ("PASS" if "WindowGroupLimit" in tree else "FAIL"),
+                "first exchange partitions on (key, salt) — the hot key "
+                "is spread before any single-key window runs: "
+                + ("PASS" if salted_first else f"FAIL ({exchanges[:1]})"),
+                "pure Catalyst — no Python eval node: "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
+    # 21. semantic dedup: exactly one Arrow eval (the GEMM assignment),
+    # the prune join keyed on cluster (never a cartesian), no
+    # row-at-a-time Python
+    from drivel_spark.ops import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    sd = semantic_dedup(emb, n_clusters=4, tau=0.5, sample_n=2000, iters=4)
+    p = fmt(sd)
+    # the ranked assignment is persisted (3 consumer branches; pruning
+    # defeats exchange reuse), so the GEMM appears once inside the
+    # InMemoryRelation's plan — per rendered plan section (final +
+    # initial), never per join branch
+    n_arrow = len(
+        set(re.findall(r"ArrowEvalPython \((\d+)\)", p))
+        | set(re.findall(r"\((\d+)\) ArrowEvalPython", p))
+    )
+    sections.append(
+        (
+            "Semantic dedup (cluster-then-prune, SemDeDup-style)",
+            p,
+            [
+                "one Arrow eval per data pass — the centroid-assignment "
+                "GEMM (plus its initial-plan rendering); the "
+                "nondeterministic marker stops Catalyst duplicating it "
+                "into the join's isnotnull filter: "
+                + ("PASS" if 1 <= n_arrow <= 2 else f"FAIL ({n_arrow})"),
+                "ranked assignment computed ONCE for the three consumer "
+                "branches (InMemoryRelation persist barrier): "
+                + ("PASS" if "InMemoryRelation" in p else "FAIL"),
+                "no CartesianProduct/BroadcastNestedLoop anywhere: "
+                + ("PASS" if "CartesianProduct" not in p
+                   and "BroadcastNestedLoop" not in p else "FAIL"),
+                "no row-at-a-time Python (BatchEvalPython): "
+                + ("PASS" if "BatchEvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+    sd.unpersist()
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

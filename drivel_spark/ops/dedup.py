@@ -913,6 +913,164 @@ def embedding_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (cluster-then-prune, SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, v, cluster, centroid_sim): nearest spherical-k-means
+    centroid + the cosine to it.  The argmax is one batch GEMM per
+    Arrow batch (vectorized pandas UDF returning a single int — a
+    struct-returning UDF would be re-evaluated once per extracted
+    field AND per self-join branch downstream); the similarity VALUE
+    is then pure Catalyst — a broadcast join to the O(n_clusters)
+    centroid table and :func:`cosine_expr` against the joined row —
+    so the semantic-dedup pipeline carries exactly one Python eval.
+    ``centroid_sim`` is rounded to 6 decimals so the downstream
+    priority rank is replayable bit-for-bit by any engine reading the
+    exported assignment."""
+    from .similarity import _l2_normalize
+
+    cents = _l2_normalize(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return pd.Series(np.argmax((x / norms) @ cents.T, axis=1).astype(np.int32))
+
+    # deterministic in fact, but marked nondeterministic so Catalyst
+    # cannot duplicate the GEMM into the join's inferred
+    # isnotnull(cluster) filter (two ArrowEval passes over every batch)
+    _assign = _assign.asNondeterministic()
+
+    cent_rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+    cent_df = df.sparkSession.createDataFrame(
+        cent_rows, "cluster int, __cent array<double>"
+    )
+    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("cluster", _assign(F.col("v")))
+        .join(F.broadcast(cent_df), "cluster")
+        .select(
+            "id", "v", "cluster",
+            F.round(
+                F.coalesce(cosine_expr(vd, F.col("__cent")), F.lit(0.0)), 6
+            ).alias("centroid_sim"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    tau: float = 0.9,
+    keep: str = "low_centroid_sim",
+    sample_n: int = 20000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids=None,
+    eager: bool = True,
+) -> DataFrame:
+    """Semantic (embedding-space) dedup by cluster-then-prune — the
+    SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embeddings, and WITHIN each cluster flag every row that is
+    cosine-≥-tau similar to a higher-priority row.  Complements the
+    LSH near-dup path (:func:`embedding_near_dup_pairs`): LSH finds
+    near-copies at very high thresholds; semantic dedup prunes
+    *redundant meaning* at lower tau, where all-pairs LSH banding
+    stops being selective — the clustering IS the blocking.
+
+    Priority (``keep``): ``"low_centroid_sim"`` (paper default — keeps
+    cluster outliers, preserving diversity), ``"high_centroid_sim"``,
+    or ``"min_id"``.  The prune is the paper's triangular rule, NOT a
+    transitive closure: rank the cluster by priority; row i is a dup
+    iff some j with rank(j) < rank(i) has cos(i, j) ≥ tau.  That makes
+    the whole decision replayable in ANSI SQL (no recursion), and the
+    survivor set deterministic — ranks tie-break on id over the
+    6-decimal-rounded centroid similarity.
+
+    Returns (id, cluster, centroid_sim, prio, is_dup) — filter
+    ``~is_dup`` for survivors.
+
+    Scale shape: quantizer trained on a bounded deterministic sample
+    (driver numpy, kilobytes — same regime as IVF); assignment is one
+    narrow Arrow pass; the rank is a per-cluster window (one shuffle on
+    cluster); the prune is ONE within-cluster self-join whose work is
+    O(Σ cluster_size²) — bounded by choosing ``n_clusters ≈ n /
+    target_cluster_size`` (the paper runs 50k clusters at 10^8 rows;
+    cluster granularity, not corpus size, sets the cost).  No all-pairs
+    path exists: rows only ever meet inside their cluster.
+
+    The ranked assignment feeds THREE plan branches (both prune-join
+    sides + the flag attach), and column pruning differentiates their
+    exchanges enough to defeat AQE exchange reuse — so with
+    ``eager=True`` (default) it is persisted once, the output is
+    materialized, and the intermediate cache released (the
+    shingle_table contract; at cluster scale this persist is the
+    assignment table a pipeline would write between stages).
+    ``eager=False`` leaves the lazy plan and attaches the cache as
+    ``_drivel_cache`` for the caller to release.
+    """
+    if keep not in ("low_centroid_sim", "high_centroid_sim", "min_id"):
+        raise ValueError(f"unknown keep rule: {keep!r}")
+    from .similarity import train_ivf_centroids
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_centroids=n_clusters, sample_n=sample_n, iters=iters,
+            seed=seed, vec_col=vec_col, id_col=id_col,
+        )
+    assigned = semantic_dedup_assign(df, centroids, vec_col, id_col)
+
+    from pyspark.sql import Window
+
+    order = {
+        "low_centroid_sim": [F.asc("centroid_sim"), F.asc("id")],
+        "high_centroid_sim": [F.desc("centroid_sim"), F.asc("id")],
+        "min_id": [F.asc("id")],
+    }[keep]
+    w = Window.partitionBy("cluster").orderBy(*order)
+    ranked = assigned.withColumn("prio", F.row_number().over(w)).persist()
+
+    a, b = ranked.alias("a"), ranked.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.prio") < F.col("a.prio"))
+            & (
+                F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+                >= F.lit(float(tau))
+            ),
+            "left_semi",
+        )
+        .select(F.col("a.id").alias("id"))
+        .withColumn("is_dup", F.lit(True))
+    )
+    out = (
+        ranked.join(dups, "id", "left")
+        .select(
+            F.col("id").alias(id_col), "cluster", "centroid_sim", "prio",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+    out._drivel_cache = ranked
+    if eager:
+        return _materialize(out, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # keyed latest-version compaction (batch CDC upsert)
 # ---------------------------------------------------------------------------
 

@@ -199,6 +199,75 @@ def key_skew_report(df, key_col: str, top_k: int = 20):
     )
 
 
+def cap_rows_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    order_by: list,
+    salt_source: str | Column | None = None,
+    buckets: int = DEFAULT_SALT_BUCKETS,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """EXACT priority-ordered per-key row cap — "keep at most ``n``
+    rows per key, preferring rows that sort first under ``order_by``".
+    The per-domain / per-source cap every crawl-derived training
+    corpus applies (a handful of hosts otherwise dominate the token
+    budget), and the generalization of :func:`~drivel_spark.ops.
+    splits.sample_k_per_group` from hash order to an arbitrary
+    caller-supplied priority (keep the longest / highest-quality /
+    newest rows, not a uniform draw).
+
+    ``order_by`` must be a per-key TOTAL order (append the unique id
+    as the last sort key) — that is what makes the result
+    deterministic and lets any ANSI engine replay it with
+    ``row_number() OVER (PARTITION BY key ORDER BY ...) <= n``.
+
+    Scale shape — the hot-key problem a naive single window has
+    (every row of a 70%-hot key converging on ONE window partition)
+    is removed with a salted two-phase prune, and EXACTLY, not
+    approximately: for any partition of a key's rows, the global
+    top-n under a total order is contained in the union of the
+    per-part top-n's.  So
+
+      phase 1: window over (keys, salt) — salt deterministic from a
+               row-unique column — keeps rank ≤ n per (key, salt),
+               bounding ANY key at buckets·n rows;
+      phase 2: window over keys alone re-ranks the ≤ buckets·n
+               survivors and keeps the true top n.
+
+    Both windows are plain Catalyst; phase 1 spreads the hot key over
+    ``buckets`` reducers, phase 2's per-key input is O(buckets·n)
+    regardless of corpus size.  With ``salt_source=None`` the
+    pre-prune is skipped (correct, but hot keys funnel — only for
+    known-unskewed keys).  ``rank_col`` optionally materializes the
+    final 1-based priority rank.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    from pyspark.sql import Window
+
+    def _cols(spec):
+        return [F.col(c) if isinstance(c, str) else c for c in spec]
+
+    order = _cols(order_by)
+    out = df
+    if salt_source is not None:
+        out = with_salt(out, salt_source, buckets, salt_col="__cap_salt")
+        w1 = Window.partitionBy(*_cols(key_cols), "__cap_salt").orderBy(*order)
+        out = (
+            out.withColumn("__cap_rn1", F.row_number().over(w1))
+            .where(F.col("__cap_rn1") <= n)
+            .drop("__cap_rn1", "__cap_salt")
+        )
+    w2 = Window.partitionBy(*_cols(key_cols)).orderBy(*order)
+    out = out.withColumn("__cap_rn", F.row_number().over(w2)).where(
+        F.col("__cap_rn") <= n
+    )
+    if rank_col is None:
+        return out.drop("__cap_rn")
+    return out.withColumnRenamed("__cap_rn", rank_col)
+
+
 def group_anomaly_report(
     df,
     group_col: str,

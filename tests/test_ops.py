@@ -3526,3 +3526,173 @@ def test_encoding_report_counts(spark):
     assert got[5].is_suspect is False and got[5].n_replacement is None
     assert got[6].artifact_ratio == 0.0 and got[6].is_suspect is False
     assert got[3].artifact_ratio == round(2 / len("bad\ufffddecode\ufffd"), 6)
+
+
+def test_cap_rows_per_key(spark):
+    """Salted two-phase cap EQUALS the naive single-window cap on a
+    hot-key table for every bucket count; priority order is honored;
+    rank_col materializes the final rank."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from drivel_spark.ops import cap_rows_per_key
+
+    # hot key "h" owns 80% of the table; priority = highest score first
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "id": range(n),
+            "key": ["h"] * 400 + ["m"] * 90 + ["t"] * 10,
+            "score": [(i * 37) % 101 for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    naive = (
+        df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(F.desc("score"), F.asc("id"))
+            ),
+        )
+        .where(F.col("rn") <= 25)
+        .drop("rn")
+    )
+    want = sorted(map(tuple, naive.toPandas().itertuples(index=False)))
+    for buckets in (1, 4, 64):
+        got = cap_rows_per_key(
+            df, ["key"], 25, order, salt_source="id", buckets=buckets
+        ).toPandas()
+        assert sorted(map(tuple, got.itertuples(index=False))) == want, buckets
+    # unsalted path (salt_source=None) agrees too
+    got0 = cap_rows_per_key(df, ["key"], 25, order, salt_source=None).toPandas()
+    assert sorted(map(tuple, got0.itertuples(index=False))) == want
+    # groups smaller than n keep every row
+    sizes = got0.groupby("key").size().to_dict()
+    assert sizes == {"h": 25, "m": 25, "t": 10}
+    # rank_col: rank 1 is the per-key best row under the order
+    ranked = cap_rows_per_key(
+        df, ["key"], 3, order, salt_source="id", rank_col="prio"
+    ).toPandas()
+    best_h = ranked[(ranked.key == "h") & (ranked.prio == 1)]
+    hh = pdf[pdf.key == "h"]
+    top = hh.sort_values(["score", "id"], ascending=[False, True]).iloc[0]
+    assert int(best_h.iloc[0]["id"]) == int(top["id"])
+    with pytest.raises(ValueError, match="n must"):
+        cap_rows_per_key(df, ["key"], 0, order, salt_source="id")
+
+
+def test_cap_rows_per_key_randomized(spark):
+    """Randomized brute-force: salted cap == pandas groupwise head(n)
+    under the same total order, across random skewed tables."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from drivel_spark.ops import cap_rows_per_key
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        m = int(rng.integers(50, 300))
+        keys = rng.choice(["a", "b", "c", "hot"], size=m, p=[0.1, 0.1, 0.1, 0.7])
+        pdf = pd.DataFrame(
+            {
+                "id": range(m),
+                "k": keys,
+                "v": rng.integers(0, 20, size=m),
+            }
+        )
+        cap = int(rng.integers(1, 8))
+        df = spark.createDataFrame(pdf).repartition(5)
+        got = cap_rows_per_key(
+            df, ["k"], cap, [F.asc("v"), F.asc("id")], salt_source="id",
+            buckets=8,
+        ).toPandas()
+        want = (
+            pdf.sort_values(["v", "id"])
+            .groupby("k", group_keys=False)
+            .head(cap)
+        )
+        assert sorted(got["id"]) == sorted(want["id"]), (trial, cap)
+
+
+def _semdedup_brute(ids, mat, clusters, csims, tau, order="low"):
+    """Local replay of the triangular SemDeDup rule."""
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    flagged = set()
+    for c in set(clusters):
+        members = [i for i in range(len(ids)) if clusters[i] == c]
+        key = (lambda i: (csims[i], ids[i])) if order == "low" else (
+            lambda i: (-csims[i], ids[i]))
+        members.sort(key=key)
+        for pos, i in enumerate(members):
+            for j in members[:pos]:
+                if round(float(unit[i] @ unit[j]), 6) >= tau:
+                    flagged.add(ids[i])
+                    break
+    return flagged
+
+
+def test_semantic_dedup(spark):
+    """Cluster-then-prune flags exactly the brute-force triangular
+    rule's dup set; keep-rule variants change survivors; exported
+    assignment drives a bit-for-bit local replay."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.ops import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    # two well-separated blobs + planted near-copies inside each
+    base = np.vstack(
+        [
+            rng.normal(loc=5.0, scale=1.0, size=(30, 8)),
+            rng.normal(loc=-5.0, scale=1.0, size=(30, 8)),
+        ]
+    )
+    copies = base[[0, 3, 35, 40]] + rng.normal(scale=0.01, size=(4, 8))
+    mat = np.vstack([base, copies]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(mat)), "embedding": [list(map(float, v)) for v in mat]}
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    out = semantic_dedup(
+        df, n_clusters=2, tau=0.999, sample_n=1000, iters=10, seed=3
+    ).toPandas().sort_values("vec_id")
+    # replay the rule locally from the op's own assignment columns
+    flagged = _semdedup_brute(
+        out["vec_id"].tolist(),
+        np.asarray(mat, dtype=np.float64),
+        out["cluster"].tolist(),
+        out["centroid_sim"].tolist(),
+        0.999,
+    )
+    got = set(out[out.is_dup]["vec_id"])
+    assert got == flagged and len(got) >= 4, (got, flagged)
+    # the planted copies and their originals are same-cluster pairs:
+    # exactly one of each (original, copy) pair survives
+    for orig, cp in [(0, 60), (3, 61), (35, 62), (40, 63)]:
+        dup_flags = set(out[out.vec_id.isin([orig, cp])]["is_dup"])
+        assert dup_flags == {True, False}, (orig, cp)
+    # keep="min_id" keeps the lower id of each planted pair
+    out2 = semantic_dedup(
+        df, n_clusters=2, tau=0.999, sample_n=1000, iters=10, seed=3,
+        keep="min_id",
+    ).toPandas()
+    for orig, cp in [(0, 60), (3, 61), (35, 62), (40, 63)]:
+        assert not out2[out2.vec_id == orig]["is_dup"].iloc[0]
+        assert out2[out2.vec_id == cp]["is_dup"].iloc[0]
+    # determinism
+    again = semantic_dedup(
+        df, n_clusters=2, tau=0.999, sample_n=1000, iters=10, seed=3
+    ).toPandas().sort_values("vec_id")
+    assert out.reset_index(drop=True).equals(again.reset_index(drop=True))
+    with pytest.raises(ValueError, match="keep rule"):
+        semantic_dedup(df, keep="best")

@@ -1563,6 +1563,52 @@ def main() -> None:
     )
     sd.unpersist()
 
+    # 22. mel features: one narrow Arrow map over (id, bytes), no shuffle
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import mel_features
+
+    clips_a = build_clips(spark, 50, 4, ClipFixtureSpec())
+    p = fmt(mel_features(clips_a))
+    sections.append(
+        (
+            "Mel filterbank + MFCC features (speech front-end)",
+            p,
+            [
+                "single Arrow-vectorized pass (MapInPandas), no "
+                "BatchEvalPython: "
+                + ("PASS" if "MapInPandas" in p
+                   and "BatchEvalPython" not in p else "FAIL"),
+                "no Exchange — features never shuffle: "
+                + ("PASS" if "Exchange" not in p.split("\n\n")[0] else "FAIL"),
+            ],
+        )
+    )
+
+    # 23. DSIR selection: the two-LM lookup broadcasts into the raw
+    # token stream; selection is TakeOrdered, never a global sort
+    from drivel_spark.ops import dsir_select
+
+    tgt = docs_c.filter(F.col("lang") == "de")
+    p = fmt(dsir_select(docs_c, tgt, n=50, top_k=100))
+    tree = p.split("\n\n")[0]
+    sections.append(
+        (
+            "DSIR importance-weighted selection",
+            p,
+            [
+                "vocab/two-LM lookup joins the token stream via "
+                "BroadcastHashJoin (the exploded stream never shuffles "
+                "for the lookup): "
+                + ("PASS" if "BroadcastHashJoin" in tree else "FAIL"),
+                "selection is TakeOrderedAndProject (top-n), not a "
+                "global Sort: "
+                + ("PASS" if "TakeOrderedAndProject" in tree else "FAIL"),
+                "pure Catalyst — no Python eval node: "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

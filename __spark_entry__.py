@@ -1207,6 +1207,25 @@ def q_lm_scores_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dsir_select_documents(spark, sf_dir):
+    """DSIR data selection (ops/selection.py dsir_importance_weights +
+    dsir_select; arXiv:2302.03169): every document's log importance
+    weight toward the 'de' sub-corpus under two add-k unigram LMs over
+    the raw top-300 vocabulary, then a deterministic Gumbel-top-100
+    resample.  The oracle re-derives the tokenization, both LMs, the
+    per-doc weight sum, the md5 Gumbel noise, and the top-k in SQL."""
+    from drivel_spark.ops import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "de")
+    out = dsir_select(docs, target, n=100, top_k=300, add_k=0.5, seed=42)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    ).orderBy("doc_id")
+
+
 def _local_snr_estimate(n: int, spec) -> "object":
     """Independent per-clip SNR-proxy oracle: stdlib-wave decode +
     direct per-frame RMS (no cumsum, no engine code) + the same LOWER
@@ -2265,6 +2284,98 @@ def _decode_clips_stdlib(n: int, spec=None):
                 / 32767.0
             )
         yield cid, i, pcm, sr
+
+
+def _local_mel_features(n: int):
+    """Independent per-clip log-mel/MFCC oracle: stdlib-wave decode
+    (float64 end-to-end — deliberately NOT the engine's float32 decode
+    path), an inline HTK filterbank and DCT-II built here from the
+    published formulas (no code shared with ops/multimodal.py), and
+    per-frame MFCCs averaged afterwards (the engine DCTs the mean —
+    equal by linearity).  Float32-vs-float64 decode noise is ~2e-7 per
+    clip, absorbed by the contract's round-to-4 aggregates."""
+    import numpy as np
+    import pandas as pd
+
+    n_mels, n_mfcc = 24, 13
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n):
+        win, hop = round(sr * 0.025), round(sr * 0.010)
+        nf = 1 + (len(pcm) - win) // hop if len(pcm) >= win else 0
+        if nf <= 0:
+            rows.append((cid, i, sr, 0, None, None, None, None))
+            continue
+        # HTK mel edges: m = 2595·log10(1 + f/700)
+        m_lo, m_hi = 0.0, 2595.0 * np.log10(1.0 + (sr / 2.0) / 700.0)
+        edges = 700.0 * (
+            10.0 ** (np.linspace(m_lo, m_hi, n_mels + 2) / 2595.0) - 1.0
+        )
+        freqs = np.arange(win // 2 + 1) * (sr / win)
+        fb = np.zeros((n_mels, len(freqs)))
+        for m in range(n_mels):
+            lo, c, hi = edges[m : m + 3]
+            fb[m] = np.clip(
+                np.minimum((freqs - lo) / (c - lo), (hi - freqs) / (hi - c)),
+                0.0, None,
+            )
+        kk = np.arange(n_mfcc)[:, None]
+        jj = np.arange(n_mels)[None, :]
+        dct = np.cos(np.pi * kk * (2 * jj + 1) / (2 * n_mels)) * np.sqrt(
+            2.0 / n_mels
+        )
+        dct[0] *= np.sqrt(0.5)
+        h = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win) / (win - 1))
+        mfccs, logmels = [], []
+        for t in range(nf):
+            fr = pcm[t * hop : t * hop + win] * h
+            p = np.abs(np.fft.rfft(fr)) ** 2
+            lm = np.log10(fb @ p + 1e-10)
+            logmels.append(lm)
+            mfccs.append(dct @ lm)
+        lmm = np.mean(logmels, axis=0)
+        mfm = np.mean(mfccs, axis=0)
+        rows.append(
+            (cid, i, sr, nf, float(lmm[0]), float(lmm[-1]),
+             float(mfm[0]), float(mfm[1]))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "sr_hz", "n_frames",
+                 "mel_lo", "mel_hi", "c0", "c1"],
+    )
+
+
+def q_mel_features_clips(spark, sf_dir):
+    """Speech front-end features (ops/multimodal.py mel_features):
+    binary WAV → framed Hann/rFFT power → HTK log-mel (24 bands) →
+    orthonormal DCT-II MFCCs (13), per-clip means, rolled up per sr.
+    Oracled against a fully independent driver-local implementation
+    (stdlib decode, inline filterbank/DCT from the published formulas,
+    per-frame-then-mean order) aggregated by DuckDB with identical
+    rounding."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import mel_features
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_mel_features(n), "mel_features", sf_dir)
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
+    feats = mel_features(clips, bytes_col="bytes", id_cols=["clip_id"])
+    e = F.col("logmel_mean")
+    m = F.col("mfcc_mean")
+    return (
+        feats.filter(F.col("n_frames") > 0)
+        .groupBy("sr_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.round(F.avg(e[0]), 4).alias("avg_mel_lo"),
+            F.round(F.avg(e[23]), 4).alias("avg_mel_hi"),
+            F.round(F.avg(m[0]), 4).alias("avg_c0"),
+            F.round(F.avg(m[1]), 4).alias("avg_c1"),
+        )
+        .orderBy("sr_hz")
+    )
 
 
 def _local_spectral_features(n: int):
@@ -4197,6 +4308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_embeddings": q_pq_topk_embeddings,
         "retrieval_recall_embeddings": q_retrieval_recall_embeddings,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "mel_features_clips": q_mel_features_clips,
+        "dsir_select_documents": q_dsir_select_documents,
         "project_embeddings_report": q_project_embeddings,
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
         "cube_orders_status_priority": q_cube_orders_status_priority,
@@ -5726,6 +5839,16 @@ def oracle_sql() -> dict[str, str]:
             FROM m WHERE vv > 0 GROUP BY label ORDER BY label""",
         # per-sr rollup of the independently-decoded (stdlib wave)
         # per-clip features, with the same rounding as the Spark side
+        "mel_features_clips": f"""
+            SELECT sr_hz, count(*)::BIGINT AS n_clips,
+                   sum(n_frames)::BIGINT AS total_frames,
+                   round(avg(mel_lo), 4) AS avg_mel_lo,
+                   round(avg(mel_hi), 4) AS avg_mel_hi,
+                   round(avg(c0), 4) AS avg_c0,
+                   round(avg(c1), 4) AS avg_c1
+            FROM read_parquet('{ORACLE_DIR}/mel_features_sf0.01.parquet')
+            WHERE n_frames > 0
+            GROUP BY sr_hz ORDER BY sr_hz""",
         "audio_features_clips": f"""
             SELECT sr_hz, count(*)::BIGINT AS n_clips,
                    round(avg(rms), 5) AS avg_rms,
@@ -6163,6 +6286,44 @@ def oracle_sql() -> dict[str, str]:
                                 / (tot.n_total + 0.5 * 501))), 6) AS mean_logprob
             FROM toks t LEFT JOIN vocab v USING (token), tot
             GROUP BY t.doc_id ORDER BY t.doc_id""",
+        "dsir_select_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''),
+            ttoks AS (
+              SELECT unnest(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+              FROM documents
+              WHERE lang = 'de' AND text IS NOT NULL AND trim(text) <> ''),
+            cr AS (SELECT token, count(*)::BIGINT AS n_raw FROM toks GROUP BY token),
+            ct AS (SELECT token, count(*)::BIGINT AS n_tgt FROM ttoks GROUP BY token),
+            nr AS (SELECT sum(n_raw)::DOUBLE AS t FROM cr),
+            nt AS (SELECT sum(n_tgt)::DOUBLE AS t FROM ct),
+            vocab AS (
+              SELECT v.token, v.n_raw, coalesce(ct.n_tgt, 0) AS n_tgt
+              FROM (SELECT token, n_raw FROM cr
+                    ORDER BY n_raw DESC, token LIMIT 300) v
+              LEFT JOIN ct USING (token)),
+            w AS (
+              SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                     sum(ln((coalesce(v.n_tgt, 0) + 0.5) / (nt.t + 0.5 * 301))
+                         - ln((coalesce(v.n_raw, 0) + 0.5) / (nr.t + 0.5 * 301))) AS lw
+              FROM toks t LEFT JOIN vocab v USING (token), nr, nt
+              GROUP BY t.doc_id),
+            k AS (
+              SELECT doc_id, n_tokens, lw,
+                     lw - ln(-ln(
+                       (('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                        + 0.5) / 4294967296.0)) AS gk
+              FROM w)
+            SELECT doc_id, n_tokens,
+                   round(lw, 6) AS log_weight,
+                   round(gk, 6) AS gumbel_key
+            FROM (SELECT * FROM k ORDER BY gk DESC, doc_id LIMIT 100)
+            ORDER BY doc_id""",
         "snr_estimate_clips": f"""
             SELECT e.clip_id,
                    CASE WHEN e.n_frames = i.n_frames

@@ -33,6 +33,11 @@ SPECTRAL_FEATURES_SCHEMA = (
     "spectral_centroid_hz double"
 )
 
+MEL_FEATURES_SCHEMA = (
+    "n_samples long, sr_hz int, n_frames long, "
+    "logmel_mean array<double>, mfcc_mean array<double>"
+)
+
 FRAME_ENERGY_SCHEMA = (
     "n_samples long, sr_hz int, n_frames long, rms_mean double, rms_min double, "
     "rms_max double, n_active long"
@@ -157,6 +162,119 @@ def spectral_features(df: DataFrame, bytes_col: str = "bytes",
             yield pd.DataFrame({**rows, **cols})
 
     schema = _id_schema(df, id_cols) + ", " + SPECTRAL_FEATURES_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+def hz_to_mel(f):
+    """HTK mel scale: 2595·log10(1 + f/700)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    """Inverse HTK mel scale."""
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(n_mels: int, n_fft: int, sr: int,
+                   fmin: float = 0.0, fmax: Optional[float] = None) -> np.ndarray:
+    """(n_mels × (n_fft//2+1)) triangular mel filterbank — the classic
+    HTK construction: n_mels+2 mel-equally-spaced edge frequencies
+    between fmin and fmax (default sr/2), each filter a triangle over
+    rFFT bin centers k·sr/n_fft rising to 1 at its center bin."""
+    fmax = float(fmax) if fmax is not None else sr / 2.0
+    edges = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+    bins = np.arange(n_fft // 2 + 1, dtype=np.float64) * (sr / n_fft)
+    fb = np.zeros((n_mels, len(bins)), dtype=np.float64)
+    for m in range(n_mels):
+        lo, c, hi = edges[m], edges[m + 1], edges[m + 2]
+        up = (bins - lo) / (c - lo) if c > lo else np.zeros_like(bins)
+        down = (hi - bins) / (hi - c) if hi > c else np.zeros_like(bins)
+        fb[m] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+def _dct2_matrix(n_mfcc: int, n_mels: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (n_mfcc × n_mels) — the MFCC lift."""
+    k = np.arange(n_mfcc, dtype=np.float64)[:, None]
+    n = np.arange(n_mels, dtype=np.float64)[None, :]
+    mat = np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * n_mels))
+    mat *= np.sqrt(2.0 / n_mels)
+    mat[0] *= np.sqrt(0.5)
+    return mat
+
+
+def mel_features(df: DataFrame, bytes_col: str = "bytes",
+                 id_cols: Optional[list[str]] = None,
+                 n_mels: int = 24, n_mfcc: int = 13,
+                 frame_ms: int = 25, hop_ms: int = 10,
+                 fmin: float = 0.0, fmax: Optional[float] = None) -> DataFrame:
+    """Log-mel filterbank energies + MFCCs per WAV clip — the standard
+    speech/ASR front-end, summarized as per-clip MEANS over frames
+    (``logmel_mean`` array<double>[n_mels], ``mfcc_mean``
+    array<double>[n_mfcc]) so the output stays O(n_mels) per row.
+
+    Pipeline per clip, float64 throughout: [-1,1] PCM → frames of
+    round(sr·frame_ms/1000) samples every round(sr·hop_ms/1000)
+    (tail frames that don't fill a window are dropped) → symmetric
+    Hann window → |rFFT|² power spectrum (n_fft = the frame length, no
+    zero-padding) → HTK triangular mel filterbank (see
+    :func:`mel_filterbank`) → log10(energy + 1e-10) → orthonormal
+    DCT-II → first ``n_mfcc`` coefficients → mean over frames.
+
+    One narrow scan → mapInPandas (Arrow batches); no shuffle; the
+    filterbank/DCT matrices are built once per (sr, frame length) and
+    memoized inside the batch closure.  Undecodable/NULL payloads
+    yield NULL features; clips shorter than one frame keep the decode
+    facts with ``n_frames = 0`` and NULL feature arrays (the
+    frame_energy convention).
+    """
+    id_cols = id_cols or ["clip_id"]
+    nm, nc = int(n_mels), int(n_mfcc)
+    fmn, fmx = float(fmin), fmax
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        fbs: dict[tuple, np.ndarray] = {}
+        dct = _dct2_matrix(nc, nm)
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in ("n_samples", "sr_hz", "n_frames",
+                                    "logmel_mean", "mfcc_mean")}
+            for b in pdf[bytes_col]:
+                pcm = sr = None
+                if b is not None:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        pcm = None
+                if pcm is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                x = pcm.astype(np.float64)
+                win = int(round(sr * frame_ms / 1000.0))
+                hop = int(round(sr * hop_ms / 1000.0))
+                n_frames = 1 + (len(x) - win) // hop if len(x) >= win else 0
+                cols["n_samples"].append(len(x))
+                cols["sr_hz"].append(sr)
+                cols["n_frames"].append(n_frames)
+                if n_frames <= 0:
+                    cols["logmel_mean"].append(None)
+                    cols["mfcc_mean"].append(None)
+                    continue
+                key = (sr, win)
+                if key not in fbs:
+                    fbs[key] = mel_filterbank(nm, win, sr, fmn, fmx)
+                fb = fbs[key]
+                idx = (np.arange(win)[None, :]
+                       + hop * np.arange(n_frames)[:, None])
+                frames = x[idx] * np.hanning(win)[None, :]
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                logmel = np.log10(power @ fb.T + 1e-10)
+                cols["logmel_mean"].append(logmel.mean(axis=0))
+                cols["mfcc_mean"].append(logmel.mean(axis=0) @ dct.T)
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + MEL_FEATURES_SCHEMA
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 

@@ -41,6 +41,8 @@ __all__ = [
     "exact_quantile",
     "iqr_bounds",
     "value_histogram",
+    "dsir_importance_weights",
+    "dsir_select",
 ]
 
 
@@ -409,3 +411,127 @@ def value_histogram(
         (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
         "n",
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: importance-weighted data selection toward a target distribution
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 2000,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document log importance weight toward a TARGET corpus — the
+    DSIR recipe (Data Selection via Importance Resampling, Xie et al.
+    2023, arXiv:2302.03169) instantiated with the engine's smoothed
+    unigram LM (the same model/tokenization as
+    :func:`~drivel_spark.ops.text.lm_quality_scores`, so the whole
+    decision is ANSI-replayable):
+
+        log w(doc) = Σ_tokens [ log p_target(t) − log p_raw(t) ]
+
+    with both LMs add-``add_k``-smoothed over the RAW corpus's exact
+    top-``top_k`` vocabulary ((n desc, token asc) tiebreak; OOV carries
+    count 0 in both, contributing the constant log(denom_raw /
+    denom_tgt) per token).  Documents that look like the target score
+    high; raw-typical boilerplate scores ≈ n_tokens·log-ratio of the
+    background.  Weights are length-coupled (a sum, not a mean) —
+    exactly the paper's product-of-feature-probs form.
+
+    Returns (id, n_tokens, log_weight); documents with zero tokens
+    after normalization are absent (they have no features to weight).
+
+    Scale shape: one explode per corpus → partial+final token counts
+    (hot stop-tokens collapse map-side), TakeOrdered top-k vocab, ONE
+    broadcast of the O(top_k) two-LM lookup into the raw token stream
+    (which therefore never shuffles for the lookup), one groupBy(id)
+    sum.  Nothing data-sized crosses the driver.
+    """
+    from .text import normalize_text, tokens
+
+    t_raw = raw.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    )
+    t_tgt = target.select(
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token")
+    )
+    c_raw = t_raw.groupBy("token").agg(F.count(F.lit(1)).alias("n_raw"))
+    c_tgt = t_tgt.groupBy("token").agg(F.count(F.lit(1)).alias("n_tgt"))
+    n_raw_total = c_raw.agg(F.sum("n_raw")).first()[0] or 0
+    n_tgt_total = c_tgt.agg(F.sum("n_tgt")).first()[0] or 0
+    if n_raw_total == 0 or n_tgt_total == 0:
+        raise ValueError("raw/target corpus has no tokens")
+    vocab = (
+        c_raw.orderBy(F.desc("n_raw"), F.asc("token"))
+        .limit(top_k)
+        .join(c_tgt, "token", "left")
+        .select(
+            "token", "n_raw",
+            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+        )
+    )
+    d_raw = float(n_raw_total) + add_k * (top_k + 1)
+    d_tgt = float(n_tgt_total) + add_k * (top_k + 1)
+    logratio = F.log(
+        (F.coalesce(F.col("n_tgt"), F.lit(0)) + F.lit(add_k)) / F.lit(d_tgt)
+    ) - F.log(
+        (F.coalesce(F.col("n_raw"), F.lit(0)) + F.lit(add_k)) / F.lit(d_raw)
+    )
+    return (
+        t_raw.join(F.broadcast(vocab), "token", "left")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(logratio).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 2000,
+    add_k: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k resampling of ``n`` documents by
+    importance weight — sampling WITHOUT replacement from the softmax
+    of :func:`dsir_importance_weights` (the Gumbel-max trick: adding
+    i.i.d. Gumbel noise to log-weights and taking the top n draws the
+    weighted sample exactly), with the noise DETERMINISTIC per id so
+    any engine replays the draw bit-for-bit:
+
+        u(id) = (int(md5(id ':' seed)[:8 hex]) + 0.5) / 2^32   ∈ (0,1)
+        key   = log_weight + (−log(−log u))
+
+    (the +0.5 keeps u strictly inside (0,1): Spark's ln(0) is NULL
+    while DuckDB's is −inf, so an exact-0 bucket would diverge between
+    engines).  Returns the selected rows as (id, n_tokens, log_weight,
+    gumbel_key) — TakeOrdered n by (key desc, id), no global sort.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    w = dsir_importance_weights(raw, target, text_col, id_col, top_k, add_k)
+    keyed = F.concat(
+        F.col(id_col).cast("string"), F.lit(f":{seed}")
+    )
+    u = (
+        (F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("double")
+         + F.lit(0.5))
+        / F.lit(4294967296.0)
+    )
+    key = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(n)
+    )

@@ -3696,3 +3696,151 @@ def test_semantic_dedup(spark):
     assert out.reset_index(drop=True).equals(again.reset_index(drop=True))
     with pytest.raises(ValueError, match="keep rule"):
         semantic_dedup(df, keep="best")
+
+
+def test_mel_features_independent_replay(spark):
+    """Engine log-mel/MFCC means match an independent local replay
+    (per-frame MFCC then mean — different computation order) to 1e-5,
+    the dominant mel band contains the known fixture tone, and
+    n_frames follows the closed form."""
+    import io
+    import wave
+
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips, clips_pdf
+    from drivel_spark.ops import mel_features, mel_filterbank
+
+    n, n_mels, n_mfcc = 40, 24, 13
+    clips = build_clips(spark, n, 4, ClipFixtureSpec())
+    feats = attach_clip_idx(
+        mel_features(clips, n_mels=n_mels, n_mfcc=n_mfcc), spark, n
+    ).toPandas().set_index("clip_id")
+
+    # ---- independent replay: stdlib-wave decode, per-frame MFCC ----
+    def dct2(nm):
+        k = np.arange(n_mfcc)[:, None]
+        j = np.arange(nm)[None, :]
+        m = np.cos(np.pi * k * (2 * j + 1) / (2 * nm)) * np.sqrt(2.0 / nm)
+        m[0] *= np.sqrt(0.5)
+        return m
+
+    pdf = clips_pdf(range(n), ClipFixtureSpec())
+    for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            sr = w.getframerate()
+            raw = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        x = raw.astype(np.float64) / 32767.0
+        win, hop = round(sr * 0.025), round(sr * 0.010)
+        nf = 1 + (len(x) - win) // hop if len(x) >= win else 0
+        row = feats.loc[cid]
+        assert row["n_frames"] == nf, cid
+        if nf == 0:
+            assert row["logmel_mean"] is None
+            continue
+        fb = mel_filterbank(n_mels, win, sr)
+        h = np.hanning(win)
+        per_frame_mfcc, per_frame_logmel = [], []
+        for t in range(nf):
+            fr = x[t * hop : t * hop + win] * h
+            p = np.abs(np.fft.rfft(fr)) ** 2
+            lm = np.log10(fb @ p + 1e-10)
+            per_frame_logmel.append(lm)
+            per_frame_mfcc.append(dct2(n_mels) @ lm)
+        want_lm = np.mean(per_frame_logmel, axis=0)
+        want_mf = np.mean(per_frame_mfcc, axis=0)
+        # engine decodes to float32 PCM (wav_decode contract); the
+        # stdlib replay divides in float64 -> honest ~2e-7 noise
+        assert np.allclose(np.array(list(row["logmel_mean"])), want_lm, atol=1e-5)
+        assert np.allclose(np.array(list(row["mfcc_mean"])), want_mf, atol=1e-5)
+        # the hottest mel band brackets the aliased fixture tone
+        f0 = 110.0 * (1 + feats.loc[cid, "clip_idx"] % 40)
+        fimg = f0 % sr
+        f_exp = sr - fimg if fimg > sr / 2 else fimg
+        from drivel_spark.ops.multimodal import hz_to_mel, mel_to_hz
+        edges = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2), n_mels + 2))
+        hot = int(np.argmax(list(row["logmel_mean"])))
+        assert edges[hot] <= f_exp <= edges[hot + 2] or f_exp < edges[1], (cid, f_exp)
+
+
+def test_mel_features_tolerates_bad_and_short(spark):
+    from drivel_spark.ops import mel_features
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    short = wav_encode(synth_pcm(0, 8000, 10), 8000)  # 10ms < 25ms frame
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"not a wav")), ("none", None),
+         ("short", bytearray(short))],
+        "clip_id string, bytes binary",
+    )
+    got = mel_features(df).toPandas().set_index("clip_id")
+    assert got.loc["bad", "logmel_mean"] is None
+    assert got.loc["none", "sr_hz"] is None or np.isnan(got.loc["none", "sr_hz"])
+    assert got.loc["short", "n_frames"] == 0
+    assert got.loc["short", "mfcc_mean"] is None
+    assert got.loc["short", "sr_hz"] == 8000
+
+
+def test_dsir_importance_weights_and_select(spark):
+    """Weights match a local replay of the two-LM algebra; documents
+    drawn from the target style outweigh background docs; Gumbel
+    selection is deterministic and replayable."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from drivel_spark.ops import dsir_importance_weights, dsir_select
+
+    tgt_words = ["spark", "window", "join", "agg"]
+    bg_words = ["lorem", "ipsum", "dolor", "sit"]
+    docs = []
+    for i in range(30):
+        w = tgt_words if i % 3 == 0 else bg_words
+        docs.append((i, " ".join(w[(i + j) % 4] for j in range(10))))
+    docs.append((98, None))
+    docs.append((99, "   "))
+    raw = spark.createDataFrame(docs, "doc_id int, text string")
+    target = spark.createDataFrame(
+        [(i, " ".join(tgt_words * 3)) for i in range(5)],
+        "doc_id int, text string",
+    )
+    got = dsir_importance_weights(
+        raw, target, top_k=8, add_k=0.5
+    ).toPandas().set_index("doc_id")
+    # empty/None docs carry no tokens -> absent
+    assert 98 not in got.index and 99 not in got.index and len(got) == 30
+    # local replay
+    toks_raw = {i: t.split() for i, t in docs if t and t.strip()}
+    cnt_raw = Counter(w for ws in toks_raw.values() for w in ws)
+    cnt_tgt = Counter(w for _ in range(5) for w in tgt_words * 3)
+    n_raw, n_tgt = sum(cnt_raw.values()), sum(cnt_tgt.values())
+    vocab = sorted(cnt_raw, key=lambda t: (-cnt_raw[t], t))[:8]
+    d_raw, d_tgt = n_raw + 0.5 * 9, n_tgt + 0.5 * 9
+    for i, ws in toks_raw.items():
+        lw = 0.0
+        for w in ws:
+            cr = cnt_raw[w] if w in vocab else 0
+            ct = cnt_tgt[w] if w in vocab else 0
+            lw += math.log((ct + 0.5) / d_tgt) - math.log((cr + 0.5) / d_raw)
+        assert abs(got.loc[i, "log_weight"] - lw) < 1e-9, i
+        assert got.loc[i, "n_tokens"] == len(ws)
+    # target-style docs outweigh background
+    t_ids = [i for i, _ in docs[:30] if i % 3 == 0]
+    b_ids = [i for i, _ in docs[:30] if i % 3 != 0]
+    assert got.loc[t_ids, "log_weight"].min() > got.loc[b_ids, "log_weight"].max()
+    # gumbel selection: deterministic, replayable, size n
+    sel = dsir_select(raw, target, n=6, top_k=8, seed=7).toPandas()
+    assert len(sel) == 6
+    again = dsir_select(raw, target, n=6, top_k=8, seed=7).toPandas()
+    assert sorted(sel["doc_id"]) == sorted(again["doc_id"])
+
+    def gumbel_key(i, lw):
+        u = (int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+        return lw - math.log(-math.log(u))
+
+    keys = {i: gumbel_key(i, got.loc[i, "log_weight"]) for i in got.index}
+    want = sorted(keys, key=lambda i: (-keys[i], i))[:6]
+    assert sorted(sel["doc_id"]) == sorted(want)
+    with pytest.raises(ValueError, match="n must"):
+        dsir_select(raw, target, n=0)

@@ -1609,6 +1609,31 @@ def main() -> None:
         )
     )
 
+    # 24. pitch estimate: one narrow Arrow map over (id, bytes), no
+    # shuffle — same contract as every per-clip audio kernel
+    from drivel_spark.ops import pitch_estimate
+
+    p = fmt(pitch_estimate(clips_a))
+    sections.append(
+        (
+            "Autocorrelation pitch (f0) estimate",
+            p,
+            [
+                "single Arrow-vectorized pass (MapInPandas), no "
+                "BatchEvalPython: "
+                + ("PASS" if "MapInPandas" in p
+                   and "BatchEvalPython" not in p else "FAIL"),
+                "scan reads only (clip_id, bytes) — decode column "
+                "pruned to the payload: "
+                + ("PASS" if re.search(
+                       r"Output \[2\]: \[clip_id#\d+, bytes#\d+\]", p)
+                   else "FAIL"),
+                "no Exchange — estimates never shuffle: "
+                + ("PASS" if "Exchange" not in p.split("\n\n")[0] else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

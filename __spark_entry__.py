@@ -2422,6 +2422,52 @@ def _local_spectral_features(n: int):
     )
 
 
+def _local_pitch(n: int, fmin: float = 80.0, fmax: float = 1000.0,
+                 clarity_threshold: float = 0.5):
+    """Independent per-clip pitch oracle: stdlib-wave decode (float64
+    end-to-end — not the engine's float32 decode) + DIRECT lag-domain
+    autocorrelation (a dot product per lag; the engine goes through a
+    zero-padded rFFT/irFFT Wiener–Khinchin round trip), sub-lag peak via
+    an np.polyfit quadratic vertex instead of the engine's closed-form
+    parabola.  Same spec, no shared code path."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n):
+        x = pcm - pcm.mean() if len(pcm) else pcm
+        lag_min = max(1, int(np.floor(sr / fmax)))
+        lag_max = int(np.ceil(sr / fmin))
+        if len(x) < 2 * lag_max or lag_min >= lag_max:
+            rows.append((cid, i, len(x), sr, None, None, None))
+            continue
+        r = np.array(
+            [float(np.dot(x[: len(x) - t], x[t:])) for t in range(lag_max + 2)]
+        )
+        if r[0] <= 0:
+            rows.append((cid, i, len(x), sr, None, None, None))
+            continue
+        rn = r / r[0]
+        k = int(np.argmax(rn[lag_min : lag_max + 1])) + lag_min
+        delta = 0.0
+        if lag_min < k < lag_max:
+            coef = np.polyfit([-1.0, 0.0, 1.0], rn[k - 1 : k + 2], 2)
+            if coef[0] != 0.0:
+                delta = float(
+                    np.clip(-coef[1] / (2.0 * coef[0]), -0.5, 0.5)
+                )
+        clar = float(rn[k])
+        rows.append(
+            (cid, i, len(x), sr, sr / (k + delta), clar,
+             bool(clar >= clarity_threshold))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz", "f0_hz",
+                 "clarity", "voiced"],
+    )
+
+
 def _local_frame_energy(n: int, frame_ms: int = 25, hop_ms: int = 10,
                         active_db: float = -20.0):
     """Independent frame-energy oracle: stdlib-wave decode + a plain
@@ -2985,6 +3031,57 @@ def q_audio_spectral_clips(spark, sf_dir):
             F.sum(freq_ok.cast("long")).alias("n_freq_ok"),
             F.sum(cent_ok.cast("long")).alias("n_cent_ok"),
             F.sum("dominant_bin").alias("sum_dominant_bin"),
+        )
+        .orderBy("sr_hz")
+    )
+
+
+def q_pitch_estimate_clips(spark, sf_dir):
+    """Autocorrelation pitch (f0) tracking with a CLOSED-FORM harmonic
+    expectation: the fixture tone sits at f0 = 110·(1 + idx mod 40) Hz
+    (produce/audio.py), observed after aliasing at
+    min(f0 mod sr, sr − f0 mod sr); an autocorrelation tracker banded
+    to [80, 1000] Hz must land on f_alias/k for an integer period
+    multiple k ≥ 1 (the classic subharmonic lock), so the per-clip gate
+    is |f_alias/f0_est − round(f_alias/f0_est)| ≤ 0.02·k — measured
+    margin 2× (worst fixture clip 1.0%, the ±0.5-lag parabola clamp).
+    The octave-corrected estimate f0_est·k then recovers f_alias
+    itself, pinned as a per-sr integer-rounded average.  The DuckDB
+    oracle re-derives every flag from an independently-decoded
+    (stdlib wave, float64, direct lag-domain autocorrelation,
+    np.polyfit vertex) per-clip export — decode, correlation,
+    peak-picking, and rollup all cross-checked."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import pitch_estimate
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_pitch(n), "pitch_oracle", sf_dir)
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
+    est = pitch_estimate(clips, bytes_col="bytes", id_cols=["clip_id"],
+                         fmin=80.0, fmax=1000.0, clarity_threshold=0.5)
+    est = attach_clip_idx(est, spark, n)
+    sr = F.col("sr_hz").cast("double")
+    ftrue = F.lit(110.0) * (F.lit(1) + F.col("clip_idx") % 40).cast("double")
+    fimg = ftrue % sr
+    f_alias = F.when(fimg > sr / 2, sr - fimg).otherwise(fimg)
+    ratio = f_alias / F.col("f0_hz")
+    kmult = F.round(ratio, 0)
+    harm_ok = (
+        F.col("f0_hz").isNotNull()
+        & (kmult >= 1)
+        & (F.abs(ratio - kmult) <= F.lit(0.02) * kmult)
+    )
+    f_rec = F.when(harm_ok, F.col("f0_hz") * kmult)
+    return (
+        est.groupBy("sr_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(F.col("f0_hz").isNull().cast("long")).alias("n_f0_null"),
+            F.sum(F.col("voiced").cast("long")).alias("n_voiced"),
+            F.sum(harm_ok.cast("long")).alias("n_harm_ok"),
+            F.round(F.avg(f_rec), 0).cast("long").alias("avg_f0_rec"),
         )
         .orderBy("sr_hz")
     )
@@ -4257,11 +4354,13 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 56 r05-new queries (round 0) compete
-    for the 50-row window, so exactly 6 round-0 queries spill; the
-    registry demotes six one-window-function shapes (percent_rank /
-    row_ids / latest-by-key / shuffle / coverage_gaps /
-    value_histogram) to the cohort tail so every novel-algorithm r05
+    r05 arithmetic (deliberate): 61 r05-new queries (round 0) compete
+    for the 50-row window, so exactly 11 round-0 queries spill; the
+    registry demotes eleven one-window-function/groupBy shapes
+    (group_bounds / sample_per_lang / monotonic / interval_overlaps /
+    null_pattern / percent_rank / row_ids / latest-by-key / shuffle /
+    coverage_gaps / value_histogram) to the cohort tail so every
+    novel-algorithm r05
     op gets a hard driver-oracle row this round.  New-first is the
     right priority: a query with NO oracle row ever is a coverage gap
     (r04 verdict 'What's missing' #2), while a 1-2-round-old green row
@@ -4309,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_recall_embeddings": q_retrieval_recall_embeddings,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "mel_features_clips": q_mel_features_clips,
+        "pitch_estimate_clips": q_pitch_estimate_clips,
         "dsir_select_documents": q_dsir_select_documents,
         "project_embeddings_report": q_project_embeddings,
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
@@ -4363,7 +4463,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": q_weighted_sample_documents,
         "ingest_dedup_documents": q_ingest_dedup_documents,
         "key_skew_orders": q_key_skew_orders,
-        "sample_per_lang_documents": q_sample_per_lang_documents,
         "cap_per_source_documents": q_cap_per_source_documents,
         "quantile_gate_lineitem": q_quantile_gate_lineitem,
         "group_anomaly_documents": q_group_anomaly_documents,
@@ -4373,16 +4472,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers_lineitem": q_iqr_outliers_lineitem,
         "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
-        "group_bounds_orders": q_group_bounds_orders,
         "wasserstein_orders_price": q_wasserstein_orders_price,
         "chisq_drift_orders": q_chisq_drift_orders,
         "entropy_report_lineitem": q_entropy_report_lineitem,
         "mutual_info_orders": q_mutual_info_orders,
         "split_leakage_documents": q_split_leakage_documents,
-        "monotonic_events": q_monotonic_events,
-        "null_pattern_events": q_null_pattern_events,
         "k_anonymity_customer": q_k_anonymity_customer,
-        "interval_overlaps_orders": q_interval_overlaps_orders,
         "grouped_profile_events": q_grouped_profile_events,
         "correlation_report_lineitem": q_correlation_report_lineitem,
         "benford_extendedprice": q_benford_extendedprice,
@@ -4420,10 +4515,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compat_gate_orders": q_compat_gate_orders,
         # trivially-SQL-shaped r05 queries, demoted to the tail of the
         # never-driver-verified cohort (r05 final-round window holds 50
-        # of 56 round-0 queries): the novel-algorithm ops above get the
-        # driver-oracle rows; these six are one-window-function shapes
-        # whose pytest oracle rows (test_entry_contract) are equally
-        # strong evidence.
+        # of 61 round-0 queries): the novel-algorithm ops above get the
+        # driver-oracle rows; these eleven are one-window-function/
+        # one-groupBy shapes whose pytest oracle rows
+        # (test_entry_contract) are equally strong evidence.
+        "group_bounds_orders": q_group_bounds_orders,
+        "sample_per_lang_documents": q_sample_per_lang_documents,
+        "monotonic_events": q_monotonic_events,
+        "interval_overlaps_orders": q_interval_overlaps_orders,
+        "null_pattern_events": q_null_pattern_events,
         "percent_rank_documents": q_percent_rank_documents,
         "row_ids_documents": q_row_ids_documents,
         "latest_event_per_user": q_latest_event_per_user,
@@ -5877,6 +5977,34 @@ def oracle_sql() -> dict[str, str]:
                                     <= greatest(0.05 * f_exp, 15.0))::BIGINT AS n_cent_ok,
                    sum(dominant_bin)::BIGINT AS sum_dominant_bin
             FROM e GROUP BY sr_hz ORDER BY sr_hz""",
+        # harmonic lock + octave-corrected recovered frequency from the
+        # independent direct-autocorrelation export (engine = rFFT
+        # Wiener–Khinchin); same closed-form alias expectation as the
+        # spectral contract, same 2%·k subharmonic gate both sides
+        "pitch_estimate_clips": f"""
+            WITH p AS (
+              SELECT *, 110.0 * (1 + (clip_idx % 40)) AS f0_true
+              FROM read_parquet('{ORACLE_DIR}/pitch_oracle_sf0.01.parquet')),
+            e AS (
+              SELECT *, CASE WHEN (f0_true % sr_hz) > sr_hz / 2.0
+                             THEN sr_hz - (f0_true % sr_hz)
+                             ELSE (f0_true % sr_hz) END AS f_alias
+              FROM p),
+            g AS (
+              SELECT *,
+                     (f0_hz IS NOT NULL
+                      AND round(f_alias / f0_hz) >= 1
+                      AND abs(f_alias / f0_hz - round(f_alias / f0_hz))
+                          <= 0.02 * round(f_alias / f0_hz)) AS harm_ok
+              FROM e)
+            SELECT sr_hz, count(*)::BIGINT AS n_clips,
+                   count(*) FILTER (f0_hz IS NULL)::BIGINT AS n_f0_null,
+                   count(*) FILTER (voiced)::BIGINT AS n_voiced,
+                   count(*) FILTER (harm_ok)::BIGINT AS n_harm_ok,
+                   round(avg(CASE WHEN harm_ok
+                                  THEN f0_hz * round(f_alias / f0_hz)
+                             END))::BIGINT AS avg_f0_rec
+            FROM g GROUP BY sr_hz ORDER BY sr_hz""",
         # frame count pinned to its closed form (floor-division window
         # sizes) and frame RMS to the tone's analytic band, over the
         # independent stdlib-decode per-frame-loop export

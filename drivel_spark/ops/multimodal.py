@@ -33,6 +33,10 @@ SPECTRAL_FEATURES_SCHEMA = (
     "spectral_centroid_hz double"
 )
 
+PITCH_SCHEMA = (
+    "n_samples long, sr_hz int, f0_hz double, clarity double, voiced boolean"
+)
+
 MEL_FEATURES_SCHEMA = (
     "n_samples long, sr_hz int, n_frames long, "
     "logmel_mean array<double>, mfcc_mean array<double>"
@@ -275,6 +279,90 @@ def mel_features(df: DataFrame, bytes_col: str = "bytes",
             yield pd.DataFrame({**rows, **cols})
 
     schema = _id_schema(df, id_cols) + ", " + MEL_FEATURES_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+def pitch_estimate(df: DataFrame, bytes_col: str = "bytes",
+                   id_cols: Optional[list[str]] = None,
+                   fmin: float = 50.0, fmax: float = 1000.0,
+                   clarity_threshold: float = 0.5) -> DataFrame:
+    """Fundamental-frequency (f0) estimate per WAV clip by normalized
+    autocorrelation — the classic pitch detector: the lag τ* in
+    [sr/fmax, sr/fmin] maximizing R(τ)/R(0) of the mean-removed PCM,
+    refined with the same parabolic interpolation the spectral peak
+    uses, gives f0 = sr/τ̂.  ``clarity`` is the normalized peak height
+    (1.0 for a perfect periodic signal); ``voiced`` flags clarity ≥
+    ``clarity_threshold`` — unpitched noise decorrelates and reports
+    voiced = false rather than a garbage f0 (f0 is still emitted for
+    inspection).
+
+    Signals whose true pitch lies OUTSIDE [fmin, fmax] lock onto the
+    strongest lag in range (a period multiple → subharmonic), as every
+    autocorrelation tracker does — callers gate on the band, as the
+    contract query does.  The autocorrelation is computed exactly via
+    one zero-padded rFFT/irFFT round trip (Wiener–Khinchin), so the
+    per-clip cost is O(n log n), not O(n·lag_range).
+
+    One narrow scan → mapInPandas (Arrow batches), float64;
+    no shuffle.  Undecodable/NULL payloads yield NULL features; clips
+    shorter than two fmin-periods report NULL f0 with the decode facts
+    kept.
+    """
+    id_cols = id_cols or ["clip_id"]
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in ("n_samples", "sr_hz", "f0_hz",
+                                    "clarity", "voiced")}
+            for b in pdf[bytes_col]:
+                pcm = sr = None
+                if b is not None:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        pcm = None
+                if pcm is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                x = pcm.astype(np.float64)
+                x = x - x.mean() if len(x) else x
+                lag_min = max(1, int(np.floor(sr / fmax)))
+                lag_max = int(np.ceil(sr / fmin))
+                cols["n_samples"].append(len(x))
+                cols["sr_hz"].append(sr)
+                if len(x) < 2 * lag_max or lag_min >= lag_max:
+                    cols["f0_hz"].append(None)
+                    cols["clarity"].append(None)
+                    cols["voiced"].append(None)
+                    continue
+                # Wiener–Khinchin: exact linear autocorrelation via a
+                # 2n zero-padded FFT
+                nfft = 1 << int(np.ceil(np.log2(2 * len(x))))
+                spec = np.fft.rfft(x, nfft)
+                r = np.fft.irfft(spec * np.conj(spec), nfft)[: lag_max + 2]
+                if r[0] <= 0:
+                    cols["f0_hz"].append(None)
+                    cols["clarity"].append(None)
+                    cols["voiced"].append(None)
+                    continue
+                rn = r / r[0]
+                seg = rn[lag_min : lag_max + 1]
+                k = int(np.argmax(seg)) + lag_min
+                delta = 0.0
+                if lag_min < k < lag_max:
+                    a, b3, c = rn[k - 1 : k + 2]
+                    den = a - 2.0 * b3 + c
+                    if den != 0.0:
+                        delta = float(np.clip(0.5 * (a - c) / den, -0.5, 0.5))
+                clarity = float(rn[k])
+                cols["f0_hz"].append(sr / (k + delta))
+                cols["clarity"].append(clarity)
+                cols["voiced"].append(bool(clarity >= clarity_threshold))
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + PITCH_SCHEMA
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 

@@ -1027,6 +1027,72 @@ def test_spectral_features_find_the_fixture_tone(spark):
     assert (np.abs(feats["spectral_centroid_hz"] - f_exp) <= cent_tol).all()
 
 
+def test_pitch_estimate_locks_known_tones(spark):
+    """The autocorrelation tracker locks onto the fixture tone (or an
+    integer subharmonic of its aliased image, as any autocorr detector
+    does for tones above fmax): f_alias / f0_est is within 2%·k of an
+    integer k >= 1 for every clip, clarity is near 1 on the nearly-pure
+    tones, and the octave-corrected estimate recovers f_alias itself."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import pitch_estimate
+
+    n = 80
+    clips = build_clips(spark, n, 4, ClipFixtureSpec())
+    est = attach_clip_idx(
+        pitch_estimate(clips, fmin=80.0, fmax=1000.0), spark, n
+    ).toPandas()
+    assert len(est) == n and est["f0_hz"].notna().all()
+    assert (est["clarity"] > 0.9).all() and est["voiced"].all()
+    f0 = 110.0 * (1 + est["clip_idx"] % 40)
+    fimg = f0 % est["sr_hz"]
+    f_alias = np.where(fimg > est["sr_hz"] / 2, est["sr_hz"] - fimg, fimg)
+    ratio = f_alias / est["f0_hz"]
+    k = np.round(ratio)
+    assert (k >= 1).all()
+    assert (np.abs(ratio - k) <= 0.02 * k).all()
+    rec = est["f0_hz"] * k
+    assert np.allclose(rec, f_alias, rtol=0.02)
+    # every estimate honours the search band
+    assert ((est["f0_hz"] >= 80.0 * 0.98) & (est["f0_hz"] <= 1000.0 * 1.02)).all()
+
+
+def test_pitch_estimate_pure_tone_exact_and_noise_unvoiced(spark):
+    """A pure in-band sine is recovered to <0.5% with clarity ~1; pure
+    white noise decorrelates and reports voiced=false; a too-short clip
+    keeps decode facts but NULL f0."""
+    from drivel_spark.ops import pitch_estimate
+    from drivel_spark.produce.audio import wav_encode
+
+    sr = 16000
+    t = np.arange(sr) / sr  # 1 s
+    tone = 0.7 * np.sin(2 * np.pi * 220.0 * t)
+    rng = np.random.default_rng(7)
+    noise = 0.5 * rng.standard_normal(sr)
+    short = tone[: sr // 100]  # 10 ms < 2 periods of fmin=80
+    df = spark.createDataFrame(
+        [
+            ("tone", bytearray(wav_encode(tone, sr))),
+            ("noise", bytearray(wav_encode(np.clip(noise, -1, 1), sr))),
+            ("short", bytearray(wav_encode(short, sr))),
+            ("bad", bytearray(b"not a wav")),
+            ("null", None),
+        ],
+        "clip_id string, bytes binary",
+    )
+    got = pitch_estimate(df, fmin=80.0, fmax=1000.0).toPandas().set_index(
+        "clip_id"
+    )
+    assert abs(got.loc["tone", "f0_hz"] - 220.0) / 220.0 < 0.005
+    assert got.loc["tone", "voiced"] and got.loc["tone", "clarity"] > 0.95
+    assert not got.loc["noise", "voiced"]
+    assert got.loc["noise", "clarity"] < 0.5
+    assert got.loc["short", "sr_hz"] == sr
+    assert pd.isna(got.loc["short", "f0_hz"])
+    assert pd.isna(got.loc["bad", "f0_hz"]) and pd.isna(got.loc["null", "f0_hz"])
+    assert pd.isna(got.loc["bad", "sr_hz"])
+
+
 def test_spectral_features_tolerates_bad_payload(spark):
     from drivel_spark.ops import spectral_features
 

@@ -1634,6 +1634,31 @@ def main() -> None:
         )
     )
 
+    # 25. bandwidth estimate (upsampled-audio screen): one narrow Arrow
+    # map over (id, bytes), no shuffle — same per-clip-kernel contract
+    from drivel_spark.ops import bandwidth_estimate
+
+    p = fmt(bandwidth_estimate(clips_a))
+    sections.append(
+        (
+            "Effective-bandwidth screen (spectral rolloff)",
+            p,
+            [
+                "single Arrow-vectorized pass (MapInPandas), no "
+                "BatchEvalPython: "
+                + ("PASS" if "MapInPandas" in p
+                   and "BatchEvalPython" not in p else "FAIL"),
+                "scan reads only (clip_id, bytes) — decode column "
+                "pruned to the payload: "
+                + ("PASS" if re.search(
+                       r"Output \[2\]: \[clip_id#\d+, bytes#\d+\]", p)
+                   else "FAIL"),
+                "no Exchange — per-clip verdicts never shuffle: "
+                + ("PASS" if "Exchange" not in p.split("\n\n")[0] else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

@@ -383,6 +383,26 @@ def q_cube_orders_status_priority(spark, sf_dir):
     )
 
 
+def q_grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS — exactly the two one-column marginals
+    ((status), (priority)), the minimal set neither rollup (which adds
+    the grand total and drops (·, priority)) nor cube (which adds both
+    extremes) expresses: Spark 4's DataFrame.groupingSets plans it as
+    one expand + partial+final hash aggregation, same as rollup/cube.
+    DuckDB re-derives with GROUP BY GROUPING SETS."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
 def q_topk_event_types(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -2468,6 +2488,48 @@ def _local_pitch(n: int, fmin: float = 80.0, fmax: float = 1000.0,
     )
 
 
+def _local_bandwidth(n: int, rolloff_q: float = 0.95,
+                     highband_frac: float = 0.8,
+                     narrowband_frac: float = 0.5):
+    """Independent per-clip bandwidth oracle: stdlib-wave decode
+    (float64 end-to-end — not the engine's float32 decode), the rolloff
+    crossing found with np.argmax over a boolean cumsum comparison
+    (engine: np.searchsorted), the high-band tail summed as
+    total − cumsum[cut−1] (engine: a direct slice sum).  Same spec,
+    no shared code path."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n):
+        nsamp = len(pcm)
+        if nsamp < 4:
+            rows.append((cid, i, nsamp, sr, None, None, None, None))
+            continue
+        spec = np.abs(np.fft.rfft(pcm))
+        spec[0] = 0.0
+        p = spec * spec
+        total = float(p.sum())
+        if total <= 0.0:
+            rows.append((cid, i, nsamp, sr, None, None, None, None))
+            continue
+        cum = np.cumsum(p)
+        k = int(np.argmax(cum >= rolloff_q * total))
+        rolloff = k * sr / nsamp
+        cut = int(np.ceil(highband_frac * nsamp / 2.0))
+        hb = float((total - cum[cut - 1]) / total) if cut < len(p) else 0.0
+        rows.append(
+            (cid, i, nsamp, sr, k, rolloff, hb,
+             bool(rolloff < narrowband_frac * sr / 2.0))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz",
+                 "rolloff_bin", "rolloff_hz", "highband_ratio",
+                 "narrowband"],
+    )
+
+
 def _local_frame_energy(n: int, frame_ms: int = 25, hop_ms: int = 10,
                         active_db: float = -20.0):
     """Independent frame-energy oracle: stdlib-wave decode + a plain
@@ -3082,6 +3144,49 @@ def q_pitch_estimate_clips(spark, sf_dir):
             F.sum(F.col("voiced").cast("long")).alias("n_voiced"),
             F.sum(harm_ok.cast("long")).alias("n_harm_ok"),
             F.round(F.avg(f_rec), 0).cast("long").alias("avg_f0_rec"),
+        )
+        .orderBy("sr_hz")
+    )
+
+
+def q_audio_bandwidth_clips(spark, sf_dir):
+    """Effective-bandwidth screen (ops/multimodal.py bandwidth_estimate
+    — the upsampled-audio detector) with a CLOSED-FORM expectation: a
+    −40 dB-noise tone at the aliased frequency f_alias carries ~99.99%
+    of the clip's power, so the 95% rolloff must land within SIX FFT
+    bins of f_alias (measured worst fixture clip 2.5 bins — 2.4×
+    margin), the high-band ratio (power ≥ 0.8·Nyquist) is decisively 0
+    or 1 (no fixture clip between 0.01 and 0.99), and the narrowband
+    verdict equals the closed-form f_alias < 0.25·sr test.  The DuckDB
+    oracle re-derives every flag in SQL from an independently-decoded
+    (stdlib wave, float64, argmax-crossing instead of searchsorted)
+    per-clip export, with sum(rolloff_bin) pinned as an exact integer
+    — engine decode, FFT reduction, crossing logic, and rollup all
+    cross-checked."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import bandwidth_estimate
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_bandwidth(n), "bandwidth_oracle", sf_dir)
+    clips = build_clips(spark, n, 8, ClipFixtureSpec(with_audio=True))
+    bw = bandwidth_estimate(clips, bytes_col="bytes", id_cols=["clip_id"])
+    bw = attach_clip_idx(bw, spark, n)
+    sr = F.col("sr_hz").cast("double")
+    f0 = F.lit(110.0) * (F.lit(1) + F.col("clip_idx") % 40).cast("double")
+    fimg = f0 % sr
+    f_alias = F.when(fimg > sr / 2, sr - fimg).otherwise(fimg)
+    bin_hz = sr / F.col("n_samples")
+    roll_ok = F.abs(F.col("rolloff_hz") - f_alias) <= F.lit(6.0) * bin_hz
+    return (
+        bw.groupBy("sr_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(roll_ok.cast("long")).alias("n_rolloff_ok"),
+            F.sum(F.col("narrowband").cast("long")).alias("n_narrowband"),
+            F.sum((F.col("highband_ratio") > 0.5).cast("long")).alias("n_highband"),
+            F.sum("rolloff_bin").alias("sum_rolloff_bin"),
         )
         .orderBy("sr_hz")
     )
@@ -4409,6 +4514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "mel_features_clips": q_mel_features_clips,
         "pitch_estimate_clips": q_pitch_estimate_clips,
+        "audio_bandwidth_clips": q_audio_bandwidth_clips,
         "dsir_select_documents": q_dsir_select_documents,
         "project_embeddings_report": q_project_embeddings,
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
@@ -4520,6 +4626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-groupBy shapes whose pytest oracle rows
         # (test_entry_contract) are equally strong evidence.
         "group_bounds_orders": q_group_bounds_orders,
+        "grouping_sets_orders": q_grouping_sets_orders,
         "sample_per_lang_documents": q_sample_per_lang_documents,
         "monotonic_events": q_monotonic_events,
         "interval_overlaps_orders": q_interval_overlaps_orders,
@@ -4964,6 +5071,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
                    round(sum(o_totalprice), 4) AS revenue
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
         "dedup_exact_documents": """
             SELECT count(*)::BIGINT AS n_docs,
                    count(DISTINCT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT AS n_unique_texts
@@ -5976,6 +6088,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (abs(spectral_centroid_hz - f_exp)
                                     <= greatest(0.05 * f_exp, 15.0))::BIGINT AS n_cent_ok,
                    sum(dominant_bin)::BIGINT AS sum_dominant_bin
+            FROM e GROUP BY sr_hz ORDER BY sr_hz""",
+        # rolloff/high-band/narrowband flags re-derived in SQL from the
+        # independent argmax-crossing export (engine = searchsorted);
+        # same closed-form alias expectation as the spectral contract,
+        # sum(rolloff_bin) pinned as an exact integer
+        "audio_bandwidth_clips": f"""
+            WITH b AS (
+              SELECT *, 110.0 * (1 + (clip_idx % 40)) AS f0
+              FROM read_parquet('{ORACLE_DIR}/bandwidth_oracle_sf0.01.parquet')),
+            e AS (
+              SELECT *, CASE WHEN (f0 % sr_hz) > sr_hz / 2.0
+                             THEN sr_hz - (f0 % sr_hz) ELSE (f0 % sr_hz) END AS f_alias
+              FROM b)
+            SELECT sr_hz, count(*)::BIGINT AS n_clips,
+                   count(*) FILTER (abs(rolloff_hz - f_alias)
+                                    <= 6.0 * sr_hz::DOUBLE / n_samples)::BIGINT AS n_rolloff_ok,
+                   count(*) FILTER (narrowband)::BIGINT AS n_narrowband,
+                   count(*) FILTER (highband_ratio > 0.5)::BIGINT AS n_highband,
+                   sum(rolloff_bin)::BIGINT AS sum_rolloff_bin
             FROM e GROUP BY sr_hz ORDER BY sr_hz""",
         # harmonic lock + octave-corrected recovered frequency from the
         # independent direct-autocorrelation export (engine = rFFT

@@ -37,6 +37,11 @@ PITCH_SCHEMA = (
     "n_samples long, sr_hz int, f0_hz double, clarity double, voiced boolean"
 )
 
+BANDWIDTH_SCHEMA = (
+    "n_samples long, sr_hz int, rolloff_bin long, rolloff_hz double, "
+    "highband_ratio double, narrowband boolean"
+)
+
 MEL_FEATURES_SCHEMA = (
     "n_samples long, sr_hz int, n_frames long, "
     "logmel_mean array<double>, mfcc_mean array<double>"
@@ -363,6 +368,94 @@ def pitch_estimate(df: DataFrame, bytes_col: str = "bytes",
             yield pd.DataFrame({**rows, **cols})
 
     schema = _id_schema(df, id_cols) + ", " + PITCH_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+def bandwidth_estimate(df: DataFrame, bytes_col: str = "bytes",
+                       id_cols: Optional[list[str]] = None,
+                       rolloff_q: float = 0.95,
+                       highband_frac: float = 0.8,
+                       narrowband_frac: float = 0.5) -> DataFrame:
+    """Effective-bandwidth screen per WAV clip — the upsampled-audio
+    detector: a clip whose container says 16 kHz but whose spectrum
+    dies above 4 kHz was upsampled from telephone-band source (or
+    low-pass transcoded), and its extra samples carry no information.
+    Metadata validation cannot see this; only the spectrum can.
+
+    Per clip (DC excluded, like :func:`spectral_features`):
+
+    - ``rolloff_bin`` / ``rolloff_hz`` — the first rFFT bin where the
+      cumulative power reaches ``rolloff_q`` of the total (the classic
+      spectral-rolloff feature).  The bin index is an integer decided
+      by a cumulative-sum crossing, so independent float64 decodes of
+      the same PCM agree exactly; ``rolloff_hz = bin · sr / n`` is then
+      bit-identical across implementations (same integer operands).
+    - ``highband_ratio`` — power fraction at frequencies ≥
+      ``highband_frac`` · Nyquist (bin cut at ceil(frac · n/2)).
+    - ``narrowband`` — ``rolloff_hz < narrowband_frac · (sr/2)``: the
+      screen's verdict, true when the top half of the band is empty.
+
+    One narrow scan → mapInPandas (Arrow batches), one rFFT per clip in
+    float64; no shuffle — the same per-clip-kernel contract as every
+    audio op here (reference has no audio ops; capability is the
+    graft's audio axis, BASELINE.json input_hint).  Undecodable/NULL
+    payloads yield NULL features; clips too short for an rFFT (n < 4)
+    or with zero AC power keep the decode facts and NULL the spectral
+    fields, matching :func:`spectral_features`.
+    """
+    if not 0.0 < rolloff_q <= 1.0:
+        raise ValueError(f"rolloff_q must be in (0, 1]: {rolloff_q}")
+    id_cols = id_cols or ["clip_id"]
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in ("n_samples", "sr_hz", "rolloff_bin",
+                                    "rolloff_hz", "highband_ratio",
+                                    "narrowband")}
+            for b in pdf[bytes_col]:
+                pcm = sr = None
+                if b is not None:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        pcm = None
+                if pcm is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                n = len(pcm)
+                cols["n_samples"].append(n)
+                cols["sr_hz"].append(sr)
+                if n < 4:
+                    for k in ("rolloff_bin", "rolloff_hz",
+                              "highband_ratio", "narrowband"):
+                        cols[k].append(None)
+                    continue
+                x = pcm.astype(np.float64)
+                spec = np.abs(np.fft.rfft(x))
+                spec[0] = 0.0  # DC is level, not bandwidth
+                power = spec * spec
+                total = float(power.sum())
+                if total <= 0.0:
+                    for k in ("rolloff_bin", "rolloff_hz",
+                              "highband_ratio", "narrowband"):
+                        cols[k].append(None)
+                    continue
+                cum = np.cumsum(power)
+                k_r = int(np.searchsorted(cum, rolloff_q * total, side="left"))
+                k_r = min(k_r, len(power) - 1)
+                rolloff_hz = k_r * sr / n
+                # bins with center freq k·sr/n >= frac·sr/2 <=> k >= frac·n/2
+                k_hi = int(np.ceil(highband_frac * n / 2.0))
+                hb = float(power[k_hi:].sum() / total) if k_hi < len(power) else 0.0
+                cols["rolloff_bin"].append(k_r)
+                cols["rolloff_hz"].append(rolloff_hz)
+                cols["highband_ratio"].append(hb)
+                cols["narrowband"].append(bool(rolloff_hz < narrowband_frac * sr / 2.0))
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + BANDWIDTH_SCHEMA
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 

@@ -3910,3 +3910,70 @@ def test_dsir_importance_weights_and_select(spark):
     assert sorted(sel["doc_id"]) == sorted(want)
     with pytest.raises(ValueError, match="n must"):
         dsir_select(raw, target, n=0)
+
+
+def test_bandwidth_estimate_synthetic_bands(spark):
+    """Closed-form band placement: a 500 Hz tone at sr=16000 rolls off
+    at ~500 Hz (narrowband — the top half of the band is empty), a
+    7 kHz tone sits above 0.8·Nyquist (highband_ratio ~1, wideband),
+    silence/short/bad/null payloads degrade to NULL spectral fields
+    exactly like spectral_features."""
+    from drivel_spark.ops import bandwidth_estimate
+    from drivel_spark.produce.audio import wav_encode
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    low = 0.7 * np.sin(2 * np.pi * 500.0 * t)
+    high = 0.7 * np.sin(2 * np.pi * 7000.0 * t)
+    df = spark.createDataFrame(
+        [
+            ("low", bytearray(wav_encode(low, sr))),
+            ("high", bytearray(wav_encode(high, sr))),
+            ("silence", bytearray(wav_encode(np.zeros(sr), sr))),
+            ("short", bytearray(wav_encode(low[:2], sr))),
+            ("bad", bytearray(b"not a wav")),
+            ("null", None),
+        ],
+        "clip_id string, bytes binary",
+    )
+    got = bandwidth_estimate(df).toPandas().set_index("clip_id")
+    bin_hz = sr / got.loc["low", "n_samples"]
+    assert abs(got.loc["low", "rolloff_hz"] - 500.0) <= 6 * bin_hz
+    assert got.loc["low", "narrowband"]
+    assert got.loc["low", "highband_ratio"] < 0.01
+    assert abs(got.loc["high", "rolloff_hz"] - 7000.0) <= 6 * bin_hz
+    assert not got.loc["high", "narrowband"]
+    assert got.loc["high", "highband_ratio"] > 0.99
+    assert got.loc["silence", "n_samples"] == sr
+    assert pd.isna(got.loc["silence", "rolloff_hz"])
+    assert got.loc["short", "sr_hz"] == sr
+    assert pd.isna(got.loc["short", "rolloff_bin"])
+    assert pd.isna(got.loc["bad", "sr_hz"]) and pd.isna(got.loc["null", "sr_hz"])
+
+
+def test_bandwidth_estimate_fixture_rolloff_tracks_alias(spark):
+    """On the standard clip fixtures (−40 dB noise floor) the 95%
+    rolloff lands within six FFT bins of the aliased tone frequency for
+    EVERY clip, and the narrowband verdict equals the closed-form
+    f_alias < 0.25·sr test — the same invariants the DuckDB contract
+    query (audio_bandwidth_clips) pins per sr group."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import bandwidth_estimate
+
+    n = 80
+    clips = build_clips(spark, n, 4, ClipFixtureSpec())
+    got = attach_clip_idx(bandwidth_estimate(clips), spark, n).toPandas()
+    assert len(got) == n and got["rolloff_hz"].notna().all()
+    f0 = 110.0 * (1 + got["clip_idx"] % 40)
+    fimg = f0 % got["sr_hz"]
+    f_alias = np.where(fimg > got["sr_hz"] / 2, got["sr_hz"] - fimg, fimg)
+    bin_hz = got["sr_hz"] / got["n_samples"]
+    assert (np.abs(got["rolloff_hz"] - f_alias) <= 6 * bin_hz).all()
+    assert (
+        got["narrowband"] == (f_alias < 0.25 * got["sr_hz"])
+    ).all()
+    # the high-band flag is decisive on near-pure tones: no clip sits
+    # between 0.01 and 0.99
+    hb = got["highband_ratio"]
+    assert ((hb < 0.01) | (hb > 0.99)).all()

@@ -4459,13 +4459,13 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 61 r05-new queries (round 0) compete
-    for the 50-row window, so exactly 11 round-0 queries spill; the
-    registry demotes eleven one-window-function/groupBy shapes
-    (group_bounds / sample_per_lang / monotonic / interval_overlaps /
-    null_pattern / percent_rank / row_ids / latest-by-key / shuffle /
-    coverage_gaps / value_histogram) to the cohort tail so every
-    novel-algorithm r05
+    r05 arithmetic (deliberate): 63 r05-new queries (round 0) compete
+    for the 50-row window, so exactly 13 round-0 queries spill; the
+    registry demotes a cohort of one-window-function/groupBy shapes
+    (compat_gate / group_bounds / grouping_sets / sample_per_lang /
+    monotonic / interval_overlaps / null_pattern / percent_rank /
+    row_ids / latest-by-key / shuffle / coverage_gaps /
+    value_histogram) to the registry tail so every novel-algorithm r05
     op gets a hard driver-oracle row this round.  New-first is the
     right priority: a query with NO oracle row ever is a coverage gap
     (r04 verdict 'What's missing' #2), while a 1-2-round-old green row

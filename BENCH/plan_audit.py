@@ -550,9 +550,10 @@ def main() -> None:
 
     # 16. r04 audio ops: quality screen + segmentation — same narrow
     # Arrow-map shape as the other audio kernels
-    from drivel_spark.ops import audio_quality, segment_clips
+    from drivel_spark.ops import audio_quality, effective_bit_depth, segment_clips
 
     for name, op in (("Audio quality screen", audio_quality),
+                     ("Effective-bit-depth screen", effective_bit_depth),
                      ("Clip segmentation", lambda d: segment_clips(d, 500, 200))):
         p = fmt(op(clips))
         sections.append(

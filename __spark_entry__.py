@@ -2530,6 +2530,42 @@ def _local_bandwidth(n: int, rolloff_q: float = 0.95,
     )
 
 
+def _local_bitdepth(n: int, requantize_every: int = 4):
+    """Independent per-clip bit-depth oracle: stdlib-wave RAW int16
+    decode (no float round-trip — deliberately not the engine's
+    float32/rint path) and np.gcd.reduce instead of the engine's
+    bitwise-OR reduce — v2(gcd) == v2(bitwise OR) == the trailing-zero
+    count common to all nonzero samples, so the two reductions agree
+    exactly iff both decode paths recover the same integers.  Distinct
+    levels via a python set, not np.unique."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+
+    pdf = clips_pdf(
+        range(n),
+        ClipFixtureSpec(with_audio=True, requantize_every=requantize_every),
+    )
+    rows = []
+    for i, (cid, b) in enumerate(zip(pdf["clip_id"], pdf["bytes"])):
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            sr = w.getframerate()
+            v = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        a = np.abs(v.astype(np.int64))
+        nz = a[a > 0]
+        g = int(np.gcd.reduce(nz)) if len(nz) else None
+        rows.append((cid, i, len(v), sr, g, len(set(v.tolist()))))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz",
+                 "gcd_abs", "n_levels"],
+    )
+
+
 def _local_frame_energy(n: int, frame_ms: int = 25, hop_ms: int = 10,
                         active_db: float = -20.0):
     """Independent frame-energy oracle: stdlib-wave decode + a plain
@@ -3189,6 +3225,45 @@ def q_audio_bandwidth_clips(spark, sf_dir):
             F.sum("rolloff_bin").alias("sum_rolloff_bin"),
         )
         .orderBy("sr_hz")
+    )
+
+
+def q_audio_bitdepth_clips(spark, sf_dir):
+    """Effective-bit-depth screen (ops/multimodal.py effective_bit_depth
+    — the 8-bit-content-stored-as-16-bit transcode detector): every
+    clip with idx % 4 == 3 is re-quantized onto the 8-bit grid by the
+    fixture (step 256 on the int16 lattice, planted mid-step so the
+    encoder's truncating cast lands exactly on the grid), so
+    effective_bits must read 8 on the planted cohort and 16 on natural
+    tone clips.  The DuckDB oracle re-derives effective_bits from an
+    independently-decoded export (stdlib-wave RAW int16, np.gcd.reduce
+    instead of the engine's bitwise-OR reduce — v2(gcd) ≡ v2(OR) ≡ the
+    common trailing-zero count, two different reductions of the same
+    invariant; levels via a python set) with its own log2 bit math,
+    and re-aggregates per (sr_hz, planted)."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import effective_bit_depth
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_bitdepth(n), "bitdepth_oracle", sf_dir)
+    clips = build_clips(
+        spark, n, 8, ClipFixtureSpec(with_audio=True, requantize_every=4)
+    )
+    bd = effective_bit_depth(clips, bytes_col="bytes", id_cols=["clip_id"])
+    bd = attach_clip_idx(bd, spark, n)
+    return (
+        bd.withColumn("planted", F.col("clip_idx") % 4 == 3)
+        .groupBy("sr_hz", "planted")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("effective_bits").alias("sum_eff_bits"),
+            F.sum("trailing_zero_bits").alias("sum_tz"),
+            F.sum((F.col("effective_bits") <= 8).cast("long")).alias("n_low"),
+            F.sum("n_levels").alias("sum_levels"),
+        )
+        .orderBy("sr_hz", "planted")
     )
 
 
@@ -4459,12 +4534,12 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 63 r05-new queries (round 0) compete
-    for the 50-row window, so exactly 13 round-0 queries spill; the
-    registry demotes a cohort of one-window-function/groupBy shapes
-    (compat_gate / group_bounds / grouping_sets / sample_per_lang /
-    monotonic / interval_overlaps / null_pattern / percent_rank /
-    row_ids / latest-by-key / shuffle / coverage_gaps /
+    r05 arithmetic (deliberate): 64 r05-new queries (round 0) compete
+    for the 50-row window, so exactly 14 round-0 queries spill; the
+    registry demotes a cohort of one-window-function/groupBy/quantile
+    shapes (compat_gate / iqr_outliers / group_bounds / grouping_sets /
+    sample_per_lang / monotonic / interval_overlaps / null_pattern /
+    percent_rank / row_ids / latest-by-key / shuffle / coverage_gaps /
     value_histogram) to the registry tail so every novel-algorithm r05
     op gets a hard driver-oracle row this round.  New-first is the
     right priority: a query with NO oracle row ever is a coverage gap
@@ -4515,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mel_features_clips": q_mel_features_clips,
         "pitch_estimate_clips": q_pitch_estimate_clips,
         "audio_bandwidth_clips": q_audio_bandwidth_clips,
+        "audio_bitdepth_clips": q_audio_bitdepth_clips,
         "dsir_select_documents": q_dsir_select_documents,
         "project_embeddings_report": q_project_embeddings,
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
@@ -4575,7 +4651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_ratio_documents": q_fd_ratio_documents,
         "snr_estimate_clips": q_snr_estimate_clips,
         "lm_scores_documents": q_lm_scores_documents,
-        "iqr_outliers_lineitem": q_iqr_outliers_lineitem,
         "mixture_documents": q_mixture_documents,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "wasserstein_orders_price": q_wasserstein_orders_price,
@@ -4621,10 +4696,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compat_gate_orders": q_compat_gate_orders,
         # trivially-SQL-shaped r05 queries, demoted to the tail of the
         # never-driver-verified cohort (r05 final-round window holds 50
-        # of 61 round-0 queries): the novel-algorithm ops above get the
-        # driver-oracle rows; these eleven are one-window-function/
-        # one-groupBy shapes whose pytest oracle rows
+        # of 64 round-0 queries): the novel-algorithm ops above get the
+        # driver-oracle rows; these thirteen are one-window-function/
+        # one-groupBy/one-quantile shapes whose pytest oracle rows
         # (test_entry_contract) are equally strong evidence.
+        "iqr_outliers_lineitem": q_iqr_outliers_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
         "grouping_sets_orders": q_grouping_sets_orders,
         "sample_per_lang_documents": q_sample_per_lang_documents,
@@ -6108,6 +6184,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (highband_ratio > 0.5)::BIGINT AS n_highband,
                    sum(rolloff_bin)::BIGINT AS sum_rolloff_bin
             FROM e GROUP BY sr_hz ORDER BY sr_hz""",
+        # effective bit depth re-derived in SQL from the independent
+        # gcd-based raw-int16 export (engine = bitwise-OR reduce over a
+        # float32 rint round-trip): trailing zeros of the gcd via
+        # log2(g & -g) — exact on powers of two — then the same
+        # (sr_hz, planted idx%4==3) rollup
+        "audio_bitdepth_clips": f"""
+            WITH b AS (
+              SELECT *, (clip_idx % 4 = 3) AS planted,
+                     CASE WHEN gcd_abs IS NULL THEN NULL
+                          ELSE CAST(round(log2(gcd_abs & (-gcd_abs))) AS INT)
+                     END AS tz
+              FROM read_parquet('{ORACLE_DIR}/bitdepth_oracle_sf0.01.parquet'))
+            SELECT sr_hz, planted, count(*)::BIGINT AS n_clips,
+                   sum(16 - tz)::BIGINT AS sum_eff_bits,
+                   sum(tz)::BIGINT AS sum_tz,
+                   count(*) FILTER (16 - tz <= 8)::BIGINT AS n_low,
+                   sum(n_levels)::BIGINT AS sum_levels
+            FROM b GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
         # harmonic lock + octave-corrected recovered frequency from the
         # independent direct-autocorrelation export (engine = rFFT
         # Wiener–Khinchin); same closed-form alias expectation as the

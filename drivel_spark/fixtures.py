@@ -104,6 +104,17 @@ class ClipFixtureSpec:
     shared_seg_every: int = 0
     shared_seg_ms: int = 750
     shared_seg_at_ms: int = 250
+    # re-quantization fixture hook (off by default — digests of the
+    # validate tables are untouched): every clip with idx %
+    # requantize_every == 3 has its PCM snapped to the
+    # ``requantize_bits``-bit grid on the int16 lattice (step
+    # 2^(16-bits), symmetric clamp to ±(2^(bits-1)-1)·step) before
+    # encoding — exactly-known "8-bit content stored as 16-bit" rows
+    # for the effective-bit-depth oracles.  Planted floats sit at
+    # grid+½ of an int16 step so wav_encode's truncating cast lands
+    # exactly on the planted integer.
+    requantize_every: int = 0
+    requantize_bits: int = 8
 
 
 def _u(ids: np.ndarray, salt: int) -> np.ndarray:
@@ -197,7 +208,8 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
                 and srk == 8000
                 and durk >= spec.shared_seg_at_ms + spec.shared_seg_ms
             )
-            if silent or distort or share:
+            requant = spec.requantize_every and idx % spec.requantize_every == 3
+            if silent or distort or share or requant:
                 pcm = synth_pcm(idx, srk, durk, seed)
                 if silent:
                     a = int(len(pcm) * spec.silence_span[0])
@@ -209,6 +221,17 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
                     seg = synth_pcm(999_999_937, srk, spec.shared_seg_ms, seed)
                     a = srk * spec.shared_seg_at_ms // 1000
                     pcm[a : a + len(seg)] = seg
+                if requant:
+                    # LAST transform: snap the samples wav_encode WOULD
+                    # write (same truncating cast) to the b-bit grid,
+                    # then offset by half an int16 step so the encoder's
+                    # truncation-toward-zero lands exactly on q.
+                    bits = spec.requantize_bits
+                    step = 1 << (16 - bits)
+                    lim = (1 << (bits - 1)) - 1
+                    v = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int32)
+                    q = np.clip(np.rint(v / step), -lim, lim).astype(np.int32) * step
+                    pcm = (q + np.where(q < 0, -0.5, 0.5)) / 32767.0
                 payload[k] = wav_encode(pcm, srk)
             else:
                 payload[k] = synth_wav(idx, srk, durk, seed)

@@ -985,6 +985,83 @@ def audio_quality(df: DataFrame, bytes_col: str = "bytes",
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 
+AUDIO_BITDEPTH_SCHEMA = (
+    "n_samples long, sr_hz int, or_abs int, trailing_zero_bits int, "
+    "effective_bits int, n_levels long"
+)
+
+
+def effective_bit_depth(df: DataFrame, bytes_col: str = "bytes",
+                        id_cols: Optional[list[str]] = None) -> DataFrame:
+    """Per-clip effective bit depth — the transcode-artifact screen the
+    container header cannot see: audio once stored at 8 (or 12, or any
+    b < 16) bits and later re-encoded as PCM16 has every sample on the
+    2^(16-b) lattice, so the number of trailing zero bits COMMON to all
+    nonzero samples exposes the true resolution.  ``sr_hz`` in the
+    header says 16-bit; a corpus of re-quantized uploads trains on 8.
+
+    Columns: ``or_abs`` = bitwise OR of |sample| over the clip's
+    nonzero int16 samples (the minimal sufficient statistic: its
+    trailing-zero count is min over samples, exactly v2(gcd));
+    ``trailing_zero_bits`` its trailing-zero count;
+    ``effective_bits = 16 - trailing_zero_bits``; ``n_levels`` the
+    count of distinct sample VALUES (a second, coarser resolution
+    signal — heavy limiting or gating shows here first).  Digital
+    silence (all samples zero) has no evidence of any grid:
+    or_abs/trailing/effective are NULL, n_levels = 1.  Undecodable or
+    NULL payloads yield an all-NULL row (tolerant, like
+    :func:`audio_quality`).
+
+    int16/32767 is exact in float32, so ``rint(pcm·32767)`` recovers
+    the encoded integers bit-exactly.  One narrow scan → mapInPandas,
+    one vectorized numpy pass per clip, no shuffle — a pure map at any
+    scale.
+    """
+    id_cols = id_cols or ["clip_id"]
+    keys = ("n_samples", "sr_hz", "or_abs", "trailing_zero_bits",
+            "effective_bits", "n_levels")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                v = np.rint(pcm.astype(np.float64) * 32767.0).astype(np.int32)
+                a = np.abs(v)
+                nz = a[a > 0]
+                if len(nz):
+                    orv = int(np.bitwise_or.reduce(nz))
+                    tz = (orv & -orv).bit_length() - 1
+                    eff = 16 - tz
+                else:
+                    orv = tz = eff = None
+                vals = dict(
+                    n_samples=len(v),
+                    sr_hz=sr,
+                    or_abs=orv,
+                    trailing_zero_bits=tz,
+                    effective_bits=eff,
+                    n_levels=int(len(np.unique(v))),
+                )
+                for k in keys:
+                    cols[k].append(vals[k])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + AUDIO_BITDEPTH_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
 SEGMENT_CLIPS_SCHEMA = (
     "sr_hz int, n_samples_in long, seg_idx int, seg_samples long, bytes binary"
 )

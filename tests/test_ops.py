@@ -1729,6 +1729,66 @@ def test_audio_quality_matches_inline_numpy(spark):
         assert r["clipping_ratio"] == float(np.count_nonzero(ax >= 0.99999)) / len(x)
 
 
+def test_effective_bit_depth(spark):
+    """Planted 8-bit re-quantized fixture clips read effective_bits 8
+    exactly and natural tone clips 16; the hook touches ONLY idx%4==3
+    payloads (digest-safe otherwise); a hand-built 12-bit-grid clip
+    reads 12; digital silence has NULL bits (no grid evidence) and
+    n_levels 1; corrupt/NULL payloads yield all-NULL rows; and the
+    engine's bitwise-OR trailing zeros ≡ an independent gcd replay
+    over stdlib-wave raw int16."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+    from drivel_spark.ops import effective_bit_depth
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    base = clips_pdf(range(24), ClipFixtureSpec(with_audio=True))
+    plant = clips_pdf(
+        range(24), ClipFixtureSpec(with_audio=True, requantize_every=4)
+    )
+    for i in range(24):
+        same = bytes(base["bytes"][i]) == bytes(plant["bytes"][i])
+        assert same == (i % 4 != 3), i
+
+    df = spark.createDataFrame(
+        [(f"c{i:02d}", bytearray(plant["bytes"][i])) for i in range(24)],
+        "clip_id string, bytes binary",
+    )
+    got = effective_bit_depth(df).toPandas().set_index("clip_id")
+    for i in range(24):
+        r = got.loc[f"c{i:02d}"]
+        assert r["effective_bits"] == (8 if i % 4 == 3 else 16), i
+        # independent replay: raw int16 via stdlib wave + gcd reduce
+        with wave.open(io.BytesIO(bytes(plant["bytes"][i]))) as w:
+            v = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        a = np.abs(v.astype(np.int64))
+        g = int(np.gcd.reduce(a[a > 0]))
+        assert int(r["trailing_zero_bits"]) == (g & -g).bit_length() - 1
+        assert int(r["n_levels"]) == len(set(v.tolist()))
+
+    sr = 8000
+    pcm = synth_pcm(2, sr, 400)
+    v = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int32)
+    q = np.clip(np.rint(v / 16), -2047, 2047).astype(np.int32) * 16
+    pcm12 = (q + np.where(q < 0, -0.5, 0.5)) / 32767.0
+    rows = [
+        ("b12", bytearray(wav_encode(pcm12, sr))),
+        ("silence", bytearray(wav_encode(np.zeros(800), sr))),
+        ("corrupt", bytearray(b"not a wav at all")),
+        ("null", None),
+    ]
+    df2 = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    g2 = effective_bit_depth(df2).toPandas().set_index("clip_id")
+    assert g2.loc["b12"]["effective_bits"] == 12
+    s = g2.loc["silence"]
+    assert np.isnan(s["effective_bits"]) and s["n_levels"] == 1
+    assert g2.loc[["corrupt", "null"]]["n_samples"].isnull().all()
+
+
 def test_segment_clips_contract(spark):
     """Closed-form segmentation: a 1700 ms / 8 kHz clip at seg=500 ms,
     min_tail=200 ms gives 3 full 4000-sample segments + one kept

@@ -550,10 +550,16 @@ def main() -> None:
 
     # 16. r04 audio ops: quality screen + segmentation — same narrow
     # Arrow-map shape as the other audio kernels
-    from drivel_spark.ops import audio_quality, effective_bit_depth, segment_clips
+    from drivel_spark.ops import (
+        audio_quality,
+        effective_bit_depth,
+        hum_detect,
+        segment_clips,
+    )
 
     for name, op in (("Audio quality screen", audio_quality),
                      ("Effective-bit-depth screen", effective_bit_depth),
+                     ("Mains-hum screen", hum_detect),
                      ("Clip segmentation", lambda d: segment_clips(d, 500, 200))):
         p = fmt(op(clips))
         sections.append(

@@ -2566,6 +2566,53 @@ def _local_bitdepth(n: int, requantize_every: int = 4):
     )
 
 
+def _local_hum(n: int, hum_every: int = 4, harmonics: int = 3,
+               tol_hz: float = 2.0):
+    """Independent per-clip mains-hum oracle: stdlib-wave float64
+    decode (not the engine's float32 path) and boolean frequency-mask
+    binning (|k·sr/n − h·f| ≤ tol over the whole rFFT grid) instead of
+    the engine's ceil/floor bin-bound loop — the two agree exactly
+    because every boundary operand (k, sr, n, h·f, tol) is an exact
+    float64 integer, so there is no rounding to disagree on."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+
+    spec_fix = ClipFixtureSpec(with_audio=True, hum_every=hum_every)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n, spec_fix):
+        nsamp = len(pcm)
+        if nsamp < 4:
+            rows.append((cid, i, nsamp, sr, None, None, None, None))
+            continue
+        spec = np.abs(np.fft.rfft(pcm))
+        spec[0] = 0.0
+        p = spec * spec
+        total = float(p.sum())
+        if total <= 0.0:
+            rows.append((cid, i, nsamp, sr, None, None, None, None))
+            continue
+        freqs = np.arange(len(p), dtype=np.float64) * sr / nsamp
+        out = {}
+        for base in (50.0, 60.0):
+            mask = np.zeros(len(p), dtype=bool)
+            for h in range(1, harmonics + 1):
+                c = h * base
+                if c >= sr / 2.0:
+                    break
+                mask |= np.abs(freqs - c) <= tol_hz
+            mask[0] = False
+            out[base] = (int(mask.sum()), float(p[mask].sum() / total))
+        rows.append((cid, i, nsamp, sr, out[50.0][0], out[60.0][0],
+                     out[50.0][1], out[60.0][1]))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz",
+                 "bins_50", "bins_60", "ratio_50", "ratio_60"],
+    )
+
+
 def _local_frame_energy(n: int, frame_ms: int = 25, hop_ms: int = 10,
                         active_db: float = -20.0):
     """Independent frame-energy oracle: stdlib-wave decode + a plain
@@ -3262,6 +3309,45 @@ def q_audio_bitdepth_clips(spark, sf_dir):
             F.sum("trailing_zero_bits").alias("sum_tz"),
             F.sum((F.col("effective_bits") <= 8).cast("long")).alias("n_low"),
             F.sum("n_levels").alias("sum_levels"),
+        )
+        .orderBy("sr_hz", "planted")
+    )
+
+
+def q_hum_detect_clips(spark, sf_dir):
+    """Mains-hum screen (ops/multimodal.py hum_detect — the
+    ground-loop/electrical-interference detector): every clip with
+    idx % 4 == 1 gets a 0.1-amplitude 50 Hz sine + half-amplitude
+    100 Hz harmonic added by the fixture, so its 50 Hz power share
+    reads ~2% against a ~3e-4 leakage floor on clean clips.  The
+    DuckDB oracle re-derives both ratios, the integer bin counts, and
+    the >0.5% flags from an independently-decoded export (stdlib-wave
+    float64, boolean frequency-mask binning instead of the engine's
+    ceil/floor bin bounds — equal because every boundary operand is an
+    exact float64 integer) and re-aggregates per (sr_hz, planted).
+    sum(hum_bins_*) is an exact-integer cross-check of the two binning
+    paths."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import hum_detect
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_hum(n), "hum_oracle", sf_dir)
+    clips = build_clips(
+        spark, n, 8, ClipFixtureSpec(with_audio=True, hum_every=4)
+    )
+    hm = hum_detect(clips, bytes_col="bytes", id_cols=["clip_id"])
+    hm = attach_clip_idx(hm, spark, n)
+    return (
+        hm.withColumn("planted", F.col("clip_idx") % 4 == 1)
+        .groupBy("sr_hz", "planted")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("hum_bins_50").alias("sum_bins_50"),
+            F.sum("hum_bins_60").alias("sum_bins_60"),
+            F.sum((F.col("hum_ratio_50") > 0.005).cast("long")).alias("n_hum50"),
+            F.sum((F.col("hum_ratio_60") > 0.005).cast("long")).alias("n_hum60"),
         )
         .orderBy("sr_hz", "planted")
     )
@@ -4534,14 +4620,15 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 64 r05-new queries (round 0) compete
-    for the 50-row window, so exactly 14 round-0 queries spill; the
-    registry demotes a cohort of one-window-function/groupBy/quantile
-    shapes (compat_gate / iqr_outliers / group_bounds / grouping_sets /
-    sample_per_lang / monotonic / interval_overlaps / null_pattern /
-    percent_rank / row_ids / latest-by-key / shuffle / coverage_gaps /
-    value_histogram) to the registry tail so every novel-algorithm r05
-    op gets a hard driver-oracle row this round.  New-first is the
+    r05 arithmetic (deliberate): 65 r05-new queries (round 0) compete
+    for the 50-row window, so exactly 15 round-0 queries spill; the
+    registry demotes a cohort of one-window-function/groupBy/quantile/
+    CASE-WHEN shapes (compat_gate / iqr_outliers / conditional_validation
+    / group_bounds / grouping_sets / sample_per_lang / monotonic /
+    interval_overlaps / null_pattern / percent_rank / row_ids /
+    latest-by-key / shuffle / coverage_gaps / value_histogram) to the
+    registry tail so every novel-algorithm r05 op gets a hard
+    driver-oracle row this round.  New-first is the
     right priority: a query with NO oracle row ever is a coverage gap
     (r04 verdict 'What's missing' #2), while a 1-2-round-old green row
     was graded pass(rNN); every spilled query still carries the SAME
@@ -4591,6 +4678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pitch_estimate_clips": q_pitch_estimate_clips,
         "audio_bandwidth_clips": q_audio_bandwidth_clips,
         "audio_bitdepth_clips": q_audio_bitdepth_clips,
+        "hum_detect_clips": q_hum_detect_clips,
         "dsir_select_documents": q_dsir_select_documents,
         "project_embeddings_report": q_project_embeddings,
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
@@ -4652,7 +4740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snr_estimate_clips": q_snr_estimate_clips,
         "lm_scores_documents": q_lm_scores_documents,
         "mixture_documents": q_mixture_documents,
-        "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "wasserstein_orders_price": q_wasserstein_orders_price,
         "chisq_drift_orders": q_chisq_drift_orders,
         "entropy_report_lineitem": q_entropy_report_lineitem,
@@ -4696,11 +4783,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compat_gate_orders": q_compat_gate_orders,
         # trivially-SQL-shaped r05 queries, demoted to the tail of the
         # never-driver-verified cohort (r05 final-round window holds 50
-        # of 64 round-0 queries): the novel-algorithm ops above get the
-        # driver-oracle rows; these thirteen are one-window-function/
-        # one-groupBy/one-quantile shapes whose pytest oracle rows
-        # (test_entry_contract) are equally strong evidence.
+        # of 65 round-0 queries): the novel-algorithm ops above get the
+        # driver-oracle rows; these fourteen are one-window-function/
+        # one-groupBy/one-quantile/CASE-WHEN shapes whose pytest oracle
+        # rows (test_entry_contract) are equally strong evidence.
         "iqr_outliers_lineitem": q_iqr_outliers_lineitem,
+        "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,
         "grouping_sets_orders": q_grouping_sets_orders,
         "sample_per_lang_documents": q_sample_per_lang_documents,
@@ -6202,6 +6290,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (16 - tz <= 8)::BIGINT AS n_low,
                    sum(n_levels)::BIGINT AS sum_levels
             FROM b GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
+        # hum ratios, integer bin counts, and >0.5% flags re-derived in
+        # SQL from the independent frequency-mask export (engine =
+        # ceil/floor bin-bound loop over a float32 decode);
+        # sum(bins_*) pinned as exact integers
+        "hum_detect_clips": f"""
+            WITH h AS (
+              SELECT *, (clip_idx % 4 = 1) AS planted
+              FROM read_parquet('{ORACLE_DIR}/hum_oracle_sf0.01.parquet'))
+            SELECT sr_hz, planted, count(*)::BIGINT AS n_clips,
+                   sum(bins_50)::BIGINT AS sum_bins_50,
+                   sum(bins_60)::BIGINT AS sum_bins_60,
+                   count(*) FILTER (ratio_50 > 0.005)::BIGINT AS n_hum50,
+                   count(*) FILTER (ratio_60 > 0.005)::BIGINT AS n_hum60
+            FROM h GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
         # harmonic lock + octave-corrected recovered frequency from the
         # independent direct-autocorrelation export (engine = rFFT
         # Wiener–Khinchin); same closed-form alias expectation as the

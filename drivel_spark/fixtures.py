@@ -115,6 +115,15 @@ class ClipFixtureSpec:
     # exactly on the planted integer.
     requantize_every: int = 0
     requantize_bits: int = 8
+    # mains-hum fixture hook (off by default — digests of the validate
+    # tables are untouched): every clip with idx % hum_every == 1 gets
+    # a ``hum_amp`` sine at ``hum_hz`` (plus a half-amplitude 2nd
+    # harmonic, the asymmetric-load signature) added to its PCM before
+    # encoding — exactly-known contaminated rows for the mains-hum
+    # screen oracles (hum_detect).
+    hum_every: int = 0
+    hum_hz: float = 50.0
+    hum_amp: float = 0.1
 
 
 def _u(ids: np.ndarray, salt: int) -> np.ndarray:
@@ -209,7 +218,8 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
                 and durk >= spec.shared_seg_at_ms + spec.shared_seg_ms
             )
             requant = spec.requantize_every and idx % spec.requantize_every == 3
-            if silent or distort or share or requant:
+            hum = spec.hum_every and idx % spec.hum_every == 1
+            if silent or distort or share or requant or hum:
                 pcm = synth_pcm(idx, srk, durk, seed)
                 if silent:
                     a = int(len(pcm) * spec.silence_span[0])
@@ -221,6 +231,13 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
                     seg = synth_pcm(999_999_937, srk, spec.shared_seg_ms, seed)
                     a = srk * spec.shared_seg_at_ms // 1000
                     pcm[a : a + len(seg)] = seg
+                if hum:
+                    t = np.arange(len(pcm), dtype=np.float64) / srk
+                    pcm = pcm + spec.hum_amp * np.sin(
+                        2.0 * np.pi * spec.hum_hz * t
+                    ) + 0.5 * spec.hum_amp * np.sin(
+                        4.0 * np.pi * spec.hum_hz * t
+                    )
                 if requant:
                     # LAST transform: snap the samples wav_encode WOULD
                     # write (same truncating cast) to the b-bit grid,

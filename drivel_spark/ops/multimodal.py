@@ -459,6 +459,98 @@ def bandwidth_estimate(df: DataFrame, bytes_col: str = "bytes",
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 
+HUM_SCHEMA = (
+    "n_samples long, sr_hz int, hum_bins_50 int, hum_bins_60 int, "
+    "hum_ratio_50 double, hum_ratio_60 double"
+)
+
+
+def hum_detect(df: DataFrame, bytes_col: str = "bytes",
+               id_cols: Optional[list[str]] = None,
+               harmonics: int = 3, tol_hz: float = 2.0) -> DataFrame:
+    """Mains-hum screen per WAV clip — the electrical-interference
+    detector: a recording chain with a ground loop or unshielded cable
+    injects a 50 Hz (EU) or 60 Hz (US) tone plus harmonics that no
+    metadata field can see and that survives loudness normalization.
+    Corpora mixing contaminated capture rigs show it as a bimodal
+    spectral line; the screen turns it into a per-clip number a
+    constraint can gate on.
+
+    Per clip (DC excluded): for each mains base ``f ∈ {50, 60}`` Hz,
+    ``hum_ratio_f`` = fraction of total AC power inside ``± tol_hz``
+    of the first ``harmonics`` multiples of ``f`` that lie below
+    Nyquist, and ``hum_bins_f`` = the integer count of rFFT bins
+    summed (an exact-arithmetic cross-check of the binning: the bin
+    bounds ``ceil((h·f − tol)·n/sr) … floor((h·f + tol)·n/sr)`` are
+    integers decided by identical float64 operands on any
+    implementation).  A clean clip reads ratios at the noise floor;
+    a contaminated one reads the injected power share.  Zero-AC-power
+    or too-short clips NULL the spectral fields; undecodable/NULL
+    payloads yield all-NULL rows (tolerant, like
+    :func:`bandwidth_estimate`).
+
+    One narrow scan → mapInPandas (Arrow batches), one rFFT per clip
+    in float64; no shuffle — a pure map at any scale.
+    """
+    if harmonics < 1:
+        raise ValueError(f"harmonics must be >= 1: {harmonics}")
+    if tol_hz <= 0.0:
+        raise ValueError(f"tol_hz must be > 0: {tol_hz}")
+    id_cols = id_cols or ["clip_id"]
+    keys = ("n_samples", "sr_hz", "hum_bins_50", "hum_bins_60",
+            "hum_ratio_50", "hum_ratio_60")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                pcm = sr = None
+                if b is not None:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        pcm = None
+                if pcm is None:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                n = len(pcm)
+                cols["n_samples"].append(n)
+                cols["sr_hz"].append(sr)
+                if n < 4:
+                    for k in keys[2:]:
+                        cols[k].append(None)
+                    continue
+                spec = np.abs(np.fft.rfft(pcm.astype(np.float64)))
+                spec[0] = 0.0  # DC is level, not interference
+                power = spec * spec
+                total = float(power.sum())
+                if total <= 0.0:
+                    for k in keys[2:]:
+                        cols[k].append(None)
+                    continue
+                for base, bkey, rkey in ((50.0, "hum_bins_50", "hum_ratio_50"),
+                                         (60.0, "hum_bins_60", "hum_ratio_60")):
+                    nbins, psum = 0, 0.0
+                    for h in range(1, harmonics + 1):
+                        c = h * base
+                        if c >= sr / 2.0:
+                            break
+                        lo = max(int(np.ceil((c - tol_hz) * n / sr)), 1)
+                        hi = min(int(np.floor((c + tol_hz) * n / sr)),
+                                 len(power) - 1)
+                        if hi >= lo:
+                            nbins += hi - lo + 1
+                            psum += float(power[lo : hi + 1].sum())
+                    cols[bkey].append(nbins)
+                    cols[rkey].append(psum / total)
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + HUM_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
 def frame_energy(df: DataFrame, bytes_col: str = "bytes",
                  id_cols: Optional[list[str]] = None,
                  frame_ms: int = 25, hop_ms: int = 10,

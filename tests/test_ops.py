@@ -1789,6 +1789,62 @@ def test_effective_bit_depth(spark):
     assert g2.loc[["corrupt", "null"]]["n_samples"].isnull().all()
 
 
+def test_hum_detect(spark):
+    """A planted 0.1-amp 50 Hz hum (+ half-amp 100 Hz harmonic) reads a
+    ~2% 50 Hz power share while the clean sibling reads the leakage
+    floor; a 60 Hz hum flips the verdict to the other base; bin counts
+    match the closed form (1 s / 8 kHz, ±2 Hz of 3 harmonics → 15 bins
+    per base); digital silence NULLs the spectral fields; corrupt/NULL
+    payloads yield all-NULL rows; the fixture hook touches ONLY
+    idx%4==1 payloads; bad params raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+    from drivel_spark.ops import hum_detect
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    base = clips_pdf(range(12), ClipFixtureSpec(with_audio=True))
+    plant = clips_pdf(range(12), ClipFixtureSpec(with_audio=True, hum_every=4))
+    for i in range(12):
+        same = bytes(base["bytes"][i]) == bytes(plant["bytes"][i])
+        assert same == (i % 4 != 1), i
+
+    sr = 8000
+    tone = synth_pcm(5, sr, 1000)
+    t = np.arange(len(tone), dtype=np.float64) / sr
+    hum50 = tone + 0.1 * np.sin(2 * np.pi * 50 * t) + 0.05 * np.sin(2 * np.pi * 100 * t)
+    hum60 = tone + 0.1 * np.sin(2 * np.pi * 60 * t)
+    rows = [
+        ("clean", bytearray(wav_encode(tone, sr))),
+        ("hum50", bytearray(wav_encode(hum50, sr))),
+        ("hum60", bytearray(wav_encode(hum60, sr))),
+        ("silence", bytearray(wav_encode(np.zeros(800), sr))),
+        ("corrupt", bytearray(b"nope")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = hum_detect(df).toPandas().set_index("clip_id")
+
+    for cid in ("clean", "hum50", "hum60"):
+        assert got.loc[cid]["hum_bins_50"] == 15
+        assert got.loc[cid]["hum_bins_60"] == 15
+    assert got.loc["hum50"]["hum_ratio_50"] > 0.01
+    assert got.loc["hum50"]["hum_ratio_60"] < 0.002
+    assert got.loc["hum60"]["hum_ratio_60"] > 0.01
+    assert got.loc["hum60"]["hum_ratio_50"] < 0.002
+    assert got.loc["clean"]["hum_ratio_50"] < 0.002
+    assert got.loc["clean"]["hum_ratio_60"] < 0.002
+    s = got.loc["silence"]
+    assert s["n_samples"] == 800 and np.isnan(s["hum_ratio_50"])
+    assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()
+
+    with _pytest.raises(ValueError):
+        hum_detect(df, harmonics=0)
+    with _pytest.raises(ValueError):
+        hum_detect(df, tol_hz=0.0)
+
+
 def test_segment_clips_contract(spark):
     """Closed-form segmentation: a 1700 ms / 8 kHz clip at seg=500 ms,
     min_tail=200 ms gives 3 full 4000-sample segments + one kept

@@ -54,6 +54,10 @@ def _ensure_clips_table(spark) -> dict:
             variant = "default"
             no_audio = False
             out = BENCH_CLIPS_DIR
+            # mirror every cmd_prepare CLI default (job.py argparse);
+            # a missing attribute here crashes the whole bench run the
+            # first time the cached table is rebuilt
+            shared_seg_every = 0
 
         cmd_prepare(A)
     with open(meta_path) as fh:

@@ -554,12 +554,16 @@ def main() -> None:
         audio_quality,
         effective_bit_depth,
         hum_detect,
+        echo_detect,
         segment_clips,
+        spectral_flatness,
     )
 
     for name, op in (("Audio quality screen", audio_quality),
                      ("Effective-bit-depth screen", effective_bit_depth),
                      ("Mains-hum screen", hum_detect),
+                     ("Spectral-flatness screen", spectral_flatness),
+                     ("Cepstral echo screen", echo_detect),
                      ("Clip segmentation", lambda d: segment_clips(d, 500, 200))):
         p = fmt(op(clips))
         sections.append(

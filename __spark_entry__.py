@@ -2613,6 +2613,95 @@ def _local_hum(n: int, hum_every: int = 4, harmonics: int = 3,
     )
 
 
+def _local_flatness(n: int, noise_every: int = 4):
+    """Independent per-clip spectral-flatness oracle: stdlib-wave
+    float64 decode (not the engine's float32 path), the FULL complex
+    FFT sliced to positive bins 1..n//2 (the engine uses rFFT — same
+    values, symmetric spectrum), flatness as exp(mean(ln p) − ln(mean
+    p)) (the engine divides GM by AM directly) and entropy in log2
+    rescaled by log2(n_bins) (the engine uses natural logs) — different
+    arithmetic routes to the same quantities, agreeing far inside the
+    flag thresholds' ≳100× margins."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec
+
+    spec_fix = ClipFixtureSpec(with_audio=True, noise_every=noise_every)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n, spec_fix):
+        nsamp = len(pcm)
+        if nsamp < 4:
+            rows.append((cid, i, nsamp, sr, None, None, None))
+            continue
+        full = np.abs(np.fft.fft(pcm))
+        p = (full[1 : nsamp // 2 + 1]) ** 2
+        n_bins = len(p)
+        total = float(p.sum())
+        if total <= 0.0:
+            rows.append((cid, i, nsamp, sr, n_bins, None, None))
+            continue
+        if np.any(p <= 0.0):
+            flat = 0.0
+        else:
+            flat = float(np.exp(np.mean(np.log(p)) - np.log(total / n_bins)))
+        q = p / total
+        q = q[q > 0.0]
+        ent = float(-(q * np.log2(q)).sum() / np.log2(n_bins))
+        rows.append((cid, i, nsamp, sr, n_bins, flat, ent))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz",
+                 "n_bins", "flatness", "entropy"],
+    )
+
+
+def _local_echo(n: int, noise_every: int = 4, echo_every: int = 8,
+                delay_ms: float = 60.0):
+    """Independent per-clip echo oracle: stdlib-wave float64 decode
+    (not the engine's float32 path), full complex FFT → log power →
+    full inverse FFT real part (the engine uses the rFFT/irFFT pair),
+    boolean-mask peak search over the quefrency range instead of the
+    engine's slice-argmax — different routes to the same cepstrum,
+    with the same eps-floor definition log(P + 1e−12·mean(P))."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec
+
+    spec_fix = ClipFixtureSpec(
+        with_audio=True, noise_every=noise_every, echo_every=echo_every,
+        echo_delay_ms=delay_ms,
+    )
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n, spec_fix):
+        nsamp = len(pcm)
+        lag_lo = int(np.ceil(sr * 0.010))
+        lag_hi = min(int(np.floor(sr * 0.250)), nsamp // 4)
+        if nsamp < 8 or lag_hi <= lag_lo:
+            rows.append((cid, i, nsamp, sr, None, None))
+            continue
+        full = np.abs(np.fft.fft(pcm))
+        p = (full[: nsamp // 2 + 1]) ** 2
+        pm = float(p.mean())
+        if pm <= 0.0:
+            rows.append((cid, i, nsamp, sr, None, None))
+            continue
+        logp = np.log(p + 1e-12 * pm)
+        # rebuild the symmetric spectrum and take the real inverse FFT
+        sym = np.concatenate([logp, logp[-2 + (nsamp % 2) :: -1][: nsamp - len(logp)]])
+        ceps = np.real(np.fft.ifft(sym))
+        lags = np.arange(len(ceps))
+        mask = (lags >= lag_lo) & (lags <= lag_hi)
+        k = int(lags[mask][np.argmax(ceps[mask])])
+        rows.append((cid, i, nsamp, sr, k, float(ceps[k])))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz",
+                 "echo_lag", "echo_strength"],
+    )
+
+
 def _local_frame_energy(n: int, frame_ms: int = 25, hop_ms: int = 10,
                         active_db: float = -20.0):
     """Independent frame-energy oracle: stdlib-wave decode + a plain
@@ -3350,6 +3439,99 @@ def q_hum_detect_clips(spark, sf_dir):
             F.sum((F.col("hum_ratio_60") > 0.005).cast("long")).alias("n_hum60"),
         )
         .orderBy("sr_hz", "planted")
+    )
+
+
+def q_spectral_flatness_clips(spark, sf_dir):
+    """Spectral-flatness screen (ops/multimodal.py spectral_flatness —
+    the dead-mic/static detector): every clip with idx % 4 == 1 has its
+    tone REPLACED by seeded gaussian noise by the fixture, so it reads
+    flatness near the white-noise fixed point e^−γ ≈ 0.5615 (iid
+    exponential periodogram bins) and normalized spectral entropy
+    ≈ 0.95, while the tonal clips read ~2e-4 and ≲0.35 — the 0.3 / 0.05
+    / 0.7 flag thresholds each carry ≳100× margin.  The DuckDB oracle
+    re-derives every flag from an independently-decoded export
+    (stdlib-wave float64, full-FFT positive-bin slice, log-identity
+    flatness, log2 entropy — no arithmetic route shared with the
+    engine) and re-aggregates per (sr_hz, planted); sum(n_bins) is an
+    exact-integer cross-check of the two spectrum-slicing paths."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import spectral_flatness
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_flatness(n), "flatness_oracle", sf_dir)
+    clips = build_clips(
+        spark, n, 8, ClipFixtureSpec(with_audio=True, noise_every=4)
+    )
+    fl = spectral_flatness(clips, bytes_col="bytes", id_cols=["clip_id"])
+    fl = attach_clip_idx(fl, spark, n)
+    return (
+        fl.withColumn("planted", F.col("clip_idx") % 4 == 1)
+        .groupBy("sr_hz", "planted")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_bins").alias("sum_bins"),
+            F.sum(F.col("noise_like").cast("long")).alias("n_noise_like"),
+            F.sum((F.col("flatness") < 0.05).cast("long")).alias("n_tonal"),
+            F.sum(
+                (F.col("spectral_entropy") > 0.7).cast("long")
+            ).alias("n_entropy_high"),
+        )
+        .orderBy("sr_hz", "planted")
+    )
+
+
+def q_echo_detect_clips(spark, sf_dir):
+    """Cepstral echo screen (ops/multimodal.py echo_detect — the
+    double-mix/slapback detector): the fixture splits clips into three
+    cohorts — idx%8==1 = broadband noise + a 0.5-gain 60 ms echo
+    (noise_every=4 ∧ echo_every=8), idx%8==5 = broadband noise alone,
+    everything else = the tonal base.  An echo multiplies the power
+    spectrum by |1+g·e^(−iωd)|², whose log is a cosine ripple the
+    cepstrum concentrates at quefrency d — measured ≥ 0.30 on every
+    planted clip vs ≤ 0.115 on every clean clip (0.2 threshold,
+    ≥ 1.5× margin each side), with the lag recovered EXACTLY (60 ms is
+    an integer sample count at all five fixture rates).  The DuckDB
+    oracle re-derives the flags, the per-cohort counts, and the
+    exact-lag count from an independently-decoded export (stdlib-wave
+    float64, full-FFT + symmetric-rebuild inverse FFT, mask-based peak
+    search — no arithmetic route shared with the engine's rFFT/irFFT
+    slice-argmax)."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import echo_detect
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_echo(n), "echo_oracle", sf_dir)
+    clips = build_clips(
+        spark, n, 8,
+        ClipFixtureSpec(with_audio=True, noise_every=4, echo_every=8),
+    )
+    ec = echo_detect(clips, bytes_col="bytes", id_cols=["clip_id"])
+    ec = attach_clip_idx(ec, spark, n)
+    d = F.round(F.col("sr_hz") * 0.06).cast("long")
+    eligible = F.col("n_samples") >= 4 * d
+    cohort = (
+        F.when((F.col("clip_idx") % 8 == 1) & eligible, F.lit("echo"))
+        .when(F.col("clip_idx") % 4 == 1, F.lit("noise"))
+        .otherwise(F.lit("tone"))
+    )
+    return (
+        ec.withColumn("cohort", cohort)
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(F.col("echo_flag").cast("long")).alias("n_flagged"),
+            F.sum(
+                ((F.col("cohort") == "echo") & (F.col("echo_lag") == d))
+                .cast("long")
+            ).alias("n_lag_exact"),
+            F.sum(F.col("echo_lag").isNull().cast("long")).alias("n_null"),
+        )
+        .orderBy("cohort")
     )
 
 
@@ -4620,8 +4802,8 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 65 r05-new queries (round 0) compete
-    for the 50-row window, so exactly 15 round-0 queries spill; the
+    r05 arithmetic (deliberate): 67 r05-new queries (round 0) compete
+    for the 50-row window, so exactly 17 round-0 queries spill; the
     registry demotes a cohort of one-window-function/groupBy/quantile/
     CASE-WHEN shapes (compat_gate / iqr_outliers / conditional_validation
     / group_bounds / grouping_sets / sample_per_lang / monotonic /
@@ -4679,6 +4861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_bandwidth_clips": q_audio_bandwidth_clips,
         "audio_bitdepth_clips": q_audio_bitdepth_clips,
         "hum_detect_clips": q_hum_detect_clips,
+        "spectral_flatness_clips": q_spectral_flatness_clips,
+        "echo_detect_clips": q_echo_detect_clips,
         "dsir_select_documents": q_dsir_select_documents,
         "project_embeddings_report": q_project_embeddings,
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
@@ -4783,7 +4967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compat_gate_orders": q_compat_gate_orders,
         # trivially-SQL-shaped r05 queries, demoted to the tail of the
         # never-driver-verified cohort (r05 final-round window holds 50
-        # of 65 round-0 queries): the novel-algorithm ops above get the
+        # of 67 round-0 queries): the novel-algorithm ops above get the
         # driver-oracle rows; these fourteen are one-window-function/
         # one-groupBy/one-quantile/CASE-WHEN shapes whose pytest oracle
         # rows (test_entry_contract) are equally strong evidence.
@@ -6304,6 +6488,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (ratio_50 > 0.005)::BIGINT AS n_hum50,
                    count(*) FILTER (ratio_60 > 0.005)::BIGINT AS n_hum60
             FROM h GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
+        # flatness/entropy flags re-derived from the independent
+        # full-FFT export; sum(n_bins) pins the two spectrum-slicing
+        # paths (rFFT vs full-FFT positive slice) to the same integers
+        "spectral_flatness_clips": f"""
+            WITH s AS (
+              SELECT *, (clip_idx % 4 = 1) AS planted
+              FROM read_parquet('{ORACLE_DIR}/flatness_oracle_sf0.01.parquet'))
+            SELECT sr_hz, planted, count(*)::BIGINT AS n_clips,
+                   sum(n_bins)::BIGINT AS sum_bins,
+                   count(*) FILTER (flatness >= 0.3)::BIGINT AS n_noise_like,
+                   count(*) FILTER (flatness < 0.05)::BIGINT AS n_tonal,
+                   count(*) FILTER (entropy > 0.7)::BIGINT AS n_entropy_high
+            FROM s GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
+        # cohort split, 0.2-threshold flags, and the exact-integer echo
+        # lag re-derived from the independent full-FFT cepstrum export
+        "echo_detect_clips": f"""
+            WITH e AS (
+              SELECT *, round(sr_hz * 0.06)::BIGINT AS d,
+                     CASE WHEN clip_idx % 8 = 1
+                               AND n_samples >= 4 * round(sr_hz * 0.06)::BIGINT
+                          THEN 'echo'
+                          WHEN clip_idx % 4 = 1 THEN 'noise'
+                          ELSE 'tone' END AS cohort
+              FROM read_parquet('{ORACLE_DIR}/echo_oracle_sf0.01.parquet'))
+            SELECT cohort, count(*)::BIGINT AS n_clips,
+                   count(*) FILTER (echo_strength >= 0.2)::BIGINT AS n_flagged,
+                   count(*) FILTER (cohort = 'echo' AND echo_lag = d)::BIGINT
+                       AS n_lag_exact,
+                   count(*) FILTER (echo_lag IS NULL)::BIGINT AS n_null
+            FROM e GROUP BY cohort ORDER BY cohort""",
         # harmonic lock + octave-corrected recovered frequency from the
         # independent direct-autocorrelation export (engine = rFFT
         # Wiener–Khinchin); same closed-form alias expectation as the

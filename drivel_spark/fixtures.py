@@ -124,6 +124,25 @@ class ClipFixtureSpec:
     hum_every: int = 0
     hum_hz: float = 50.0
     hum_amp: float = 0.1
+    # noise-clip fixture hook (off by default — digests of the validate
+    # tables are untouched): every clip with idx % noise_every == 1 has
+    # its tone REPLACED by pure seeded gaussian noise at ``noise_rms``
+    # RMS — exactly-known dead-mic/static rows for the spectral-flatness
+    # screen oracles (spectral_flatness): white noise reads flatness
+    # ≈ e^−γ ≈ 0.56 where the tonal clips read ≈ 2e-4.
+    noise_every: int = 0
+    noise_rms: float = 0.25
+    # echo fixture hook (off by default — digests of the validate
+    # tables are untouched): every clip with idx % echo_every == 1 that
+    # is long enough (n ≥ 4·delay samples) gets a delayed copy mixed in
+    # — pcm ← (pcm + gain·shift(pcm, d)) / (1 + gain), d = sr·delay/1000
+    # (exact integer for every fixture rate at 60 ms) — exactly-known
+    # double-mix/echo rows for the cepstral echo screen (echo_detect).
+    # The (1+gain) rescale keeps the mix inside [-1, 1] so the PCM16
+    # encoder never clips it (clipping would distort the spectral comb).
+    echo_every: int = 0
+    echo_delay_ms: float = 60.0
+    echo_gain: float = 0.5
 
 
 def _u(ids: np.ndarray, salt: int) -> np.ndarray:
@@ -219,8 +238,20 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
             )
             requant = spec.requantize_every and idx % spec.requantize_every == 3
             hum = spec.hum_every and idx % spec.hum_every == 1
-            if silent or distort or share or requant or hum:
-                pcm = synth_pcm(idx, srk, durk, seed)
+            noise = spec.noise_every and idx % spec.noise_every == 1
+            echo = spec.echo_every and idx % spec.echo_every == 1
+            if silent or distort or share or requant or hum or noise or echo:
+                if noise:
+                    # full replacement, not an overlay: the screen's
+                    # closed form needs NO tonal component at all
+                    nrng = np.random.default_rng([seed, idx, 0xA0D10])
+                    nsamp = max(int(round(srk * durk / 1000.0)), 1)
+                    pcm = np.clip(
+                        nrng.normal(0.0, spec.noise_rms, size=nsamp),
+                        -1.0, 1.0,
+                    ).astype(np.float32)
+                else:
+                    pcm = synth_pcm(idx, srk, durk, seed)
                 if silent:
                     a = int(len(pcm) * spec.silence_span[0])
                     b = int(len(pcm) * spec.silence_span[1])
@@ -238,6 +269,13 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
                     ) + 0.5 * spec.hum_amp * np.sin(
                         4.0 * np.pi * spec.hum_hz * t
                     )
+                if echo:
+                    d = int(round(srk * spec.echo_delay_ms / 1000.0))
+                    if d >= 1 and len(pcm) >= 4 * d:
+                        g = spec.echo_gain
+                        mixed = pcm.astype(np.float64).copy()
+                        mixed[d:] += g * mixed[: len(mixed) - d].copy()
+                        pcm = (mixed / (1.0 + g)).astype(np.float32)
                 if requant:
                     # LAST transform: snap the samples wav_encode WOULD
                     # write (same truncating cast) to the b-bit grid,

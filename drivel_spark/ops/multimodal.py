@@ -1154,6 +1154,191 @@ def effective_bit_depth(df: DataFrame, bytes_col: str = "bytes",
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 
+SPECTRAL_FLATNESS_SCHEMA = (
+    "n_samples long, sr_hz int, n_bins long, flatness double, "
+    "spectral_entropy double, noise_like boolean"
+)
+
+
+def spectral_flatness(df: DataFrame, bytes_col: str = "bytes",
+                      id_cols: Optional[list[str]] = None,
+                      flat_thresh: float = 0.3) -> DataFrame:
+    """Per-clip spectral flatness (Wiener entropy) + normalized spectral
+    entropy — the dead-mic/static screen: a clip whose content is
+    broadband noise rather than structured signal reads flatness near
+    the white-noise fixed point e^−γ ≈ 0.5615 (the GM/AM ratio of iid
+    exponential periodogram bins), while any tonal/speech-like content
+    concentrates power and drives flatness toward 0 (the fixture's
+    tone + −40 dB floor reads ~2e-4).  Complements the level-domain
+    screens (audio_quality catches saturation/DC, snr_estimate needs a
+    reference): RF static or a disconnected input records at perfectly
+    healthy levels and only the spectrum gives it away.
+
+    ``flatness`` = geometric/arithmetic mean of the positive-frequency
+    power spectrum (DC excluded; Nyquist included for even n — the
+    engine's rFFT bins 1.. match the oracle's full-FFT positive bins
+    1..n//2 exactly).  ``spectral_entropy`` is the Shannon entropy of
+    the normalized power distribution over those bins divided by
+    ln(n_bins) (→ ~0.95 for white noise, ≲0.35 for a leaky sinusoid).
+    A clip with any exactly-zero power bin has GM 0 ⇒ flatness 0.
+    ``noise_like`` = flatness ≥ ``flat_thresh`` (default 0.3 sits
+    between the ~2e-4 tonal reading and the ~0.56 noise fixed point
+    with ≳100× margin each side).  Clips shorter than 4 samples and
+    undecodable/NULL payloads yield NULL metrics (tolerant, like
+    :func:`extract_audio_features`).
+
+    One narrow scan → mapInPandas (Arrow batches), one rFFT per clip;
+    no shuffle — a pure map at any scale.
+    """
+    id_cols = id_cols or ["clip_id"]
+    keys = ("n_samples", "sr_hz", "n_bins", "flatness",
+            "spectral_entropy", "noise_like")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok or len(pcm) < 4:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                x = pcm.astype(np.float64)
+                spec = np.abs(np.fft.rfft(x))
+                p = (spec * spec)[1:]
+                n_bins = len(p)
+                total = float(p.sum())
+                if total <= 0.0:
+                    vals = dict(n_samples=len(x), sr_hz=sr, n_bins=n_bins,
+                                flatness=None, spectral_entropy=None,
+                                noise_like=None)
+                else:
+                    if np.any(p <= 0.0):
+                        flat = 0.0
+                    else:
+                        flat = float(
+                            np.exp(np.mean(np.log(p))) / (total / n_bins)
+                        )
+                    q = p / total
+                    q = q[q > 0.0]
+                    ent = float(-(q * np.log(q)).sum() / np.log(n_bins))
+                    vals = dict(
+                        n_samples=len(x), sr_hz=sr, n_bins=n_bins,
+                        flatness=flat, spectral_entropy=ent,
+                        noise_like=bool(flat >= flat_thresh),
+                    )
+                for k in keys:
+                    cols[k].append(vals[k])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + SPECTRAL_FLATNESS_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
+ECHO_SCHEMA = (
+    "n_samples long, sr_hz int, echo_lag long, echo_lag_ms double, "
+    "echo_strength double, echo_flag boolean"
+)
+
+
+def echo_detect(df: DataFrame, bytes_col: str = "bytes",
+                id_cols: Optional[list[str]] = None,
+                min_lag_ms: float = 10.0, max_lag_ms: float = 250.0,
+                strength_thresh: float = 0.2) -> DataFrame:
+    """Per-clip echo / double-mix detection via the cepstrum — the
+    screen that catches audio accidentally mixed with a delayed copy of
+    itself (double-ingested stems, room slapback, misaligned overdub):
+    an echo ``y[t] = x[t] + g·x[t−d]`` multiplies the power spectrum by
+    the comb ``|1 + g·e^{−iωd}|²``, whose LOG is a pure cosine ripple
+    ``2Σ(−1)^{j+1}(g^j/j)·cos(jωd)``, so the real cepstrum (inverse FFT
+    of the log power spectrum) reads ≈ g at quefrency d and ~0
+    elsewhere.  Raw autocorrelation cannot make this call — a periodic
+    tone autocorrelates ≈ 1 at every period multiple — but a tone's
+    log-spectrum is a single narrow spike whose cepstral footprint
+    stays small (≤ ~0.12 on the fixture).
+
+    The comb only shows where the content is BROADBAND: a linearly
+    delayed narrowband tone is indistinguishable from a phase-rotated
+    copy of itself plus edge transients, so an echo on a pure tone is
+    structurally invisible to ANY spectral method — this screen is
+    calibrated for speech/noise-like clips.  Measured across every
+    fixture (sr, duration): echo g = 0.5 on broadband content reads
+    ≥ 0.30 with the lag recovered exactly; every clean clip (tonal or
+    broadband) reads ≤ 0.115 — the 0.2 default threshold sits between
+    the two populations.
+
+    ``echo_lag`` / ``echo_strength`` are the argmax quefrency (samples)
+    in [min_lag, min(max_lag, n//4)] and its cepstral value;
+    ``echo_flag`` = strength ≥ ``strength_thresh``.  The cepstrum uses
+    ``log(P + 1e−12·mean(P))`` — the eps floor is part of the metric's
+    definition (guards digital-silence bins), not a tuning knob.  Clips
+    too short for the search window (n//4 ≤ min_lag), undecodable and
+    NULL payloads yield NULL metrics (tolerant, like
+    :func:`extract_audio_features`); all-zero clips yield NULLs too.
+
+    One narrow scan → mapInPandas (Arrow batches), one rFFT/irFFT round
+    trip per clip (O(n log n)); no shuffle — a pure map at any scale.
+    """
+    id_cols = id_cols or ["clip_id"]
+    keys = ("n_samples", "sr_hz", "echo_lag", "echo_lag_ms",
+            "echo_strength", "echo_flag")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                pcm = sr = None
+                if b is not None:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        pcm = None
+                if pcm is None:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                x = pcm.astype(np.float64)
+                n = len(x)
+                lag_lo = max(1, int(np.ceil(sr * min_lag_ms / 1000.0)))
+                lag_hi = min(int(np.floor(sr * max_lag_ms / 1000.0)), n // 4)
+                base = dict(n_samples=n, sr_hz=sr)
+                if n < 8 or lag_hi <= lag_lo:
+                    vals = dict(base, echo_lag=None, echo_lag_ms=None,
+                                echo_strength=None, echo_flag=None)
+                else:
+                    spec = np.abs(np.fft.rfft(x))
+                    p = spec * spec
+                    pm = float(p.mean())
+                    if pm <= 0.0:
+                        vals = dict(base, echo_lag=None, echo_lag_ms=None,
+                                    echo_strength=None, echo_flag=None)
+                    else:
+                        ceps = np.fft.irfft(np.log(p + 1e-12 * pm), n)
+                        seg = ceps[lag_lo : lag_hi + 1]
+                        k = int(np.argmax(seg)) + lag_lo
+                        s = float(ceps[k])
+                        vals = dict(
+                            base, echo_lag=k,
+                            echo_lag_ms=1000.0 * k / sr,
+                            echo_strength=s,
+                            echo_flag=bool(s >= strength_thresh),
+                        )
+                for k in keys:
+                    cols[k].append(vals[k])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + ECHO_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
 SEGMENT_CLIPS_SCHEMA = (
     "sr_hz int, n_samples_in long, seg_idx int, seg_samples long, bytes binary"
 )

@@ -1845,6 +1845,131 @@ def test_hum_detect(spark):
         hum_detect(df, tol_hz=0.0)
 
 
+def test_spectral_flatness(spark):
+    """White noise reads flatness near the e^−γ ≈ 0.5615 fixed point
+    and normalized entropy > 0.9; a tone (+ −40 dB floor) reads < 0.01
+    and < 0.5; a half-scale square wave (structured but broadband
+    harmonics) stays well below the noise fixed point; digital silence
+    NULLs the spectral fields; corrupt/NULL payloads yield all-NULL
+    rows; n_bins == n//2 exactly; the fixture hook touches ONLY
+    idx%4==1 payloads and plants noise_rms-level RMS."""
+    import numpy as np
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+    from drivel_spark.ops import spectral_flatness
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    base = clips_pdf(range(12), ClipFixtureSpec(with_audio=True))
+    plant = clips_pdf(range(12), ClipFixtureSpec(with_audio=True, noise_every=4))
+    for i in range(12):
+        same = bytes(base["bytes"][i]) == bytes(plant["bytes"][i])
+        assert same == (i % 4 != 1), i
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(plant["bytes"][1]))) as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2") / 32767.0
+    assert 0.2 < float(np.sqrt(np.mean(pcm**2))) < 0.3  # noise_rms=0.25
+
+    sr = 8000
+    rng = np.random.default_rng(7)
+    tone = synth_pcm(5, sr, 1000)
+    noise = np.clip(rng.normal(0.0, 0.25, size=sr), -1.0, 1.0)
+    square = 0.5 * np.sign(np.sin(2 * np.pi * 220 * np.arange(sr) / sr))
+    rows = [
+        ("tone", bytearray(wav_encode(tone, sr))),
+        ("noise", bytearray(wav_encode(noise, sr))),
+        ("square", bytearray(wav_encode(square, sr))),
+        ("silence", bytearray(wav_encode(np.zeros(800), sr))),
+        ("corrupt", bytearray(b"nope")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = spectral_flatness(df).toPandas().set_index("clip_id")
+
+    assert got.loc["tone"]["n_bins"] == sr // 2
+    assert got.loc["tone"]["flatness"] < 0.01
+    assert got.loc["tone"]["spectral_entropy"] < 0.5
+    assert not got.loc["tone"]["noise_like"]
+    assert 0.45 < got.loc["noise"]["flatness"] < 0.68
+    assert got.loc["noise"]["spectral_entropy"] > 0.9
+    assert got.loc["noise"]["noise_like"]
+    assert got.loc["square"]["flatness"] < 0.3
+    assert not got.loc["square"]["noise_like"]
+    s = got.loc["silence"]
+    assert s["n_samples"] == 800 and np.isnan(s["flatness"])
+    assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()
+
+
+def test_echo_detect(spark):
+    """A 0.5-gain 60 ms echo on broadband noise reads cepstral strength
+    ≥ 0.3 with the lag recovered exactly (480 samples at 8 kHz); the
+    same echo on a pure tone is structurally invisible (documented
+    narrowband caveat) and must NOT false-flag; clean noise and clean
+    tone stay below the 0.2 threshold; too-short clips (n//4 ≤ min
+    lag) NULL the echo fields; corrupt/NULL payloads yield all-NULL
+    rows; the fixture hook touches ONLY eligible idx%8==1 payloads
+    when composed noise_every=4 + echo_every=8."""
+    import numpy as np
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+    from drivel_spark.ops import echo_detect
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    base = clips_pdf(range(16), ClipFixtureSpec(with_audio=True, noise_every=4))
+    plant = clips_pdf(
+        range(16),
+        ClipFixtureSpec(with_audio=True, noise_every=4, echo_every=8),
+    )
+    import io
+    import wave
+
+    for i in range(16):
+        same = bytes(base["bytes"][i]) == bytes(plant["bytes"][i])
+        if i % 8 == 1:
+            with wave.open(io.BytesIO(bytes(base["bytes"][i]))) as w:
+                nsamp, sr_i = w.getnframes(), w.getframerate()
+            eligible = nsamp >= 4 * int(round(sr_i * 0.06))
+            assert same == (not eligible), i
+        else:
+            assert same, i
+
+    sr = 8000
+    rng = np.random.default_rng(11)
+    noise = np.clip(rng.normal(0.0, 0.25, size=2 * sr), -1.0, 1.0)
+    d, g = 480, 0.5
+    def mix(x):
+        y = x.astype(np.float64).copy()
+        y[d:] += g * y[: len(y) - d].copy()
+        return y / (1.0 + g)
+    tone = synth_pcm(5, sr, 2000).astype(np.float64)
+    rows = [
+        ("noise_echo", bytearray(wav_encode(mix(noise), sr))),
+        ("noise", bytearray(wav_encode(noise, sr))),
+        ("tone_echo", bytearray(wav_encode(mix(tone), sr))),
+        ("tone", bytearray(wav_encode(tone, sr))),
+        ("short", bytearray(wav_encode(noise[:300], sr))),
+        ("corrupt", bytearray(b"nope")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = echo_detect(df).toPandas().set_index("clip_id")
+
+    assert got.loc["noise_echo"]["echo_lag"] == d
+    assert got.loc["noise_echo"]["echo_strength"] >= 0.3
+    assert got.loc["noise_echo"]["echo_flag"]
+    assert got.loc["noise"]["echo_strength"] < 0.2
+    assert not got.loc["noise"]["echo_flag"]
+    assert got.loc["tone"]["echo_strength"] < 0.2
+    assert not got.loc["tone"]["echo_flag"]
+    # narrowband caveat: tone echo is NOT detectable — just assert it
+    # doesn't crash and emits a finite strength
+    assert np.isfinite(got.loc["tone_echo"]["echo_strength"])
+    s = got.loc["short"]
+    assert s["n_samples"] == 300 and np.isnan(s["echo_strength"])
+    assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()
+
+
 def test_segment_clips_contract(spark):
     """Closed-form segmentation: a 1700 ms / 8 kHz clip at seg=500 ms,
     min_tail=200 ms gives 3 full 4000-sample segments + one kept

@@ -552,6 +552,7 @@ def main() -> None:
     # Arrow-map shape as the other audio kernels
     from drivel_spark.ops import (
         audio_quality,
+        dropout_detect,
         effective_bit_depth,
         hum_detect,
         echo_detect,
@@ -564,6 +565,7 @@ def main() -> None:
                      ("Mains-hum screen", hum_detect),
                      ("Spectral-flatness screen", spectral_flatness),
                      ("Cepstral echo screen", echo_detect),
+                     ("Dropout screen", dropout_detect),
                      ("Clip segmentation", lambda d: segment_clips(d, 500, 200))):
         p = fmt(op(clips))
         sections.append(

@@ -2702,6 +2702,40 @@ def _local_echo(n: int, noise_every: int = 4, echo_every: int = 8,
     )
 
 
+def _local_dropout(n: int, dropout_every: int = 4):
+    """Independent per-clip dropout oracle: stdlib-wave float64 decode
+    (not the engine's float32 path) and run lengths via value-CHANGE
+    positions (flatnonzero(diff != 0) boundaries diffed) instead of the
+    engine's padded equal-run boolean scan — a different route to the
+    same maximal-run decomposition, exact on PCM16 integers either
+    way."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec
+
+    spec_fix = ClipFixtureSpec(with_audio=True, dropout_every=dropout_every)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n, spec_fix):
+        nsamp = len(pcm)
+        if nsamp < 2:
+            rows.append((cid, i, nsamp, sr, None, None, None))
+            continue
+        min_run = max(int(round(sr / 1000.0)), 8)
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(pcm) != 0.0) + 1, [nsamp])
+        )
+        lens = np.diff(bounds)
+        hits = lens[lens >= min_run]
+        rows.append((cid, i, nsamp, sr, int(len(hits)),
+                     int(hits.sum()) if len(hits) else 0, min_run))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz",
+                 "n_dropouts", "dropout_samples", "min_run"],
+    )
+
+
 def _local_frame_energy(n: int, frame_ms: int = 25, hop_ms: int = 10,
                         active_db: float = -20.0):
     """Independent frame-energy oracle: stdlib-wave decode + a plain
@@ -3532,6 +3566,45 @@ def q_echo_detect_clips(spark, sf_dir):
             F.sum(F.col("echo_lag").isNull().cast("long")).alias("n_null"),
         )
         .orderBy("cohort")
+    )
+
+
+def q_dropout_detect_clips(spark, sf_dir):
+    """Digital-dropout screen (ops/multimodal.py dropout_detect — the
+    buffer-underrun detector): every clip with idx % 4 == 1 gets
+    exactly 3 zero-filled 12 ms spans planted at quarter positions, so
+    it reads n_dropouts == 3 with ≥ 3·round(sr·0.012) held samples,
+    while clean clips read 0 (a ≥ min_run hold against the −40 dB
+    noise floor is ~1e-20 per position).  The DuckDB oracle re-derives
+    the counts and flags from an independently-decoded export
+    (stdlib-wave float64, change-position run decomposition instead of
+    the engine's padded equal-run scan) and re-aggregates per (sr_hz,
+    planted); sum(dropout_samples) and sum(min_run) are exact-integer
+    cross-checks of the two run-decomposition paths."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import dropout_detect
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_dropout(n), "dropout_oracle", sf_dir)
+    clips = build_clips(
+        spark, n, 8, ClipFixtureSpec(with_audio=True, dropout_every=4)
+    )
+    dr = dropout_detect(clips, bytes_col="bytes", id_cols=["clip_id"])
+    dr = attach_clip_idx(dr, spark, n)
+    return (
+        dr.withColumn("planted", F.col("clip_idx") % 4 == 1)
+        .groupBy("sr_hz", "planted")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_dropouts").alias("sum_dropouts"),
+            F.sum("dropout_samples").alias("sum_dropout_samples"),
+            F.sum("min_run").alias("sum_min_run"),
+            F.sum(F.col("dropout_flag").cast("long")).alias("n_flagged"),
+            F.sum((F.col("n_dropouts") == 3).cast("long")).alias("n_exact3"),
+        )
+        .orderBy("sr_hz", "planted")
     )
 
 
@@ -4863,6 +4936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hum_detect_clips": q_hum_detect_clips,
         "spectral_flatness_clips": q_spectral_flatness_clips,
         "echo_detect_clips": q_echo_detect_clips,
+        "dropout_detect_clips": q_dropout_detect_clips,
         "dsir_select_documents": q_dsir_select_documents,
         "project_embeddings_report": q_project_embeddings,
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
@@ -6501,6 +6575,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (flatness < 0.05)::BIGINT AS n_tonal,
                    count(*) FILTER (entropy > 0.7)::BIGINT AS n_entropy_high
             FROM s GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
+        # dropout counts/flags re-derived from the independent
+        # change-position run decomposition; sum(dropout_samples) and
+        # sum(min_run) pin the two run-scan paths to the same integers
+        "dropout_detect_clips": f"""
+            WITH d AS (
+              SELECT *, (clip_idx % 4 = 1) AS planted
+              FROM read_parquet('{ORACLE_DIR}/dropout_oracle_sf0.01.parquet'))
+            SELECT sr_hz, planted, count(*)::BIGINT AS n_clips,
+                   sum(n_dropouts)::BIGINT AS sum_dropouts,
+                   sum(dropout_samples)::BIGINT AS sum_dropout_samples,
+                   sum(min_run)::BIGINT AS sum_min_run,
+                   count(*) FILTER (n_dropouts > 0)::BIGINT AS n_flagged,
+                   count(*) FILTER (n_dropouts = 3)::BIGINT AS n_exact3
+            FROM d GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
         # cohort split, 0.2-threshold flags, and the exact-integer echo
         # lag re-derived from the independent full-FFT cepstrum export
         "echo_detect_clips": f"""

@@ -143,6 +143,20 @@ class ClipFixtureSpec:
     echo_every: int = 0
     echo_delay_ms: float = 60.0
     echo_gain: float = 0.5
+    # dropout fixture hook (off by default — digests of the validate
+    # tables are untouched): every clip with idx % dropout_every == 1
+    # gets ``dropout_count`` spans of ``dropout_ms`` zero-filled,
+    # starting at round(n·j/(count+1)) for j = 1..count — the
+    # buffer-underrun signature (a run of held samples inside live
+    # audio).  Fixture durations are ≥ 200 ms effective, so the spans
+    # (12 ms default) never touch or merge; 0.0 round-trips PCM16
+    # exactly, so each planted span decodes as exactly its length of
+    # identical samples (± the vanishingly-rare neighbor that also
+    # quantizes to 0).  Exactly-known bad rows for the dropout screen
+    # oracles (dropout_detect).
+    dropout_every: int = 0
+    dropout_ms: float = 12.0
+    dropout_count: int = 3
 
 
 def _u(ids: np.ndarray, salt: int) -> np.ndarray:
@@ -240,7 +254,8 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
             hum = spec.hum_every and idx % spec.hum_every == 1
             noise = spec.noise_every and idx % spec.noise_every == 1
             echo = spec.echo_every and idx % spec.echo_every == 1
-            if silent or distort or share or requant or hum or noise or echo:
+            dropout = spec.dropout_every and idx % spec.dropout_every == 1
+            if silent or distort or share or requant or hum or noise or echo or dropout:
                 if noise:
                     # full replacement, not an overlay: the screen's
                     # closed form needs NO tonal component at all
@@ -276,6 +291,11 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
                         mixed = pcm.astype(np.float64).copy()
                         mixed[d:] += g * mixed[: len(mixed) - d].copy()
                         pcm = (mixed / (1.0 + g)).astype(np.float32)
+                if dropout:
+                    span = max(int(round(srk * spec.dropout_ms / 1000.0)), 2)
+                    for j in range(1, spec.dropout_count + 1):
+                        a = int(round(len(pcm) * j / (spec.dropout_count + 1)))
+                        pcm[a : a + span] = 0.0
                 if requant:
                     # LAST transform: snap the samples wav_encode WOULD
                     # write (same truncating cast) to the b-bit grid,

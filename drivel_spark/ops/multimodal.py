@@ -1339,6 +1339,90 @@ def echo_detect(df: DataFrame, bytes_col: str = "bytes",
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 
+DROPOUT_SCHEMA = (
+    "n_samples long, sr_hz int, min_run long, n_dropouts long, "
+    "dropout_samples long, longest_run long, dropout_ratio double, "
+    "dropout_flag boolean"
+)
+
+
+def dropout_detect(df: DataFrame, bytes_col: str = "bytes",
+                   id_cols: Optional[list[str]] = None,
+                   min_run_ms: float = 1.0,
+                   min_run_floor: int = 8) -> DataFrame:
+    """Per-clip digital-dropout screen — the buffer-underrun /
+    transmission-glitch detector: a dropout is a run of ≥ ``min_run``
+    IDENTICAL consecutive samples (zero-filled or held) inside live
+    audio.  On PCM16 this call is exact and frequency-independent
+    (unlike amplitude-threshold click detectors, which a near-Nyquist
+    tone defeats): live content with any noise floor almost never
+    repeats the same int16 value ``min_run`` times (the fixture's
+    −40 dB floor puts a ≥8-run at ~1e-20 per position), while a held
+    buffer repeats it for its whole length.  Complements the silence
+    screen: silence_segments flags LONG quiet regions by energy; this
+    flags short exact-hold artifacts that energy thresholds miss when
+    the hold value is nonzero or the span is a few ms.
+
+    ``min_run`` = max(round(sr·min_run_ms/1000), ``min_run_floor``)
+    samples.  ``n_dropouts`` counts maximal runs of length ≥ min_run;
+    ``dropout_samples`` sums their lengths; ``dropout_ratio`` =
+    dropout_samples / n_samples.  Undecodable/NULL payloads and clips
+    shorter than 2 samples yield NULL metrics (tolerant, like
+    :func:`extract_audio_features`).
+
+    One narrow scan → mapInPandas (Arrow batches); run-length detection
+    is three vectorized numpy ops (diff → change-points → span
+    lengths); no shuffle — a pure map at any scale.
+    """
+    id_cols = id_cols or ["clip_id"]
+    keys = ("n_samples", "sr_hz", "min_run", "n_dropouts",
+            "dropout_samples", "longest_run", "dropout_ratio",
+            "dropout_flag")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok or len(pcm) < 2:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                n = len(pcm)
+                min_run = max(int(round(sr * min_run_ms / 1000.0)),
+                              min_run_floor)
+                # boundaries of equal-sample runs: eq[i] ⇔ x[i+1]==x[i];
+                # a maximal run of L equal booleans = L+1 equal samples
+                eq = pcm[1:] == pcm[:-1]
+                padded = np.concatenate(([False], eq, [False]))
+                chg = np.flatnonzero(padded[1:] != padded[:-1])
+                starts, ends = chg[0::2], chg[1::2]
+                run_len = (ends - starts) + 1  # samples, not diffs
+                hit = run_len >= min_run
+                total = int(run_len[hit].sum()) if hit.any() else 0
+                cols["n_samples"].append(n)
+                cols["sr_hz"].append(sr)
+                cols["min_run"].append(min_run)
+                cols["n_dropouts"].append(int(hit.sum()))
+                cols["dropout_samples"].append(total)
+                cols["longest_run"].append(
+                    int(run_len.max()) if len(run_len) else 0
+                )
+                cols["dropout_ratio"].append(total / n)
+                cols["dropout_flag"].append(bool(hit.any()))
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + DROPOUT_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
 SEGMENT_CLIPS_SCHEMA = (
     "sr_hz int, n_samples_in long, seg_idx int, seg_samples long, bytes binary"
 )

@@ -4218,3 +4218,54 @@ def test_bandwidth_estimate_fixture_rolloff_tracks_alias(spark):
     # between 0.01 and 0.99
     hb = got["highband_ratio"]
     assert ((hb < 0.01) | (hb > 0.99)).all()
+
+
+def test_dropout_detect(spark):
+    """Planted zero-spans are found with exact counts: the fixture hook
+    touches ONLY idx%4==1 payloads and plants exactly dropout_count
+    spans of ≥ round(sr·dropout_ms/1000) identical samples; clean
+    fixture clips read zero dropouts (the −40 dB noise floor makes an
+    8-sample hold ~1e-20 likely); a hand-built held-value (nonzero)
+    run is caught too — energy screens can't see it; sub-threshold
+    runs don't count; corrupt/NULL payloads yield all-NULL rows."""
+    import numpy as np
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+    from drivel_spark.ops import dropout_detect
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    base = clips_pdf(range(12), ClipFixtureSpec(with_audio=True))
+    plant = clips_pdf(range(12), ClipFixtureSpec(with_audio=True, dropout_every=4))
+    for i in range(12):
+        same = bytes(base["bytes"][i]) == bytes(plant["bytes"][i])
+        assert same == (i % 4 != 1), i
+
+    sr = 8000
+    tone = synth_pcm(5, sr, 1000)
+    held = synth_pcm(6, sr, 1000).copy()
+    held[2000:2100] = held[2000]  # nonzero hold, invisible to energy
+    short = synth_pcm(7, sr, 1000).copy()
+    short[4000:4005] = 0.0  # 5 < min_run=8: not a dropout
+    rows = [
+        ("clean", bytearray(wav_encode(tone, sr))),
+        ("held", bytearray(wav_encode(held, sr))),
+        ("short", bytearray(wav_encode(short, sr))),
+        ("planted", bytearray(bytes(plant["bytes"][1]))),
+        ("corrupt", bytearray(b"nope")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = dropout_detect(df).toPandas().set_index("clip_id")
+
+    assert got.loc["clean"]["n_dropouts"] == 0
+    assert not got.loc["clean"]["dropout_flag"]
+    h = got.loc["held"]
+    assert h["n_dropouts"] == 1 and h["dropout_flag"]
+    assert h["dropout_samples"] >= 100 and h["longest_run"] >= 100
+    assert got.loc["short"]["n_dropouts"] == 0
+    p = got.loc["planted"]
+    assert p["n_dropouts"] == 3 and p["dropout_flag"]
+    span = int(round(p["sr_hz"] * 12.0 / 1000.0))
+    assert p["dropout_samples"] >= 3 * span
+    assert p["min_run"] == max(int(round(p["sr_hz"] / 1000.0)), 8)
+    assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()

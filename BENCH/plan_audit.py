@@ -1361,6 +1361,38 @@ def main() -> None:
         )
     )
 
+    # 46b. cross-table aggregate reconciliation: child collapses to one
+    # row per key BEFORE the full-outer join; wide rows never join
+    from drivel_spark.ops import aggregate_reconcile, reconcile_summary
+
+    li_r = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice", "l_discount", "l_tax",
+    )
+    p = fmt(reconcile_summary(aggregate_reconcile(
+        orders, li_r, "o_orderkey", "o_totalprice",
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax"))),
+        tol_abs=0.02, carry_cols=["o_orderstatus"],
+    ), ["o_orderstatus"]))
+    sections.append(
+        (
+            "Aggregate reconciliation (aggregate_reconcile)",
+            p,
+            [
+                "child partial+final aggregated before the join: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "key-equi full-outer (SortMergeJoin, no cartesian): "
+                + ("PASS" if "SortMergeJoin" in p and "Cartesian" not in p
+                   else "FAIL"),
+                "lineitem scan pruned to join+sum columns: "
+                + ("PASS" if "l_quantity" not in p and "l_shipdate" not in p
+                   else "FAIL"),
+                "no Python: " + ("PASS" if "EvalPython" not in p else "FAIL"),
+            ],
+        )
+    )
+
     # 47. snapshot diff: the compare shuffles (key, 8-byte hash), not
     # row width — hash projection sits under the aggregation exchange
     from drivel_spark.ops import snapshot_diff_summary

@@ -285,6 +285,40 @@ def q_referential_lineitem_orders_count(spark, sf_dir):
     return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
 
 
+def q_reconcile_orders_lineitem(spark, sf_dir):
+    """Cross-table aggregate reconciliation (ops/audit.py
+    aggregate_reconcile): the "header total equals the sum of its
+    lines" invariant between orders.o_totalprice and
+    Σ l_extendedprice·(1−l_discount)·(1+l_tax), tolerance 0.02,
+    summarized per (o_orderstatus, status).  This testdata does NOT
+    satisfy the invariant (totals are generated independently of the
+    lines), so the report reads ~all mismatch plus the orders with no
+    lineitems as missing_child — the point is that both engines
+    classify every key identically, with integer-only outputs so
+    float-sum ordering differences (min mismatch here is 8.9 against
+    a 0.02 tolerance, ~400× margin) can never flip a count."""
+    from drivel_spark.ops import aggregate_reconcile, reconcile_summary
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice", "l_discount", "l_tax",
+    )
+    rep = aggregate_reconcile(
+        o, li, "o_orderkey", "o_totalprice",
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ),
+        tol_abs=0.02,
+        carry_cols=["o_orderstatus"],
+    )
+    return reconcile_summary(rep, ["o_orderstatus"]).orderBy(
+        "o_orderstatus", "recon_status"
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational core (joins / aggs / date + string functions)
 # ---------------------------------------------------------------------------
@@ -4972,6 +5006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_summary_lineitem": q_unique_summary_lineitem,
         "referential_orders_customer": q_referential_orders_customer,
         "referential_lineitem_orders_count": q_referential_lineitem_orders_count,
+        "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
         # relational core
         "pricing_summary": q_pricing_summary,
         "orders_join_nation": q_orders_join_nation,
@@ -5383,6 +5418,32 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)
             SELECT coalesce(count(*), 0)::BIGINT AS n_duplicate_keys,
                    coalesce(sum(cnt), 0)::BIGINT AS n_duplicate_rows FROM d""",
+        "reconcile_orders_lineitem": """
+            WITH c AS (
+              SELECT l_orderkey AS k,
+                     sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS cv
+              FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+            j AS (
+              SELECT o.o_orderstatus, o.o_totalprice AS pv, c.cv,
+                     o.o_orderkey IS NOT NULL AS hp, c.k IS NOT NULL AS hc,
+                     abs(o.o_totalprice - c.cv) AS d
+              FROM orders o FULL OUTER JOIN c ON o.o_orderkey = c.k),
+            s AS (
+              SELECT o_orderstatus, d,
+                     CASE WHEN NOT hp THEN 'orphan_child'
+                          WHEN NOT hc THEN 'missing_child'
+                          WHEN d <= 0.02 THEN 'ok'
+                          ELSE 'mismatch' END AS recon_status
+              FROM j)
+            SELECT o_orderstatus, recon_status, count(*)::BIGINT AS n_keys,
+                   count(*) FILTER (recon_status = 'mismatch' AND d < 1.0)::BIGINT
+                       AS n_diff_lt_1,
+                   count(*) FILTER (recon_status = 'mismatch' AND d >= 1.0
+                                    AND d < 1000.0)::BIGINT AS n_diff_1_to_1e3,
+                   count(*) FILTER (recon_status = 'mismatch'
+                                    AND d >= 1000.0)::BIGINT AS n_diff_ge_1e3
+            FROM s GROUP BY o_orderstatus, recon_status
+            ORDER BY o_orderstatus, recon_status""",
         "referential_orders_customer": """
             SELECT o_orderkey, o_custkey FROM orders
             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)

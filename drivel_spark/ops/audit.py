@@ -150,6 +150,106 @@ def join_explosion_keys(
 
 
 # --------------------------------------------------------------------------
+# cross-table aggregate reconciliation
+# --------------------------------------------------------------------------
+
+
+def aggregate_reconcile(
+    parent: DataFrame,
+    child: DataFrame,
+    on: list[str] | str,
+    parent_col: str,
+    child_expr: Column,
+    tol_abs: float = 0.0,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key parent↔child aggregate reconciliation — the classic
+    "header total equals sum of line items" check (reference scope:
+    drivel validates per-value; this extends the same pass-2 loop to a
+    cross-table INVARIANT).  For every key on either side, compares the
+    parent's stored aggregate (``parent_col``) against the sum of
+    ``child_expr`` over the child's rows for that key:
+
+    * ``ok``            — both present, |parent − child| ≤ ``tol_abs``
+    * ``mismatch``      — both present, difference beyond tolerance
+    * ``missing_child`` — parent row with NO child rows (sum undefined)
+    * ``orphan_child``  — child rows whose key has no parent row
+
+    Returns one row per key: keys, ``carry_cols`` (parent passthrough
+    columns for slicing the report), ``parent_value``, ``child_value``,
+    ``abs_diff`` (NULL when a side is missing), ``recon_status``.
+
+    Plan shape at 10^12 rows: the child side collapses to one row per
+    key BEFORE the join (partial+final sum, map-side combine absorbs
+    hot keys), then a key-co-partitioned sort-merge full-outer join of
+    two key-sized tables — the wide child rows are never joined, and
+    AQE converts to broadcast when either aggregate side is small.
+    Parent keys are assumed unique (validate with
+    ``candidate_key_report`` first); duplicate parent keys each emit
+    their own row against the same child sum.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    carry = list(carry_cols or [])
+    not_null = None
+    for k in keys:
+        cond = F.col(k).isNotNull()
+        not_null = cond if not_null is None else (not_null & cond)
+    # NULL child keys never equi-join a parent: drop them instead of
+    # letting the NULL group surface as a spurious orphan_child row
+    agg = child.filter(not_null).groupBy(*keys).agg(
+        child_expr.alias("child_value")
+    )
+    p = parent.select(
+        *keys, *carry, F.col(parent_col).alias("parent_value"),
+        F.lit(True).alias("_has_parent"),
+    )
+    j = p.join(agg.withColumn("_has_child", F.lit(True)), keys, "full_outer")
+    diff = F.abs(F.col("parent_value") - F.col("child_value"))
+    status = (
+        F.when(F.col("_has_parent").isNull(), F.lit("orphan_child"))
+        .when(F.col("_has_child").isNull(), F.lit("missing_child"))
+        .when(diff <= F.lit(float(tol_abs)), F.lit("ok"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return j.select(
+        *keys, *carry, "parent_value", "child_value",
+        F.when(
+            F.col("_has_parent").isNotNull() & F.col("_has_child").isNotNull(),
+            diff,
+        ).alias("abs_diff"),
+        status.alias("recon_status"),
+    )
+
+
+def reconcile_summary(
+    report: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Status counts over an :func:`aggregate_reconcile` report,
+    optionally sliced by ``group_cols`` (carry columns), with an
+    integer decade histogram of the mismatch magnitudes
+    (``n_diff_lt_1`` / ``1–1e3`` / ``≥1e3``) — boundary-safe integer
+    outputs only, so two engines computing float sums in different
+    orders still agree exactly."""
+    grp = list(group_cols or [])
+    mism = F.col("recon_status") == "mismatch"
+    return (
+        report.groupBy(*grp, "recon_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((mism & (F.col("abs_diff") < 1.0)).cast("long"))
+            .alias("n_diff_lt_1"),
+            F.sum(
+                (mism & (F.col("abs_diff") >= 1.0) & (F.col("abs_diff") < 1e3))
+                .cast("long")
+            ).alias("n_diff_1_to_1e3"),
+            F.sum((mism & (F.col("abs_diff") >= 1e3)).cast("long"))
+            .alias("n_diff_ge_1e3"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # snapshot churn
 # --------------------------------------------------------------------------
 

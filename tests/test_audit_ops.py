@@ -474,3 +474,45 @@ def test_snapshot_diff_randomized_vs_bruteforce(spark):
             r["id"]: r["status"] for r in snapshot_diff(old, new, "id").collect()
         }
         assert got == expect, f"trial {trial}"
+
+
+def test_aggregate_reconcile(spark):
+    """All four statuses: ok within tolerance, mismatch beyond, parent
+    with no child rows, child key with no parent; carry columns pass
+    through; NULL child keys never match (equi-join semantics)."""
+    from drivel_spark.ops import aggregate_reconcile, reconcile_summary
+
+    parent = spark.createDataFrame(
+        [(1, "A", 30.0), (2, "B", 10.0), (3, "A", 5.0)],
+        "k int, seg string, total double",
+    )
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, 20.005), (2, 25.0), (4, 7.0), (None, 99.0)],
+        "k int, amount double",
+    )
+    import pyspark.sql.functions as F
+
+    rep = aggregate_reconcile(
+        parent, child, "k", "total", F.sum("amount"),
+        tol_abs=0.01, carry_cols=["seg"],
+    ).toPandas().set_index("k")
+    assert rep.loc[1]["recon_status"] == "ok"  # |30 - 30.005| <= 0.01
+    assert rep.loc[2]["recon_status"] == "mismatch"
+    assert rep.loc[3]["recon_status"] == "missing_child"
+    assert rep.loc[4]["recon_status"] == "orphan_child"
+    assert rep.loc[1]["seg"] == "A" and rep.loc[3]["seg"] == "A"
+    import math
+
+    assert math.isnan(rep.loc[3]["abs_diff"]) or rep.loc[3]["abs_diff"] is None
+    # the NULL child key contributes no orphan row
+    assert len(rep) == 4
+
+    summ = reconcile_summary(
+        aggregate_reconcile(parent, child, "k", "total", F.sum("amount"),
+                            tol_abs=0.01)
+    ).toPandas().set_index("recon_status")
+    assert summ.loc["ok"]["n_keys"] == 1
+    assert summ.loc["mismatch"]["n_keys"] == 1
+    assert summ.loc["mismatch"]["n_diff_1_to_1e3"] == 1
+    assert summ.loc["missing_child"]["n_keys"] == 1
+    assert summ.loc["orphan_child"]["n_keys"] == 1

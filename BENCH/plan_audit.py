@@ -553,6 +553,7 @@ def main() -> None:
     from drivel_spark.ops import (
         audio_quality,
         dropout_detect,
+        loudness_gated,
         effective_bit_depth,
         hum_detect,
         echo_detect,
@@ -566,6 +567,7 @@ def main() -> None:
                      ("Spectral-flatness screen", spectral_flatness),
                      ("Cepstral echo screen", echo_detect),
                      ("Dropout screen", dropout_detect),
+                     ("Gated-loudness screen", loudness_gated),
                      ("Clip segmentation", lambda d: segment_clips(d, 500, 200))):
         p = fmt(op(clips))
         sections.append(

@@ -2736,6 +2736,72 @@ def _local_echo(n: int, noise_every: int = 4, echo_every: int = 8,
     )
 
 
+def _local_loudness(n: int, silence_every: int = 4):
+    """Independent per-clip gated-loudness oracle: stdlib-wave float64
+    decode (bit-identical to the engine's int16-lattice snap), the
+    K-weighting magnitude via COMPLEX evaluation of the analog RBJ
+    transfer functions (abs of complex numerator/denominator — the
+    engine expands the real algebra), filtering via full FFT/iFFT with
+    a symmetric magnitude (engine: rFFT/irFFT), and block powers via
+    an explicit per-start window loop (engine: cumulative-sum scan) —
+    four different arithmetic routes to the same BS.1770-style gated
+    measurement, agreeing to ~1e-12 dB."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec
+    from drivel_spark.ops.multimodal import (
+        _K_HP_FC, _K_HP_Q, _K_SHELF_FC, _K_SHELF_GAIN_DB, _K_SHELF_Q,
+    )
+
+    def kmag(f):
+        A = 10.0 ** (_K_SHELF_GAIN_DB / 40.0)
+        s = 1j * f / _K_SHELF_FC
+        shelf = A * (A * s * s + (np.sqrt(A) / _K_SHELF_Q) * s + 1.0) / (
+            s * s + (np.sqrt(A) / _K_SHELF_Q) * s + A
+        )
+        sh = 1j * f / _K_HP_FC
+        hp = sh * sh / (sh * sh + sh / _K_HP_Q + 1.0)
+        return np.abs(shelf) * np.abs(hp)
+
+    spec_fix = ClipFixtureSpec(with_audio=True, silence_every=silence_every)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n, spec_fix):
+        nsamp = len(pcm)
+        if nsamp < 2:
+            rows.append((cid, i, nsamp, sr, None, None, None, None))
+            continue
+        mag = kmag(np.abs(np.fft.fftfreq(nsamp, d=1.0 / sr)))
+        y = np.fft.ifft(np.fft.fft(pcm) * mag).real
+        win, hop = int(round(sr * 0.4)), int(round(sr * 0.1))
+        if nsamp < win:
+            rows.append((cid, i, nsamp, sr, 0, None, None, None))
+            continue
+        z = np.array([
+            np.mean(y[s : s + win] ** 2)
+            for s in range(0, nsamp - win + 1, hop)
+        ])
+        with np.errstate(divide="ignore"):
+            lj = -0.691 + 10.0 * np.log10(z)
+        abs_ok = lj > -70.0
+        if not abs_ok.any():
+            rows.append((cid, i, nsamp, sr, len(z), 0, None, True))
+            continue
+        rel = -0.691 + 10.0 * np.log10(np.mean(z[abs_ok])) - 10.0
+        gated = abs_ok & (lj > rel)
+        lufs = (
+            float(-0.691 + 10.0 * np.log10(np.mean(z[gated])))
+            if gated.any() else None
+        )
+        rows.append((cid, i, nsamp, sr, len(z), int(gated.sum()), lufs,
+                     bool(gated.sum() < len(z))))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz",
+                 "n_blocks", "n_gated", "lufs", "silence_gated"],
+    )
+
+
 def _local_dropout(n: int, dropout_every: int = 4):
     """Independent per-clip dropout oracle: stdlib-wave float64 decode
     (not the engine's float32 path) and run lengths via value-CHANGE
@@ -3600,6 +3666,46 @@ def q_echo_detect_clips(spark, sf_dir):
             F.sum(F.col("echo_lag").isNull().cast("long")).alias("n_null"),
         )
         .orderBy("cohort")
+    )
+
+
+def q_loudness_gated_clips(spark, sf_dir):
+    """Gated-loudness screen (ops/multimodal.py loudness_gated —
+    BS.1770-style program loudness): every clip with idx % 4 == 1 has
+    its PCM span [0.4n, 0.7n) zeroed by the fixture, so gating must
+    discard the silent blocks and read the loudness of the REMAINING
+    tone, with silence_gated exposing the padding.  The DuckDB oracle
+    re-derives every block count, gate decision, and LUFS value from
+    an independently-computed export (stdlib-wave float64 decode ==
+    the engine's int16-lattice snap; complex-transfer K-weighting vs
+    expanded real algebra; full FFT/iFFT vs rFFT/irFFT; per-window
+    loop vs cumulative-sum scan) and re-aggregates per (sr_hz,
+    planted); the two LUFS routes agree to ~1e-12 dB against a
+    round-to-4 contract."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import loudness_gated
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_loudness(n), "loudness_oracle", sf_dir)
+    clips = build_clips(
+        spark, n, 8, ClipFixtureSpec(with_audio=True, silence_every=4)
+    )
+    lg = loudness_gated(clips, bytes_col="bytes", id_cols=["clip_id"])
+    lg = attach_clip_idx(lg, spark, n)
+    return (
+        lg.withColumn("planted", F.col("clip_idx") % 4 == 1)
+        .groupBy("sr_hz", "planted")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_blocks").alias("sum_blocks"),
+            F.sum("n_gated").alias("sum_gated"),
+            F.sum(F.col("silence_gated").cast("long")).alias("n_silence_gated"),
+            F.sum((F.col("n_blocks") == 0).cast("long")).alias("n_no_blocks"),
+            F.round(F.avg("lufs"), 4).alias("avg_lufs"),
+        )
+        .orderBy("sr_hz", "planted")
     )
 
 
@@ -4971,6 +5077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_flatness_clips": q_spectral_flatness_clips,
         "echo_detect_clips": q_echo_detect_clips,
         "dropout_detect_clips": q_dropout_detect_clips,
+        "loudness_gated_clips": q_loudness_gated_clips,
         "dsir_select_documents": q_dsir_select_documents,
         "project_embeddings_report": q_project_embeddings,
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
@@ -6636,6 +6743,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (flatness < 0.05)::BIGINT AS n_tonal,
                    count(*) FILTER (entropy > 0.7)::BIGINT AS n_entropy_high
             FROM s GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
+        # block counts, gate decisions, and the ~1e-12-dB-agreeing LUFS
+        # re-derived from the four-route-independent export
+        "loudness_gated_clips": f"""
+            WITH l AS (
+              SELECT *, (clip_idx % 4 = 1) AS planted
+              FROM read_parquet('{ORACLE_DIR}/loudness_oracle_sf0.01.parquet'))
+            SELECT sr_hz, planted, count(*)::BIGINT AS n_clips,
+                   sum(n_blocks)::BIGINT AS sum_blocks,
+                   sum(n_gated)::BIGINT AS sum_gated,
+                   count(*) FILTER (silence_gated)::BIGINT AS n_silence_gated,
+                   count(*) FILTER (n_blocks = 0)::BIGINT AS n_no_blocks,
+                   round(avg(lufs), 4) AS avg_lufs
+            FROM l GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
         # dropout counts/flags re-derived from the independent
         # change-position run decomposition; sum(dropout_samples) and
         # sum(min_run) pin the two run-scan paths to the same integers

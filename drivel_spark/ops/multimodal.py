@@ -1339,6 +1339,141 @@ def echo_detect(df: DataFrame, bytes_col: str = "bytes",
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 
+LOUDNESS_SCHEMA = (
+    "n_samples long, sr_hz int, n_blocks long, n_abs_gated long, "
+    "n_gated long, lufs double, silence_gated boolean"
+)
+
+# BS.1770-4 pre-filter parameters (the published K-weighting analog
+# prototypes): a +4 dB high-shelf at ~1681.97 Hz and a 2nd-order
+# high-pass (RLB) at ~38.14 Hz.  We sample the ANALOG magnitude
+# response on the rFFT grid instead of running the standard's
+# bilinear-transform IIR biquads — a documented deviation (zero-phase,
+# no frequency warping, valid at any sample rate without coefficient
+# tables); scipy is unavailable in this environment and a per-sample
+# Python IIR loop would be the slow path.
+_K_SHELF_FC = 1681.9744509742
+_K_SHELF_GAIN_DB = 3.99984385397
+_K_SHELF_Q = 0.7071752369554
+_K_HP_FC = 38.13547087602
+_K_HP_Q = 0.5003270373238
+
+
+def _k_weight_mag2(f: np.ndarray) -> np.ndarray:
+    """|H(f)|² of the BS.1770 K-weighting chain from the analog (RBJ
+    cookbook) prototypes, evaluated on a frequency grid: high-shelf
+    |N|²/|D|² with N(jw) = A·(1 − A·w² + j·(√A/Q)·w), D(jw) =
+    A − w² + j·(√A/Q)·w (w = f/fc), times high-pass w⁴ / ((1 − w²)² +
+    w²/Q²)."""
+    A = 10.0 ** (_K_SHELF_GAIN_DB / 40.0)
+    w = f / _K_SHELF_FC
+    w2 = w * w
+    sa_q = (np.sqrt(A) / _K_SHELF_Q) ** 2
+    shelf = (
+        A * A * ((1.0 - A * w2) ** 2 + sa_q * w2)
+        / ((A - w2) ** 2 + sa_q * w2)
+    )
+    v = f / _K_HP_FC
+    v2 = v * v
+    hp = (v2 * v2) / ((1.0 - v2) ** 2 + v2 / (_K_HP_Q**2))
+    return shelf * hp
+
+
+def loudness_gated(df: DataFrame, bytes_col: str = "bytes",
+                   id_cols: Optional[list[str]] = None,
+                   block_ms: int = 400, hop_ms: int = 100,
+                   abs_gate_lufs: float = -70.0,
+                   rel_gate_lu: float = -10.0) -> DataFrame:
+    """Per-clip gated loudness in the manner of ITU-R BS.1770-4 / EBU
+    R 128 — the level screen that reads PROGRAM loudness rather than
+    raw RMS: K-weighting (high-shelf + RLB high-pass, frequency-sampled
+    analog response — see :func:`_k_weight_mag2` for the documented
+    deviation from the standard's IIR biquads), 400 ms blocks at 75 %
+    overlap, −70 LUFS absolute gate, then a relative gate 10 LU below
+    the absolute-gated mean.  Gating is what makes the number robust
+    for corpus QA: a clip that is half silence reads the loudness of
+    its SPEECH, not the average dragged down by the silence — so a
+    target-loudness check doesn't false-alarm on padded clips, while
+    ``silence_gated`` (some block was gated away) still exposes them.
+
+    Emits ``n_blocks`` (0 for clips shorter than one block → ``lufs``
+    NULL), ``n_abs_gated`` / ``n_gated`` (blocks surviving each gate),
+    ``lufs`` = −0.691 + 10·log10(mean block power over gated blocks),
+    and ``silence_gated`` = n_gated < n_blocks.  The float32 decode is
+    snapped back to the exact int16/32767 lattice in float64
+    (rint(x·32767)/32767) so an independent float64 decode reproduces
+    the input bit-exactly.  Undecodable/NULL payloads yield NULL rows.
+
+    One narrow scan → mapInPandas, one rFFT/irFFT round trip + a
+    cumulative-sum block scan per clip; no shuffle — a pure map at any
+    scale.
+    """
+    id_cols = id_cols or ["clip_id"]
+    keys = ("n_samples", "sr_hz", "n_blocks", "n_abs_gated", "n_gated",
+            "lufs", "silence_gated")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok or len(pcm) < 2:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                n = len(pcm)
+                x = np.rint(pcm.astype(np.float64) * 32767.0) / 32767.0
+                spec = np.fft.rfft(x)
+                f = np.fft.rfftfreq(n, d=1.0 / sr)
+                y = np.fft.irfft(spec * np.sqrt(_k_weight_mag2(f)), n)
+                win = int(round(sr * block_ms / 1000.0))
+                hop = int(round(sr * hop_ms / 1000.0))
+                base = dict(n_samples=n, sr_hz=sr)
+                if n < win:
+                    vals = dict(base, n_blocks=0, n_abs_gated=None,
+                                n_gated=None, lufs=None, silence_gated=None)
+                else:
+                    csum = np.concatenate(([0.0], np.cumsum(y * y)))
+                    starts = np.arange(0, n - win + 1, hop)
+                    z = (csum[starts + win] - csum[starts]) / win
+                    nb = len(z)
+                    with np.errstate(divide="ignore"):
+                        lj = -0.691 + 10.0 * np.log10(z)
+                    abs_ok = lj > abs_gate_lufs
+                    if not abs_ok.any():
+                        vals = dict(base, n_blocks=nb,
+                                    n_abs_gated=0, n_gated=0,
+                                    lufs=None, silence_gated=True)
+                    else:
+                        rel_gate = (
+                            -0.691 + 10.0 * np.log10(np.mean(z[abs_ok]))
+                            + rel_gate_lu
+                        )
+                        gated = abs_ok & (lj > rel_gate)
+                        lufs = float(
+                            -0.691 + 10.0 * np.log10(np.mean(z[gated]))
+                        ) if gated.any() else None
+                        vals = dict(
+                            base, n_blocks=nb,
+                            n_abs_gated=int(abs_ok.sum()),
+                            n_gated=int(gated.sum()), lufs=lufs,
+                            silence_gated=bool(gated.sum() < nb),
+                        )
+                for k in keys:
+                    cols[k].append(vals[k])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + LOUDNESS_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
 DROPOUT_SCHEMA = (
     "n_samples long, sr_hz int, min_run long, n_dropouts long, "
     "dropout_samples long, longest_run long, dropout_ratio double, "

@@ -4269,3 +4269,48 @@ def test_dropout_detect(spark):
     assert p["dropout_samples"] >= 3 * span
     assert p["min_run"] == max(int(round(p["sr_hz"] / 1000.0)), 8)
     assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()
+
+
+def test_loudness_gated(spark):
+    """Gating reads program loudness, not padded average: a half-silent
+    clip's gated LUFS stays within 1.5 dB of the same tone unpadded
+    (the silent blocks are gated away) while silence_gated exposes the
+    padding; an ungated mean would read ~3 dB lower.  Sub-block clips
+    have no blocks (NULL lufs); digital silence fails the absolute
+    gate entirely; corrupt/NULL payloads yield all-NULL rows; block
+    count matches the 400 ms / 100 ms closed form."""
+    import numpy as np
+
+    from drivel_spark.ops import loudness_gated
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    sr = 8000
+    tone = synth_pcm(5, sr, 2000)
+    half = tone.copy()
+    half[int(0.3 * len(half)):int(0.7 * len(half))] = 0.0
+    rows = [
+        ("tone", bytearray(wav_encode(tone, sr))),
+        ("half", bytearray(wav_encode(half, sr))),
+        ("short", bytearray(wav_encode(synth_pcm(6, sr, 300), sr))),
+        ("silence", bytearray(wav_encode(np.zeros(sr), sr))),
+        ("corrupt", bytearray(b"nope")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = loudness_gated(df).toPandas().set_index("clip_id")
+
+    t = got.loc["tone"]
+    assert t["n_blocks"] == 1 + (2 * sr - int(0.4 * sr)) // int(0.1 * sr)
+    assert t["n_gated"] == t["n_blocks"] and not t["silence_gated"]
+    assert -10.0 < t["lufs"] < -2.0
+    h = got.loc["half"]
+    assert h["silence_gated"] and h["n_gated"] < h["n_blocks"]
+    assert abs(h["lufs"] - t["lufs"]) < 1.5
+    # ungated mean over the SAME blocks would drop ~3 dB — the gate is
+    # doing real work, not a no-op
+    assert h["n_blocks"] - h["n_gated"] >= 2
+    s = got.loc["short"]
+    assert s["n_blocks"] == 0 and np.isnan(s["lufs"])
+    z = got.loc["silence"]
+    assert z["n_abs_gated"] == 0 and np.isnan(z["lufs"]) and z["silence_gated"]
+    assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()

@@ -1364,6 +1364,25 @@ def main() -> None:
     )
 
     # 46b. cross-table aggregate reconciliation: child collapses to one
+    # 46c. cross-modal consistency: md5 in codegen, digest-keyed aggs +
+    # joins — payload bytes hashed in the scan projection, never shuffled
+    from drivel_spark.ops import cross_modal_consistency, cross_modal_summary
+
+    p = fmt(cross_modal_summary(cross_modal_consistency(clips)))
+    sections.append(
+        (
+            "Cross-modal consistency (cross_modal_consistency)",
+            p,
+            [
+                "digest-keyed partial+final aggs: "
+                + ("PASS" if p.count("HashAggregate") >= 4 else "FAIL"),
+                "no Python (md5/groupBy all codegen): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "no cartesian: " + ("PASS" if "Cartesian" not in p else "FAIL"),
+            ],
+        )
+    )
+
     # row per key BEFORE the full-outer join; wide rows never join
     from drivel_spark.ops import aggregate_reconcile, reconcile_summary
 

@@ -3669,6 +3669,55 @@ def q_echo_detect_clips(spark, sf_dir):
     )
 
 
+def _local_crossmodal(n: int, mislabel_every: int = 8):
+    """Independent export for the cross-modal oracle: per-clip payload
+    digest via hashlib (not the engine's JVM md5) + raw transcript,
+    straight from the driver-side fixture frame — group structure and
+    every flag are re-derived in SQL."""
+    import hashlib
+
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+
+    pdf = clips_pdf(
+        range(n), ClipFixtureSpec(with_audio=True, mislabel_every=mislabel_every)
+    )
+    return pd.DataFrame(
+        {
+            "clip_idx": range(n),
+            "audio_key": [
+                hashlib.md5(bytes(b)).hexdigest() for b in pdf["bytes"]
+            ],
+            "transcript": pdf["transcript"],
+        }
+    )
+
+
+def q_cross_modal_clips(spark, sf_dir):
+    """Cross-modal consistency check (ops/audit.py
+    cross_modal_consistency — the labeling-error detector for paired
+    audio+transcript corpora): the fixture's mislabel hook replaces
+    every (idx ≥ 5, idx % 8 == 5) clip's payload with its adjacent
+    partner's bytes while keeping its own transcript, planting exact
+    byte-duplicate audio pairs under two different labels.  The DuckDB
+    oracle re-derives the whole group structure from an independent
+    export (hashlib payload digests vs the engine's JVM md5 codegen)
+    and recomputes every rollup — including the subtlety that a pair
+    whose second transcript is NULL (the idx%200==13 inject) is a dup
+    WITHOUT a conflict."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import cross_modal_consistency, cross_modal_summary
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_crossmodal(n), "crossmodal_oracle", sf_dir)
+    clips = build_clips(
+        spark, n, 8, ClipFixtureSpec(with_audio=True, mislabel_every=8)
+    )
+    return cross_modal_summary(cross_modal_consistency(clips))
+
+
 def q_loudness_gated_clips(spark, sf_dir):
     """Gated-loudness screen (ops/multimodal.py loudness_gated —
     BS.1770-style program loudness): every clip with idx % 4 == 1 has
@@ -5078,6 +5127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "echo_detect_clips": q_echo_detect_clips,
         "dropout_detect_clips": q_dropout_detect_clips,
         "loudness_gated_clips": q_loudness_gated_clips,
+        "cross_modal_clips": q_cross_modal_clips,
         "dsir_select_documents": q_dsir_select_documents,
         "project_embeddings_report": q_project_embeddings,
         "pivot_orders_status_priority": q_pivot_orders_status_priority,
@@ -6743,6 +6793,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (flatness < 0.05)::BIGINT AS n_tonal,
                    count(*) FILTER (entropy > 0.7)::BIGINT AS n_entropy_high
             FROM s GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
+        # whole group structure re-derived from hashlib digests (engine:
+        # JVM md5 codegen), incl. the NULL-label-is-no-conflict subtlety
+        "cross_modal_clips": f"""
+            WITH b AS (
+              SELECT audio_key,
+                     CASE WHEN transcript IS NULL THEN NULL
+                          ELSE md5(transcript) END AS text_key
+              FROM read_parquet('{ORACLE_DIR}/crossmodal_oracle_sf0.01.parquet')),
+            ag AS (
+              SELECT audio_key, count(*) AS nsa,
+                     count(DISTINCT text_key) AS ntg
+              FROM b GROUP BY 1),
+            tg AS (
+              SELECT text_key, count(DISTINCT audio_key) AS nat
+              FROM b WHERE text_key IS NOT NULL GROUP BY 1),
+            r AS (
+              SELECT b.audio_key, b.text_key, ag.nsa, ag.ntg, tg.nat
+              FROM b JOIN ag USING (audio_key) LEFT JOIN tg USING (text_key))
+            SELECT count(*)::BIGINT AS n_clips,
+                   count(DISTINCT audio_key)::BIGINT AS n_audio_groups,
+                   count(DISTINCT CASE WHEN nsa > 1 THEN audio_key END)::BIGINT
+                       AS n_dup_audio_groups,
+                   count(DISTINCT CASE WHEN nsa > 1 AND ntg > 1
+                                  THEN audio_key END)::BIGINT
+                       AS n_conflicting_groups,
+                   count(*) FILTER (nsa > 1 AND ntg > 1)::BIGINT
+                       AS n_conflicting_clips,
+                   count(*) FILTER (text_key IS NOT NULL AND nat > 1)::BIGINT
+                       AS n_recycled_clips,
+                   count(*) FILTER (text_key IS NULL)::BIGINT
+                       AS n_missing_transcript
+            FROM r""",
         # block counts, gate decisions, and the ~1e-12-dB-agreeing LUFS
         # re-derived from the four-route-independent export
         "loudness_gated_clips": f"""

@@ -157,6 +157,17 @@ class ClipFixtureSpec:
     dropout_every: int = 0
     dropout_ms: float = 12.0
     dropout_count: int = 3
+    # mislabel fixture hook (off by default — digests of the validate
+    # tables are untouched): every clip with idx % mislabel_every == 5
+    # (idx ≥ 5) has its payload REPLACED by the default payload of its
+    # ADJACENT partner idx−1 (computed from the partner's own effective
+    # sr/dur via _sr_dur_raw), while keeping its OWN transcript and
+    # metadata — an exact byte-duplicate audio pair with two different
+    # transcripts, the labeling-error ground truth for the cross-modal
+    # consistency check (cross_modal_consistency).  idx−1 ≢ 5 (mod k)
+    # for k ≥ 2, so partners are never themselves mislabeled (pairs,
+    # not chains).
+    mislabel_every: int = 0
 
 
 def _u(ids: np.ndarray, salt: int) -> np.ndarray:
@@ -198,6 +209,30 @@ def _transcripts_text(ids: np.ndarray, seed: int) -> np.ndarray:
     return out
 
 
+def _sr_dur_raw(ids: np.ndarray, seed: int, variant: str) -> tuple[np.ndarray, np.ndarray]:
+    """The (sr, dur) column derivation for these indexes — factored out
+    of clips_pdf verbatim (digest-identical) so the mislabel hook can
+    compute a PARTNER row's effective payload parameters."""
+    inject = variant != "clean"
+    sr = _pick(ids, seed * 7 + 3, SR_VALUES, SR_PROBS).astype(np.int64)
+    if inject:
+        sr[ids % 500 == 3] = 12345
+
+    # log-normal duration via Box-Muller, clipped to [200, 30000]
+    u1 = np.clip(_u(ids, seed * 7 + 4), 1e-12, 1.0)
+    u2 = _u(ids, seed * 7 + 5)
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    mu, sigma = np.log(1500.0), 0.8
+    if variant == "drifted":
+        mu = np.log(1500.0 * 1.5)  # FIXTURES.md: dur_ms × 1.5 shift
+    dur = np.clip(np.exp(mu + sigma * z), DUR_RANGE[0], DUR_RANGE[1]).astype(np.int64)
+    if inject:
+        bad_dur = ids % 500 == 7
+        dur[bad_dur & (ids % 1000 == 7)] = 0
+        dur[bad_dur & (ids % 1000 != 7)] = 120000
+    return sr, dur
+
+
 def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> pd.DataFrame:
     """The deterministic generator + oracle: clips rows for these indexes."""
     ids = np.asarray(list(ids), dtype=np.int64)
@@ -210,22 +245,7 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
         if dup_mask.any():
             cid[dup_mask] = clip_id_for(ids[dup_mask] - 999, seed)
 
-    sr = _pick(ids, seed * 7 + 3, SR_VALUES, SR_PROBS).astype(np.int64)
-    if inject:
-        sr[ids % 500 == 3] = 12345
-
-    # log-normal duration via Box-Muller, clipped to [200, 30000]
-    u1 = np.clip(_u(ids, seed * 7 + 4), 1e-12, 1.0)
-    u2 = _u(ids, seed * 7 + 5)
-    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
-    mu, sigma = np.log(1500.0), 0.8
-    if spec.variant == "drifted":
-        mu = np.log(1500.0 * 1.5)  # FIXTURES.md: dur_ms × 1.5 shift
-    dur = np.clip(np.exp(mu + sigma * z), DUR_RANGE[0], DUR_RANGE[1]).astype(np.int64)
-    if inject:
-        bad_dur = ids % 500 == 7
-        dur[bad_dur & (ids % 1000 == 7)] = 0
-        dur[bad_dur & (ids % 1000 != 7)] = 120000
+    sr, dur = _sr_dur_raw(ids, seed, spec.variant)
 
     codec_probs = CODEC_PROBS_DRIFTED if spec.variant == "drifted" else CODEC_PROBS
     codec = _pick(ids, seed * 7 + 6, CODEC_VALUES, codec_probs).astype(object)
@@ -242,6 +262,20 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
         dur_c = np.clip(dur, 50, spec.audio_cap_ms)
         for k in range(len(ids)):  # per-clip numpy synth (vector math inside)
             idx, srk, durk = int(ids[k]), int(sr_c[k]), int(dur_c[k])
+            if (spec.mislabel_every and idx >= 5
+                    and idx % spec.mislabel_every == 5):
+                # exact byte-copy of the adjacent partner's DEFAULT
+                # payload (own transcript kept) — composes with no
+                # other hook by construction
+                pid = np.array([idx - 1], dtype=np.int64)
+                psr, pdur = _sr_dur_raw(pid, seed, spec.variant)
+                payload[k] = synth_wav(
+                    idx - 1,
+                    int(np.clip(psr, SR_RANGE[0], SR_RANGE[1])[0]),
+                    int(np.clip(pdur, 50, spec.audio_cap_ms)[0]),
+                    seed,
+                )
+                continue
             silent = spec.silence_every and idx % spec.silence_every == 1
             distort = spec.distort_every and idx % spec.distort_every == 2
             share = (

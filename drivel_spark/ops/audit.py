@@ -250,6 +250,87 @@ def reconcile_summary(
 
 
 # --------------------------------------------------------------------------
+# cross-modal consistency (audio payload ↔ transcript)
+# --------------------------------------------------------------------------
+
+
+def cross_modal_consistency(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    text_col: str = "transcript",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-clip audio↔transcript consistency report — the labeling-error
+    check for paired-modality corpora: if two rows carry byte-identical
+    audio but different transcripts, at most one label can be right
+    (``conflicting_transcript``); rows sharing a transcript across
+    different audio payloads are flagged softer
+    (``recycled_transcript`` — legitimate for common phrases, but a
+    spike means transcript recycling upstream).
+
+    Emits one row per input row: ``audio_key`` (md5 of the payload),
+    ``text_key`` (md5 of the transcript, NULL for NULL transcripts),
+    ``n_same_audio`` (rows sharing this payload), ``n_texts_in_group``
+    (distinct non-NULL transcripts among them), ``n_audios_for_text``
+    (distinct payloads sharing this transcript; NULL for NULL
+    transcripts), and the two boolean flags.
+
+    Scale shape: everything is pure Catalyst — md5 in codegen, two
+    partial+final aggregations keyed on the 16-byte digests (payload
+    bytes are hashed in the scan projection and never shuffle), and
+    two key-co-partitioned joins of digest-sized tables back onto the
+    digest rows.  No decode, no Python, no wide shuffle at any scale.
+    """
+    ids = id_cols or ["clip_id"]
+    audio_key = F.md5(F.col(bytes_col)).alias("audio_key")
+    text_key = F.when(
+        F.col(text_col).isNotNull(), F.md5(F.encode(F.col(text_col), "UTF-8"))
+    ).alias("text_key")
+    base = df.select(*ids, audio_key, text_key)
+    ag = base.groupBy("audio_key").agg(
+        F.count(F.lit(1)).alias("n_same_audio"),
+        F.countDistinct("text_key").alias("n_texts_in_group"),
+    )
+    tg = (
+        base.filter(F.col("text_key").isNotNull())
+        .groupBy("text_key")
+        .agg(F.countDistinct("audio_key").alias("n_audios_for_text"))
+    )
+    rep = base.join(ag, "audio_key").join(tg, "text_key", "left")
+    return rep.select(
+        *ids, "audio_key", "text_key", "n_same_audio", "n_texts_in_group",
+        "n_audios_for_text",
+        ((F.col("n_same_audio") > 1) & (F.col("n_texts_in_group") > 1))
+        .alias("conflicting_transcript"),
+        F.when(
+            F.col("text_key").isNotNull(), F.col("n_audios_for_text") > 1
+        ).alias("recycled_transcript"),
+    )
+
+
+def cross_modal_summary(report: DataFrame) -> DataFrame:
+    """One-row rollup of :func:`cross_modal_consistency`: clip and
+    audio-group totals, duplicate-audio and conflicting-group counts,
+    and the clip-level flag tallies."""
+    return report.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.countDistinct("audio_key").alias("n_audio_groups"),
+        F.countDistinct(
+            F.when(F.col("n_same_audio") > 1, F.col("audio_key"))
+        ).alias("n_dup_audio_groups"),
+        F.countDistinct(
+            F.when(F.col("conflicting_transcript"), F.col("audio_key"))
+        ).alias("n_conflicting_groups"),
+        F.sum(F.col("conflicting_transcript").cast("long"))
+        .alias("n_conflicting_clips"),
+        F.sum(F.coalesce(F.col("recycled_transcript"), F.lit(False))
+              .cast("long")).alias("n_recycled_clips"),
+        F.sum(F.col("text_key").isNull().cast("long"))
+        .alias("n_missing_transcript"),
+    )
+
+
+# --------------------------------------------------------------------------
 # snapshot churn
 # --------------------------------------------------------------------------
 

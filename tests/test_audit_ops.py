@@ -516,3 +516,58 @@ def test_aggregate_reconcile(spark):
     assert summ.loc["mismatch"]["n_diff_1_to_1e3"] == 1
     assert summ.loc["missing_child"]["n_keys"] == 1
     assert summ.loc["orphan_child"]["n_keys"] == 1
+
+
+def test_cross_modal_consistency(spark):
+    """Byte-identical audio with two transcripts flags both rows
+    conflicting; identical audio with ONE transcript is a benign dup;
+    a transcript shared across different payloads flags recycled (but
+    not conflicting); NULL transcripts count as missing, never as a
+    distinct label; the fixture's mislabel hook yields exactly the
+    planted pair count end-to-end."""
+    from drivel_spark.ops import cross_modal_consistency, cross_modal_summary
+
+    rows = [
+        ("a1", b"\x01\x02", "hello"),
+        ("a2", b"\x01\x02", "goodbye"),   # conflict with a1
+        ("b1", b"\x03\x04", "same"),
+        ("b2", b"\x03\x04", "same"),      # benign exact dup
+        ("c1", b"\x05\x06", "common"),
+        ("c2", b"\x07\x08", "common"),    # recycled transcript
+        ("d1", b"\x09\x0a", None),        # missing transcript
+        ("d2", b"\x09\x0a", "labeled"),   # dup audio, one label + one NULL
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, transcript string")
+    rep = cross_modal_consistency(df).toPandas().set_index("clip_id")
+    assert rep.loc["a1"]["conflicting_transcript"]
+    assert rep.loc["a2"]["conflicting_transcript"]
+    assert not rep.loc["b1"]["conflicting_transcript"]
+    assert rep.loc["b1"]["n_same_audio"] == 2
+    assert not rep.loc["c1"]["conflicting_transcript"]
+    assert rep.loc["c1"]["recycled_transcript"]
+    assert rep.loc["c2"]["recycled_transcript"]
+    # one label + one NULL is not a conflict
+    assert not rep.loc["d2"]["conflicting_transcript"]
+    assert rep.loc["d1"]["text_key"] is None or rep.loc["d1"]["text_key"] != rep.loc["d1"]["text_key"] or rep.loc["d1"].isnull()["text_key"]
+
+    summ = cross_modal_summary(cross_modal_consistency(df)).toPandas().iloc[0]
+    assert summ["n_clips"] == 8
+    assert summ["n_audio_groups"] == 5
+    assert summ["n_dup_audio_groups"] == 3
+    assert summ["n_conflicting_groups"] == 1
+    assert summ["n_conflicting_clips"] == 2
+    assert summ["n_recycled_clips"] == 2
+    assert summ["n_missing_transcript"] == 1
+
+    # fixture integration: planted mislabel pairs surface exactly
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+
+    clips = build_clips(spark, 40, 4, ClipFixtureSpec(with_audio=True,
+                                                      mislabel_every=8))
+    s2 = cross_modal_summary(cross_modal_consistency(clips)).toPandas().iloc[0]
+    # pairs at idx 5,13,21,29,37 — but idx 13's transcript is NULL
+    # (inject rule idx%200==13), so (12,13) is a dup without a second
+    # label: 4 conflicting groups of 2 clips + 5 dup-audio groups
+    assert s2["n_dup_audio_groups"] == 5
+    assert s2["n_conflicting_groups"] == 4
+    assert s2["n_conflicting_clips"] == 8

@@ -176,11 +176,13 @@ if _strat and _strat["n_rounds"]:
     _calm_m = _strat["paired_eff_median_calm"]
     lines += [
         "",
-        "(The r05 campaign's round 1 is excluded from the calm window by",
-        "its OWN before-probe (0.37): builder test runs overlapped the",
-        "start of that pair — the bracketing protocol catching exactly",
-        "the contamination it was designed for.  Its 0.936 efficiency and",
-        "matching digest are logged but carry no calm-window weight.)",
+        "(Historical note: one early-r05 round was excluded from the",
+        "calm window by its OWN before-probe (0.37) — builder test runs",
+        "overlapped the start of that pair, the bracketing protocol",
+        "catching exactly the contamination it was designed for.  Its",
+        "0.936 efficiency and matching digest are logged but carry no",
+        "calm-window weight.  The final r05 campaign's 4 rounds were",
+        "all calm: 0.932/0.970/0.866/0.885, round median 0.909.)",
         "",
         f"- all-rounds paired median: {_all_m:.3f} ("
         + ("meets" if _all_m >= 0.8 else "misses")

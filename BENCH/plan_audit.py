@@ -1365,6 +1365,24 @@ def main() -> None:
 
     # 46b. cross-table aggregate reconciliation: child collapses to one
     # 46c. cross-modal consistency: md5 in codegen, digest-keyed aggs +
+    # 46d. per-row robust outliers: two exact-median aggs keyed on the
+    # group + key-co-partitioned joins back; no global sort, no Python
+    from drivel_spark.ops import robust_outlier_report
+
+    p = fmt(robust_outlier_report(events, "value", ["event_type"]))
+    sections.append(
+        (
+            "Robust outlier report (robust_outlier_report)",
+            p,
+            [
+                "group-keyed median aggs (no global sort): "
+                + ("PASS" if "Sort [value" not in p else "FAIL"),
+                "no Python: " + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "no cartesian: " + ("PASS" if "Cartesian" not in p else "FAIL"),
+            ],
+        )
+    )
+
     # joins — payload bytes hashed in the scan projection, never shuffled
     from drivel_spark.ops import cross_modal_consistency, cross_modal_summary
 

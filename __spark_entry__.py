@@ -285,6 +285,35 @@ def q_referential_lineitem_orders_count(spark, sf_dir):
     return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
 
 
+def q_robust_outliers_events(spark, sf_dir):
+    """Per-row robust outlier screen (ops/selection.py
+    robust_outlier_report): events.value scored within its event_type
+    group as |x − median| / (1.4826·MAD), flagged past the 3.5
+    Iglewicz–Hoaglin cut — median/MAD fences that the outliers
+    themselves cannot drag open (the same rows pass a naive 3-sigma
+    test).  The DuckDB oracle replays the two exact-median passes with
+    quantile_cont (interpolating, == Spark's exact median) and the
+    identical z formula; the data's nearest z values to the 3.5 cut
+    are 3.4949 / 3.5035 (sf0.01), a ≥0.0035 gap against ~1e-11
+    cross-engine interpolation noise, so no count can flip."""
+    from drivel_spark.ops import robust_outlier_report
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rep = robust_outlier_report(ev, "value", ["event_type"])
+    return (
+        rep.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            F.round(F.max("grp_median"), 4).alias("grp_median"),
+            F.round(F.max("grp_mad"), 4).alias("grp_mad"),
+            F.round(F.max(F.when(F.col("is_outlier"), F.col("robust_z"))), 4)
+            .alias("max_outlier_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_reconcile_orders_lineitem(spark, sf_dir):
     """Cross-table aggregate reconciliation (ops/audit.py
     aggregate_reconcile): the "header total equals the sum of its
@@ -5164,6 +5193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orders_customer": q_referential_orders_customer,
         "referential_lineitem_orders_count": q_referential_lineitem_orders_count,
         "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
+        "robust_outliers_events": q_robust_outliers_events,
         # relational core
         "pricing_summary": q_pricing_summary,
         "orders_join_nation": q_orders_join_nation,
@@ -5575,6 +5605,29 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)
             SELECT coalesce(count(*), 0)::BIGINT AS n_duplicate_keys,
                    coalesce(sum(cnt), 0)::BIGINT AS n_duplicate_rows FROM d""",
+        "robust_outliers_events": """
+            WITH e AS (
+              SELECT event_type AS g, value::DOUBLE AS x FROM events
+              WHERE value IS NOT NULL),
+            m AS (SELECT g, quantile_cont(x, 0.5) AS med FROM e GROUP BY 1),
+            d AS (SELECT e.g, e.x, m.med FROM e JOIN m USING (g)),
+            md AS (
+              SELECT g, quantile_cont(abs(x - med), 0.5) AS mad
+              FROM d GROUP BY 1),
+            r AS (
+              SELECT d.g, d.x, d.med, md.mad,
+                     CASE WHEN 1.4826 * md.mad > 0
+                          THEN abs(d.x - d.med) / (1.4826 * md.mad)
+                          WHEN d.x = d.med THEN 0.0
+                          ELSE 'infinity'::DOUBLE END AS z
+              FROM d JOIN md USING (g))
+            SELECT g AS event_type, count(*)::BIGINT AS n_rows,
+                   count(*) FILTER (z > 3.5)::BIGINT AS n_outliers,
+                   round(max(med), 4) AS grp_median,
+                   round(max(mad), 4) AS grp_mad,
+                   round(max(CASE WHEN z > 3.5 THEN z END), 4)
+                       AS max_outlier_z
+            FROM r GROUP BY g ORDER BY g""",
         "reconcile_orders_lineitem": """
             WITH c AS (
               SELECT l_orderkey AS k,

@@ -374,6 +374,74 @@ def iqr_bounds(
     return q1 - whisker * iqr, q3 + whisker * iqr
 
 
+def robust_outlier_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    z_thresh: float = 3.5,
+    approx_accuracy: int | None = None,
+) -> DataFrame:
+    """Per-ROW robust outliers within each group: robust z =
+    |x − median(group)| / (1.4826 · MAD(group)), flagged beyond
+    ``z_thresh`` (3.5 = the Iglewicz–Hoaglin cut).  The row-level
+    complement of :func:`~drivel_spark.ops.skew.group_anomaly_report`
+    (which asks "which GROUP is broken?"): this asks "which ROWS are
+    broken within their group?", with median/MAD instead of mean/std
+    so the outliers themselves cannot drag the fences open — the
+    failure mode that makes 3-sigma checks miss exactly the corruption
+    they exist for.
+
+    Appends ``grp_median``, ``grp_mad``, ``robust_z``, ``is_outlier``
+    to the input rows.  NULL values get NULL z / flag and are ignored
+    by the statistics.  MAD = 0 (over half the group identical) flags
+    every differing row — the strictest honest reading, matching
+    group_anomaly_report's degenerate-spread semantics.
+
+    Scale shape: two exact-median aggregations keyed on the group
+    (Spark's sort-based exact ``median`` within hash-partitioned
+    groups) and two key-co-partitioned joins of group-sized stats
+    tables back onto the rows; no global sort, no driver collect.
+    For extreme-cardinality values per group, pass
+    ``approx_accuracy`` to switch both passes to
+    ``percentile_approx`` (sketch-based, no per-group sort) — the
+    flags then carry sketch error and an exact-replay oracle no
+    longer applies (documented trade: exact by default, sketch as the
+    explicit 10^12-row escape hatch).
+    """
+    grp = list(group_cols or [])
+    x = F.col(value_col).cast("double")
+
+    def _med(c):
+        if approx_accuracy is not None:
+            return F.percentile_approx(c, 0.5, approx_accuracy)
+        return F.median(c)
+
+    med_t = df.groupBy(*grp).agg(_med(x).alias("grp_median"))
+    if grp:
+        j = df.join(med_t, grp)
+    else:  # one-row stats table: broadcast literal, not a data join
+        j = df.crossJoin(F.broadcast(med_t))
+    dev = F.abs(x - F.col("grp_median"))
+    mad_t = j.groupBy(*grp).agg(_med(dev).alias("grp_mad"))
+    if grp:
+        rep = j.join(mad_t, grp)
+    else:
+        rep = j.crossJoin(F.broadcast(mad_t))
+    scale = 1.4826 * F.col("grp_mad")
+    z = (
+        F.when(x.isNull(), F.lit(None))
+        .when(scale > 0, F.abs(x - F.col("grp_median")) / scale)
+        .when(x == F.col("grp_median"), F.lit(0.0))
+        .otherwise(F.lit(float("inf")))
+    )
+    return rep.withColumn("robust_z", z).withColumn(
+        "is_outlier",
+        F.when(x.isNull(), F.lit(None)).otherwise(
+            F.col("robust_z") > F.lit(float(z_thresh))
+        ),
+    )
+
+
 def value_histogram(
     df: DataFrame, col: str, n_buckets: int = 32
 ) -> DataFrame:

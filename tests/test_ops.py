@@ -4314,3 +4314,45 @@ def test_loudness_gated(spark):
     z = got.loc["silence"]
     assert z["n_abs_gated"] == 0 and np.isnan(z["lufs"]) and z["silence_gated"]
     assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()
+
+
+def test_robust_outlier_report(spark):
+    """A planted wild row is flagged while the robust fences stay put
+    (mean/std z would be dragged under 3.5 by the outlier itself);
+    grouping isolates statistics per group; NULL values get NULL
+    flags; MAD=0 groups flag any deviation; the global (ungrouped)
+    path broadcasts one-row stats."""
+    import math
+
+    from drivel_spark.ops import robust_outlier_report
+
+    # group A: tight cluster + one wild row; group B: all identical + 1 dev
+    rows = [("A", float(v)) for v in (10, 11, 9, 10, 12, 10, 11, 9, 10, 1000)]
+    rows += [("B", 5.0), ("B", 5.0), ("B", 5.0), ("B", 7.0)]
+    rows += [("A", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    rep = robust_outlier_report(df, "v", ["g"]).toPandas()
+
+    a = rep[rep["g"] == "A"]
+    wild = a[a["v"] == 1000.0].iloc[0]
+    assert wild["is_outlier"] and wild["robust_z"] > 100
+    assert a[a["v"].between(9, 12)]["is_outlier"].eq(False).all()
+    assert a["grp_median"].dropna().eq(10.0).all()
+    # classic z-score would NOT flag it: std is dragged to ~312 by the
+    # outlier itself -> z ~ 3.17 < 3.5
+    import numpy as np
+
+    vals = np.array([10, 11, 9, 10, 12, 10, 11, 9, 10, 1000.0])
+    assert abs(1000 - vals.mean()) / vals.std() < 3.5
+
+    b = rep[rep["g"] == "B"]
+    devrow = b[b["v"] == 7.0].iloc[0]
+    assert math.isinf(devrow["robust_z"]) and devrow["is_outlier"]
+    assert b[b["v"] == 5.0]["is_outlier"].eq(False).all()
+
+    nullrow = rep[rep["v"].isnull()].iloc[0]
+    assert nullrow["is_outlier"] is None or nullrow["is_outlier"] != nullrow["is_outlier"]
+
+    # global path (no groups): one-row stats, same flags
+    g = robust_outlier_report(df.filter("g = 'A'"), "v").toPandas()
+    assert g[g["v"] == 1000.0].iloc[0]["is_outlier"]

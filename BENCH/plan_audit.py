@@ -559,6 +559,7 @@ def main() -> None:
         echo_detect,
         segment_clips,
         spectral_flatness,
+        true_peak,
     )
 
     for name, op in (("Audio quality screen", audio_quality),
@@ -568,6 +569,7 @@ def main() -> None:
                      ("Cepstral echo screen", echo_detect),
                      ("Dropout screen", dropout_detect),
                      ("Gated-loudness screen", loudness_gated),
+                     ("True-peak screen", true_peak),
                      ("Clip segmentation", lambda d: segment_clips(d, 500, 200))):
         p = fmt(op(clips))
         sections.append(

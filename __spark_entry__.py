@@ -2831,6 +2831,89 @@ def _local_loudness(n: int, silence_every: int = 4):
     )
 
 
+def _local_true_peak(n: int, distort_every: int = 4):
+    """Independent per-clip true-peak oracle: stdlib-wave float64
+    decode (bit-identical to the engine's int16-lattice snap) and 4×
+    band-limited oversampling via the FULL complex spectrum —
+    symmetric zero-insertion in the middle + complex ifft real part —
+    instead of the engine's rFFT zero-pad/irFFT; peaks via a boolean
+    reduction over |y|.  Different routes, ~1e-12 agreement."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec
+
+    spec_fix = ClipFixtureSpec(with_audio=True, distort_every=distort_every)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n, spec_fix):
+        nsamp = len(pcm)
+        if nsamp < 2:
+            rows.append((cid, i, nsamp, sr, None, None, None))
+            continue
+        sp = float(np.abs(pcm).max())
+        full = np.fft.fft(pcm)
+        m = 4 * nsamp
+        pad = np.zeros(m, dtype=complex)
+        h = nsamp // 2
+        if nsamp % 2 == 0:
+            pad[:h] = full[:h]
+            pad[h] = 0.5 * full[h]
+            pad[m - h] = 0.5 * full[h]
+            pad[m - h + 1 :] = full[h + 1 :]
+        else:
+            pad[: h + 1] = full[: h + 1]
+            pad[m - h :] = full[h + 1 :]
+        y = np.fft.ifft(pad).real * 4
+        tp = max(float(np.abs(y).max()), sp)
+        dbtp = 20.0 * np.log10(tp) if tp > 0 else None
+        rows.append((cid, i, nsamp, sr, sp, tp, dbtp))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz",
+                 "sample_peak", "true_peak", "dbtp"],
+    )
+
+
+def q_true_peak_clips(spark, sf_dir):
+    """True-peak screen (ops/multimodal.py true_peak — the
+    inter-sample-overs / headroom detector, EBU R 128's −1 dBTP
+    companion to loudness_gated): every clip with idx % 4 == 2 is
+    hard-clipped by the distort hook (PCM ×4 + DC into the clamping
+    encoder), so its band-limited reconstruction rings ABOVE the flat
+    top (engine reads ~+1.8 dBTP on a 1.0 sample peak) while clean
+    tones read ≤ −1.5 dBTP — a sample-peak meter cannot tell the two
+    apart at the clamp.  The DuckDB oracle re-derives every peak, dBTP
+    and flag from an independently-computed export (full-complex-
+    spectrum symmetric zero-insertion vs the engine's rFFT zero-pad,
+    on bit-identical float64 inputs, ~1e-12 agreement vs a round-4
+    contract)."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import true_peak
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_true_peak(n), "truepeak_oracle", sf_dir)
+    clips = build_clips(
+        spark, n, 8, ClipFixtureSpec(with_audio=True, distort_every=4)
+    )
+    tp = true_peak(clips, bytes_col="bytes", id_cols=["clip_id"])
+    tp = attach_clip_idx(tp, spark, n)
+    return (
+        tp.withColumn("planted", F.col("clip_idx") % 4 == 2)
+        .groupBy("sr_hz", "planted")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(F.col("over_flag").cast("long")).alias("n_over"),
+            F.sum((F.col("sample_peak") >= 1.0 - 1e-12).cast("long"))
+            .alias("n_at_clamp"),
+            F.round(F.avg("true_peak_dbtp"), 4).alias("avg_dbtp"),
+            F.round(F.avg("sample_peak"), 4).alias("avg_sample_peak"),
+        )
+        .orderBy("sr_hz", "planted")
+    )
+
+
 def _local_dropout(n: int, dropout_every: int = 4):
     """Independent per-clip dropout oracle: stdlib-wave float64 decode
     (not the engine's float32 path) and run lengths via value-CHANGE
@@ -5155,6 +5238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_flatness_clips": q_spectral_flatness_clips,
         "echo_detect_clips": q_echo_detect_clips,
         "dropout_detect_clips": q_dropout_detect_clips,
+        "true_peak_clips": q_true_peak_clips,
         "loudness_gated_clips": q_loudness_gated_clips,
         "cross_modal_clips": q_cross_modal_clips,
         "dsir_select_documents": q_dsir_select_documents,
@@ -6891,6 +6975,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (n_blocks = 0)::BIGINT AS n_no_blocks,
                    round(avg(lufs), 4) AS avg_lufs
             FROM l GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
+        # peaks/dBTP/flags re-derived from the full-complex-spectrum
+        # oversampling export (engine: rFFT zero-pad), round-4 contract
+        "true_peak_clips": f"""
+            WITH t AS (
+              SELECT *, (clip_idx % 4 = 2) AS planted
+              FROM read_parquet('{ORACLE_DIR}/truepeak_oracle_sf0.01.parquet'))
+            SELECT sr_hz, planted, count(*)::BIGINT AS n_clips,
+                   count(*) FILTER (dbtp > -1.0)::BIGINT AS n_over,
+                   count(*) FILTER (sample_peak >= 1.0 - 1e-12)::BIGINT
+                       AS n_at_clamp,
+                   round(avg(dbtp), 4) AS avg_dbtp,
+                   round(avg(sample_peak), 4) AS avg_sample_peak
+            FROM t GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
         # dropout counts/flags re-derived from the independent
         # change-position run decomposition; sum(dropout_samples) and
         # sum(min_run) pin the two run-scan paths to the same integers

@@ -1474,6 +1474,95 @@ def loudness_gated(df: DataFrame, bytes_col: str = "bytes",
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 
+TRUE_PEAK_SCHEMA = (
+    "n_samples long, sr_hz int, sample_peak double, true_peak double, "
+    "true_peak_dbtp double, isp_excess_db double, over_flag boolean"
+)
+
+
+def true_peak(df: DataFrame, bytes_col: str = "bytes",
+              id_cols: Optional[list[str]] = None,
+              oversample: int = 4,
+              over_dbtp: float = -1.0) -> DataFrame:
+    """Per-clip inter-sample true peak in the manner of ITU-R BS.1770
+    Annex 2 / EBU R 128 (−1 dBTP ceiling) — the headroom screen that
+    catches what a sample-peak meter cannot: PCM whose RECONSTRUCTED
+    analog waveform overshoots full scale between samples.  Hard-
+    clipped/limited material is the classic case — the band-limited
+    reconstruction of a flat-topped wave rings above the flat top
+    (Gibbs), so a file whose samples all sit at ±1.0 still plays back
+    over 0 dBFS through any DAC.
+
+    Oversampling is ideal band-limited interpolation via rFFT
+    zero-padding to ``oversample``× (documented deviation from the
+    standard's 4× polyphase FIR — the FFT route is the exact
+    sinc-interpolation limit the FIR approximates; no scipy in this
+    environment).  Emits ``sample_peak`` (max |x|), ``true_peak`` (max
+    |upsampled|, never below sample_peak by construction — the
+    original samples are a subset of the oversampled grid),
+    ``true_peak_dbtp`` (NULL for digital silence), ``isp_excess_db``
+    (true − sample peak in dB: the inter-sample energy a plain meter
+    misses) and ``over_flag`` (true_peak_dbtp > ``over_dbtp``).
+    Undecodable/NULL payloads yield NULL rows.
+
+    One narrow scan → mapInPandas, one rFFT + one 4n irFFT per clip;
+    no shuffle — a pure map at any scale.
+    """
+    id_cols = id_cols or ["clip_id"]
+    keys = ("n_samples", "sr_hz", "sample_peak", "true_peak",
+            "true_peak_dbtp", "isp_excess_db", "over_flag")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                ok = b is not None
+                pcm = sr = None
+                if ok:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        ok = False
+                if not ok or len(pcm) < 2:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                n = len(pcm)
+                x = np.rint(pcm.astype(np.float64) * 32767.0) / 32767.0
+                sp = float(np.max(np.abs(x)))
+                spec = np.fft.rfft(x)
+                m = oversample * n
+                pad = np.zeros(m // 2 + 1, dtype=complex)
+                pad[: len(spec)] = spec
+                # even n: the (shared) Nyquist bin splits between the
+                # positive and negative halves on the denser grid
+                if n % 2 == 0:
+                    pad[n // 2] *= 0.5
+                y = np.fft.irfft(pad, m) * oversample
+                tp = max(float(np.max(np.abs(y))), sp)
+                if tp <= 0.0:
+                    vals = dict(n_samples=n, sr_hz=sr, sample_peak=sp,
+                                true_peak=tp, true_peak_dbtp=None,
+                                isp_excess_db=None, over_flag=None)
+                else:
+                    dbtp = 20.0 * np.log10(tp)
+                    vals = dict(
+                        n_samples=n, sr_hz=sr, sample_peak=sp,
+                        true_peak=tp, true_peak_dbtp=float(dbtp),
+                        isp_excess_db=float(
+                            dbtp - 20.0 * np.log10(sp)
+                        ) if sp > 0 else None,
+                        over_flag=bool(dbtp > over_dbtp),
+                    )
+                for k in keys:
+                    cols[k].append(vals[k])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + TRUE_PEAK_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
 DROPOUT_SCHEMA = (
     "n_samples long, sr_hz int, min_run long, n_dropouts long, "
     "dropout_samples long, longest_run long, dropout_ratio double, "

@@ -4356,3 +4356,42 @@ def test_robust_outlier_report(spark):
     # global path (no groups): one-row stats, same flags
     g = robust_outlier_report(df.filter("g = 'A'"), "v").toPandas()
     assert g[g["v"] == 1000.0].iloc[0]["is_outlier"]
+
+
+def test_true_peak(spark):
+    """Hard-clipped material overshoots full scale on reconstruction
+    (Gibbs ringing above the flat top) and flags > -1 dBTP while its
+    sample peak reads exactly 1.0; a clean tone stays under the
+    ceiling with true_peak ~ sample_peak; true_peak is never below
+    sample_peak (original samples are a subset of the oversampled
+    grid); digital silence has NULL dBTP; corrupt/NULL payloads yield
+    all-NULL rows."""
+    import numpy as np
+
+    from drivel_spark.ops import true_peak
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    sr = 8000
+    tone = synth_pcm(5, sr, 1000)
+    clipped = np.clip(tone * 4 + 0.05, -1, 1)
+    rows = [
+        ("tone", bytearray(wav_encode(tone, sr))),
+        ("clipped", bytearray(wav_encode(clipped, sr))),
+        ("silence", bytearray(wav_encode(np.zeros(800), sr))),
+        ("corrupt", bytearray(b"nope")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = true_peak(df).toPandas().set_index("clip_id")
+
+    t = got.loc["tone"]
+    assert not t["over_flag"] and t["true_peak_dbtp"] < -1.5
+    assert t["true_peak"] >= t["sample_peak"]
+    assert t["isp_excess_db"] < 0.1
+    c = got.loc["clipped"]
+    assert c["over_flag"] and c["true_peak_dbtp"] > 1.0
+    assert abs(c["sample_peak"] - 1.0) < 1e-9
+    assert c["true_peak"] > 1.2
+    s = got.loc["silence"]
+    assert s["sample_peak"] == 0.0 and np.isnan(s["true_peak_dbtp"])
+    assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()

@@ -143,6 +143,73 @@ def cmd_segment(args) -> dict:
     }
 
 
+# one registry row per audio screen: the report op and the default
+# flag predicate (a SQL expression over the report's own columns, so
+# --flag can override the policy without touching the op)
+AUDIO_SCREENS: dict = {
+    "quality": ("audio_quality",
+                "clipping_ratio > 0.01 OR abs(dc_offset) > 0.02"),
+    "bitdepth": ("effective_bit_depth", "effective_bits <= 8"),
+    "hum": ("hum_detect", "hum_ratio_50 > 0.005 OR hum_ratio_60 > 0.005"),
+    "flatness": ("spectral_flatness", "noise_like"),
+    "echo": ("echo_detect", "echo_flag"),
+    "dropout": ("dropout_detect", "dropout_flag"),
+    "loudness": ("loudness_gated", "silence_gated"),
+    "truepeak": ("true_peak", "over_flag"),
+    "bandwidth": ("bandwidth_estimate", "narrowband"),
+    "snr": ("snr_estimate", "snr_est_db < 10.0"),
+}
+
+
+def cmd_screen(args) -> dict:
+    """One CLI for the whole audio-QA screen family: run the chosen
+    per-clip screen over a clips table, optionally persist the per-clip
+    report, and print flagged/undecodable counts.  --where pushes a
+    predicate to the clips scan (slice-only daily runs, same discipline
+    as validate --where); --flag overrides the default policy predicate
+    with any SQL expression over the report's columns.  Every screen is
+    one narrow scan → Arrow map — no shuffle at any table size."""
+    import drivel_spark.ops as _ops
+
+    from drivel_spark.io import read_table
+
+    if not args.clips and not args.data:
+        raise SystemExit("screen needs --data (db dir) or --clips (table ref)")
+    if args.kind not in AUDIO_SCREENS:
+        raise SystemExit(
+            f"unknown screen {args.kind!r}; one of {sorted(AUDIO_SCREENS)}"
+        )
+    op_name, default_flag = AUDIO_SCREENS[args.kind]
+    spark = build_session("drivel-screen")
+    ref = args.clips or f"{args.data}/clips"
+    clips = read_table(spark, ref)
+    if args.where:
+        clips = clips.filter(args.where)
+    t0 = time.time()
+    rep = getattr(_ops, op_name)(clips)
+    if args.out:
+        rep.write.mode("overwrite").parquet(args.out)
+        rep = spark.read.parquet(args.out)
+    flag = args.flag or default_flag
+    row = rep.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("n_samples").isNull(), 1)).alias("bad"),
+        F.count(F.when(F.expr(flag), 1)).alias("flagged"),
+    ).collect()[0]
+    wall = time.time() - t0
+    return {
+        "job": "screen",
+        "kind": args.kind,
+        "flag": flag,
+        "n_clips": int(row["n"]),
+        "n_flagged": int(row["flagged"]),
+        "n_undecodable": int(row["bad"]),
+        "wall_s": round(wall, 3),
+        "clips_per_sec": round(row["n"] / wall, 1) if wall > 0 else None,
+        "out": args.out,
+    }
+
+
 def cmd_dup_segments(args) -> dict:
     """Repeated-audio-segment audit at the CLI: clips -> maximal
     duplicated PCM spans per clip (ops/multimodal.py
@@ -1424,6 +1491,20 @@ def main(argv=None) -> None:
     ss.add_argument("--where", default=None,
                     help="SQL predicate pushed to the clips scan")
 
+    sc = sub.add_parser("screen")
+    sc.add_argument("--data", default=None, help="db dir containing /clips")
+    sc.add_argument("--clips", default=None,
+                    help="override clips table (path or iceberg:db.tbl ref)")
+    sc.add_argument("--kind", required=True,
+                    help=f"one of {sorted(AUDIO_SCREENS)}")
+    sc.add_argument("--out", default=None,
+                    help="optional per-clip report table dir")
+    sc.add_argument("--flag", default=None,
+                    help="SQL predicate over the report columns "
+                         "(default: the screen's published policy)")
+    sc.add_argument("--where", default=None,
+                    help="SQL predicate pushed to the clips scan")
+
     sd = sub.add_parser("dup-segments")
     sd.add_argument("--data", default=None, help="db dir containing /clips")
     sd.add_argument("--clips", default=None,
@@ -1582,6 +1663,7 @@ def main(argv=None) -> None:
     out = {
         "prepare": cmd_prepare,
         "segment": cmd_segment,
+        "screen": cmd_screen,
         "dup-segments": cmd_dup_segments,
         "leakage": cmd_leakage,
         "shuffle": cmd_shuffle,

@@ -1505,6 +1505,14 @@ def true_peak(df: DataFrame, bytes_col: str = "bytes",
     misses) and ``over_flag`` (true_peak_dbtp > ``over_dbtp``).
     Undecodable/NULL payloads yield NULL rows.
 
+    Boundary semantics: FFT interpolation is CIRCULAR, so a clip cut
+    mid-cycle also reads the reconstruction transient of its
+    end-to-start wrap — a real DAC produces a comparable (not
+    identical) edge transient against the surrounding silence.  Clips
+    recorded hot near their edges can flag at a ceiling their interior
+    respects; treat ``over_flag`` as a screen (triage by
+    ``isp_excess_db``), not a verdict.
+
     One narrow scan → mapInPandas, one rFFT + one 4n irFFT per clip;
     no shuffle — a pure map at any scale.
     """

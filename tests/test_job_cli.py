@@ -817,3 +817,40 @@ def test_dup_segments_verb(spark, tmp_path):
         )
     )
     assert none["n_spans"] == 0
+
+
+def test_screen_verb(spark, tmp_path):
+    """screen runs any registered audio screen end-to-end from the CLI:
+    planted rows are counted flagged under the default policy, --flag
+    overrides the predicate, --where slices the scan, and the per-clip
+    report persists when --out is given."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.job import cmd_screen
+
+    data = str(tmp_path / "clips")
+    build_clips(
+        spark, 40, 4, ClipFixtureSpec(with_audio=True, dropout_every=4)
+    ).write.parquet(data)
+
+    out = cmd_screen(
+        argparse.Namespace(data=None, clips=data, kind="dropout",
+                           out=str(tmp_path / "rep"), flag=None, where=None)
+    )
+    assert out["n_clips"] == 40
+    assert out["n_flagged"] == 10  # idx % 4 == 1
+    assert out["n_undecodable"] == 0
+    rep = spark.read.parquet(str(tmp_path / "rep"))
+    assert rep.count() == 40 and "n_dropouts" in rep.columns
+
+    strict = cmd_screen(
+        argparse.Namespace(data=None, clips=data, kind="dropout", out=None,
+                           flag="n_dropouts >= 1", where="sr_hz = 8000")
+    )
+    assert strict["n_clips"] < 40
+    assert strict["flag"] == "n_dropouts >= 1"
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cmd_screen(argparse.Namespace(data=None, clips=data, kind="nope",
+                                      out=None, flag=None, where=None))

@@ -560,6 +560,7 @@ def main() -> None:
         segment_clips,
         spectral_flatness,
         true_peak,
+        wow_flutter,
     )
 
     for name, op in (("Audio quality screen", audio_quality),
@@ -570,6 +571,7 @@ def main() -> None:
                      ("Dropout screen", dropout_detect),
                      ("Gated-loudness screen", loudness_gated),
                      ("True-peak screen", true_peak),
+                     ("Wow/flutter screen", wow_flutter),
                      ("Clip segmentation", lambda d: segment_clips(d, 500, 200))):
         p = fmt(op(clips))
         sections.append(

@@ -2831,6 +2831,110 @@ def _local_loudness(n: int, silence_every: int = 4):
     )
 
 
+def _local_wow(n: int, wow_every: int = 4):
+    """Independent per-clip wow/flutter oracle: stdlib-wave float64
+    decode, frames cut by explicit slicing with the 0.5−0.5·cos window
+    formula (np.hanning's definition, written out), peak search over
+    the FULL spectrum with edge clamping (engine: interior-slice
+    argmax), the alternate parabolic form d = (c−a)/(2·(2b−a−c)), and
+    percentile/median math over the same track — different routes,
+    ~1e-12 agreement on depth/tonality."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec
+
+    spec_fix = ClipFixtureSpec(with_audio=True, wow_every=wow_every)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n, spec_fix):
+        nsamp = len(pcm)
+        win = int(round(sr * 0.05))
+        hop = int(round(sr * 0.025))
+        nf = 1 + (nsamp - win) // hop if nsamp >= win else 0
+        if nf < 3:
+            rows.append((cid, i, nsamp, sr, nf, None, None, None, None))
+            continue
+        m = np.arange(win)
+        w = 0.5 - 0.5 * np.cos(2.0 * np.pi * m / (win - 1))
+        freqs, shares = [], []
+        for j in range(nf):
+            sp = np.abs(np.fft.rfft(pcm[j * hop : j * hop + win] * w))
+            p2 = sp * sp
+            tot = float(p2.sum())
+            if tot <= 0.0 or len(sp) < 3:
+                continue
+            k = int(np.argmax(sp))
+            k = min(max(k, 1), len(sp) - 2)
+            a, b, c = sp[k - 1], sp[k], sp[k + 1]
+            den = 2.0 * (2.0 * b - a - c)
+            d = (c - a) / den if den != 0 else 0.0
+            freqs.append((k + d) * sr / win)
+            shares.append(float(p2[k - 1 : k + 2].sum()) / tot)
+        if len(freqs) < 3:
+            rows.append((cid, i, nsamp, sr, nf, 0.0, None, None, None))
+            continue
+        f = np.asarray(freqs)
+        ton = float(np.median(shares))
+        fmed = float(np.median(f))
+        depth = float(
+            (np.percentile(f, 95) - np.percentile(f, 5)) / (2.0 * fmed)
+        ) if fmed > 0 else None
+        rate = None
+        if len(f) >= 8:
+            mod = np.abs(np.fft.rfft(f - f.mean()))
+            fb = np.fft.rfftfreq(len(f), d=0.025)
+            band = (fb >= 0.5) & (fb <= 15.0)
+            if band.any():
+                rate = float(fb[band][np.argmax(mod[band])])
+        rows.append((cid, i, nsamp, sr, nf, ton, fmed, depth, rate))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz", "n_frames",
+                 "tonality", "f_median", "mod_depth", "mod_rate"],
+    )
+
+
+def q_wow_flutter_clips(spark, sf_dir):
+    """Wow/flutter screen (ops/multimodal.py wow_flutter — the
+    pitch-stability detector for tape transfers and broken
+    resamplers): every clip with idx % 4 == 1 has its tone replaced by
+    a 1 % FM version at 4 Hz, reading ~8e-3 frame-track modulation
+    depth against ~2e-5 steady-tone estimator jitter (≳40× margin each
+    side of the 1e-3 flag).  The DuckDB oracle re-derives flags, the
+    2–6 Hz recovered-rate counts, tonality, and frame counts from an
+    independently-computed export (explicit-slicing frames, written-out
+    Hann formula, full-spectrum edge-clamped peak search, alternate
+    parabolic form — no route shared with the engine)."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import wow_flutter
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_wow(n), "wow_oracle", sf_dir)
+    clips = build_clips(
+        spark, n, 8, ClipFixtureSpec(with_audio=True, wow_every=4)
+    )
+    wf = wow_flutter(clips, bytes_col="bytes", id_cols=["clip_id"])
+    wf = attach_clip_idx(wf, spark, n)
+    return (
+        wf.withColumn("planted", F.col("clip_idx") % 4 == 1)
+        .groupBy("sr_hz", "planted")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("sum_frames"),
+            F.sum(F.col("wow_flag").cast("long")).alias("n_flagged"),
+            F.sum(F.col("wow_flag").isNull().cast("long"))
+            .alias("n_unmeasurable"),
+            F.sum(
+                (F.col("mod_rate_hz").between(2.0, 6.0)).cast("long")
+            ).alias("n_rate_in_band"),
+            F.round(F.avg("tonality"), 4).alias("avg_tonality"),
+        )
+        .orderBy("sr_hz", "planted")
+    )
+
+
 def _local_true_peak(n: int, distort_every: int = 4):
     """Independent per-clip true-peak oracle: stdlib-wave float64
     decode (bit-identical to the engine's int16-lattice snap) and 4×
@@ -5239,6 +5343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "echo_detect_clips": q_echo_detect_clips,
         "dropout_detect_clips": q_dropout_detect_clips,
         "true_peak_clips": q_true_peak_clips,
+        "wow_flutter_clips": q_wow_flutter_clips,
         "loudness_gated_clips": q_loudness_gated_clips,
         "cross_modal_clips": q_cross_modal_clips,
         "dsir_select_documents": q_dsir_select_documents,
@@ -6975,6 +7080,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (n_blocks = 0)::BIGINT AS n_no_blocks,
                    round(avg(lufs), 4) AS avg_lufs
             FROM l GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
+        # flags/rates/tonality re-derived from the route-independent
+        # frame-track export; sum(n_frames) pins the two framing paths
+        "wow_flutter_clips": f"""
+            WITH w AS (
+              SELECT *, (clip_idx % 4 = 1) AS planted
+              FROM read_parquet('{ORACLE_DIR}/wow_oracle_sf0.01.parquet'))
+            SELECT sr_hz, planted, count(*)::BIGINT AS n_clips,
+                   sum(n_frames)::BIGINT AS sum_frames,
+                   count(*) FILTER (tonality >= 0.5
+                                    AND mod_depth > 0.001)::BIGINT AS n_flagged,
+                   count(*) FILTER (tonality < 0.5
+                                    OR mod_depth IS NULL)::BIGINT
+                       AS n_unmeasurable,
+                   count(*) FILTER (mod_rate BETWEEN 2.0 AND 6.0)::BIGINT
+                       AS n_rate_in_band,
+                   round(avg(tonality), 4) AS avg_tonality
+            FROM w GROUP BY sr_hz, planted ORDER BY sr_hz, planted""",
         # peaks/dBTP/flags re-derived from the full-complex-spectrum
         # oversampling export (engine: rFFT zero-pad), round-4 contract
         "true_peak_clips": f"""

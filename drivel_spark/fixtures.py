@@ -168,6 +168,17 @@ class ClipFixtureSpec:
     # for k ≥ 2, so partners are never themselves mislabeled (pairs,
     # not chains).
     mislabel_every: int = 0
+    # wow fixture hook (off by default — digests of the validate
+    # tables are untouched): every clip with idx % wow_every == 1 has
+    # its tone REPLACED by the same-frequency tone frequency-modulated
+    # at ``wow_rate_hz`` with fractional depth ``wow_depth`` (phase =
+    # 2πft + (depth·f/rate)·sin(2π·rate·t)) plus the standard seeded
+    # noise floor — exactly-known unstable-pitch rows for the
+    # wow/flutter screen (1 % planted depth reads ~8e-3 on the frame
+    # track vs ~2e-5 estimator jitter on steady tones).
+    wow_every: int = 0
+    wow_rate_hz: float = 4.0
+    wow_depth: float = 0.01
 
 
 def _u(ids: np.ndarray, salt: int) -> np.ndarray:
@@ -289,6 +300,30 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
             noise = spec.noise_every and idx % spec.noise_every == 1
             echo = spec.echo_every and idx % spec.echo_every == 1
             dropout = spec.dropout_every and idx % spec.dropout_every == 1
+            wow = spec.wow_every and idx % spec.wow_every == 1
+            if wow:
+                # same tone-frequency rule and noise recipe as
+                # synth_pcm, with the FM phase term added
+                from .produce.audio import (
+                    NOISE_DB, TONE_AMP, TONE_BASE_HZ, TONE_STEPS,
+                )
+
+                nsamp = max(int(round(srk * durk / 1000.0)), 1)
+                fq = TONE_BASE_HZ * (1 + (idx % TONE_STEPS))
+                t = np.arange(nsamp, dtype=np.float64) / srk
+                ph = 2.0 * np.pi * fq * t + (
+                    spec.wow_depth * fq / spec.wow_rate_hz
+                ) * np.sin(2.0 * np.pi * spec.wow_rate_hz * t)
+                wrng = np.random.default_rng([seed, idx, 0xB0B0])
+                pcm = np.clip(
+                    TONE_AMP * np.sin(ph)
+                    + wrng.normal(
+                        0.0, TONE_AMP * 10.0 ** (NOISE_DB / 20.0), size=nsamp
+                    ),
+                    -1.0, 1.0,
+                ).astype(np.float32)
+                payload[k] = wav_encode(pcm, srk)
+                continue
             if silent or distort or share or requant or hum or noise or echo or dropout:
                 if noise:
                     # full replacement, not an overlay: the screen's

@@ -156,6 +156,7 @@ AUDIO_SCREENS: dict = {
     "dropout": ("dropout_detect", "dropout_flag"),
     "loudness": ("loudness_gated", "silence_gated"),
     "truepeak": ("true_peak", "over_flag"),
+    "wow": ("wow_flutter", "wow_flag"),
     "bandwidth": ("bandwidth_estimate", "narrowband"),
     "snr": ("snr_estimate", "snr_est_db < 10.0"),
 }

@@ -4395,3 +4395,48 @@ def test_true_peak(spark):
     s = got.loc["silence"]
     assert s["sample_peak"] == 0.0 and np.isnan(s["true_peak_dbtp"])
     assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()
+
+
+def test_wow_flutter(spark):
+    """1% planted FM at 4 Hz reads mod_depth ~8e-3 and flags, with the
+    modulation rate recovered in-band; a steady tone reads ~2e-5 jitter
+    and does not flag; broadband noise is unmeasurable (NULL flag, low
+    tonality) rather than falsely clean; sub-3-frame clips yield NULL
+    metrics; corrupt/NULL payloads yield all-NULL rows; the fixture
+    hook touches ONLY idx%4==1 payloads."""
+    import numpy as np
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+    from drivel_spark.ops import wow_flutter
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    plant = clips_pdf(range(12), ClipFixtureSpec(with_audio=True, wow_every=4))
+
+    sr = 8000
+    rng = np.random.default_rng(9)
+    noise = np.clip(rng.normal(0.0, 0.25, 2 * sr), -1, 1)
+    rows = [
+        ("steady", bytearray(wav_encode(synth_pcm(5, sr, 1500), sr))),
+        ("wowed", bytearray(bytes(plant["bytes"][1]))),
+        ("noise", bytearray(wav_encode(noise, sr))),
+        ("short", bytearray(wav_encode(synth_pcm(6, sr, 60), sr))),
+        ("corrupt", bytearray(b"nope")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = wow_flutter(df).toPandas().set_index("clip_id")
+
+    st = got.loc["steady"]
+    assert st["tonality"] > 0.8 and st["mod_depth"] < 1e-4
+    assert st["wow_flag"] == False  # noqa: E712 — NULL would be wrong here
+    w = got.loc["wowed"]
+    assert w["wow_flag"] == True  # noqa: E712
+    assert w["mod_depth"] > 3e-3
+    if w["n_frames"] >= 8:
+        assert 2.0 <= w["mod_rate_hz"] <= 6.0
+    nz = got.loc["noise"]
+    assert nz["tonality"] < 0.5
+    assert nz["wow_flag"] is None or nz["wow_flag"] != nz["wow_flag"]
+    sh = got.loc["short"]
+    assert sh["n_frames"] < 3 and np.isnan(sh["mod_depth"])
+    assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()

@@ -143,23 +143,7 @@ def cmd_segment(args) -> dict:
     }
 
 
-# one registry row per audio screen: the report op and the default
-# flag predicate (a SQL expression over the report's own columns, so
-# --flag can override the policy without touching the op)
-AUDIO_SCREENS: dict = {
-    "quality": ("audio_quality",
-                "clipping_ratio > 0.01 OR abs(dc_offset) > 0.02"),
-    "bitdepth": ("effective_bit_depth", "effective_bits <= 8"),
-    "hum": ("hum_detect", "hum_ratio_50 > 0.005 OR hum_ratio_60 > 0.005"),
-    "flatness": ("spectral_flatness", "noise_like"),
-    "echo": ("echo_detect", "echo_flag"),
-    "dropout": ("dropout_detect", "dropout_flag"),
-    "loudness": ("loudness_gated", "silence_gated"),
-    "truepeak": ("true_peak", "over_flag"),
-    "wow": ("wow_flutter", "wow_flag"),
-    "bandwidth": ("bandwidth_estimate", "narrowband"),
-    "snr": ("snr_estimate", "snr_est_db < 10.0"),
-}
+from drivel_spark.ops.multimodal import AUDIO_SCREENS  # noqa: E402
 
 
 def cmd_screen(args) -> dict:
@@ -170,8 +154,6 @@ def cmd_screen(args) -> dict:
     as validate --where); --flag overrides the default policy predicate
     with any SQL expression over the report's columns.  Every screen is
     one narrow scan → Arrow map — no shuffle at any table size."""
-    import drivel_spark.ops as _ops
-
     from drivel_spark.io import read_table
 
     if not args.clips and not args.data:
@@ -180,14 +162,14 @@ def cmd_screen(args) -> dict:
         raise SystemExit(
             f"unknown screen {args.kind!r}; one of {sorted(AUDIO_SCREENS)}"
         )
-    op_name, default_flag = AUDIO_SCREENS[args.kind]
+    op, default_flag = AUDIO_SCREENS[args.kind]
     spark = build_session("drivel-screen")
     ref = args.clips or f"{args.data}/clips"
     clips = read_table(spark, ref)
     if args.where:
         clips = clips.filter(args.where)
     t0 = time.time()
-    rep = getattr(_ops, op_name)(clips)
+    rep = op(clips)
     if args.out:
         rep.write.mode("overwrite").parquet(args.out)
         rep = spark.read.parquet(args.out)

@@ -2391,3 +2391,23 @@ def audio_feature_drift(
         "feature string, w1 double, mean_a double, mean_b double, "
         "n_a long, n_b long",
     )
+
+
+# One registry row per per-clip audio-QA screen: (report op, default
+# flag policy).  The policy is a SQL expression over the report's OWN
+# columns so callers (job `screen`, streaming `screen_stream`) can swap
+# thresholds without touching engine code.
+AUDIO_SCREENS: dict = {
+    "quality": (audio_quality,
+                "clipping_ratio > 0.01 OR abs(dc_offset) > 0.02"),
+    "bitdepth": (effective_bit_depth, "effective_bits <= 8"),
+    "hum": (hum_detect, "hum_ratio_50 > 0.005 OR hum_ratio_60 > 0.005"),
+    "flatness": (spectral_flatness, "noise_like"),
+    "echo": (echo_detect, "echo_flag"),
+    "dropout": (dropout_detect, "dropout_flag"),
+    "loudness": (loudness_gated, "silence_gated"),
+    "truepeak": (true_peak, "over_flag"),
+    "wow": (wow_flutter, "wow_flag"),
+    "bandwidth": (bandwidth_estimate, "narrowband"),
+    "snr": (snr_estimate, "snr_est_db < 10.0"),
+}

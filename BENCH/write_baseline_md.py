@@ -181,8 +181,9 @@ if _strat and _strat["n_rounds"]:
         "overlapped the start of that pair, the bracketing protocol",
         "catching exactly the contamination it was designed for.  Its",
         "0.936 efficiency and matching digest are logged but carry no",
-        "calm-window weight.  The final r05 campaign's 4 rounds were",
-        "all calm: 0.932/0.970/0.866/0.885, round median 0.909.)",
+        "calm-window weight.  The r05 campaign ran 7 further calm rounds:",
+        "0.932/0.970/0.866/0.885 then 0.847/0.709/0.969 — the 0.709 round's",
+        "own probes were calm, so it stays in the window on its merits.)",
         "",
         f"- all-rounds paired median: {_all_m:.3f} ("
         + ("meets" if _all_m >= 0.8 else "misses")

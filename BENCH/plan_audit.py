@@ -558,6 +558,7 @@ def main() -> None:
         hum_detect,
         echo_detect,
         segment_clips,
+        reverb_estimate,
         spectral_flatness,
         true_peak,
         wow_flutter,
@@ -572,6 +573,7 @@ def main() -> None:
                      ("Gated-loudness screen", loudness_gated),
                      ("True-peak screen", true_peak),
                      ("Wow/flutter screen", wow_flutter),
+                     ("Reverb-decay screen", reverb_estimate),
                      ("Clip segmentation", lambda d: segment_clips(d, 500, 200))):
         p = fmt(op(clips))
         sections.append(

@@ -2765,6 +2765,56 @@ def _local_echo(n: int, noise_every: int = 4, echo_every: int = 8,
     )
 
 
+def _local_reverb(n: int, reverb_every: int = 8):
+    """Independent per-clip reverb oracle: stdlib-wave float64 decode
+    (not the engine's wav_decode), frame energies via CUMULATIVE-SUM
+    differences (engine: reshape + per-frame mean — different summation
+    order), and the decay slope via the Theil–Sen median of pairwise
+    slopes (engine: least squares) — different arithmetic routes to the
+    same decay-region definition (frames after the last ≥ peak−3 dB
+    frame, above −45 dB), so the tolerance-count and flag aggregates
+    must agree while no numeric path is shared."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec
+
+    spec_fix = ClipFixtureSpec(with_audio=True, reverb_every=reverb_every)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n, spec_fix):
+        nsamp = len(pcm)
+        L = max(int(round(sr * 0.020)), 1)
+        nf = nsamp // L
+        if nf < 3:
+            rows.append((cid, i, nsamp, sr, nf, None, None))
+            continue
+        c = np.concatenate([[0.0], np.cumsum(pcm * pcm)])
+        e = (c[L * np.arange(1, nf + 1)] - c[L * np.arange(nf)]) / L
+        emax = float(e.max())
+        if emax <= 0.0:
+            rows.append((cid, i, nsamp, sr, nf, None, None))
+            continue
+        db = np.where(
+            e > 0.0, 10.0 * np.log10(np.maximum(e, 1e-300) / emax), -np.inf
+        )
+        last_peak = int(np.max(np.nonzero(db >= -3.0)[0]))
+        sel = np.nonzero((np.arange(nf) > last_peak) & (db >= -45.0))[0]
+        rt60 = None
+        if len(sel) >= 5:
+            t = (sel.astype(np.float64) + 0.5) * L / sr
+            y = db[sel]
+            ii, jj = np.triu_indices(len(sel), k=1)
+            slope = float(np.median((y[jj] - y[ii]) / (t[jj] - t[ii])))
+            if slope < -1.0:
+                rt60 = -60.0 / slope
+        rows.append((cid, i, nsamp, sr, nf, int(len(sel)), rt60))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz",
+                 "n_frames", "decay_frames", "rt60_s"],
+    )
+
+
 def _local_loudness(n: int, silence_every: int = 4):
     """Independent per-clip gated-loudness oracle: stdlib-wave float64
     decode (bit-identical to the engine's int16-lattice snap), the
@@ -3880,6 +3930,66 @@ def q_echo_detect_clips(spark, sf_dir):
                 .cast("long")
             ).alias("n_lag_exact"),
             F.sum(F.col("echo_lag").isNull().cast("long")).alias("n_null"),
+        )
+        .orderBy("cohort")
+    )
+
+
+def q_reverb_estimate_clips(spark, sf_dir):
+    """Reverberation-decay screen (ops/multimodal.py reverb_estimate —
+    the over-reverberant-room detector): every eligible clip with
+    idx % 8 == 1 (n ≥ round(0.4·sr) samples — 0.4·sr is an exact
+    integer at every fixture rate, so the gate is unambiguous) has its
+    tone REPLACED by a noise burst plus an exponential tail whose frame
+    energy decays at the closed form −60/T60 dB/s with planted T60 =
+    0.5 s; the engine's least-squares decay fit reads within a few %
+    of 0.5 (measured ≤ 1.3% on the fixture), so the ±25% tolerance
+    count and the 0.3 s flag each carry ≥ 1.67× margin, while clean
+    tonal clips stop abruptly — empty decay region, rt60 NULL, flag
+    False.  The DuckDB oracle re-derives every aggregate from an
+    independently-decoded export (stdlib-wave float64, cumsum-diff
+    frame energies, Theil–Sen median slope — no arithmetic route shared
+    with the engine's reshape-mean + least-squares); sum(n_frames) and
+    sum(decay_frames) are exact-integer cross-checks of the two
+    energy-scan paths."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import reverb_estimate
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_reverb(n), "reverb_oracle", sf_dir)
+    clips = build_clips(
+        spark, n, 8, ClipFixtureSpec(with_audio=True, reverb_every=8)
+    )
+    rv = reverb_estimate(clips, bytes_col="bytes", id_cols=["clip_id"])
+    rv = attach_clip_idx(rv, spark, n)
+    eligible = F.col("n_samples") >= F.round(
+        F.col("sr_hz").cast("double") * F.lit(0.4)
+    ).cast("long")
+    cohort = (
+        F.when((F.col("clip_idx") % 8 == 1) & eligible, F.lit("reverb"))
+        .when(F.col("clip_idx") % 8 == 1, F.lit("short"))
+        .otherwise(F.lit("clean"))
+    )
+    return (
+        rv.withColumn("cohort", cohort)
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("sum_frames"),
+            F.sum("decay_frames").alias("sum_decay_frames"),
+            F.coalesce(
+                F.sum(F.col("reverb_flag").cast("long")), F.lit(0)
+            ).alias("n_flagged"),
+            F.coalesce(
+                F.sum(
+                    ((F.col("rt60_s") >= 0.375) & (F.col("rt60_s") <= 0.625))
+                    .cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_rt60_close"),
+            F.sum(F.col("rt60_s").isNull().cast("long")).alias("n_null"),
         )
         .orderBy("cohort")
     )
@@ -5280,15 +5390,15 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 67 r05-new queries (round 0) compete
-    for the 50-row window, so exactly 17 round-0 queries spill; the
+    r05 arithmetic (deliberate): 75 r05-new queries (round 0) compete
+    for the 50-row window, so 25 round-0 queries spill; the
     registry demotes a cohort of one-window-function/groupBy/quantile/
     CASE-WHEN shapes (compat_gate / iqr_outliers / conditional_validation
     / group_bounds / grouping_sets / sample_per_lang / monotonic /
     interval_overlaps / null_pattern / percent_rank / row_ids /
     latest-by-key / shuffle / coverage_gaps / value_histogram) to the
-    registry tail so every novel-algorithm r05 op gets a hard
-    driver-oracle row this round.  New-first is the
+    registry tail so the novel-algorithm r05 ops (screens, audits,
+    drift, dedup, selection) win the window.  New-first is the
     right priority: a query with NO oracle row ever is a coverage gap
     (r04 verdict 'What's missing' #2), while a 1-2-round-old green row
     was graded pass(rNN); every spilled query still carries the SAME
@@ -5344,6 +5454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dropout_detect_clips": q_dropout_detect_clips,
         "true_peak_clips": q_true_peak_clips,
         "wow_flutter_clips": q_wow_flutter_clips,
+        "reverb_estimate_clips": q_reverb_estimate_clips,
         "loudness_gated_clips": q_loudness_gated_clips,
         "cross_modal_clips": q_cross_modal_clips,
         "dsir_select_documents": q_dsir_select_documents,
@@ -7141,6 +7252,28 @@ def oracle_sql() -> dict[str, str]:
                        AS n_lag_exact,
                    count(*) FILTER (echo_lag IS NULL)::BIGINT AS n_null
             FROM e GROUP BY cohort ORDER BY cohort""",
+        # cohort split (same closed-form eligibility gate), ±25%
+        # tolerance count, 0.3 s flag, and NULL count re-derived from
+        # the independent cumsum-energy/Theil–Sen export; sum(n_frames)
+        # and sum(decay_frames) pin the two energy-scan paths to the
+        # same integers
+        "reverb_estimate_clips": f"""
+            WITH r AS (
+              SELECT *, (clip_idx % 8 = 1) AS planted,
+                     (n_samples >= CAST(round(sr_hz * 0.4) AS BIGINT))
+                         AS eligible
+              FROM read_parquet('{ORACLE_DIR}/reverb_oracle_sf0.01.parquet'))
+            SELECT CASE WHEN planted AND eligible THEN 'reverb'
+                        WHEN planted THEN 'short'
+                        ELSE 'clean' END AS cohort,
+                   count(*)::BIGINT AS n_clips,
+                   sum(n_frames)::BIGINT AS sum_frames,
+                   sum(decay_frames)::BIGINT AS sum_decay_frames,
+                   count(*) FILTER (rt60_s >= 0.3)::BIGINT AS n_flagged,
+                   count(*) FILTER (rt60_s BETWEEN 0.375 AND 0.625)::BIGINT
+                       AS n_rt60_close,
+                   count(*) FILTER (rt60_s IS NULL)::BIGINT AS n_null
+            FROM r GROUP BY 1 ORDER BY 1""",
         # harmonic lock + octave-corrected recovered frequency from the
         # independent direct-autocorrelation export (engine = rFFT
         # Wiener–Khinchin); same closed-form alias expectation as the

@@ -179,6 +179,21 @@ class ClipFixtureSpec:
     wow_every: int = 0
     wow_rate_hz: float = 4.0
     wow_depth: float = 0.01
+    # reverb fixture hook (off by default — digests of the validate
+    # tables are untouched): every clip with idx % reverb_every == 1
+    # that is long enough (n ≥ round(reverb_min_s·sr) samples — 0.4·sr
+    # is an exact integer for every fixture rate, so the gate has no
+    # rounding ambiguity) has its tone REPLACED by a seeded-noise burst
+    # over the first ``reverb_head_frac`` of the clip followed by an
+    # exponential tail with EXACTLY-known decay: env(t) =
+    # 10^(−3(t−h)/(sr·T60)), i.e. frame energy falls at the closed-form
+    # −60/T60 dB/s — the over-reverberant-room ground truth for the
+    # energy-decay screen (reverb_estimate).
+    reverb_every: int = 0
+    reverb_t60_s: float = 0.5
+    reverb_head_frac: float = 0.25
+    reverb_min_s: float = 0.4
+    reverb_rms: float = 0.25
 
 
 def _u(ids: np.ndarray, salt: int) -> np.ndarray:
@@ -301,6 +316,7 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
             echo = spec.echo_every and idx % spec.echo_every == 1
             dropout = spec.dropout_every and idx % spec.dropout_every == 1
             wow = spec.wow_every and idx % spec.wow_every == 1
+            reverb = spec.reverb_every and idx % spec.reverb_every == 1
             if wow:
                 # same tone-frequency rule and noise recipe as
                 # synth_pcm, with the FM phase term added
@@ -324,8 +340,27 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
                 ).astype(np.float32)
                 payload[k] = wav_encode(pcm, srk)
                 continue
-            if silent or distort or share or requant or hum or noise or echo or dropout:
-                if noise:
+            if silent or distort or share or requant or hum or noise or echo or dropout or reverb:
+                if reverb:
+                    # full replacement (like noise): head burst + an
+                    # exponential tail whose frame-dB slope is the
+                    # closed form −60/T60 dB/s; short clips fall back
+                    # to the plain tone (the screen needs a ≥0.3 s
+                    # tail to fit a slope)
+                    nsamp = max(int(round(srk * durk / 1000.0)), 1)
+                    if nsamp >= int(round(spec.reverb_min_s * srk)):
+                        rrng = np.random.default_rng([seed, idx, 0xE4B])
+                        x = rrng.normal(0.0, spec.reverb_rms, size=nsamp)
+                        h = int(nsamp * spec.reverb_head_frac)
+                        t = np.arange(nsamp, dtype=np.float64)
+                        env = np.ones(nsamp, dtype=np.float64)
+                        env[h:] = 10.0 ** (
+                            -3.0 * (t[h:] - h) / (srk * spec.reverb_t60_s)
+                        )
+                        pcm = np.clip(x * env, -1.0, 1.0).astype(np.float32)
+                    else:
+                        pcm = synth_pcm(idx, srk, durk, seed)
+                elif noise:
                     # full replacement, not an overlay: the screen's
                     # closed form needs NO tonal component at all
                     nrng = np.random.default_rng([seed, idx, 0xA0D10])

@@ -1773,6 +1773,126 @@ def dropout_detect(df: DataFrame, bytes_col: str = "bytes",
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 
+REVERB_SCHEMA = (
+    "n_samples long, sr_hz int, n_frames long, decay_frames long, "
+    "decay_db_span double, rt60_s double, reverb_flag boolean"
+)
+
+
+def reverb_estimate(df: DataFrame, bytes_col: str = "bytes",
+                    id_cols: Optional[list[str]] = None,
+                    frame_ms: float = 20.0, peak_drop_db: float = 3.0,
+                    floor_db: float = 45.0, min_decay_frames: int = 5,
+                    rt60_flag_s: float = 0.3) -> DataFrame:
+    """Per-clip reverberation-decay (RT60) screen — the check that
+    catches over-reverberant rooms (bathroom/stairwell recordings,
+    conference-mic far-field) whose smeared energy tails degrade ASR
+    training far more than their SNR suggests.
+
+    Method (energy-decay regression, the frame-domain analog of the
+    Schroeder integrated-response method): the clip is cut into
+    non-overlapping ``frame_ms`` frames; frame energies in dB are
+    normalized to the loudest frame; the DECAY REGION is every frame
+    strictly after the last frame within ``peak_drop_db`` of the peak
+    that still sits above ``-floor_db`` — i.e. the release tail after
+    the content stops.  A least-squares line over (frame-center time,
+    dB) gives the decay slope; ``rt60_s = -60/slope`` when the slope is
+    genuinely negative (< −1 dB/s).  ``reverb_flag = rt60_s ≥
+    rt60_flag_s``.
+
+    Reading the NULLs: a clip that simply STOPS (tone to the last
+    sample — the clean fixture cohort) has an empty decay region and
+    reads rt60 NULL / flag False (no tail ≠ reverberant); a clip with
+    fewer than ``min_decay_frames`` tail frames can't support a slope
+    and also reads NULL/False.  Undecodable, NULL-payload, too-short
+    (< 3 frames) and digital-silence clips yield NULL metrics AND a
+    NULL flag (tolerant, like :func:`extract_audio_features`).
+
+    Calibration on the fixture (reverb_every hook, planted T60 =
+    0.5 s): planted clips read within a few % of 0.5 s (frame-RMS
+    jitter over a ≥0.3 s / ≥15-frame tail perturbs the slope ≪ 25%);
+    clean tonal clips read NULL — the 0.3 s default flag threshold has
+    ≥ 1.67× margin on one side and an unmeasurable tail on the other.
+
+    One narrow scan → mapInPandas (Arrow batches), one O(n) energy scan
+    + an O(frames) fit per clip; no shuffle — a pure map at any scale.
+    """
+    id_cols = id_cols or ["clip_id"]
+    keys = ("n_samples", "sr_hz", "n_frames", "decay_frames",
+            "decay_db_span", "rt60_s", "reverb_flag")
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                pcm = sr = None
+                if b is not None:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        pcm = None
+                if pcm is None:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                x = pcm.astype(np.float64)
+                n = len(x)
+                L = max(int(round(sr * frame_ms / 1000.0)), 1)
+                nf = n // L
+                base = dict(n_samples=n, sr_hz=sr)
+                if nf < 3:
+                    vals = dict(base, n_frames=nf, decay_frames=None,
+                                decay_db_span=None, rt60_s=None,
+                                reverb_flag=None)
+                else:
+                    fr = x[: nf * L].reshape(nf, L)
+                    e = np.mean(fr * fr, axis=1)
+                    emax = float(e.max())
+                    if emax <= 0.0:
+                        vals = dict(base, n_frames=nf, decay_frames=None,
+                                    decay_db_span=None, rt60_s=None,
+                                    reverb_flag=None)
+                    else:
+                        db = np.where(
+                            e > 0.0,
+                            10.0 * np.log10(np.maximum(e, 1e-300) / emax),
+                            -np.inf,
+                        )
+                        last_peak = int(np.max(
+                            np.nonzero(db >= -peak_drop_db)[0]
+                        ))
+                        sel = np.nonzero(
+                            (np.arange(nf) > last_peak) & (db >= -floor_db)
+                        )[0]
+                        vals = dict(base, n_frames=nf,
+                                    decay_frames=int(len(sel)),
+                                    decay_db_span=None, rt60_s=None,
+                                    reverb_flag=False)
+                        if len(sel) >= min_decay_frames:
+                            t = (sel.astype(np.float64) + 0.5) * L / sr
+                            y = db[sel]
+                            tm, ym = t.mean(), y.mean()
+                            denom = float(np.sum((t - tm) ** 2))
+                            slope = (
+                                float(np.sum((t - tm) * (y - ym))) / denom
+                                if denom > 0.0 else 0.0
+                            )
+                            vals["decay_db_span"] = float(y[0] - y[-1])
+                            if slope < -1.0:
+                                rt60 = -60.0 / slope
+                                vals["rt60_s"] = rt60
+                                vals["reverb_flag"] = bool(
+                                    rt60 >= rt60_flag_s
+                                )
+                for k in keys:
+                    cols[k].append(vals[k])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = _id_schema(df, id_cols) + ", " + REVERB_SCHEMA
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
+
+
 SEGMENT_CLIPS_SCHEMA = (
     "sr_hz int, n_samples_in long, seg_idx int, seg_samples long, bytes binary"
 )
@@ -2408,6 +2528,7 @@ AUDIO_SCREENS: dict = {
     "loudness": (loudness_gated, "silence_gated"),
     "truepeak": (true_peak, "over_flag"),
     "wow": (wow_flutter, "wow_flag"),
+    "reverb": (reverb_estimate, "reverb_flag"),
     "bandwidth": (bandwidth_estimate, "narrowband"),
     "snr": (snr_estimate, "snr_est_db < 10.0"),
 }

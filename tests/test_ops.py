@@ -4397,6 +4397,77 @@ def test_true_peak(spark):
     assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()
 
 
+def test_reverb_estimate(spark):
+    """A planted exponential tail (T60 = 0.5 s) reads rt60 within 10%
+    and flags; a constant tone that stops abruptly has an EMPTY decay
+    region (rt60 NULL, flag False — no tail is not reverberant); a
+    faster tail (T60 = 0.2 s) reads ~0.2 and does NOT flag at the 0.3 s
+    threshold; sub-3-frame clips yield NULL metrics with a NULL flag;
+    corrupt/NULL payloads yield all-NULL rows; the fixture hook touches
+    ONLY eligible idx%8==1 payloads and the planted decay recovers the
+    closed-form slope."""
+    import numpy as np
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+    from drivel_spark.ops import reverb_estimate
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    base = clips_pdf(range(16), ClipFixtureSpec(with_audio=True))
+    plant = clips_pdf(range(16), ClipFixtureSpec(with_audio=True, reverb_every=8))
+    import io
+    import wave
+
+    for i in range(16):
+        same = bytes(base["bytes"][i]) == bytes(plant["bytes"][i])
+        if i % 8 == 1:
+            with wave.open(io.BytesIO(bytes(base["bytes"][i]))) as w:
+                nsamp, sr_i = w.getnframes(), w.getframerate()
+            eligible = nsamp >= int(round(0.4 * sr_i))
+            assert same == (not eligible), i
+        else:
+            assert same, i
+
+    sr = 8000
+    rng = np.random.default_rng(7)
+
+    def tailed(t60, dur_s=1.2, head_frac=0.25):
+        n = int(sr * dur_s)
+        x = rng.normal(0.0, 0.25, size=n)
+        h = int(n * head_frac)
+        t = np.arange(n, dtype=np.float64)
+        env = np.ones(n)
+        env[h:] = 10.0 ** (-3.0 * (t[h:] - h) / (sr * t60))
+        return np.clip(x * env, -1.0, 1.0)
+
+    tone = synth_pcm(5, sr, 1500)
+    rows = [
+        ("reverb", bytearray(wav_encode(tailed(0.5), sr))),
+        ("dry_tail", bytearray(wav_encode(tailed(0.2), sr))),
+        ("tone", bytearray(wav_encode(tone, sr))),
+        ("short", bytearray(wav_encode(tone[:300], sr))),
+        ("corrupt", bytearray(b"nope")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = reverb_estimate(df).toPandas().set_index("clip_id")
+
+    rv = got.loc["reverb"]
+    assert abs(rv["rt60_s"] - 0.5) <= 0.05, rv["rt60_s"]
+    assert rv["reverb_flag"]
+    dt = got.loc["dry_tail"]
+    assert abs(dt["rt60_s"] - 0.2) <= 0.04, dt["rt60_s"]
+    assert not dt["reverb_flag"]
+    tn = got.loc["tone"]
+    assert np.isnan(tn["rt60_s"]) and tn["decay_frames"] == 0
+    assert tn["reverb_flag"] == False  # noqa: E712 — analyzable, not flagged
+    s = got.loc["short"]
+    assert s["n_samples"] == 300 and np.isnan(s["rt60_s"])
+    assert s["reverb_flag"] is None or (
+        isinstance(s["reverb_flag"], float) and np.isnan(s["reverb_flag"])
+    )
+    assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()
+
+
 def test_wow_flutter(spark):
     """1% planted FM at 4 Hz reads mod_depth ~8e-3 and flags, with the
     modulation rate recovered in-band; a steady tone reads ~2e-5 jitter

@@ -558,6 +558,7 @@ def main() -> None:
         hum_detect,
         echo_detect,
         segment_clips,
+        gain_pumping,
         reverb_estimate,
         spectral_flatness,
         true_peak,
@@ -574,6 +575,7 @@ def main() -> None:
                      ("True-peak screen", true_peak),
                      ("Wow/flutter screen", wow_flutter),
                      ("Reverb-decay screen", reverb_estimate),
+                     ("Gain-pumping screen", gain_pumping),
                      ("Clip segmentation", lambda d: segment_clips(d, 500, 200))):
         p = fmt(op(clips))
         sections.append(

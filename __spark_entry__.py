@@ -3935,6 +3935,128 @@ def q_echo_detect_clips(spark, sf_dir):
     )
 
 
+def _local_pump(n: int, pump_every: int = 8):
+    """Independent per-clip gain-pumping oracle: stdlib-wave float64
+    decode (not the engine's wav_decode), frame energies via
+    CUMULATIVE-SUM differences (engine: per-frame slice mean), detrend
+    via the Theil–Sen median of pairwise slopes (engine: least
+    squares), and the pump rate via the FULL complex FFT's first-half
+    argmax (engine: rFFT) — different arithmetic routes to the same
+    level-track definition, so flag/rate/tolerance counts must agree
+    while no numeric path is shared."""
+    import numpy as np
+    import pandas as pd
+
+    from drivel_spark.fixtures import ClipFixtureSpec
+
+    spec_fix = ClipFixtureSpec(with_audio=True, pump_every=pump_every)
+    rows = []
+    for cid, i, pcm, sr in _decode_clips_stdlib(n, spec_fix):
+        nsamp = len(pcm)
+        win = max(int(round(sr * 0.100)), 1)
+        hop = max(int(round(sr * 0.025)), 1)
+        nf = 1 + (nsamp - win) // hop if nsamp >= win else 0
+        if nf < 8:
+            rows.append((cid, i, nsamp, sr, nf, None, None, None))
+            continue
+        c = np.concatenate([[0.0], np.cumsum(pcm * pcm)])
+        starts = hop * np.arange(nf)
+        e = (c[starts + win] - c[starts]) / win
+        if float(e.max()) <= 0.0:
+            rows.append((cid, i, nsamp, sr, nf, None, None, None))
+            continue
+        db = 10.0 * np.log10(np.maximum(e, 1e-300))
+        act = np.nonzero(db >= db.max() - 40.0)[0]
+        if len(act) < 8:
+            rows.append((cid, i, nsamp, sr, nf, int(len(act)), None, None))
+            continue
+        t = act.astype(np.float64)
+        y = db[act]
+        ii, jj = np.triu_indices(len(act), k=1)
+        slope = float(np.median((y[jj] - y[ii]) / (t[jj] - t[ii])))
+        resid = y - slope * t
+        resid = resid - resid.mean()
+        pump = float(
+            (np.quantile(resid, 0.95) - np.quantile(resid, 0.05)) / 2.0
+        )
+        full = np.abs(np.fft.fft(resid))
+        fb = np.arange(len(resid)) * (1000.0 / 25.0) / len(resid)
+        half = len(resid) // 2 + 1
+        mask = (fb[:half] >= 0.5) & (fb[:half] <= 8.0)
+        rate = (
+            float(fb[:half][mask][np.argmax(full[:half][mask])])
+            if mask.any() else None
+        )
+        rows.append((cid, i, nsamp, sr, nf, int(len(act)), pump, rate))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "clip_idx", "n_samples", "sr_hz",
+                 "n_frames", "n_active", "pump_db", "pump_rate_hz"],
+    )
+
+
+def q_gain_pumping_clips(spark, sf_dir):
+    """Gain-pumping screen (ops/multimodal.py gain_pumping — the
+    AGC/compressor-breathing detector): every eligible clip with
+    idx % 8 == 1 (n ≥ round(1.0·sr) samples so the level track
+    resolves the pump cycle) has its tone REPLACED by the same tone
+    amplitude-modulated at 3 Hz with 25% depth; the detrended level
+    track reads ~1.9 dB vs ≤0.008 dB steady-tone ripple — ≥230×/3.7×
+    margin each side of the 0.5 dB flag — with the pump rate recovered
+    inside 2–4 Hz.  The DuckDB oracle re-derives every aggregate from
+    an independently-decoded export (stdlib-wave float64, cumsum-diff
+    frame energies, Theil–Sen detrend, full-FFT rate — no arithmetic
+    route shared with the engine's slice-mean + least-squares + rFFT);
+    sum(n_frames) and sum(n_active) are exact-integer cross-checks of
+    the two energy-scan paths."""
+    from drivel_spark.constraints.audio import attach_clip_idx
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.ops import gain_pumping
+
+    n = 400 if "0.01" in sf_dir else 200
+    if not _engine_only():
+        _export_oracle(_local_pump(n), "pump_oracle", sf_dir)
+    clips = build_clips(
+        spark, n, 8, ClipFixtureSpec(with_audio=True, pump_every=8)
+    )
+    gp = gain_pumping(clips, bytes_col="bytes", id_cols=["clip_id"])
+    gp = attach_clip_idx(gp, spark, n)
+    eligible = F.col("n_samples") >= F.round(
+        F.col("sr_hz").cast("double") * F.lit(1.0)
+    ).cast("long")
+    cohort = (
+        F.when((F.col("clip_idx") % 8 == 1) & eligible, F.lit("pump"))
+        .when(F.col("clip_idx") % 8 == 1, F.lit("short"))
+        .otherwise(F.lit("clean"))
+    )
+    return (
+        gp.withColumn("cohort", cohort)
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("sum_frames"),
+            F.sum("n_active").alias("sum_active"),
+            F.coalesce(
+                F.sum(F.col("pump_flag").cast("long")), F.lit(0)
+            ).alias("n_flagged"),
+            # rate counted only on FLAGGED rows: a clean track's argmax
+            # is residual-noise jitter where the two detrend routes may
+            # legitimately pick different bins; on a flagged clip the
+            # pump bin dominates both routes
+            F.coalesce(
+                F.sum(
+                    (F.col("pump_flag")
+                     & (F.col("pump_rate_hz") >= 2.0)
+                     & (F.col("pump_rate_hz") <= 4.0)).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_rate_inband"),
+            F.sum(F.col("pump_db").isNull().cast("long")).alias("n_null"),
+        )
+        .orderBy("cohort")
+    )
+
+
 def q_reverb_estimate_clips(spark, sf_dir):
     """Reverberation-decay screen (ops/multimodal.py reverb_estimate —
     the over-reverberant-room detector): every eligible clip with
@@ -5454,6 +5576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dropout_detect_clips": q_dropout_detect_clips,
         "true_peak_clips": q_true_peak_clips,
         "wow_flutter_clips": q_wow_flutter_clips,
+        "gain_pumping_clips": q_gain_pumping_clips,
         "reverb_estimate_clips": q_reverb_estimate_clips,
         "loudness_gated_clips": q_loudness_gated_clips,
         "cross_modal_clips": q_cross_modal_clips,
@@ -7274,6 +7397,28 @@ def oracle_sql() -> dict[str, str]:
                        AS n_rt60_close,
                    count(*) FILTER (rt60_s IS NULL)::BIGINT AS n_null
             FROM r GROUP BY 1 ORDER BY 1""",
+        # cohort split (same closed-form 1 s eligibility gate), 0.5 dB
+        # flag, flag-conditioned 2–4 Hz rate count, and NULL count
+        # re-derived from the independent cumsum/Theil–Sen/full-FFT
+        # export; sum(n_frames) and sum(n_active) pinned exact-integer
+        "gain_pumping_clips": f"""
+            WITH g AS (
+              SELECT *, (clip_idx % 8 = 1) AS planted,
+                     (n_samples >= CAST(round(sr_hz * 1.0) AS BIGINT))
+                         AS eligible
+              FROM read_parquet('{ORACLE_DIR}/pump_oracle_sf0.01.parquet'))
+            SELECT CASE WHEN planted AND eligible THEN 'pump'
+                        WHEN planted THEN 'short'
+                        ELSE 'clean' END AS cohort,
+                   count(*)::BIGINT AS n_clips,
+                   sum(n_frames)::BIGINT AS sum_frames,
+                   sum(n_active)::BIGINT AS sum_active,
+                   count(*) FILTER (pump_db >= 0.5)::BIGINT AS n_flagged,
+                   count(*) FILTER (pump_db >= 0.5
+                       AND pump_rate_hz BETWEEN 2.0 AND 4.0)::BIGINT
+                       AS n_rate_inband,
+                   count(*) FILTER (pump_db IS NULL)::BIGINT AS n_null
+            FROM g GROUP BY 1 ORDER BY 1""",
         # harmonic lock + octave-corrected recovered frequency from the
         # independent direct-autocorrelation export (engine = rFFT
         # Wiener–Khinchin); same closed-form alias expectation as the

@@ -179,6 +179,20 @@ class ClipFixtureSpec:
     wow_every: int = 0
     wow_rate_hz: float = 4.0
     wow_depth: float = 0.01
+    # gain-pumping fixture hook (off by default — digests of the
+    # validate tables are untouched): every clip with idx % pump_every
+    # == 1 that is long enough (n ≥ round(pump_min_s·sr) — one full
+    # second so the frame-level track resolves the pump rate) has its
+    # tone REPLACED by the same tone amplitude-modulated at
+    # ``pump_rate_hz`` with depth ``pump_depth`` (pcm = tone·(1 +
+    # d·sin(2π·r·t)) + the standard noise floor) — the AGC/compressor
+    # pumping ground truth for the gain-pumping screen (25% planted
+    # depth reads ~1.9 dB on the level track vs ≤0.008 dB steady-tone
+    # ripple).
+    pump_every: int = 0
+    pump_rate_hz: float = 3.0
+    pump_depth: float = 0.25
+    pump_min_s: float = 1.0
     # reverb fixture hook (off by default — digests of the validate
     # tables are untouched): every clip with idx % reverb_every == 1
     # that is long enough (n ≥ round(reverb_min_s·sr) samples — 0.4·sr
@@ -317,6 +331,35 @@ def clips_pdf(ids: Iterable[int], spec: ClipFixtureSpec = ClipFixtureSpec()) -> 
             dropout = spec.dropout_every and idx % spec.dropout_every == 1
             wow = spec.wow_every and idx % spec.wow_every == 1
             reverb = spec.reverb_every and idx % spec.reverb_every == 1
+            pump = spec.pump_every and idx % spec.pump_every == 1
+            if pump:
+                # same tone-frequency rule and noise recipe as
+                # synth_pcm, with the AM envelope applied; too-short
+                # clips fall back to the plain tone (the screen needs a
+                # ≥1 s track to resolve the pump rate)
+                from .produce.audio import (
+                    NOISE_DB, TONE_AMP, TONE_BASE_HZ, TONE_STEPS,
+                )
+
+                nsamp = max(int(round(srk * durk / 1000.0)), 1)
+                if nsamp >= int(round(spec.pump_min_s * srk)):
+                    fq = TONE_BASE_HZ * (1 + (idx % TONE_STEPS))
+                    t = np.arange(nsamp, dtype=np.float64) / srk
+                    prng = np.random.default_rng([seed, idx, 0xA6C])
+                    pcm = np.clip(
+                        TONE_AMP * np.sin(2.0 * np.pi * fq * t)
+                        * (1.0 + spec.pump_depth
+                           * np.sin(2.0 * np.pi * spec.pump_rate_hz * t))
+                        + prng.normal(
+                            0.0, TONE_AMP * 10.0 ** (NOISE_DB / 20.0),
+                            size=nsamp,
+                        ),
+                        -1.0, 1.0,
+                    ).astype(np.float32)
+                else:
+                    pcm = synth_pcm(idx, srk, durk, seed)
+                payload[k] = wav_encode(pcm, srk)
+                continue
             if wow:
                 # same tone-frequency rule and noise recipe as
                 # synth_pcm, with the FM phase term added

@@ -4397,6 +4397,62 @@ def test_true_peak(spark):
     assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()
 
 
+def test_gain_pumping(spark):
+    """25% planted AM at 3 Hz reads ~1.9 dB on the detrended level
+    track and flags, with the pump rate recovered in-band; a steady
+    tone reads ≤0.01 dB ripple and does not flag; a deliberate linear
+    fade is a TREND, not pumping (detrended residual stays under the
+    flag); sub-8-frame clips yield NULL metrics with a NULL flag;
+    corrupt/NULL payloads yield all-NULL rows; the fixture hook
+    touches ONLY eligible idx%8==1 payloads."""
+    import numpy as np
+
+    from drivel_spark.fixtures import ClipFixtureSpec, clips_pdf
+    from drivel_spark.ops import gain_pumping
+    from drivel_spark.produce.audio import synth_pcm, wav_encode
+
+    base = clips_pdf(range(16), ClipFixtureSpec(with_audio=True))
+    plant = clips_pdf(range(16), ClipFixtureSpec(with_audio=True, pump_every=8))
+    import io
+    import wave
+
+    for i in range(16):
+        same = bytes(base["bytes"][i]) == bytes(plant["bytes"][i])
+        if i % 8 == 1:
+            with wave.open(io.BytesIO(bytes(base["bytes"][i]))) as w:
+                nsamp, sr_i = w.getnframes(), w.getframerate()
+            assert same == (nsamp < int(round(1.0 * sr_i))), i
+        else:
+            assert same, i
+
+    sr = 8000
+    tone = synth_pcm(5, sr, 2000).astype(np.float64)
+    t = np.arange(len(tone)) / sr
+    pumped = np.clip(tone * (1.0 + 0.25 * np.sin(2 * np.pi * 3.0 * t)), -1, 1)
+    faded = np.clip(tone * (1.0 - 0.4 * t / t[-1]), -1, 1)  # −4.4 dB fade
+    rows = [
+        ("pumped", bytearray(wav_encode(pumped, sr))),
+        ("tone", bytearray(wav_encode(tone, sr))),
+        ("faded", bytearray(wav_encode(faded, sr))),
+        ("short", bytearray(wav_encode(tone[: sr // 8], sr))),
+        ("corrupt", bytearray(b"nope")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = gain_pumping(df).toPandas().set_index("clip_id")
+
+    pm = got.loc["pumped"]
+    assert pm["pump_db"] >= 1.5 and pm["pump_flag"]
+    assert 2.0 <= pm["pump_rate_hz"] <= 4.0
+    tn = got.loc["tone"]
+    assert tn["pump_db"] <= 0.05 and not tn["pump_flag"]
+    fd = got.loc["faded"]
+    assert fd["pump_db"] < 0.5 and not fd["pump_flag"]
+    s = got.loc["short"]
+    assert s["n_samples"] == sr // 8 and np.isnan(s["pump_db"])
+    assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()
+
+
 def test_reverb_estimate(spark):
     """A planted exponential tail (T60 = 0.5 s) reads rt60 within 10%
     and flags; a constant tone that stops abruptly has an EMPTY decay

@@ -1286,3 +1286,31 @@ def test_from_profile_with_distribution(spark):
         c for c in from_profile(prof2, with_distribution=True)
         if isinstance(c, EntropyBound)
     ]
+
+
+def test_bloom_literal_and_arrow_paths_agree(spark, monkeypatch):
+    """The codegen array-literal probe and the broadcast+Arrow probe are
+    bit-identical on the same bitmap: every key (member, absent, NULL)
+    gets the same three-valued answer from both paths."""
+    from drivel_spark.constraints import bloom as B
+
+    keys = [f"k{i}" for i in range(1500)]
+    dim = spark.createDataFrame(pd.DataFrame({"id": keys}))
+    bloom = B.build_bloom(dim, "id", expected_n=1500, fpp=0.01)
+    assert len(bloom.words) <= B.LITERAL_WORDS_MAX  # default = literal path
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": pd.Series(keys + [f"x{i}" for i in range(1500)] + [None], dtype=object)}
+        )
+    )
+    lit_rows = {
+        r["id"]: r["hit"]
+        for r in probe.withColumn("hit", B.bloom_contains(probe, "id", bloom)).collect()
+    }
+    monkeypatch.setattr(B, "LITERAL_WORDS_MAX", 0)  # force the Arrow path
+    udf_rows = {
+        r["id"]: r["hit"]
+        for r in probe.withColumn("hit", B.bloom_contains(probe, "id", bloom)).collect()
+    }
+    assert lit_rows == udf_rows
+    assert lit_rows[None] is None

@@ -590,10 +590,24 @@ def q_dedup_stream_events(spark, sf_dir):
         )
         q.awaitTermination()
 
-    wave1.coalesce(1).write.mode("append").parquet(src)
-    run_wave()
-    wave2.coalesce(1).write.mode("append").parquet(src)
-    run_wave()
+    # Scope the state-store partitioning to the stream, not the session:
+    # dropDuplicatesWithinWatermark spins one state-store instance per
+    # shuffle partition, and every micro-batch commits a delta + snapshot
+    # file per instance — at the session's 32 partitions that is ~64 tiny
+    # checkpoint files per wave for a keyed stream this size.  4 is still
+    # plural (exercises multi-partition state) at 8× less commit I/O; a
+    # real deployment sizes this to keys-per-horizon ÷ target-state-per-
+    # partition.  The count is baked into the checkpoint at first batch,
+    # so it is set before wave 1 and restored after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        wave1.coalesce(1).write.mode("append").parquet(src)
+        run_wave()
+        wave2.coalesce(1).write.mode("append").parquet(src)
+        run_wave()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     emitted = spark.read.parquet(out)
     return (

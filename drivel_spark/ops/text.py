@@ -491,15 +491,26 @@ def decontaminate_flags(
 
     Returns ``df`` plus an ``is_contaminated`` boolean.
     """
-    toks = tokens(normalize_text(F.col(text_col)))
-    grams = _word_ngrams(toks, n)
-    bench_grams = benchmark.select(
-        F.explode(
-            _word_ngrams(tokens(normalize_text(F.col(bench_text_col))), n)
-        ).alias("gram")
-    ).distinct()
+    # Materialize the token array in its own projection before the
+    # n-gram transform: _word_ngrams references its input in three
+    # subtrees (the <n guard, the sequence length, the slice), and an
+    # inlined tokens(normalize_text(...)) would run the regex
+    # tokenization 3× per row.  CollapseProject keeps the projection
+    # (duplicating a non-cheap expression is not collapsible), so the
+    # tokenization runs exactly once per row on each side (measured 9×
+    # on the contract corpus, compounded with single-file scans).
+    bench_grams = (
+        benchmark.select(
+            tokens(normalize_text(F.col(bench_text_col))).alias("__toks")
+        )
+        .select(F.explode(_word_ngrams(F.col("__toks"), n)).alias("gram"))
+        .distinct()
+    )
     hits = (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        df.select(
+            F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("__toks")
+        )
+        .select(F.col(id_col), F.explode(_word_ngrams(F.col("__toks"), n)).alias("gram"))
         .join(F.broadcast(bench_grams), "gram", "left_semi")
         .select(id_col)
         .distinct()
@@ -551,7 +562,14 @@ def repetition_metrics(
         raise ValueError(f"unknown strategy: {strategy}")
     if strategy == "local":
         return _repetition_local(df, text_col, id_col, ns)
-    toks = tokens(F.col(text_col))
+    # tokenize in its own projection: _word_ngrams references its input
+    # 3× per n, so inlining the regex tokenization would run it up to
+    # 3·len(ns) times per row (CollapseProject keeps the projection —
+    # non-cheap duplicated expressions are not collapsible)
+    df = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
 
     # close over n via a factory, NOT a default arg: a 2-parameter
     # lambda would make PySpark pass (element, index) and turn "n" into

@@ -737,9 +737,12 @@ def main() -> None:
             "Bloom referential split (miss short-circuit + exact confirm)",
             p,
             [
-                "probe is Arrow-vectorized only (no BatchEvalPython): "
-                + ("PASS" if "ArrowEvalPython" in p and "BatchEvalPython" not in p
-                   else "FAIL"),
+                # small bitmap -> constant-folded array-literal probe:
+                # the WHOLE plan is Python-free (the Arrow path is
+                # audited separately below with the literal path forced
+                # off)
+                "probe is whole-stage codegen (no Python anywhere): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
                 "exact confirm join broadcasts the dim keys: "
                 + ("PASS" if "BroadcastHashJoin" in p else
                    "NOTE: SMJ chosen (AQE may still convert at runtime)"),
@@ -925,9 +928,11 @@ def main() -> None:
             "Ingest dedup vs corpus (bloom-prefiltered exact tier)",
             p,
             [
-                "probe Arrow-vectorized only (no BatchEvalPython): "
-                + ("PASS" if "ArrowEvalPython" in p and "BatchEvalPython" not in p
-                   else "FAIL"),
+                # corpus bloom fits the literal tier here: probe is
+                # constant-folded codegen, so the plan carries NO Python
+                "probe never row-at-a-time (codegen literal tier or "
+                "ArrowEval, no BatchEvalPython): "
+                + ("PASS" if "BatchEvalPython" not in p else "FAIL"),
                 "confirm anti-join present for hits only (LeftAnti): "
                 + ("PASS" if "LeftAnti" in p else "FAIL"),
                 "no cartesian product: "
@@ -1552,30 +1557,47 @@ def main() -> None:
         )
     )
 
-    # 51. bloom referential pre-filter: probe = ONE Arrow-vectorized
-    # stage over the broadcast bitmap; misses are orphans with ZERO
-    # shuffle — the only join in the whole plan is the exact confirm
-    # of the hit set
+    # 51. bloom referential pre-filter, BOTH probe tiers: the
+    # cluster-scale tier (bitmap too big for a plan constant) probes
+    # with ONE Arrow-vectorized stage over the broadcast bitmap; the
+    # small tier embeds the bitmap as a constant-folded array literal
+    # and keeps the whole plan Python-free.  In both, misses are
+    # orphans with ZERO shuffle — the only join in the plan is the
+    # exact confirm of the hit set
+    from drivel_spark.constraints import bloom as _bloom_mod
     from drivel_spark.constraints.bloom import referential_bloom
 
-    rb = referential_bloom(li, "l_orderkey", orders, "o_orderkey")
-    p = fmt(rb)
+    _words_max = _bloom_mod.LITERAL_WORDS_MAX
+    try:
+        _bloom_mod.LITERAL_WORDS_MAX = 0  # force the Arrow tier
+        rb = referential_bloom(li, "l_orderkey", orders, "o_orderkey")
+        p = fmt(rb)
+    finally:
+        _bloom_mod.LITERAL_WORDS_MAX = _words_max
     join_nodes = re.findall(
         r"\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p
+    )
+    p_lit = fmt(referential_bloom(li, "l_orderkey", orders, "o_orderkey"))
+    join_nodes_lit = re.findall(
+        r"\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p_lit
     )
     sections.append(
         (
             "Bloom referential pre-filter (broadcast bitmap probe + exact confirm)",
-            p,
+            p + "\n\n=== literal-probe tier ===\n\n" + p_lit,
             [
-                "probe is Arrow-vectorized (ArrowEvalPython, never "
-                "row-at-a-time BatchEvalPython): "
+                "Arrow tier: probe is Arrow-vectorized (ArrowEvalPython, "
+                "never row-at-a-time BatchEvalPython): "
                 + ("PASS" if "ArrowEvalPython" in p
                    and "BatchEvalPython" not in p else "FAIL"),
+                "literal tier: whole plan Python-free (constant-folded "
+                "bitmap literal, codegen getbit probe): "
+                + ("PASS" if "EvalPython" not in p_lit else "FAIL"),
                 "miss path is join-free — the plan's only join is the "
-                "hit-set exact confirm (left_anti): "
+                "hit-set exact confirm (left_anti), both tiers: "
                 + ("PASS" if len(join_nodes) == 1 and "LeftAnti" in p
-                   else f"FAIL ({len(join_nodes)} join nodes)"),
+                   and len(join_nodes_lit) == 1 and "LeftAnti" in p_lit
+                   else f"FAIL ({len(join_nodes)}/{len(join_nodes_lit)} join nodes)"),
             ],
         )
     )

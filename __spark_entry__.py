@@ -5646,34 +5646,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05 constraint + drift + mixing additions
         "referential_bloom_lineitem": q_referential_bloom_lineitem,
         "top_fraction_documents": q_top_fraction_documents,
-        "cusum_events_value": q_cusum_events_value,
         "weighted_sample_documents": q_weighted_sample_documents,
         "ingest_dedup_documents": q_ingest_dedup_documents,
         "key_skew_orders": q_key_skew_orders,
         "cap_per_source_documents": q_cap_per_source_documents,
-        "quantile_gate_lineitem": q_quantile_gate_lineitem,
         "group_anomaly_documents": q_group_anomaly_documents,
         "fd_ratio_documents": q_fd_ratio_documents,
         "snr_estimate_clips": q_snr_estimate_clips,
         "lm_scores_documents": q_lm_scores_documents,
         "mixture_documents": q_mixture_documents,
-        "wasserstein_orders_price": q_wasserstein_orders_price,
-        "chisq_drift_orders": q_chisq_drift_orders,
-        "entropy_report_lineitem": q_entropy_report_lineitem,
-        "mutual_info_orders": q_mutual_info_orders,
         "split_leakage_documents": q_split_leakage_documents,
-        "k_anonymity_customer": q_k_anonymity_customer,
-        "grouped_profile_events": q_grouped_profile_events,
-        "correlation_report_lineitem": q_correlation_report_lineitem,
-        "benford_extendedprice": q_benford_extendedprice,
         "audio_corpus_report_clips": q_audio_corpus_report,
         # training-data ops
         "dedup_exact_documents": q_dedup_exact_documents,
         "dup_spans_documents": q_dup_spans_documents,
         "strip_spans_documents": q_strip_spans_documents,
         "encoding_report_documents": q_encoding_report_documents,
-        "join_cardinality_events_orders": q_join_cardinality_events_orders,
-        "snapshot_diff_orders": q_snapshot_diff_orders,
         "file_layout_documents": q_file_layout_documents,
         "transcript_consistency_clips": q_transcript_consistency_clips,
         "audio_drift_clips": q_audio_drift_clips,
@@ -5698,12 +5686,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_split_documents": q_stable_split_documents,
         "schema_diff_orders": q_schema_diff_orders,
         "compat_gate_orders": q_compat_gate_orders,
-        # trivially-SQL-shaped r05 queries, demoted to the tail of the
-        # never-driver-verified cohort (r05 final-round window holds 50
-        # of 67 round-0 queries): the novel-algorithm ops above get the
-        # driver-oracle rows; these fourteen are one-window-function/
-        # one-groupBy/one-quantile/CASE-WHEN shapes whose pytest oracle
-        # rows (test_entry_contract) are equally strong evidence.
+        # trivially-SQL-shaped queries, demoted to the tail of the
+        # never-driver-verified cohort (the r05 final-round window holds
+        # 50 of 76 round-0 queries): the audio-axis and novel-algorithm
+        # ops above get the driver-oracle rows; the shapes below are
+        # one-window-function/one-groupBy/one-quantile/CASE-WHEN/
+        # contingency-table SQL whose pytest oracle rows
+        # (test_entry_contract) are equally strong evidence.
+        "cusum_events_value": q_cusum_events_value,
+        "quantile_gate_lineitem": q_quantile_gate_lineitem,
+        "wasserstein_orders_price": q_wasserstein_orders_price,
+        "chisq_drift_orders": q_chisq_drift_orders,
+        "entropy_report_lineitem": q_entropy_report_lineitem,
+        "mutual_info_orders": q_mutual_info_orders,
+        "k_anonymity_customer": q_k_anonymity_customer,
+        "grouped_profile_events": q_grouped_profile_events,
+        "correlation_report_lineitem": q_correlation_report_lineitem,
+        "benford_extendedprice": q_benford_extendedprice,
+        "join_cardinality_events_orders": q_join_cardinality_events_orders,
+        "snapshot_diff_orders": q_snapshot_diff_orders,
         "iqr_outliers_lineitem": q_iqr_outliers_lineitem,
         "conditional_validation_lineitem": q_conditional_validation_lineitem,
         "group_bounds_orders": q_group_bounds_orders,

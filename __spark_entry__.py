@@ -5526,15 +5526,18 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 75 r05-new queries (round 0) compete
-    for the 50-row window, so 25 round-0 queries spill; the
-    registry demotes a cohort of one-window-function/groupBy/quantile/
-    CASE-WHEN shapes (compat_gate / iqr_outliers / conditional_validation
-    / group_bounds / grouping_sets / sample_per_lang / monotonic /
-    interval_overlaps / null_pattern / percent_rank / row_ids /
-    latest-by-key / shuffle / coverage_gaps / value_histogram) to the
-    registry tail so the novel-algorithm r05 ops (screens, audits,
-    drift, dedup, selection) win the window.  New-first is the
+    r05 arithmetic (deliberate): 76 never-driver-verified queries
+    (round 0) compete for the 50-row window, so 26 round-0 queries
+    spill; the registry demotes a cohort of one-window-function/
+    groupBy/quantile/CASE-WHEN/contingency-table shapes (iqr_outliers /
+    conditional_validation / group_bounds / grouping_sets /
+    sample_per_lang / monotonic / interval_overlaps / null_pattern /
+    percent_rank / row_ids / latest-by-key / shuffle / coverage_gaps /
+    value_histogram / benford / k_anonymity / mutual_info /
+    correlation / entropy / chisq / wasserstein / cusum / quantile_gate
+    / grouped_profile / join_cardinality / snapshot_diff) to the
+    registry tail so the audio-axis and novel-algorithm ops (screens,
+    audits, drift, dedup, selection, delta validation) win the window.  New-first is the
     right priority: a query with NO oracle row ever is a coverage gap
     (r04 verdict 'What's missing' #2), while a 1-2-round-old green row
     was graded pass(rNN); every spilled query still carries the SAME

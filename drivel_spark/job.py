@@ -19,12 +19,13 @@ validate  The timed job: pass 1 (schema + stats profile, optionally
           per-row invariant).  Prints ONE JSON line with wall seconds,
           clips/sec and the pass/fail summary.
 
-validate-stream / profile-stream
+validate-stream / profile-stream / screen-stream
           The Structured-Streaming front-ends (streaming/): each
           invocation processes only files the checkpoint hasn't seen
           (availableNow) — incremental validation deltas / incremental
-          profile state — and prints cumulative totals that match the
-          batch engine on the same input.
+          profile state / incremental audio-QA screen deltas — and
+          prints cumulative totals that match the batch engine on the
+          same input.
 
 Scaling protocol (BASELINE.md): `prepare` once, then run `validate` on
 the SAME input at --master local[8] and local[32]; efficiency =
@@ -1206,6 +1207,60 @@ def cmd_validate_stream(args) -> dict:
     }
 
 
+def cmd_screen_stream(args) -> dict:
+    """Incremental audio-QA screening via Structured Streaming: each
+    invocation decodes ONLY the clip files not yet seen by the
+    checkpoint (availableNow) through the selected AUDIO_SCREENS,
+    appends per-batch (kind, n_clips, n_flagged, n_undecodable) delta
+    rows, and prints the CUMULATIVE per-kind totals — which must equal
+    the batch ``screen`` verb's counts over the same files (pinned by
+    tests/test_streaming.py).  Decode being the dominant cost of every
+    screen, this is the verb that keeps content-level QA O(new data)
+    on a continuously-growing corpus."""
+    import hashlib
+
+    from drivel_spark.fixtures import CLIPS_SCHEMA
+    from drivel_spark.streaming import cumulative_screen, screen_stream
+
+    kinds = (
+        sorted(AUDIO_SCREENS)
+        if args.kinds == "all"
+        else [k.strip() for k in args.kinds.split(",") if k.strip()]
+    )
+    spark = build_session("drivel-screen-stream")
+    t0 = time.time()
+    screen_stream(
+        spark,
+        args.source,
+        CLIPS_SCHEMA,
+        kinds,
+        args.report,
+        args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+        quarantine_dir=getattr(args, "quarantine_out", None),
+    )
+    totals = (
+        cumulative_screen(spark, args.report)
+        .toPandas()
+        .sort_values("kind")
+        .reset_index(drop=True)
+    )
+    digest = hashlib.sha256(totals.to_csv(index=False).encode()).hexdigest()[:16]
+    wall = time.time() - t0
+    return {
+        "job": "screen-stream",
+        "master": spark.sparkContext.master,
+        "kinds": kinds,
+        "n_clips_total": int(totals["n_clips"].max()) if len(totals) else 0,
+        "n_flagged_total": int(totals["n_flagged"].sum()) if len(totals) else 0,
+        "wall_s": round(wall, 3),
+        "cumulative_digest": digest,
+        "per_kind": {
+            r["kind"]: int(r["n_flagged"]) for _, r in totals.iterrows()
+        },
+    }
+
+
 def cmd_reconcile(args) -> dict:
     """Dataset-level reconciliation for a validated stream — the other
     half of the documented pattern (streaming/validate_stream.py:23-27):
@@ -1601,6 +1656,18 @@ def main(argv=None) -> None:
                           "rows (triage columns + failed list) to this dir, "
                           "partitioned by batch_id (idempotent on replay)")
 
+    sss = sub.add_parser("screen-stream")
+    sss.add_argument("--source", required=True, help="growing clips parquet dir")
+    sss.add_argument("--report", required=True)
+    sss.add_argument("--checkpoint", required=True)
+    sss.add_argument("--kinds", default="quality,dropout,hum",
+                     help="comma list from AUDIO_SCREENS, or 'all'")
+    sss.add_argument("--max-files-per-trigger", type=int, default=None)
+    sss.add_argument("--quarantine-out", default=None,
+                     help="write each micro-batch's flagged clip ids (+ the "
+                          "flagging screen kind) to this dir, partitioned by "
+                          "batch_id (idempotent on replay)")
+
     sr = sub.add_parser("reconcile")
     sr.add_argument("--source", required=True, help="the streamed clips parquet dir")
     sr.add_argument("--report", required=True,
@@ -1659,6 +1726,7 @@ def main(argv=None) -> None:
         "describe": cmd_describe,
         "produce": cmd_produce,
         "validate-stream": cmd_validate_stream,
+        "screen-stream": cmd_screen_stream,
         "reconcile": cmd_reconcile,
         "track-stream": cmd_track_stream,
         "window-stream": cmd_window_stream,

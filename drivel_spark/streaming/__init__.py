@@ -4,6 +4,7 @@ with exactly-once file tracking (checkpointLocation)."""
 
 from .cusum_stream import CUSUM_STATE_FIELDS, streaming_cusum
 from .profile_stream import load_stream_profile, profile_stream
+from .screen_stream import SCREEN_REPORT_SCHEMA, cumulative_screen, screen_stream
 from .stateful import latest_stats, running_stats, running_stats_stream
 from .validate_stream import cumulative_passfail, validate_stream
 from .windows import (
@@ -29,4 +30,7 @@ __all__ = [
     "load_windowed_stats",
     "session_stats",
     "dedup_stream",
+    "screen_stream",
+    "cumulative_screen",
+    "SCREEN_REPORT_SCHEMA",
 ]

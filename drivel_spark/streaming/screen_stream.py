@@ -1,0 +1,188 @@
+"""Incremental audio-QA screening via Structured Streaming.
+
+The batch ``screen`` job verb (job.py cmd_screen) runs one screen from
+the AUDIO_SCREENS family (ops/multimodal.py) over a snapshot of the
+clips table; at 10^12-clip scale new clips arrive continuously and
+re-decoding the whole corpus per arrival is O(history) — and decode is
+the expensive part of every screen, so re-running it over old clips is
+far worse than re-running the cheap metadata constraints.  This module
+runs the SAME screen ops over a stream of clip files:
+
+* ``readStream`` file source — each micro-batch sees only NEW files
+  (exactly-once via ``checkpointLocation``, same discipline as
+  validate_stream / profile_stream);
+* per micro-batch, each selected screen runs its one narrow-scan →
+  Arrow-map pass over the batch (no shuffle; the per-clip reports are
+  never joined — each screen's flag predicate reduces independently to
+  a per-kind summary, then the O(kinds) summaries union);
+* per-batch DELTA rows (kind, n_clips, n_flagged, n_undecodable) are
+  committed to ``report_dir/batch_id=N`` with partition-overwrite, so
+  an at-least-once foreachBatch replay rewrites the same delta instead
+  of appending a duplicate — cumulative totals stay exactly-once and
+  the streaming state itself is EMPTY (no watermark, no state store
+  growth);
+* optional quarantine: the per-clip ids flagged by each screen (plus
+  the flagging ``kind``) go to ``quarantine_dir/batch_id=N`` under the
+  same overwrite discipline — the enforcement analog of
+  ``validate_stream(quarantine_dir=...)``, but for content-level audio
+  defects no metadata constraint can see.
+
+Cumulative counts are a trivial SUM over the report table
+(:func:`cumulative_screen`), NOT a rescan of the audio — so "how many
+clips has the hum screen ever flagged" stays O(batches × kinds) however
+large the corpus grows.
+
+Reference parity note: the reference engine (hgrsd/drivel) is strictly
+batch (main.rs: read file / stdin → infer → emit); streaming screens
+are a beyond-reference addition in the spirit of its infer-then-check
+loop applied to a continuously-arriving corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops.multimodal import AUDIO_SCREENS
+
+SCREEN_REPORT_SCHEMA = (
+    "kind string, n_clips long, n_flagged long, n_undecodable long"
+)
+
+
+def _resolve(kinds: list[str], flags: Optional[dict]) -> list[tuple]:
+    """(kind, op, flag_sql) triples; unknown kinds fail fast on the
+    driver before any stream starts."""
+    flags = flags or {}
+    out = []
+    for kind in kinds:
+        if kind not in AUDIO_SCREENS:
+            raise ValueError(
+                f"unknown screen {kind!r}; one of {sorted(AUDIO_SCREENS)}"
+            )
+        op, default_flag = AUDIO_SCREENS[kind]
+        out.append((kind, op, flags.get(kind) or default_flag))
+    if not out:
+        raise ValueError("need at least one screen kind")
+    return out
+
+
+def screen_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    kinds: list[str],
+    report_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+    flags: Optional[dict] = None,
+    quarantine_dir: Optional[str] = None,
+    id_cols: Optional[list[str]] = None,
+):
+    """Start (and with ``available_now`` run to completion) the
+    incremental screening stream.  Returns the StreamingQuery.
+
+    ``kinds`` selects screens from ``AUDIO_SCREENS``; ``flags``
+    optionally overrides a screen's published flag policy with any SQL
+    expression over that screen's report columns (same override the
+    batch ``screen --flag`` verb offers).  ``id_cols`` (default
+    ``["clip_id"]``) are carried into the quarantine rows.
+
+    Every screen decodes the micro-batch independently (k screens = k
+    Arrow decode passes over the NEW clips only); the micro-batch is
+    persisted so the k passes and the quarantine filter share one read
+    of the source files.
+    """
+    screens = _resolve(kinds, flags)
+    ids = list(id_cols or ["clip_id"])
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        # k screens + optional quarantine each scan the batch: share
+        # one read of the source files (decode itself still runs per
+        # screen — each op owns its Arrow kernel)
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if batch_df.isEmpty():
+                return
+            summaries = []
+            flagged = []
+            for kind, op, flag in screens:
+                rep = op(batch_df)
+                summaries.append(
+                    rep.agg(
+                        F.count(F.lit(1)).alias("n_clips"),
+                        F.count(F.when(F.expr(flag), 1)).alias("n_flagged"),
+                        F.count(
+                            F.when(F.col("n_samples").isNull(), 1)
+                        ).alias("n_undecodable"),
+                    ).select(
+                        F.lit(kind).alias("kind"),
+                        "n_clips",
+                        "n_flagged",
+                        "n_undecodable",
+                    )
+                )
+                if quarantine_dir is not None:
+                    flagged.append(
+                        rep.filter(F.expr(flag)).select(
+                            *ids, F.lit(kind).alias("kind")
+                        )
+                    )
+            report = summaries[0]
+            for s in summaries[1:]:
+                report = report.unionByName(s)
+            # idempotent per-batch commit: overwrite THIS batch's dir
+            report.coalesce(1).write.mode("overwrite").parquet(
+                f"{report_dir}/batch_id={int(batch_id)}"
+            )
+            if quarantine_dir is not None:
+                q = flagged[0]
+                for fdf in flagged[1:]:
+                    q = q.unionByName(fdf)
+                q.write.mode("overwrite").parquet(
+                    f"{quarantine_dir}/batch_id={int(batch_id)}"
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def cumulative_screen(spark: SparkSession, report_dir: str) -> DataFrame:
+    """Fold the per-batch delta rows into corpus-lifetime totals per
+    screen kind — a tiny aggregation over the report table (O(batches ×
+    kinds) rows), never a rescan of the audio.  A report dir with no
+    ``batch_id=*`` commits yet yields an empty DataFrame with the
+    report schema (same guard as load_windowed_stats, ADVICE r04)."""
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(report_dir, "batch_id=*")):
+        return spark.createDataFrame([], SCREEN_REPORT_SCHEMA)
+    rep = (
+        spark.read.option("basePath", report_dir)
+        .parquet(f"{report_dir}/batch_id=*")
+        .drop("batch_id")
+    )
+    return rep.groupBy("kind").agg(
+        F.sum("n_clips").alias("n_clips"),
+        F.sum("n_flagged").alias("n_flagged"),
+        F.sum("n_undecodable").alias("n_undecodable"),
+    )

@@ -161,6 +161,54 @@ def test_stream_subcommands(spark, tmp_path):
     assert pout2["n_rows_total"] == 700
 
 
+def test_screen_stream_subcommand(spark, tmp_path):
+    """screen-stream job verb: incremental audio-QA screening over a
+    growing source; cumulative per-kind totals equal the batch screen
+    verb's counts on the same files, and a no-new-data re-invocation
+    reprocesses nothing (digest unchanged)."""
+    from drivel_spark.fixtures import CLIPS_SCHEMA, clips_pdf
+    from drivel_spark.job import cmd_screen, cmd_screen_stream
+
+    source = str(tmp_path / "src")
+    spec = ClipFixtureSpec(with_audio=True, distort_every=5)
+    spark.createDataFrame(clips_pdf(range(0, 120), spec), CLIPS_SCHEMA).coalesce(
+        2
+    ).write.mode("append").parquet(source)
+
+    ss = argparse.Namespace(
+        source=source, report=str(tmp_path / "rep"),
+        checkpoint=str(tmp_path / "ck"), kinds="quality",
+        max_files_per_trigger=None, quarantine_out=None,
+    )
+    out1 = cmd_screen_stream(ss)
+    assert out1["n_clips_total"] == 120
+    batch = cmd_screen(
+        argparse.Namespace(
+            kind="quality", data=None, clips=source, where=None,
+            flag=None, out=None,
+        )
+    )
+    assert out1["per_kind"]["quality"] == batch["n_flagged"] >= 1
+    # no new files: nothing reprocessed
+    out2 = cmd_screen_stream(ss)
+    assert out2["cumulative_digest"] == out1["cumulative_digest"]
+    assert out2["n_clips_total"] == 120
+
+    # growing source: only the new files are decoded and folded in
+    spark.createDataFrame(
+        clips_pdf(range(120, 180), spec), CLIPS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(source)
+    out3 = cmd_screen_stream(ss)
+    assert out3["n_clips_total"] == 180
+    batch2 = cmd_screen(
+        argparse.Namespace(
+            kind="quality", data=None, clips=source, where=None,
+            flag=None, out=None,
+        )
+    )
+    assert out3["per_kind"]["quality"] == batch2["n_flagged"]
+
+
 def test_diff_verb_baseline_roundtrip(spark, tmp_path):
     """baseline → diff on the same data reports zero changes; diff
     against a mutated copy (dropped column, added column, injected

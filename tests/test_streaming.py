@@ -674,3 +674,145 @@ def test_streaming_cusum_empty_baseline():
 
     with pytest.raises(ValueError, match="baseline"):
         streaming_cusum(None, "k", "ts", "v", {})
+
+
+# ---------------------------------------------------------------- screens
+
+
+SCREEN_SPEC = ClipFixtureSpec(
+    with_audio=True, distort_every=5, dropout_every=7, hum_every=9
+)
+SCREEN_KINDS = ["quality", "dropout", "hum"]
+
+
+def _screen_batch_counts(spark, source, kinds):
+    """Batch-side truth: each screen run over the full source snapshot
+    (same ops, same published flag policies the stream uses)."""
+    from drivel_spark.ops.multimodal import AUDIO_SCREENS
+
+    df = spark.read.parquet(source)
+    out = {}
+    for kind in kinds:
+        op, flag = AUDIO_SCREENS[kind]
+        row = (
+            op(df)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.expr(flag), 1)).alias("fl"),
+                F.count(F.when(F.col("n_samples").isNull(), 1)).alias("bad"),
+            )
+            .collect()[0]
+        )
+        out[kind] = (int(row["n"]), int(row["fl"]), int(row["bad"]))
+    return out
+
+
+def _screen_stream_totals(spark, report):
+    from drivel_spark.streaming import cumulative_screen
+
+    return {
+        r["kind"]: (int(r["n_clips"]), int(r["n_flagged"]), int(r["n_undecodable"]))
+        for r in cumulative_screen(spark, report).collect()
+    }
+
+
+def test_screen_stream_matches_batch_and_resumes(spark, tmp_path):
+    from drivel_spark.streaming import screen_stream
+
+    source = str(tmp_path / "clips_scr")
+    report = str(tmp_path / "scr_report")
+    ckpt = str(tmp_path / "scr_ckpt")
+    quar = str(tmp_path / "scr_quar")
+
+    # wave 1: 140 clips with planted clipping / dropout / hum defects,
+    # maxFilesPerTrigger=1 forces multiple micro-batches
+    pdf = clips_pdf(range(0, 140), SCREEN_SPEC)
+    spark.createDataFrame(pdf, CLIPS_SCHEMA).coalesce(2).write.mode(
+        "append"
+    ).parquet(source)
+    screen_stream(
+        spark,
+        source,
+        CLIPS_SCHEMA,
+        SCREEN_KINDS,
+        report,
+        ckpt,
+        max_files_per_trigger=1,
+        quarantine_dir=quar,
+    )
+    batch1 = _screen_batch_counts(spark, source, SCREEN_KINDS)
+    assert _screen_stream_totals(spark, report) == batch1
+    # non-vacuous: every planted defect family flags at least one clip
+    for kind in SCREEN_KINDS:
+        assert batch1[kind][1] >= 1, f"{kind} planted defects not flagged"
+
+    # wave 2 appends; the checkpoint must process ONLY the new files —
+    # if old files were redecoded, per-kind n_clips would exceed 220
+    pdf2 = clips_pdf(range(140, 220), SCREEN_SPEC)
+    spark.createDataFrame(pdf2, CLIPS_SCHEMA).coalesce(2).write.mode(
+        "append"
+    ).parquet(source)
+    screen_stream(
+        spark,
+        source,
+        CLIPS_SCHEMA,
+        SCREEN_KINDS,
+        report,
+        ckpt,
+        max_files_per_trigger=1,
+        quarantine_dir=quar,
+    )
+    batch2 = _screen_batch_counts(spark, source, SCREEN_KINDS)
+    totals2 = _screen_stream_totals(spark, report)
+    assert totals2 == batch2
+    assert all(v[0] == 220 for v in totals2.values())
+
+    # quarantine rows = exactly the batch-flagged (clip_id, kind) pairs
+    from drivel_spark.ops.multimodal import AUDIO_SCREENS
+
+    got = {
+        (r["clip_id"], r["kind"])
+        for r in spark.read.option("basePath", quar)
+        .parquet(f"{quar}/batch_id=*")
+        .collect()
+    }
+    want = set()
+    full = spark.read.parquet(source)
+    for kind in SCREEN_KINDS:
+        op, flag = AUDIO_SCREENS[kind]
+        for r in op(full).filter(F.expr(flag)).select("clip_id").collect():
+            want.add((r["clip_id"], kind))
+    assert got == want
+
+
+def test_screen_stream_rejects_unknown_kind(spark, tmp_path):
+    from drivel_spark.streaming import screen_stream
+
+    with pytest.raises(ValueError, match="unknown screen"):
+        screen_stream(
+            spark,
+            str(tmp_path / "nosrc"),
+            CLIPS_SCHEMA,
+            ["quality", "nope"],
+            str(tmp_path / "r"),
+            str(tmp_path / "c"),
+        )
+    with pytest.raises(ValueError, match="at least one"):
+        screen_stream(
+            spark,
+            str(tmp_path / "nosrc"),
+            CLIPS_SCHEMA,
+            [],
+            str(tmp_path / "r"),
+            str(tmp_path / "c"),
+        )
+
+
+def test_cumulative_screen_empty_report_dir(spark, tmp_path):
+    from drivel_spark.streaming import cumulative_screen
+
+    empty = tmp_path / "empty_report"
+    empty.mkdir()
+    out = cumulative_screen(spark, str(empty))
+    assert out.count() == 0
+    assert set(out.columns) == {"kind", "n_clips", "n_flagged", "n_undecodable"}

@@ -371,6 +371,150 @@ def pitch_estimate(df: DataFrame, bytes_col: str = "bytes",
     return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)
 
 
+# --------------------------------------------------------------------------
+# per-clip screen metric kernels — shared by the single-screen ops below
+# AND the fused screen_report (one decode + one rFFT for ALL of them).
+# Each takes already-decoded PCM (float32 from wav_decode) plus the
+# screen's parameters and returns the metric dict of that screen's
+# non-(n_samples, sr_hz) columns, or the same keys mapped to None when
+# the screen's own guard fires — keeping the per-screen null semantics
+# in exactly one place.
+# --------------------------------------------------------------------------
+
+
+def _quality_vals(pcm: np.ndarray, clip_thresh: float) -> dict:
+    x = pcm.astype(np.float64)
+    n = len(x)
+    ax = np.abs(x)
+    peak = float(ax.max()) if n else 0.0
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    return dict(
+        peak=peak,
+        rms=rms,
+        dc_offset=float(x.mean()) if n else 0.0,
+        clipping_ratio=(
+            float(np.count_nonzero(ax >= clip_thresh)) / n if n else 0.0
+        ),
+        crest_db=(20.0 * float(np.log10(peak / rms)) if rms > 0.0 else None),
+    )
+
+
+def _bitdepth_vals(pcm: np.ndarray) -> dict:
+    v = np.rint(pcm.astype(np.float64) * 32767.0).astype(np.int32)
+    a = np.abs(v)
+    nz = a[a > 0]
+    if len(nz):
+        orv = int(np.bitwise_or.reduce(nz))
+        tz = (orv & -orv).bit_length() - 1
+        eff = 16 - tz
+    else:
+        orv = tz = eff = None
+    return dict(
+        or_abs=orv,
+        trailing_zero_bits=tz,
+        effective_bits=eff,
+        n_levels=int(len(np.unique(v))),
+    )
+
+
+def _dropout_vals(pcm: np.ndarray, sr: int, min_run_ms: float,
+                  min_run_floor: int) -> dict:
+    keys = ("min_run", "n_dropouts", "dropout_samples", "longest_run",
+            "dropout_ratio", "dropout_flag")
+    n = len(pcm)
+    if n < 2:
+        return {k: None for k in keys}
+    min_run = max(int(round(sr * min_run_ms / 1000.0)), min_run_floor)
+    # boundaries of equal-sample runs: eq[i] ⇔ x[i+1]==x[i];
+    # a maximal run of L equal booleans = L+1 equal samples
+    eq = pcm[1:] == pcm[:-1]
+    padded = np.concatenate(([False], eq, [False]))
+    chg = np.flatnonzero(padded[1:] != padded[:-1])
+    starts, ends = chg[0::2], chg[1::2]
+    run_len = (ends - starts) + 1  # samples, not diffs
+    hit = run_len >= min_run
+    total = int(run_len[hit].sum()) if hit.any() else 0
+    return dict(
+        min_run=min_run,
+        n_dropouts=int(hit.sum()),
+        dropout_samples=total,
+        longest_run=int(run_len.max()) if len(run_len) else 0,
+        dropout_ratio=total / n,
+        dropout_flag=bool(hit.any()),
+    )
+
+
+def _hum_vals(power_dc0: np.ndarray, sr: int, n: int, harmonics: int,
+              tol_hz: float) -> dict:
+    """``power_dc0`` = |rfft(float64 pcm)|² with bin 0 zeroed (DC is
+    level, not interference); ``n`` = sample count of the clip."""
+    keys = ("hum_bins_50", "hum_bins_60", "hum_ratio_50", "hum_ratio_60")
+    if n < 4:
+        return {k: None for k in keys}
+    total = float(power_dc0.sum())
+    if total <= 0.0:
+        return {k: None for k in keys}
+    out = {}
+    for base, bkey, rkey in ((50.0, "hum_bins_50", "hum_ratio_50"),
+                             (60.0, "hum_bins_60", "hum_ratio_60")):
+        nbins, psum = 0, 0.0
+        for h in range(1, harmonics + 1):
+            c = h * base
+            if c >= sr / 2.0:
+                break
+            lo = max(int(np.ceil((c - tol_hz) * n / sr)), 1)
+            hi = min(int(np.floor((c + tol_hz) * n / sr)),
+                     len(power_dc0) - 1)
+            if hi >= lo:
+                nbins += hi - lo + 1
+                psum += float(power_dc0[lo : hi + 1].sum())
+        out[bkey] = nbins
+        out[rkey] = psum / total
+    return out
+
+
+def _flatness_vals(power_dc0: np.ndarray, flat_thresh: float) -> dict:
+    """Positive-frequency bins = ``power_dc0[1:]`` (bin 0's value is
+    irrelevant — the slice drops it — so the DC-zeroed array shared
+    with :func:`_hum_vals` / :func:`_bandwidth_vals` is exact here)."""
+    p = power_dc0[1:]
+    n_bins = len(p)
+    total = float(p.sum())
+    if total <= 0.0:
+        return dict(n_bins=n_bins, flatness=None, spectral_entropy=None,
+                    noise_like=None)
+    if np.any(p <= 0.0):
+        flat = 0.0
+    else:
+        flat = float(np.exp(np.mean(np.log(p))) / (total / n_bins))
+    q = p / total
+    q = q[q > 0.0]
+    ent = float(-(q * np.log(q)).sum() / np.log(n_bins))
+    return dict(n_bins=n_bins, flatness=flat, spectral_entropy=ent,
+                noise_like=bool(flat >= flat_thresh))
+
+
+def _bandwidth_vals(power_dc0: np.ndarray, sr: int, n: int, rolloff_q: float,
+                    highband_frac: float, narrowband_frac: float) -> dict:
+    keys = ("rolloff_bin", "rolloff_hz", "highband_ratio", "narrowband")
+    total = float(power_dc0.sum())
+    if total <= 0.0:
+        return {k: None for k in keys}
+    cum = np.cumsum(power_dc0)
+    k_r = int(np.searchsorted(cum, rolloff_q * total, side="left"))
+    k_r = min(k_r, len(power_dc0) - 1)
+    rolloff_hz = k_r * sr / n
+    # bins with center freq k·sr/n >= frac·sr/2 <=> k >= frac·n/2
+    k_hi = int(np.ceil(highband_frac * n / 2.0))
+    hb = float(power_dc0[k_hi:].sum() / total) if k_hi < len(power_dc0) else 0.0
+    return dict(
+        rolloff_bin=k_r,
+        rolloff_hz=rolloff_hz,
+        highband_ratio=hb,
+        narrowband=bool(rolloff_hz < narrowband_frac * sr / 2.0),
+    )
+
+
 def bandwidth_estimate(df: DataFrame, bytes_col: str = "bytes",
                        id_cols: Optional[list[str]] = None,
                        rolloff_q: float = 0.95,
@@ -432,27 +576,12 @@ def bandwidth_estimate(df: DataFrame, bytes_col: str = "bytes",
                               "highband_ratio", "narrowband"):
                         cols[k].append(None)
                     continue
-                x = pcm.astype(np.float64)
-                spec = np.abs(np.fft.rfft(x))
+                spec = np.abs(np.fft.rfft(pcm.astype(np.float64)))
                 spec[0] = 0.0  # DC is level, not bandwidth
-                power = spec * spec
-                total = float(power.sum())
-                if total <= 0.0:
-                    for k in ("rolloff_bin", "rolloff_hz",
-                              "highband_ratio", "narrowband"):
-                        cols[k].append(None)
-                    continue
-                cum = np.cumsum(power)
-                k_r = int(np.searchsorted(cum, rolloff_q * total, side="left"))
-                k_r = min(k_r, len(power) - 1)
-                rolloff_hz = k_r * sr / n
-                # bins with center freq k·sr/n >= frac·sr/2 <=> k >= frac·n/2
-                k_hi = int(np.ceil(highband_frac * n / 2.0))
-                hb = float(power[k_hi:].sum() / total) if k_hi < len(power) else 0.0
-                cols["rolloff_bin"].append(k_r)
-                cols["rolloff_hz"].append(rolloff_hz)
-                cols["highband_ratio"].append(hb)
-                cols["narrowband"].append(bool(rolloff_hz < narrowband_frac * sr / 2.0))
+                vals = _bandwidth_vals(spec * spec, sr, n, rolloff_q,
+                                       highband_frac, narrowband_frac)
+                for k, v in vals.items():
+                    cols[k].append(v)
             yield pd.DataFrame({**rows, **cols})
 
     schema = _id_schema(df, id_cols) + ", " + BANDWIDTH_SCHEMA
@@ -524,27 +653,9 @@ def hum_detect(df: DataFrame, bytes_col: str = "bytes",
                     continue
                 spec = np.abs(np.fft.rfft(pcm.astype(np.float64)))
                 spec[0] = 0.0  # DC is level, not interference
-                power = spec * spec
-                total = float(power.sum())
-                if total <= 0.0:
-                    for k in keys[2:]:
-                        cols[k].append(None)
-                    continue
-                for base, bkey, rkey in ((50.0, "hum_bins_50", "hum_ratio_50"),
-                                         (60.0, "hum_bins_60", "hum_ratio_60")):
-                    nbins, psum = 0, 0.0
-                    for h in range(1, harmonics + 1):
-                        c = h * base
-                        if c >= sr / 2.0:
-                            break
-                        lo = max(int(np.ceil((c - tol_hz) * n / sr)), 1)
-                        hi = min(int(np.floor((c + tol_hz) * n / sr)),
-                                 len(power) - 1)
-                        if hi >= lo:
-                            nbins += hi - lo + 1
-                            psum += float(power[lo : hi + 1].sum())
-                    cols[bkey].append(nbins)
-                    cols[rkey].append(psum / total)
+                vals = _hum_vals(spec * spec, sr, n, harmonics, tol_hz)
+                for k in keys[2:]:
+                    cols[k].append(vals[k])
             yield pd.DataFrame({**rows, **cols})
 
     schema = _id_schema(df, id_cols) + ", " + HUM_SCHEMA
@@ -1050,24 +1161,10 @@ def audio_quality(df: DataFrame, bytes_col: str = "bytes",
                     for k in keys:
                         cols[k].append(None)
                     continue
-                x = pcm.astype(np.float64)
-                n = len(x)
-                ax = np.abs(x)
-                peak = float(ax.max()) if n else 0.0
-                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
                 vals = dict(
-                    n_samples=n,
+                    n_samples=len(pcm),
                     sr_hz=sr,
-                    peak=peak,
-                    rms=rms,
-                    dc_offset=float(x.mean()) if n else 0.0,
-                    clipping_ratio=(
-                        float(np.count_nonzero(ax >= clip_thresh)) / n
-                        if n else 0.0
-                    ),
-                    crest_db=(
-                        20.0 * float(np.log10(peak / rms)) if rms > 0.0 else None
-                    ),
+                    **_quality_vals(pcm, clip_thresh),
                 )
                 for k in keys:
                     cols[k].append(vals[k])
@@ -1129,22 +1226,10 @@ def effective_bit_depth(df: DataFrame, bytes_col: str = "bytes",
                     for k in keys:
                         cols[k].append(None)
                     continue
-                v = np.rint(pcm.astype(np.float64) * 32767.0).astype(np.int32)
-                a = np.abs(v)
-                nz = a[a > 0]
-                if len(nz):
-                    orv = int(np.bitwise_or.reduce(nz))
-                    tz = (orv & -orv).bit_length() - 1
-                    eff = 16 - tz
-                else:
-                    orv = tz = eff = None
                 vals = dict(
-                    n_samples=len(v),
+                    n_samples=len(pcm),
                     sr_hz=sr,
-                    or_abs=orv,
-                    trailing_zero_bits=tz,
-                    effective_bits=eff,
-                    n_levels=int(len(np.unique(v))),
+                    **_bitdepth_vals(pcm),
                 )
                 for k in keys:
                     cols[k].append(vals[k])
@@ -1210,30 +1295,14 @@ def spectral_flatness(df: DataFrame, bytes_col: str = "bytes",
                     for k in keys:
                         cols[k].append(None)
                     continue
-                x = pcm.astype(np.float64)
-                spec = np.abs(np.fft.rfft(x))
-                p = (spec * spec)[1:]
-                n_bins = len(p)
-                total = float(p.sum())
-                if total <= 0.0:
-                    vals = dict(n_samples=len(x), sr_hz=sr, n_bins=n_bins,
-                                flatness=None, spectral_entropy=None,
-                                noise_like=None)
-                else:
-                    if np.any(p <= 0.0):
-                        flat = 0.0
-                    else:
-                        flat = float(
-                            np.exp(np.mean(np.log(p))) / (total / n_bins)
-                        )
-                    q = p / total
-                    q = q[q > 0.0]
-                    ent = float(-(q * np.log(q)).sum() / np.log(n_bins))
-                    vals = dict(
-                        n_samples=len(x), sr_hz=sr, n_bins=n_bins,
-                        flatness=flat, spectral_entropy=ent,
-                        noise_like=bool(flat >= flat_thresh),
-                    )
+                spec = np.abs(np.fft.rfft(pcm.astype(np.float64)))
+                power = spec * spec
+                power[0] = 0.0  # dropped by the [1:] slice inside
+                vals = dict(
+                    n_samples=len(pcm),
+                    sr_hz=sr,
+                    **_flatness_vals(power, flat_thresh),
+                )
                 for k in keys:
                     cols[k].append(vals[k])
             yield pd.DataFrame({**rows, **cols})
@@ -1859,28 +1928,11 @@ def dropout_detect(df: DataFrame, bytes_col: str = "bytes",
                     for k in keys:
                         cols[k].append(None)
                     continue
-                n = len(pcm)
-                min_run = max(int(round(sr * min_run_ms / 1000.0)),
-                              min_run_floor)
-                # boundaries of equal-sample runs: eq[i] ⇔ x[i+1]==x[i];
-                # a maximal run of L equal booleans = L+1 equal samples
-                eq = pcm[1:] == pcm[:-1]
-                padded = np.concatenate(([False], eq, [False]))
-                chg = np.flatnonzero(padded[1:] != padded[:-1])
-                starts, ends = chg[0::2], chg[1::2]
-                run_len = (ends - starts) + 1  # samples, not diffs
-                hit = run_len >= min_run
-                total = int(run_len[hit].sum()) if hit.any() else 0
-                cols["n_samples"].append(n)
+                cols["n_samples"].append(len(pcm))
                 cols["sr_hz"].append(sr)
-                cols["min_run"].append(min_run)
-                cols["n_dropouts"].append(int(hit.sum()))
-                cols["dropout_samples"].append(total)
-                cols["longest_run"].append(
-                    int(run_len.max()) if len(run_len) else 0
-                )
-                cols["dropout_ratio"].append(total / n)
-                cols["dropout_flag"].append(bool(hit.any()))
+                vals = _dropout_vals(pcm, sr, min_run_ms, min_run_floor)
+                for k, v in vals.items():
+                    cols[k].append(v)
             yield pd.DataFrame({**rows, **cols})
 
     schema = _id_schema(df, id_cols) + ", " + DROPOUT_SCHEMA
@@ -2647,3 +2699,134 @@ AUDIO_SCREENS: dict = {
     "bandwidth": (bandwidth_estimate, "narrowband"),
     "snr": (snr_estimate, "snr_est_db < 10.0"),
 }
+
+
+# Screens whose per-clip math is factored into the _*_vals kernels above
+# and can therefore run FUSED: one decode (and one shared DC-zeroed rFFT
+# power for the spectral trio) per clip instead of one per screen.
+# kind -> that screen's metric fields (its single-op schema minus the
+# shared "n_samples long, sr_hz int" prefix — asserted in tests).
+FUSED_SCREEN_FIELDS: dict = {
+    "quality": ("peak double, rms double, dc_offset double, "
+                "clipping_ratio double, crest_db double"),
+    "bitdepth": ("or_abs int, trailing_zero_bits int, effective_bits int, "
+                 "n_levels long"),
+    "dropout": ("min_run long, n_dropouts long, dropout_samples long, "
+                "longest_run long, dropout_ratio double, "
+                "dropout_flag boolean"),
+    "hum": ("hum_bins_50 int, hum_bins_60 int, hum_ratio_50 double, "
+            "hum_ratio_60 double"),
+    "flatness": ("n_bins long, flatness double, spectral_entropy double, "
+                 "noise_like boolean"),
+    "bandwidth": ("rolloff_bin long, rolloff_hz double, "
+                  "highband_ratio double, narrowband boolean"),
+}
+
+# The fused report keeps n_samples/sr_hz as DECODE facts, while two of
+# the single ops also NULL n_samples when their own guard fires; counting
+# "undecodable" off the fused report therefore uses these per-kind
+# predicates to stay count-identical with the single ops.
+FUSED_SCREEN_BAD: dict = {
+    "dropout": "n_samples IS NULL OR n_samples < 2",
+    "flatness": "n_samples IS NULL OR n_samples < 4",
+}
+
+
+def screen_report(df: DataFrame, kinds: Optional[list[str]] = None,
+                  bytes_col: str = "bytes",
+                  id_cols: Optional[list[str]] = None,
+                  clip_thresh: float = 0.99999,
+                  min_run_ms: float = 1.0, min_run_floor: int = 8,
+                  harmonics: int = 3, tol_hz: float = 2.0,
+                  flat_thresh: float = 0.3, rolloff_q: float = 0.95,
+                  highband_frac: float = 0.8,
+                  narrowband_frac: float = 0.5) -> DataFrame:
+    """Fused multi-screen report: ONE decode per clip (and one shared
+    DC-zeroed rFFT power for however many of hum/flatness/bandwidth are
+    selected) feeding every selected screen's metric kernel — the
+    column union of the single-screen reports.  Running k fused-capable
+    screens over a 10^12-clip corpus costs one byte scan + one decode
+    pass instead of k of each; decode dominates every screen, so this
+    is the difference between k corpus passes and one.
+
+    Per-metric values are produced by the SAME ``_*_vals`` kernels the
+    single ops call (pinned column-identical in tests), with one
+    deliberate deviation: ``n_samples``/``sr_hz`` here are always the
+    decode facts, whereas single-op ``dropout_detect`` (n < 2) and
+    ``spectral_flatness`` (n < 4) NULL them when their guards fire —
+    count undecodables off a fused report with ``FUSED_SCREEN_BAD``.
+    Undecodable/NULL payloads yield all-NULL rows (tolerant, like every
+    screen).  One narrow scan → mapInPandas; no shuffle at any scale.
+    """
+    kinds = list(kinds or FUSED_SCREEN_FIELDS)
+    seen = set()
+    for kind in kinds:
+        if kind not in FUSED_SCREEN_FIELDS:
+            raise ValueError(
+                f"screen {kind!r} is not fused-capable; one of "
+                f"{sorted(FUSED_SCREEN_FIELDS)}"
+            )
+        if kind in seen:
+            raise ValueError(f"duplicate screen kind {kind!r}")
+        seen.add(kind)
+    id_cols = id_cols or ["clip_id"]
+    fields = {
+        kind: [f.strip().split(" ")[0]
+               for f in FUSED_SCREEN_FIELDS[kind].split(",")]
+        for kind in kinds
+    }
+    keys = ["n_samples", "sr_hz"]
+    for kind in kinds:
+        keys.extend(fields[kind])
+    need_fft = any(k in ("hum", "flatness", "bandwidth") for k in kinds)
+
+    def fn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: pdf[c] for c in id_cols}
+            cols = {k: [] for k in keys}
+            for b in pdf[bytes_col]:
+                pcm = sr = None
+                if b is not None:
+                    try:
+                        pcm, sr = wav_decode(bytes(b))
+                    except ValueError:
+                        pcm = None
+                if pcm is None:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                n = len(pcm)
+                cols["n_samples"].append(n)
+                cols["sr_hz"].append(sr)
+                power = None
+                if need_fft and n >= 4:
+                    spec = np.abs(np.fft.rfft(pcm.astype(np.float64)))
+                    spec[0] = 0.0  # DC is level — all three spectral
+                    power = spec * spec  # kernels exclude it anyway
+                for kind in kinds:
+                    if kind == "quality":
+                        vals = _quality_vals(pcm, clip_thresh)
+                    elif kind == "bitdepth":
+                        vals = _bitdepth_vals(pcm)
+                    elif kind == "dropout":
+                        vals = _dropout_vals(pcm, sr, min_run_ms,
+                                             min_run_floor)
+                    elif power is None:  # spectral kind, n < 4
+                        vals = {f: None for f in fields[kind]}
+                    elif kind == "hum":
+                        vals = _hum_vals(power, sr, n, harmonics, tol_hz)
+                    elif kind == "flatness":
+                        vals = _flatness_vals(power, flat_thresh)
+                    else:  # bandwidth
+                        vals = _bandwidth_vals(power, sr, n, rolloff_q,
+                                               highband_frac,
+                                               narrowband_frac)
+                    for f in fields[kind]:
+                        cols[f].append(vals[f])
+            yield pd.DataFrame({**rows, **cols})
+
+    schema = ", ".join(
+        [_id_schema(df, id_cols), "n_samples long, sr_hz int"]
+        + [FUSED_SCREEN_FIELDS[kind] for kind in kinds]
+    )
+    return df.select(*id_cols, bytes_col).mapInPandas(fn, schema)

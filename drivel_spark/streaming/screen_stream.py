@@ -11,10 +11,12 @@ runs the SAME screen ops over a stream of clip files:
 * ``readStream`` file source — each micro-batch sees only NEW files
   (exactly-once via ``checkpointLocation``, same discipline as
   validate_stream / profile_stream);
-* per micro-batch, each selected screen runs its one narrow-scan →
-  Arrow-map pass over the batch (no shuffle; the per-clip reports are
-  never joined — each screen's flag predicate reduces independently to
-  a per-kind summary, then the O(kinds) summaries union);
+* per micro-batch, the selected screens run as ONE fused narrow-scan →
+  Arrow-map pass (ops/multimodal.py screen_report: one decode + one
+  shared rFFT per clip) whenever every kind is fused-capable, falling
+  back to one pass per screen otherwise (no shuffle either way; the
+  per-clip reports are never joined — every flag predicate reduces in
+  a single aggregation to the per-kind summaries);
 * per-batch DELTA rows (kind, n_clips, n_flagged, n_undecodable) are
   committed to ``report_dir/batch_id=N`` with partition-overwrite, so
   an at-least-once foreachBatch replay rewrites the same delta instead
@@ -45,7 +47,12 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ops.multimodal import AUDIO_SCREENS
+from ..ops.multimodal import (
+    AUDIO_SCREENS,
+    FUSED_SCREEN_BAD,
+    FUSED_SCREEN_FIELDS,
+    screen_report,
+)
 
 SCREEN_REPORT_SCHEMA = (
     "kind string, n_clips long, n_flagged long, n_undecodable long"
@@ -91,10 +98,13 @@ def screen_stream(
     batch ``screen --flag`` verb offers).  ``id_cols`` (default
     ``["clip_id"]``) are carried into the quarantine rows.
 
-    Every screen decodes the micro-batch independently (k screens = k
-    Arrow decode passes over the NEW clips only); the micro-batch is
-    persisted so the k passes and the quarantine filter share one read
-    of the source files.
+    When every requested kind is fused-capable (FUSED_SCREEN_FIELDS),
+    the micro-batch is decoded ONCE through the fused screen_report
+    kernel and all flag/undecodable counts reduce in one aggregation;
+    otherwise each screen decodes the batch independently (k Arrow
+    passes over the NEW clips only), with the micro-batch persisted so
+    the k passes and the quarantine filter share one read of the
+    source files.
     """
     screens = _resolve(kinds, flags)
     ids = list(id_cols or ["clip_id"])
@@ -104,9 +114,77 @@ def screen_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
+    # fused fast path: when every requested screen's math is factored
+    # into the shared per-clip kernels, the whole micro-batch costs ONE
+    # decode pass (plus one shuffle-free agg job) instead of k — see
+    # ops/multimodal.py screen_report.  Counts stay identical to the
+    # per-screen ops (FUSED_SCREEN_BAD carries the two guard quirks).
+    fused = all(kind in FUSED_SCREEN_FIELDS for kind, _, _ in screens)
+
+    def _commit_report(report: DataFrame, batch_id: int) -> None:
+        # idempotent per-batch commit: overwrite THIS batch's dir
+        report.coalesce(1).write.mode("overwrite").parquet(
+            f"{report_dir}/batch_id={int(batch_id)}"
+        )
+
+    def _fused_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        spark = batch_df.sparkSession
+        rep = screen_report(batch_df, [kind for kind, _, _ in screens],
+                            id_cols=ids)
+        if quarantine_dir is not None:
+            # two jobs read the (small, bytes-free) metric report: keep
+            # the single decode pass single by persisting its output
+            rep = rep.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for kind, _, flag in screens:
+                bad = FUSED_SCREEN_BAD.get(kind, "n_samples IS NULL")
+                aggs.append(
+                    F.count(F.when(F.expr(flag), 1)).alias(f"__f_{kind}")
+                )
+                aggs.append(
+                    F.count(F.when(F.expr(bad), 1)).alias(f"__b_{kind}")
+                )
+            row = rep.agg(*aggs).collect()[0]
+            if row["__n"] == 0:
+                return
+            report = spark.createDataFrame(
+                [
+                    (kind, int(row["__n"]), int(row[f"__f_{kind}"]),
+                     int(row[f"__b_{kind}"]))
+                    for kind, _, _ in screens
+                ],
+                SCREEN_REPORT_SCHEMA,
+            )
+            _commit_report(report, batch_id)
+            if quarantine_dir is not None:
+                flag_arr = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(F.expr(flag), F.lit(kind)).otherwise(
+                                F.lit(None)
+                            )
+                            for kind, _, flag in screens
+                        ]
+                    )
+                )
+                (
+                    rep.select(*ids, F.explode(flag_arr).alias("kind"))
+                    .write.mode("overwrite")
+                    .parquet(f"{quarantine_dir}/batch_id={int(batch_id)}")
+                )
+        finally:
+            if quarantine_dir is not None:
+                rep.unpersist()
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark import StorageLevel
 
+        if fused:
+            _fused_batch(batch_df, batch_id)
+            return
         # k screens + optional quarantine each scan the batch: share
         # one read of the source files (decode itself still runs per
         # screen — each op owns its Arrow kernel)
@@ -141,10 +219,7 @@ def screen_stream(
             report = summaries[0]
             for s in summaries[1:]:
                 report = report.unionByName(s)
-            # idempotent per-batch commit: overwrite THIS batch's dir
-            report.coalesce(1).write.mode("overwrite").parquet(
-                f"{report_dir}/batch_id={int(batch_id)}"
-            )
+            _commit_report(report, batch_id)
             if quarantine_dir is not None:
                 q = flagged[0]
                 for fdf in flagged[1:]:

@@ -4567,3 +4567,112 @@ def test_wow_flutter(spark):
     sh = got.loc["short"]
     assert sh["n_frames"] < 3 and np.isnan(sh["mod_depth"])
     assert got.loc[["corrupt", "null"]]["n_samples"].isnull().all()
+
+
+# ------------------------------------------------------------- fused screens
+
+
+def _fused_fixture_df(spark):
+    """Clips covering every fused screen's planted defect plus the edge
+    rows (NULL payload, corrupt bytes, 1- and 3-sample clips) that
+    exercise each kernel's guards."""
+    from drivel_spark.fixtures import CLIPS_SCHEMA, ClipFixtureSpec, clips_pdf
+    from drivel_spark.produce.audio import wav_encode
+
+    spec = ClipFixtureSpec(
+        with_audio=True, distort_every=5, requantize_every=6,
+        dropout_every=7, hum_every=9, noise_every=11,
+    )
+    pdf = clips_pdf(range(60), spec)
+    edge = pd.DataFrame(
+        {
+            "clip_id": ["one", "three", "corrupt", "null"],
+            "bytes": [
+                wav_encode(np.array([0.25], dtype=np.float32), 8000),
+                wav_encode(np.array([0.1, -0.1, 0.1], dtype=np.float32), 8000),
+                b"RIFFnope",
+                None,
+            ],
+            "sr_hz": [8000] * 4,
+            "dur_ms": [1] * 4,
+            "codec": ["wav"] * 4,
+            "transcript": ["x"] * 4,
+        }
+    )
+    full = pd.concat([pdf, edge], ignore_index=True)
+    return spark.createDataFrame(full, CLIPS_SCHEMA).coalesce(2)
+
+
+def _sorted_pdf(df):
+    return (
+        df.toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
+def test_screen_report_fused_equals_single_ops(spark):
+    """The fused kernel must be column-identical to every single-screen
+    op it fuses (same helper, same floats), modulo the documented
+    n_samples/sr_hz deviation on guard rows."""
+    from drivel_spark.ops import screen_report
+    from drivel_spark.ops.multimodal import AUDIO_SCREENS, FUSED_SCREEN_FIELDS
+
+    clips = _fused_fixture_df(spark).cache()
+    fused = _sorted_pdf(screen_report(clips))
+    try:
+        for kind, fields_sql in FUSED_SCREEN_FIELDS.items():
+            op, _ = AUDIO_SCREENS[kind]
+            single = _sorted_pdf(op(clips))
+            fields = [f.strip().split(" ")[0] for f in fields_sql.split(",")]
+            for f in fields:
+                a, b = fused[f], single[f]
+                same = (a.isna() & b.isna()) | (a == b)
+                assert same.all(), f"{kind}.{f}: fused != single op\n" + str(
+                    pd.DataFrame({"clip_id": fused["clip_id"], "fused": a,
+                                  "single": b})[~same]
+                )
+            # decode facts agree wherever the single op reports them
+            rep = single["n_samples"].notna()
+            assert (fused.loc[rep, "n_samples"] == single.loc[rep, "n_samples"]).all()
+            assert (fused.loc[rep, "sr_hz"] == single.loc[rep, "sr_hz"]).all()
+        # non-vacuous: each planted defect family actually fires its flag
+        for kind, flag_col, expect in (
+            ("quality", "clipping_ratio", (fused["clipping_ratio"] > 0.01)),
+            ("bitdepth", "effective_bits", (fused["effective_bits"] <= 8)),
+            ("dropout", "dropout_flag", fused["dropout_flag"] == True),  # noqa: E712
+            ("hum", "hum_ratio_50",
+             (fused["hum_ratio_50"] > 0.005) | (fused["hum_ratio_60"] > 0.005)),
+            ("flatness", "noise_like", fused["noise_like"] == True),  # noqa: E712
+        ):
+            assert expect.sum() >= 1, f"{kind} planted defects not flagged"
+    finally:
+        clips.unpersist()
+
+
+def test_screen_report_fields_match_single_op_schemas(spark):
+    """FUSED_SCREEN_FIELDS must stay in lockstep with each single op's
+    published schema (metric fields = schema minus the shared decode
+    prefix) — the drift guard for the fused/single duality."""
+    from drivel_spark.ops import multimodal as mm
+
+    schemas = {
+        "quality": mm.AUDIO_QUALITY_SCHEMA,
+        "bitdepth": mm.AUDIO_BITDEPTH_SCHEMA,
+        "dropout": mm.DROPOUT_SCHEMA,
+        "hum": mm.HUM_SCHEMA,
+        "flatness": mm.SPECTRAL_FLATNESS_SCHEMA,
+        "bandwidth": mm.BANDWIDTH_SCHEMA,
+    }
+    prefix = "n_samples long, sr_hz int, "
+    for kind, schema in schemas.items():
+        assert schema.startswith(prefix), kind
+        assert mm.FUSED_SCREEN_FIELDS[kind] == schema[len(prefix):], kind
+
+
+def test_screen_report_rejects_bad_kinds(spark):
+    from drivel_spark.ops import screen_report
+
+    clips = _fused_fixture_df(spark)
+    with pytest.raises(ValueError, match="not fused-capable"):
+        screen_report(clips, ["quality", "truepeak"])
+    with pytest.raises(ValueError, match="duplicate"):
+        screen_report(clips, ["quality", "quality"])

@@ -816,3 +816,46 @@ def test_cumulative_screen_empty_report_dir(spark, tmp_path):
     out = cumulative_screen(spark, str(empty))
     assert out.count() == 0
     assert set(out.columns) == {"kind", "n_clips", "n_flagged", "n_undecodable"}
+
+
+def test_screen_stream_nonfused_fallback_matches_batch(spark, tmp_path):
+    """A kind outside FUSED_SCREEN_FIELDS ('loudness') forces the
+    per-screen fallback path; totals and quarantine must still equal
+    the batch ops."""
+    from drivel_spark.ops.multimodal import AUDIO_SCREENS, FUSED_SCREEN_FIELDS
+    from drivel_spark.streaming import screen_stream
+
+    kinds = ["quality", "loudness"]
+    assert "loudness" not in FUSED_SCREEN_FIELDS
+    source = str(tmp_path / "clips_nf")
+    report = str(tmp_path / "nf_report")
+    quar = str(tmp_path / "nf_quar")
+    pdf = clips_pdf(range(0, 100), SCREEN_SPEC)
+    spark.createDataFrame(pdf, CLIPS_SCHEMA).coalesce(2).write.mode(
+        "append"
+    ).parquet(source)
+    screen_stream(
+        spark,
+        source,
+        CLIPS_SCHEMA,
+        kinds,
+        report,
+        str(tmp_path / "nf_ckpt"),
+        quarantine_dir=quar,
+    )
+    assert _screen_stream_totals(spark, report) == _screen_batch_counts(
+        spark, source, kinds
+    )
+    got = {
+        (r["clip_id"], r["kind"])
+        for r in spark.read.option("basePath", quar)
+        .parquet(f"{quar}/batch_id=*")
+        .collect()
+    }
+    want = set()
+    full = spark.read.parquet(source)
+    for kind in kinds:
+        op, flag = AUDIO_SCREENS[kind]
+        for r in op(full).filter(F.expr(flag)).select("clip_id").collect():
+            want.add((r["clip_id"], kind))
+    assert got == want

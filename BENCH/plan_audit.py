@@ -1773,6 +1773,36 @@ def main() -> None:
         )
     )
 
+    # 26. fused multi-screen kernel: six screens, ONE MapInPandas — the
+    # plan must show exactly one Arrow stage over a parquet scan (the
+    # synth fixture is itself a MapInPandas, so materialize first for a
+    # faithful count)
+    from drivel_spark.ops import screen_report
+
+    fused_src = "/tmp/plan_audit_clips"
+    clips_a.write.mode("overwrite").parquet(fused_src)
+    p = fmt(screen_report(spark.read.parquet(fused_src)))
+    sections.append(
+        (
+            "Fused multi-screen kernel (quality/bitdepth/dropout/hum/flatness/bandwidth)",
+            p,
+            [
+                "ONE Arrow pass for all six screens (exactly one "
+                "MapInPandas, no BatchEvalPython): "
+                + ("PASS" if p.count("MapInPandas") >= 1
+                   and len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+                   and "BatchEvalPython" not in p else "FAIL"),
+                "scan reads only (clip_id, bytes) — decode column "
+                "pruned to the payload: "
+                + ("PASS" if re.search(
+                       r"Output \[2\]: \[clip_id#\d+, bytes#\d+\]", p)
+                   else "FAIL"),
+                "no Exchange — per-clip metrics never shuffle: "
+                + ("PASS" if "Exchange" not in p.split("\n\n")[0] else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

@@ -154,11 +154,20 @@ def cmd_screen(args) -> dict:
     predicate to the clips scan (slice-only daily runs, same discipline
     as validate --where); --flag overrides the default policy predicate
     with any SQL expression over the report's columns.  Every screen is
-    one narrow scan → Arrow map — no shuffle at any table size."""
+    one narrow scan → Arrow map — no shuffle at any table size.
+
+    A comma list of fused-capable kinds (``--kind quality,dropout,hum``)
+    runs them FUSED (ops/multimodal.py screen_report): one decode per
+    clip for the whole set, per-kind counts under ``per_kind`` in the
+    JSON line, their published flag policies applied (--flag is
+    single-kind only)."""
     from drivel_spark.io import read_table
 
     if not args.clips and not args.data:
         raise SystemExit("screen needs --data (db dir) or --clips (table ref)")
+    kinds = [k.strip() for k in args.kind.split(",") if k.strip()]
+    if len(kinds) > 1:
+        return _screen_fused(args, kinds)
     if args.kind not in AUDIO_SCREENS:
         raise SystemExit(
             f"unknown screen {args.kind!r}; one of {sorted(AUDIO_SCREENS)}"
@@ -190,6 +199,62 @@ def cmd_screen(args) -> dict:
         "n_undecodable": int(row["bad"]),
         "wall_s": round(wall, 3),
         "clips_per_sec": round(row["n"] / wall, 1) if wall > 0 else None,
+        "out": args.out,
+    }
+
+
+def _screen_fused(args, kinds: list[str]) -> dict:
+    """Multi-kind arm of cmd_screen: the whole set in ONE decode pass
+    via the fused kernel, all counts in one aggregation job."""
+    from drivel_spark.io import read_table
+    from drivel_spark.ops.multimodal import FUSED_SCREEN_BAD, FUSED_SCREEN_FIELDS
+    from drivel_spark.ops import screen_report
+
+    if args.flag:
+        raise SystemExit("--flag overrides a single screen's policy; "
+                         "drop it for a fused multi-kind run")
+    bad_kinds = [k for k in kinds if k not in FUSED_SCREEN_FIELDS]
+    if bad_kinds:
+        raise SystemExit(
+            f"not fused-capable: {bad_kinds}; a multi-kind run supports "
+            f"{sorted(FUSED_SCREEN_FIELDS)} (run others one --kind at a time)"
+        )
+    spark = build_session("drivel-screen")
+    ref = args.clips or f"{args.data}/clips"
+    clips = read_table(spark, ref)
+    if args.where:
+        clips = clips.filter(args.where)
+    t0 = time.time()
+    rep = screen_report(clips, kinds)
+    if args.out:
+        rep.write.mode("overwrite").parquet(args.out)
+        rep = spark.read.parquet(args.out)
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(F.col("n_samples").isNull(), 1)).alias("__bad"),
+    ]
+    for kind in kinds:
+        flag = AUDIO_SCREENS[kind][1]
+        bad = FUSED_SCREEN_BAD.get(kind, "n_samples IS NULL")
+        aggs.append(F.count(F.when(F.expr(flag), 1)).alias(f"__f_{kind}"))
+        aggs.append(F.count(F.when(F.expr(bad), 1)).alias(f"__b_{kind}"))
+    row = rep.agg(*aggs).collect()[0]
+    wall = time.time() - t0
+    return {
+        "job": "screen",
+        "kinds": kinds,
+        "n_clips": int(row["__n"]),
+        "n_flagged_total": int(
+            sum(row[f"__f_{k}"] for k in kinds)
+        ),
+        "n_undecodable": int(row["__bad"]),
+        "per_kind": {
+            k: {"n_flagged": int(row[f"__f_{k}"]),
+                "n_undecodable": int(row[f"__b_{k}"])}
+            for k in kinds
+        },
+        "wall_s": round(wall, 3),
+        "clips_per_sec": round(row["__n"] / wall, 1) if wall > 0 else None,
         "out": args.out,
     }
 
@@ -1534,7 +1599,9 @@ def main(argv=None) -> None:
     sc.add_argument("--clips", default=None,
                     help="override clips table (path or iceberg:db.tbl ref)")
     sc.add_argument("--kind", required=True,
-                    help=f"one of {sorted(AUDIO_SCREENS)}")
+                    help=f"one of {sorted(AUDIO_SCREENS)}, or a comma "
+                         "list of fused-capable kinds for a one-decode "
+                         "fused run")
     sc.add_argument("--out", default=None,
                     help="optional per-clip report table dir")
     sc.add_argument("--flag", default=None,

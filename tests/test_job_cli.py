@@ -902,3 +902,46 @@ def test_screen_verb(spark, tmp_path):
     with _pytest.raises(SystemExit):
         cmd_screen(argparse.Namespace(data=None, clips=data, kind="nope",
                                       out=None, flag=None, where=None))
+
+
+def test_screen_verb_fused_multikind(spark, tmp_path):
+    """--kind as a comma list runs the fused kernel: per-kind counts
+    equal the single-kind runs, the persisted report carries the column
+    union, and non-fused kinds / --flag are rejected loudly."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.job import cmd_screen
+
+    data = str(tmp_path / "clips_mk")
+    build_clips(
+        spark, 40, 4,
+        ClipFixtureSpec(with_audio=True, distort_every=5, dropout_every=4),
+    ).write.parquet(data)
+
+    base = dict(data=None, clips=data, flag=None, where=None)
+    fused = cmd_screen(
+        argparse.Namespace(**base, kind="quality,dropout",
+                           out=str(tmp_path / "mkrep"))
+    )
+    assert fused["n_clips"] == 40 and fused["kinds"] == ["quality", "dropout"]
+    for kind in ("quality", "dropout"):
+        single = cmd_screen(argparse.Namespace(**base, kind=kind, out=None))
+        assert fused["per_kind"][kind]["n_flagged"] == single["n_flagged"]
+        assert (
+            fused["per_kind"][kind]["n_undecodable"] == single["n_undecodable"]
+        )
+    # ≥ the 10 planted (idx % 4 == 1); hard-clipped clips (idx % 5 == 2)
+    # may add plateau-run flags — the saturated samples hold full scale
+    assert fused["per_kind"]["dropout"]["n_flagged"] >= 10
+    rep = spark.read.parquet(str(tmp_path / "mkrep"))
+    assert {"clipping_ratio", "n_dropouts"} <= set(rep.columns)
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="not fused-capable"):
+        cmd_screen(argparse.Namespace(**base, kind="quality,truepeak",
+                                      out=None))
+    with _pytest.raises(SystemExit, match="single screen"):
+        cmd_screen(
+            argparse.Namespace(data=None, clips=data, kind="quality,dropout",
+                               out=None, flag="peak > 0.5", where=None)
+        )

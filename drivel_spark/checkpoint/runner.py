@@ -247,3 +247,118 @@ def resumable_row_validation(
         "snapshot": snapshot,
     }
     return passfail, stats
+
+
+def resumable_screen(
+    spark: SparkSession,
+    table_path: str,
+    store: CheckpointStore,
+    run_id: str,
+    kinds: Optional[list[str]] = None,
+    input_snapshot: Optional[str] = None,
+) -> tuple[pd.DataFrame, dict]:
+    """Fused audio-QA screening (ops/multimodal.py screen_report),
+    resumable with the same per-file unit model as
+    :func:`resumable_profile` — the operational mode for content-level
+    QA at 10^12 clips, where a decode pass over the corpus takes long
+    enough that interruption is the norm, not the exception
+    (north_rule: "each partition's result commits with lineage +
+    metrics ... so interrupted runs resume without recomputation").
+
+    Per uncommitted file: ONE fused decode pass keyed by
+    ``input_file_name()`` reduces to per-(file, kind) counts
+    (n_clips, n_flagged under the kind's published policy,
+    n_undecodable under FUSED_SCREEN_BAD semantics), committed to the
+    store as that file's blob.  Corpus totals are sums over file
+    partials, identical to a one-shot fused run (pinned by tests); a
+    restart reads only the files the commit table hasn't seen —
+    skipped files are pruned at plan time, no wasted decode.
+
+    The kind set is part of the run key, so resuming with a DIFFERENT
+    set recomputes from scratch instead of mixing incompatible blobs.
+    Returns (per-kind totals frame in the screen-stream report shape,
+    stats dict).
+    """
+    from ..ops.multimodal import (
+        AUDIO_SCREENS,
+        FUSED_SCREEN_BAD,
+        FUSED_SCREEN_FIELDS,
+        screen_report,
+    )
+
+    kinds = list(kinds or FUSED_SCREEN_FIELDS)
+    full = spark.read.parquet(table_path)
+    units = sorted(full.inputFiles())
+    snapshot = input_snapshot or _snapshot_id(units)
+    run = f"{run_id}:screen[{','.join(kinds)}]"
+
+    done = store.committed(run, snapshot)
+    done_units = set(done["unit"]) if not done.empty else set()
+    todo = [u for u in units if u not in done_units]
+
+    if todo:
+        df = spark.read.schema(full.schema).parquet(*todo).withColumn(
+            "__unit", F.input_file_name()
+        )
+        rep = screen_report(df, kinds, id_cols=["__unit"])
+        aggs = [F.count(F.lit(1)).alias("n_clips")]
+        for kind in kinds:
+            flag = AUDIO_SCREENS[kind][1]
+            bad = FUSED_SCREEN_BAD.get(kind, "n_samples IS NULL")
+            aggs.append(F.count(F.when(F.expr(flag), 1)).alias(f"f_{kind}"))
+            aggs.append(F.count(F.when(F.expr(bad), 1)).alias(f"b_{kind}"))
+        agg = rep.groupBy("__unit").agg(*aggs).toPandas()
+        new_rows = []
+        for _, rec in agg.iterrows():
+            counts = {"n_clips": int(rec["n_clips"])}
+            for kind in kinds:
+                counts[f"f_{kind}"] = int(rec[f"f_{kind}"])
+                counts[f"b_{kind}"] = int(rec[f"b_{kind}"])
+            metrics = {
+                "n_clips": counts["n_clips"],
+                "n_flagged_total": sum(counts[f"f_{k}"] for k in kinds),
+            }
+            new_rows.append(
+                make_commit_row(run, rec["__unit"], snapshot,
+                                pickle.dumps(counts, protocol=4), metrics)
+            )
+        # files with ZERO rows produce no agg groups but must still
+        # commit (else every restart rescans them)
+        seen = {r["unit"] for r in new_rows}
+        for unit in todo:
+            if unit not in seen:
+                zero = {"n_clips": 0}
+                for kind in kinds:
+                    zero[f"f_{kind}"] = zero[f"b_{kind}"] = 0
+                new_rows.append(
+                    make_commit_row(run, unit, snapshot,
+                                    pickle.dumps(zero, protocol=4),
+                                    {"n_clips": 0, "n_flagged_total": 0})
+                )
+        store.append(new_rows)
+
+    committed = store.committed(run, snapshot)
+    blobs = {r.unit: r.acc for r in committed.itertuples()}
+    missing = [u for u in units if u not in blobs]
+    if missing:
+        raise RuntimeError(f"units missing after commit: {missing}")
+    parts = [pickle.loads(blobs[u]) for u in units]
+    totals = pd.DataFrame(
+        [
+            (
+                kind,
+                sum(p["n_clips"] for p in parts),
+                sum(p[f"f_{kind}"] for p in parts),
+                sum(p[f"b_{kind}"] for p in parts),
+            )
+            for kind in kinds
+        ],
+        columns=["kind", "n_clips", "n_flagged", "n_undecodable"],
+    )
+    stats = {
+        "n_units": len(units),
+        "n_recomputed": len(todo),
+        "n_restored": len(units) - len(todo),
+        "snapshot": snapshot,
+    }
+    return totals, stats

@@ -166,6 +166,8 @@ def cmd_screen(args) -> dict:
     if not args.clips and not args.data:
         raise SystemExit("screen needs --data (db dir) or --clips (table ref)")
     kinds = [k.strip() for k in args.kind.split(",") if k.strip()]
+    if getattr(args, "checkpoint", None):
+        return _screen_resumable(args, kinds)
     if len(kinds) > 1:
         return _screen_fused(args, kinds)
     if args.kind not in AUDIO_SCREENS:
@@ -200,6 +202,51 @@ def cmd_screen(args) -> dict:
         "wall_s": round(wall, 3),
         "clips_per_sec": round(row["n"] / wall, 1) if wall > 0 else None,
         "out": args.out,
+    }
+
+
+def _screen_resumable(args, kinds: list[str]) -> dict:
+    """--checkpoint arm of cmd_screen: per-file lineage commits via
+    checkpoint/runner.py resumable_screen, so an interrupted corpus
+    screen restarts without re-decoding committed files.  Fused-capable
+    kinds only (the decode pass is what resume exists to protect);
+    --where/--flag/--out don't compose with file-level lineage and are
+    rejected loudly, same discipline as validate --where."""
+    from drivel_spark.checkpoint import CheckpointStore, resumable_screen
+    from drivel_spark.ops.multimodal import FUSED_SCREEN_FIELDS
+
+    for opt in ("where", "flag", "out"):
+        if getattr(args, opt, None):
+            raise SystemExit(f"--{opt} does not compose with --checkpoint "
+                             "(per-file lineage covers the whole table)")
+    bad_kinds = [k for k in kinds if k not in FUSED_SCREEN_FIELDS]
+    if bad_kinds:
+        raise SystemExit(
+            f"not fused-capable: {bad_kinds}; --checkpoint screening "
+            f"supports {sorted(FUSED_SCREEN_FIELDS)}"
+        )
+    spark = build_session("drivel-screen")
+    ref = args.clips or f"{args.data}/clips"
+    t0 = time.time()
+    totals, stats = resumable_screen(
+        spark, ref, CheckpointStore(args.checkpoint),
+        getattr(args, "run_id", None) or "screen", kinds=kinds,
+    )
+    wall = time.time() - t0
+    n = int(totals["n_clips"].max()) if len(totals) else 0
+    return {
+        "job": "screen",
+        "kinds": kinds,
+        "n_clips": n,
+        "n_flagged_total": int(totals["n_flagged"].sum()),
+        "per_kind": {
+            r["kind"]: {"n_flagged": int(r["n_flagged"]),
+                        "n_undecodable": int(r["n_undecodable"])}
+            for _, r in totals.iterrows()
+        },
+        "wall_s": round(wall, 3),
+        "clips_per_sec": round(n / wall, 1) if wall > 0 else None,
+        "resume": stats,
     }
 
 
@@ -1609,6 +1656,12 @@ def main(argv=None) -> None:
                          "(default: the screen's published policy)")
     sc.add_argument("--where", default=None,
                     help="SQL predicate pushed to the clips scan")
+    sc.add_argument("--checkpoint", default=None,
+                    help="per-file lineage store dir: commit each file's "
+                         "screen counts so an interrupted corpus screen "
+                         "resumes without re-decoding (fused kinds only)")
+    sc.add_argument("--run-id", default=None,
+                    help="lineage run id (default 'screen')")
 
     sd = sub.add_parser("dup-segments")
     sd.add_argument("--data", default=None, help="db dir containing /clips")

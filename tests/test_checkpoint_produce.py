@@ -182,3 +182,84 @@ def test_resumable_row_validation_matches_batch(spark, clip_table, tmp_path):
     )
     assert stats3["n_recomputed"] == stats3["n_units"] - k
     assert pf3.equals(pf)
+
+
+@pytest.fixture()
+def audio_clip_table(spark, tmp_path):
+    path = str(tmp_path / "clips_audio_pq")
+    build_clips(
+        spark, 240, 6,
+        ClipFixtureSpec(with_audio=True, distort_every=5, dropout_every=7),
+    ).write.parquet(path)
+    return path
+
+
+def test_resumable_screen_matches_oneshot_and_resumes(
+    spark, audio_clip_table, tmp_path
+):
+    """Fused-screen resume protocol: per-file screen counts commit with
+    lineage; totals equal a one-shot fused run; a restart decodes
+    nothing; a kill-after-k resume decodes exactly the missing files
+    and still matches; a different kind set recomputes from scratch."""
+    from drivel_spark.checkpoint import resumable_screen
+    from drivel_spark.ops import screen_report
+    from drivel_spark.ops.multimodal import AUDIO_SCREENS, FUSED_SCREEN_BAD
+
+    kinds = ["quality", "dropout"]
+    store = CheckpointStore(str(tmp_path / "sck"))
+    totals, stats = resumable_screen(
+        spark, audio_clip_table, store, "s1", kinds=kinds
+    )
+    assert stats["n_recomputed"] == stats["n_units"] >= 4
+
+    # one-shot fused truth over the same table
+    rep = screen_report(spark.read.parquet(audio_clip_table), kinds)
+    want = {}
+    for kind in kinds:
+        flag = AUDIO_SCREENS[kind][1]
+        bad = FUSED_SCREEN_BAD.get(kind, "n_samples IS NULL")
+        row = rep.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.expr(flag), 1)).alias("f"),
+            F.count(F.when(F.expr(bad), 1)).alias("b"),
+        ).collect()[0]
+        want[kind] = (int(row["n"]), int(row["f"]), int(row["b"]))
+    got = {
+        r["kind"]: (int(r["n_clips"]), int(r["n_flagged"]),
+                    int(r["n_undecodable"]))
+        for _, r in totals.iterrows()
+    }
+    assert got == want
+    assert any(v[1] >= 1 for v in want.values())  # planted defects fire
+
+    # restart: zero recompute, identical totals
+    totals2, stats2 = resumable_screen(
+        spark, audio_clip_table, store, "s1", kinds=kinds
+    )
+    assert stats2["n_recomputed"] == 0 and totals2.equals(totals)
+
+    # kill-after-k: seed a fresh store with half the commits, resume
+    full = spark.read.parquet(audio_clip_table)
+    snap_units = sorted(full.inputFiles())
+    run = "s1:screen[quality,dropout]"
+    committed = store._read_all()
+    committed = committed[committed.run_id == run]
+    k = len(committed) // 2
+    store2 = CheckpointStore(str(tmp_path / "sck2"))
+    store2.append(committed.iloc[:k].to_dict("records"))
+    totals3, stats3 = resumable_screen(
+        spark, audio_clip_table, store2, "s1", kinds=kinds
+    )
+    assert stats3["n_recomputed"] == len(snap_units) - k
+    assert totals3.equals(totals)
+
+    # a different kind set is a different run: full recompute
+    totals4, stats4 = resumable_screen(
+        spark, audio_clip_table, store, "s1", kinds=["quality"]
+    )
+    assert stats4["n_recomputed"] == stats4["n_units"]
+    assert got["quality"] == (
+        int(totals4.iloc[0]["n_clips"]),
+        int(totals4.iloc[0]["n_flagged"]),
+        int(totals4.iloc[0]["n_undecodable"]),
+    )

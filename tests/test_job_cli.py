@@ -945,3 +945,43 @@ def test_screen_verb_fused_multikind(spark, tmp_path):
             argparse.Namespace(data=None, clips=data, kind="quality,dropout",
                                out=None, flag="peak > 0.5", where=None)
         )
+
+
+def test_screen_verb_checkpoint_resume(spark, tmp_path):
+    """screen --checkpoint: per-file lineage makes a re-invocation
+    decode nothing; counts equal the non-resumable fused run; --where
+    is rejected with --checkpoint."""
+    from drivel_spark.fixtures import ClipFixtureSpec, build_clips
+    from drivel_spark.job import cmd_screen
+
+    data = str(tmp_path / "clips_ck")
+    build_clips(
+        spark, 40, 4, ClipFixtureSpec(with_audio=True, dropout_every=4)
+    ).write.parquet(data)
+
+    base = dict(data=None, clips=data, flag=None, where=None, out=None,
+                run_id=None)
+    ck = str(tmp_path / "sck")
+    out1 = cmd_screen(
+        argparse.Namespace(**base, kind="quality,dropout", checkpoint=ck)
+    )
+    assert out1["n_clips"] == 40
+    assert out1["resume"]["n_recomputed"] == out1["resume"]["n_units"]
+    plain = cmd_screen(
+        argparse.Namespace(**base, kind="quality,dropout", checkpoint=None)
+    )
+    assert out1["per_kind"] == plain["per_kind"]
+    out2 = cmd_screen(
+        argparse.Namespace(**base, kind="quality,dropout", checkpoint=ck)
+    )
+    assert out2["resume"]["n_recomputed"] == 0
+    assert out2["per_kind"] == out1["per_kind"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="compose"):
+        cmd_screen(
+            argparse.Namespace(data=None, clips=data, kind="quality",
+                               flag=None, where="sr_hz = 8000", out=None,
+                               run_id=None, checkpoint=ck)
+        )

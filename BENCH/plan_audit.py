@@ -1784,10 +1784,10 @@ def main() -> None:
     p = fmt(screen_report(spark.read.parquet(fused_src)))
     sections.append(
         (
-            "Fused multi-screen kernel (quality/bitdepth/dropout/hum/flatness/bandwidth)",
+            "Fused multi-screen kernel (quality/bitdepth/dropout/hum/flatness/bandwidth/echo)",
             p,
             [
-                "ONE Arrow pass for all six screens (exactly one "
+                "ONE Arrow pass for all seven screens (exactly one "
                 "MapInPandas, no BatchEvalPython): "
                 + ("PASS" if p.count("MapInPandas") >= 1
                    and len(re.findall(r"\(\d+\) MapInPandas", p)) == 1

@@ -473,6 +473,31 @@ def _hum_vals(power_dc0: np.ndarray, sr: int, n: int, harmonics: int,
     return out
 
 
+def _echo_vals(power_raw: np.ndarray, sr: int, n: int, min_lag_ms: float,
+               max_lag_ms: float, strength_thresh: float) -> dict:
+    """``power_raw`` = |rfft(float64 pcm)|² with bin 0 INTACT — the
+    cepstrum's log-power floor (1e-12 · mean) includes DC, unlike the
+    DC-zeroed array the other spectral kernels share."""
+    keys = ("echo_lag", "echo_lag_ms", "echo_strength", "echo_flag")
+    lag_lo = max(1, int(np.ceil(sr * min_lag_ms / 1000.0)))
+    lag_hi = min(int(np.floor(sr * max_lag_ms / 1000.0)), n // 4)
+    if n < 8 or lag_hi <= lag_lo:
+        return {k: None for k in keys}
+    pm = float(power_raw.mean())
+    if pm <= 0.0:
+        return {k: None for k in keys}
+    ceps = np.fft.irfft(np.log(power_raw + 1e-12 * pm), n)
+    seg = ceps[lag_lo : lag_hi + 1]
+    k = int(np.argmax(seg)) + lag_lo
+    s = float(ceps[k])
+    return dict(
+        echo_lag=k,
+        echo_lag_ms=1000.0 * k / sr,
+        echo_strength=s,
+        echo_flag=bool(s >= strength_thresh),
+    )
+
+
 def _flatness_vals(power_dc0: np.ndarray, flat_thresh: float) -> dict:
     """Positive-frequency bins = ``power_dc0[1:]`` (bin 0's value is
     irrelevant — the slice drops it — so the DC-zeroed array shared
@@ -1376,30 +1401,18 @@ def echo_detect(df: DataFrame, bytes_col: str = "bytes",
                     continue
                 x = pcm.astype(np.float64)
                 n = len(x)
-                lag_lo = max(1, int(np.ceil(sr * min_lag_ms / 1000.0)))
-                lag_hi = min(int(np.floor(sr * max_lag_ms / 1000.0)), n // 4)
                 base = dict(n_samples=n, sr_hz=sr)
+                lag_hi = min(int(np.floor(sr * max_lag_ms / 1000.0)), n // 4)
+                lag_lo = max(1, int(np.ceil(sr * min_lag_ms / 1000.0)))
                 if n < 8 or lag_hi <= lag_lo:
                     vals = dict(base, echo_lag=None, echo_lag_ms=None,
                                 echo_strength=None, echo_flag=None)
                 else:
                     spec = np.abs(np.fft.rfft(x))
-                    p = spec * spec
-                    pm = float(p.mean())
-                    if pm <= 0.0:
-                        vals = dict(base, echo_lag=None, echo_lag_ms=None,
-                                    echo_strength=None, echo_flag=None)
-                    else:
-                        ceps = np.fft.irfft(np.log(p + 1e-12 * pm), n)
-                        seg = ceps[lag_lo : lag_hi + 1]
-                        k = int(np.argmax(seg)) + lag_lo
-                        s = float(ceps[k])
-                        vals = dict(
-                            base, echo_lag=k,
-                            echo_lag_ms=1000.0 * k / sr,
-                            echo_strength=s,
-                            echo_flag=bool(s >= strength_thresh),
-                        )
+                    vals = dict(base, **_echo_vals(
+                        spec * spec, sr, n, min_lag_ms, max_lag_ms,
+                        strength_thresh,
+                    ))
                 for k in keys:
                     cols[k].append(vals[k])
             yield pd.DataFrame({**rows, **cols})
@@ -2720,6 +2733,8 @@ FUSED_SCREEN_FIELDS: dict = {
                  "noise_like boolean"),
     "bandwidth": ("rolloff_bin long, rolloff_hz double, "
                   "highband_ratio double, narrowband boolean"),
+    "echo": ("echo_lag long, echo_lag_ms double, echo_strength double, "
+             "echo_flag boolean"),
 }
 
 # The fused report keeps n_samples/sr_hz as DECODE facts, while two of
@@ -2740,11 +2755,14 @@ def screen_report(df: DataFrame, kinds: Optional[list[str]] = None,
                   harmonics: int = 3, tol_hz: float = 2.0,
                   flat_thresh: float = 0.3, rolloff_q: float = 0.95,
                   highband_frac: float = 0.8,
-                  narrowband_frac: float = 0.5) -> DataFrame:
+                  narrowband_frac: float = 0.5,
+                  min_lag_ms: float = 10.0, max_lag_ms: float = 250.0,
+                  strength_thresh: float = 0.2) -> DataFrame:
     """Fused multi-screen report: ONE decode per clip (and one shared
-    DC-zeroed rFFT power for however many of hum/flatness/bandwidth are
-    selected) feeding every selected screen's metric kernel — the
-    column union of the single-screen reports.  Running k fused-capable
+    rFFT power for however many of hum/flatness/bandwidth/echo are
+    selected — echo reads it DC-intact, the others DC-zeroed) feeding
+    every selected screen's metric kernel — the column union of the
+    single-screen reports.  Running k fused-capable
     screens over a 10^12-clip corpus costs one byte scan + one decode
     pass instead of k of each; decode dominates every screen, so this
     is the difference between k corpus passes and one.
@@ -2778,7 +2796,10 @@ def screen_report(df: DataFrame, kinds: Optional[list[str]] = None,
     keys = ["n_samples", "sr_hz"]
     for kind in kinds:
         keys.extend(fields[kind])
-    need_fft = any(k in ("hum", "flatness", "bandwidth") for k in kinds)
+    need_fft = any(
+        k in ("hum", "flatness", "bandwidth", "echo") for k in kinds
+    )
+    has_echo = "echo" in kinds
 
     def fn(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
@@ -2798,12 +2819,13 @@ def screen_report(df: DataFrame, kinds: Optional[list[str]] = None,
                 n = len(pcm)
                 cols["n_samples"].append(n)
                 cols["sr_hz"].append(sr)
-                power = None
+                power = praw = None
                 if need_fft and n >= 4:
                     spec = np.abs(np.fft.rfft(pcm.astype(np.float64)))
-                    spec[0] = 0.0  # DC is level — all three spectral
-                    power = spec * spec  # kernels exclude it anyway
-                for kind in kinds:
+                    praw = spec * spec  # echo's cepstral floor keeps DC
+                    power = praw.copy() if has_echo else praw
+                    power[0] = 0.0  # DC is level — hum/flatness/
+                for kind in kinds:  # bandwidth exclude it
                     if kind == "quality":
                         vals = _quality_vals(pcm, clip_thresh)
                     elif kind == "bitdepth":
@@ -2817,6 +2839,9 @@ def screen_report(df: DataFrame, kinds: Optional[list[str]] = None,
                         vals = _hum_vals(power, sr, n, harmonics, tol_hz)
                     elif kind == "flatness":
                         vals = _flatness_vals(power, flat_thresh)
+                    elif kind == "echo":
+                        vals = _echo_vals(praw, sr, n, min_lag_ms,
+                                          max_lag_ms, strength_thresh)
                     else:  # bandwidth
                         vals = _bandwidth_vals(power, sr, n, rolloff_q,
                                                highband_frac,

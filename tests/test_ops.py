@@ -4581,7 +4581,7 @@ def _fused_fixture_df(spark):
 
     spec = ClipFixtureSpec(
         with_audio=True, distort_every=5, requantize_every=6,
-        dropout_every=7, hum_every=9, noise_every=11,
+        dropout_every=7, hum_every=9, noise_every=11, echo_every=13,
     )
     pdf = clips_pdf(range(60), spec)
     edge = pd.DataFrame(
@@ -4642,6 +4642,7 @@ def test_screen_report_fused_equals_single_ops(spark):
             ("hum", "hum_ratio_50",
              (fused["hum_ratio_50"] > 0.005) | (fused["hum_ratio_60"] > 0.005)),
             ("flatness", "noise_like", fused["noise_like"] == True),  # noqa: E712
+            ("echo", "echo_flag", fused["echo_flag"] == True),  # noqa: E712
         ):
             assert expect.sum() >= 1, f"{kind} planted defects not flagged"
     finally:
@@ -4661,6 +4662,7 @@ def test_screen_report_fields_match_single_op_schemas(spark):
         "hum": mm.HUM_SCHEMA,
         "flatness": mm.SPECTRAL_FLATNESS_SCHEMA,
         "bandwidth": mm.BANDWIDTH_SCHEMA,
+        "echo": mm.ECHO_SCHEMA,
     }
     prefix = "n_samples long, sr_hz int, "
     for kind, schema in schemas.items():

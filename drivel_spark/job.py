@@ -185,10 +185,14 @@ def cmd_screen(args) -> dict:
     if args.out:
         rep.write.mode("overwrite").parquet(args.out)
         rep = spark.read.parquet(args.out)
+    from drivel_spark.ops.multimodal import screen_undecodable_col
+
     flag = args.flag or default_flag
     row = rep.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count(F.when(F.col("n_samples").isNull(), 1)).alias("bad"),
+        F.count(
+            F.when(F.col(screen_undecodable_col(rep)).isNull(), 1)
+        ).alias("bad"),
         F.count(F.when(F.expr(flag), 1)).alias("flagged"),
     ).collect()[0]
     wall = time.time() - t0

@@ -2737,6 +2737,17 @@ FUSED_SCREEN_FIELDS: dict = {
              "echo_flag boolean"),
 }
 
+def screen_undecodable_col(rep: DataFrame) -> str:
+    """Column whose NULLity marks an undecodable clip in a screen's
+    report: every screen reports decode-level ``n_samples`` except
+    ``snr_estimate``, whose report is frame-level (``n_frames`` — NULL
+    on undecodable, 0 on shorter-than-one-frame).  The screen CLI verb
+    and the streaming fallback count undecodables through this, so a
+    frame-level screen doesn't break them (found the hard way:
+    `screen-stream --kinds all` crashed on snr's missing n_samples)."""
+    return "n_samples" if "n_samples" in rep.columns else "n_frames"
+
+
 # The fused report keeps n_samples/sr_hz as DECODE facts, while two of
 # the single ops also NULL n_samples when their own guard fires; counting
 # "undecodable" off the fused report therefore uses these per-kind

@@ -52,6 +52,7 @@ from ..ops.multimodal import (
     FUSED_SCREEN_BAD,
     FUSED_SCREEN_FIELDS,
     screen_report,
+    screen_undecodable_col,
 )
 
 SCREEN_REPORT_SCHEMA = (
@@ -98,13 +99,13 @@ def screen_stream(
     batch ``screen --flag`` verb offers).  ``id_cols`` (default
     ``["clip_id"]``) are carried into the quarantine rows.
 
-    When every requested kind is fused-capable (FUSED_SCREEN_FIELDS),
-    the micro-batch is decoded ONCE through the fused screen_report
-    kernel and all flag/undecodable counts reduce in one aggregation;
-    otherwise each screen decodes the batch independently (k Arrow
-    passes over the NEW clips only), with the micro-batch persisted so
-    the k passes and the quarantine filter share one read of the
-    source files.
+    The fused-capable subset of ``kinds`` (≥2 of FUSED_SCREEN_FIELDS)
+    is decoded ONCE per micro-batch through the fused screen_report
+    kernel with all its flag/undecodable counts in one aggregation;
+    the remaining kinds each decode the batch once more (persisted so
+    those passes and the quarantine filter share one read of the
+    source files).  ``kinds='all'`` therefore costs 1 + n_non_fused
+    decode passes, not len(kinds).
     """
     screens = _resolve(kinds, flags)
     ids = list(id_cols or ["clip_id"])
@@ -114,112 +115,100 @@ def screen_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
-    # fused fast path: when every requested screen's math is factored
-    # into the shared per-clip kernels, the whole micro-batch costs ONE
-    # decode pass (plus one shuffle-free agg job) instead of k — see
-    # ops/multimodal.py screen_report.  Counts stay identical to the
-    # per-screen ops (FUSED_SCREEN_BAD carries the two guard quirks).
-    fused = all(kind in FUSED_SCREEN_FIELDS for kind, _, _ in screens)
-
-    def _commit_report(report: DataFrame, batch_id: int) -> None:
-        # idempotent per-batch commit: overwrite THIS batch's dir
-        report.coalesce(1).write.mode("overwrite").parquet(
-            f"{report_dir}/batch_id={int(batch_id)}"
-        )
-
-    def _fused_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark import StorageLevel
-
-        spark = batch_df.sparkSession
-        rep = screen_report(batch_df, [kind for kind, _, _ in screens],
-                            id_cols=ids)
-        if quarantine_dir is not None:
-            # two jobs read the (small, bytes-free) metric report: keep
-            # the single decode pass single by persisting its output
-            rep = rep.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            aggs = [F.count(F.lit(1)).alias("__n")]
-            for kind, _, flag in screens:
-                bad = FUSED_SCREEN_BAD.get(kind, "n_samples IS NULL")
-                aggs.append(
-                    F.count(F.when(F.expr(flag), 1)).alias(f"__f_{kind}")
-                )
-                aggs.append(
-                    F.count(F.when(F.expr(bad), 1)).alias(f"__b_{kind}")
-                )
-            row = rep.agg(*aggs).collect()[0]
-            if row["__n"] == 0:
-                return
-            report = spark.createDataFrame(
-                [
-                    (kind, int(row["__n"]), int(row[f"__f_{kind}"]),
-                     int(row[f"__b_{kind}"]))
-                    for kind, _, _ in screens
-                ],
-                SCREEN_REPORT_SCHEMA,
-            )
-            _commit_report(report, batch_id)
-            if quarantine_dir is not None:
-                flag_arr = F.array_compact(
-                    F.array(
-                        *[
-                            F.when(F.expr(flag), F.lit(kind)).otherwise(
-                                F.lit(None)
-                            )
-                            for kind, _, flag in screens
-                        ]
-                    )
-                )
-                (
-                    rep.select(*ids, F.explode(flag_arr).alias("kind"))
-                    .write.mode("overwrite")
-                    .parquet(f"{quarantine_dir}/batch_id={int(batch_id)}")
-                )
-        finally:
-            if quarantine_dir is not None:
-                rep.unpersist()
+    # fused subset: every screen whose math lives in the shared
+    # per-clip kernels runs in ONE decode pass (ops/multimodal.py
+    # screen_report) with all its flag/undecodable counts in one
+    # shuffle-free aggregation; the remaining kinds fall back to one
+    # Arrow pass each.  `--kinds all` thus costs (1 + n_non_fused)
+    # decode passes per micro-batch, not len(kinds).  Counts stay
+    # identical to the per-screen ops (FUSED_SCREEN_BAD carries the
+    # two guard quirks).  Fusing a single kind buys nothing — it stays
+    # on its own op.
+    fused_screens = [s for s in screens if s[0] in FUSED_SCREEN_FIELDS]
+    rest_screens = [s for s in screens if s[0] not in FUSED_SCREEN_FIELDS]
+    if len(fused_screens) < 2:
+        fused_screens, rest_screens = [], list(screens)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark import StorageLevel
 
-        if fused:
-            _fused_batch(batch_df, batch_id)
-            return
-        # k screens + optional quarantine each scan the batch: share
-        # one read of the source files (decode itself still runs per
-        # screen — each op owns its Arrow kernel)
-        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        spark = batch_df.sparkSession
+        persisted = []
         try:
-            if batch_df.isEmpty():
-                return
-            summaries = []
+            if rest_screens:
+                # the per-op passes (and the quarantine filter) re-scan
+                # the batch: share one read of the source files
+                batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted.append(batch_df)
+                if batch_df.isEmpty():
+                    return
+            counts: dict = {}
             flagged = []
-            for kind, op, flag in screens:
-                rep = op(batch_df)
-                summaries.append(
-                    rep.agg(
-                        F.count(F.lit(1)).alias("n_clips"),
-                        F.count(F.when(F.expr(flag), 1)).alias("n_flagged"),
-                        F.count(
-                            F.when(F.col("n_samples").isNull(), 1)
-                        ).alias("n_undecodable"),
-                    ).select(
-                        F.lit(kind).alias("kind"),
-                        "n_clips",
-                        "n_flagged",
-                        "n_undecodable",
-                    )
+            if fused_screens:
+                rep = screen_report(
+                    batch_df, [kind for kind, _, _ in fused_screens],
+                    id_cols=ids,
                 )
                 if quarantine_dir is not None:
+                    # the quarantine projection is a second job over the
+                    # (small, bytes-free) metric report: keep the single
+                    # decode pass single by persisting its output
+                    rep = rep.persist(StorageLevel.MEMORY_AND_DISK)
+                    persisted.append(rep)
+                aggs = [F.count(F.lit(1)).alias("__n")]
+                for kind, _, flag in fused_screens:
+                    bad = FUSED_SCREEN_BAD.get(kind, "n_samples IS NULL")
+                    aggs.append(
+                        F.count(F.when(F.expr(flag), 1)).alias(f"__f_{kind}")
+                    )
+                    aggs.append(
+                        F.count(F.when(F.expr(bad), 1)).alias(f"__b_{kind}")
+                    )
+                row = rep.agg(*aggs).collect()[0]
+                if row["__n"] == 0 and not rest_screens:
+                    return
+                for kind, _, _ in fused_screens:
+                    counts[kind] = (int(row["__n"]), int(row[f"__f_{kind}"]),
+                                    int(row[f"__b_{kind}"]))
+                if quarantine_dir is not None:
+                    flag_arr = F.array_compact(
+                        F.array(
+                            *[
+                                F.when(F.expr(flag), F.lit(kind)).otherwise(
+                                    F.lit(None)
+                                )
+                                for kind, _, flag in fused_screens
+                            ]
+                        )
+                    )
                     flagged.append(
-                        rep.filter(F.expr(flag)).select(
+                        rep.select(*ids, F.explode(flag_arr).alias("kind"))
+                    )
+            for kind, op, flag in rest_screens:
+                r = op(batch_df)
+                row = r.agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.count(F.when(F.expr(flag), 1)).alias("__f"),
+                    F.count(
+                        F.when(F.col(screen_undecodable_col(r)).isNull(), 1)
+                    ).alias("__b"),
+                ).collect()[0]
+                counts[kind] = (int(row["__n"]), int(row["__f"]),
+                                int(row["__b"]))
+                if quarantine_dir is not None:
+                    flagged.append(
+                        r.filter(F.expr(flag)).select(
                             *ids, F.lit(kind).alias("kind")
                         )
                     )
-            report = summaries[0]
-            for s in summaries[1:]:
-                report = report.unionByName(s)
-            _commit_report(report, batch_id)
+            report = spark.createDataFrame(
+                [(kind, *counts[kind]) for kind, _, _ in screens],
+                SCREEN_REPORT_SCHEMA,
+            )
+            # idempotent per-batch commit: overwrite THIS batch's dir
+            report.coalesce(1).write.mode("overwrite").parquet(
+                f"{report_dir}/batch_id={int(batch_id)}"
+            )
             if quarantine_dir is not None:
                 q = flagged[0]
                 for fdf in flagged[1:]:
@@ -228,7 +217,8 @@ def screen_stream(
                     f"{quarantine_dir}/batch_id={int(batch_id)}"
                 )
         finally:
-            batch_df.unpersist()
+            for df in persisted:
+                df.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

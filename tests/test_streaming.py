@@ -688,21 +688,20 @@ SCREEN_KINDS = ["quality", "dropout", "hum"]
 def _screen_batch_counts(spark, source, kinds):
     """Batch-side truth: each screen run over the full source snapshot
     (same ops, same published flag policies the stream uses)."""
-    from drivel_spark.ops.multimodal import AUDIO_SCREENS
+    from drivel_spark.ops.multimodal import AUDIO_SCREENS, screen_undecodable_col
 
     df = spark.read.parquet(source)
     out = {}
     for kind in kinds:
         op, flag = AUDIO_SCREENS[kind]
-        row = (
-            op(df)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.expr(flag), 1)).alias("fl"),
-                F.count(F.when(F.col("n_samples").isNull(), 1)).alias("bad"),
-            )
-            .collect()[0]
-        )
+        rep = op(df)
+        row = rep.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.expr(flag), 1)).alias("fl"),
+            F.count(
+                F.when(F.col(screen_undecodable_col(rep)).isNull(), 1)
+            ).alias("bad"),
+        ).collect()[0]
         out[kind] = (int(row["n"]), int(row["fl"]), int(row["bad"]))
     return out
 
@@ -841,6 +840,51 @@ def test_screen_stream_nonfused_fallback_matches_batch(spark, tmp_path):
         kinds,
         report,
         str(tmp_path / "nf_ckpt"),
+        quarantine_dir=quar,
+    )
+    assert _screen_stream_totals(spark, report) == _screen_batch_counts(
+        spark, source, kinds
+    )
+    got = {
+        (r["clip_id"], r["kind"])
+        for r in spark.read.option("basePath", quar)
+        .parquet(f"{quar}/batch_id=*")
+        .collect()
+    }
+    want = set()
+    full = spark.read.parquet(source)
+    for kind in kinds:
+        op, flag = AUDIO_SCREENS[kind]
+        for r in op(full).filter(F.expr(flag)).select("clip_id").collect():
+            want.add((r["clip_id"], kind))
+    assert got == want
+
+
+def test_screen_stream_mixed_kinds_matches_batch(spark, tmp_path):
+    """A mix of fused-capable and non-fused kinds splits the micro-batch
+    work (one fused pass + one per non-fused op); totals and quarantine
+    must still equal the batch ops, in the requested kind order."""
+    from drivel_spark.ops.multimodal import AUDIO_SCREENS, FUSED_SCREEN_FIELDS
+    from drivel_spark.streaming import screen_stream
+
+    kinds = ["quality", "loudness", "dropout", "snr"]
+    assert [k for k in kinds if k in FUSED_SCREEN_FIELDS] == [
+        "quality", "dropout"
+    ]
+    source = str(tmp_path / "clips_mx")
+    report = str(tmp_path / "mx_report")
+    quar = str(tmp_path / "mx_quar")
+    pdf = clips_pdf(range(0, 100), SCREEN_SPEC)
+    spark.createDataFrame(pdf, CLIPS_SCHEMA).coalesce(2).write.mode(
+        "append"
+    ).parquet(source)
+    screen_stream(
+        spark,
+        source,
+        CLIPS_SCHEMA,
+        kinds,
+        report,
+        str(tmp_path / "mx_ckpt"),
         quarantine_dir=quar,
     )
     assert _screen_stream_totals(spark, report) == _screen_batch_counts(

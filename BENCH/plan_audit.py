@@ -1803,6 +1803,46 @@ def main() -> None:
         )
     )
 
+    # 27. violation slice attribution: one scan, exact grouping sets,
+    # literal base rate (no self-join recompute — ops/audit.py docstring)
+    from drivel_spark.ops import top_violation_slices, violation_slice_report
+
+    docs_v = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vrep = top_violation_slices(
+        violation_slice_report(
+            docs_v, "n_chars < 180", ["lang", "source"], max_order=2
+        ),
+        20,
+    )
+    vrep.collect()
+    p = fmt(vrep)
+    sections.append(
+        (
+            "Violation slice attribution (grouping-sets cube + literal base rate)",
+            p,
+            [
+                "exactly the 4 needed grouping sets expanded "
+                "(grand total + 2 singles + 1 pair, not all 2^d): "
+                + ("PASS" if (lambda m: m and m.group(0)
+                              .split("]], [")[0].count("[__viol#") == 4)(
+                       re.search(r"Arguments: \[\[__viol#[^\n]*", p))
+                   else "FAIL"),
+                "partial+final hash agg over the expand: "
+                + ("PASS" if p.count("HashAggregate") >= 2 else "FAIL"),
+                "ONE scan of the source — base rate injected as a "
+                "literal, slices read the persisted aggregate (no "
+                "self-join recompute): "
+                + ("PASS" if len(set(re.findall(r"Scan parquet\s+\((\d+)\)", p))) <= 1
+                   and "InMemoryTableScan" in p else "FAIL"),
+                "scan pruned to dims + flag column (text never read): "
+                + ("PASS" if not re.search(r"ReadSchema:[^\n]*\btext\b", p)
+                   else "FAIL"),
+                "top-20 plans as TakeOrdered, no global sort: "
+                + ("PASS" if "TakeOrderedAndProject" in p else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

@@ -1039,6 +1039,51 @@ def cmd_validate(args) -> dict:
             enforce["n_clean"] = int(spark.read.parquet(clean_out).count())
         enforce["enforce_wall_s"] = round(time.time() - t1, 3)
 
+    # ---- violation slice attribution (outside the timed region) -----
+    # --slice-dims codec,sr_hz: which dim combination concentrates the
+    # row-level violations (ops/audit.py).  Numerators come from the
+    # already-materialized violations table (keep-columns carry the
+    # dims), denominators from a dims-only narrow scan — the payload
+    # bytes and the constraint exprs (incl. the SNR decode) never
+    # re-evaluate.
+    slices_out: list | None = None
+    if getattr(args, "slice_dims", None):
+        from drivel_spark.ops import (
+            top_violation_slices,
+            violation_slice_report_from_tables,
+        )
+
+        dims = [d.strip() for d in args.slice_dims.split(",") if d.strip()]
+        missing = [d for d in dims if d not in res.violations.columns]
+        if missing:
+            raise SystemExit(
+                f"--slice-dims {missing} not in the violation report's "
+                f"kept columns {res.violations.columns}; add them to "
+                "keep_columns or pick from those"
+            )
+        srep = violation_slice_report_from_tables(
+            clips, res.violations, dims, max_order=min(2, len(dims))
+        )
+        top = top_violation_slices(srep, 10)
+        if args.report:
+            srep.coalesce(1).write.mode("overwrite").parquet(
+                f"{args.report}/slices"
+            )
+        slices_out = [
+            {
+                **{d: r[d] for d in dims},
+                # 1 = dim aggregated out ("any"), disambiguating a
+                # genuine NULL dim value in the row above
+                **{f"g_{d}": int(r[f"g_{d}"]) for d in dims},
+                "slice_order": int(r["slice_order"]),
+                "n_rows": int(r["n_rows"]),
+                "n_viol": int(r["n_viol"]),
+                "lift": None if r["lift"] is None else round(float(r["lift"]), 4),
+                "excess": round(float(r["excess"]), 2),
+            }
+            for r in top.collect()
+        ]
+
     return {
         "job": "validate",
         "master": spark.sparkContext.master,
@@ -1059,6 +1104,7 @@ def cmd_validate(args) -> dict:
         "check_audio": bool(args.check_audio and meta.get("with_audio")),
         "phases": phases,
         "enforce": enforce,
+        "violation_slices": slices_out,
     }
 
 
@@ -1715,6 +1761,11 @@ def main(argv=None) -> None:
                     help="enforcement: write FULL source rows that passed "
                          "every row-level constraint to this parquet dir "
                          "(violating clip_ids excluded via left_anti)")
+    sv.add_argument("--slice-dims", default=None,
+                    help="comma list of kept columns (e.g. codec,sr_hz): "
+                         "attribute row-level violations to dim slices "
+                         "(ops/audit.py violation_slice_report); top-10 on "
+                         "stdout, full report to <report>/slices")
 
     svd = sub.add_parser("validate-delta")
     svd.add_argument("--data", required=True, help="NEW snapshot db dir")

@@ -796,3 +796,223 @@ def file_clustering_summary(
         "*",
         (F.col("overlapping_pairs") == 0).alias("perfectly_clustered"),
     )
+
+
+# --------------------------------------------------------------------------
+# violation slice attribution
+# --------------------------------------------------------------------------
+
+
+def violation_slice_report(
+    df: DataFrame,
+    flag,
+    dims,
+    max_order: int = 2,
+    min_rows: int = 1,
+) -> DataFrame:
+    """Which SLICE of the table concentrates the violations?  The step
+    after a validation pass (reference scope: hgrsd/drivel's check loop
+    reports pass/fail per value, src/infer.rs; this attributes the
+    failures): given a per-row violation predicate ``flag`` (Column or
+    SQL string) and candidate ``dims`` (e.g. codec, sr_hz bucket,
+    ingest day), score every dimension combination of order
+    1..``max_order`` by how much MORE it violates than the table does
+    overall — the SliceFinder-style triage that turns "6,335 violation
+    rows" into "codec='amr' x sr_hz=8000 carries 92% of them".
+
+    Output: one row per slice — the ``dims`` columns (NULL where the
+    slice aggregates a dim away), a ``g_<dim>`` 0/1 flag per dim (1 =
+    aggregated out, disambiguating a genuine NULL dim value from
+    "any"), ``slice_order`` (how many dims the slice binds),
+    ``n_rows``, ``n_viol``, ``viol_rate``, the table-wide
+    ``base_rate``, ``lift`` (rate/base, NULL when base is 0) and
+    ``excess`` (n_viol − n_rows·base_rate — the count of violations
+    this slice contributes beyond its fair share; additive, so it
+    ranks big-and-bad above tiny-but-perfectly-bad, which pure lift
+    inverts).
+
+    Scale shape: ONE pass — explicit GROUPING SETS of exactly the
+    orders 1..``max_order`` plus the grand total (a naive ``cube``
+    would expand all 2^d sets and, because the order filters push
+    below the partial aggregation, Catalyst would plan the total and
+    the slices as TWO scans of the source; measured on the plan).
+    The expand multiplies rows by the number of kept sets only,
+    feeding a partial+final COUNT aggregation that is skew-immune
+    because hot slices collapse map-side.  The aggregated result —
+    O(#slices), report-sized — is persisted; the grand-total row that
+    anchors ``base_rate`` is read from it with a single-row ``first()``
+    (driver-bounded O(1), the same bounded-collect discipline as
+    selection.exact_quantile — a broadcast self-join was tried and
+    rejected: DeduplicateRelations re-IDs the join's right side, the
+    cache lookup misses, and the total recomputes from a SECOND file
+    scan) and injected as a literal, so the slice arithmetic is pure
+    codegen over the cached table.  The op is therefore eager: the one
+    aggregation pass runs at call time.
+    """
+    import itertools
+
+    dims = list(dims)
+    flag_col = F.expr(flag) if isinstance(flag, str) else flag
+    src = df.select(
+        *dims, flag_col.cast("boolean").alias("__viol")
+    )
+    sets = [[]] + [
+        list(combo)
+        for k in range(1, min(int(max_order), len(dims)) + 1)
+        for combo in itertools.combinations(dims, k)
+    ]
+    grouped = (
+        src.groupingSets(sets, *dims)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("__viol").cast("long")), F.lit(0)
+            ).alias("n_viol"),
+            *[F.grouping(c).cast("int").alias(f"g_{c}") for c in dims],
+        )
+    )
+    order_expr = F.lit(len(dims))
+    for c in dims:
+        order_expr = order_expr - F.col(f"g_{c}")
+    grouped = grouped.withColumn(
+        "slice_order", order_expr.cast("int")
+    ).persist()
+    total = grouped.where(F.col("slice_order") == 0).first()
+    t_rows = int(total["n_rows"]) if total is not None else 0
+    t_viol = int(total["n_viol"]) if total is not None else 0
+    # float(int)/float(int) is the same IEEE-754 division both Spark
+    # and any ANSI oracle perform on CAST(viol AS DOUBLE)/rows
+    base = float(t_viol) / float(t_rows) if t_rows else 0.0
+    slices = grouped.where(
+        (F.col("slice_order") >= 1)
+        & (F.col("slice_order") <= int(max_order))
+        & (F.col("n_rows") >= int(min_rows))
+    )
+    viol_rate = F.col("n_viol").cast("double") / F.col("n_rows")
+    return (
+        slices.withColumn("viol_rate", viol_rate)
+        .withColumn("base_rate", F.lit(base))
+        .withColumn(
+            "lift",
+            F.when(
+                F.col("base_rate") > 0, F.col("viol_rate") / F.col("base_rate")
+            ),
+        )
+        .withColumn(
+            "excess",
+            F.col("n_viol").cast("double")
+            - F.col("n_rows") * F.col("base_rate"),
+        )
+    )
+
+
+def top_violation_slices(report: DataFrame, k: int = 20) -> DataFrame:
+    """Deterministic top-``k`` of a :func:`violation_slice_report` by
+    contributed excess violations (desc), tie-broken by the grouping
+    flags then the dim values (NULLS FIRST, matching the flags).  Plans
+    as TakeOrdered — no global sort."""
+    dims = [c[2:] for c in report.columns if c.startswith("g_")]
+    return report.orderBy(
+        F.desc("excess"),
+        *[F.col(f"g_{c}") for c in dims],
+        *[F.col(c).asc_nulls_first() for c in dims],
+    ).limit(k)
+
+
+def _slice_counts(df: DataFrame, dims, max_order: int) -> DataFrame:
+    """Grouping-sets count table shared by the slice-attribution ops:
+    one row per slice of order 0..max_order with ``n, g_<dim>...,
+    slice_order``.  Persisted (O(#slices), report-sized)."""
+    import itertools
+
+    sets = [[]] + [
+        list(combo)
+        for k in range(1, min(int(max_order), len(dims)) + 1)
+        for combo in itertools.combinations(dims, k)
+    ]
+    out = (
+        df.groupingSets(sets, *dims)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.grouping(c).cast("int").alias(f"g_{c}") for c in dims],
+        )
+    )
+    order_expr = F.lit(len(dims))
+    for c in dims:
+        order_expr = order_expr - F.col(f"g_{c}")
+    return out.withColumn("slice_order", order_expr.cast("int")).persist()
+
+
+def violation_slice_report_from_tables(
+    full_df: DataFrame,
+    viol_df: DataFrame,
+    dims,
+    max_order: int = 2,
+    min_rows: int = 1,
+) -> DataFrame:
+    """:func:`violation_slice_report` when the violating rows already
+    exist as their own table (the shape a validation pass hands you —
+    ``validate().violations`` carries the keep-columns, so the dims
+    ride along for free) and re-evaluating the row predicate on the
+    full table would repeat expensive work (the audio-SNR decode
+    tier).  Row-for-row identical to
+    ``violation_slice_report(full_df, flag, dims)`` when ``viol_df ==
+    full_df.where(flag)`` (pinned by test).
+
+    Scale shape: TWO grouping-sets COUNT aggregations — one over a
+    dims-only projection of the full table (narrow scan; the payload
+    column is never read), one over the violation table — each
+    persisted at O(#slices), then a null-safe equi-join of the two
+    slice tables at slice granularity.  Nothing data-sized shuffles
+    beyond the two counting exchanges; base rates come from the two
+    grand-total rows via single-row ``first()`` (driver-bounded).
+    """
+    dims = list(dims)
+    den = _slice_counts(full_df.select(*dims), dims, max_order)
+    num = _slice_counts(viol_df.select(*dims), dims, max_order)
+    t_den = den.where(F.col("slice_order") == 0).first()
+    t_num = num.where(F.col("slice_order") == 0).first()
+    t_rows = int(t_den["n"]) if t_den is not None else 0
+    t_viol = int(t_num["n"]) if t_num is not None else 0
+    base = float(t_viol) / float(t_rows) if t_rows else 0.0
+    den_s = den.where(
+        (F.col("slice_order") >= 1) & (F.col("n") >= int(min_rows))
+    )
+    num_s = num.where(F.col("slice_order") >= 1).select(
+        *dims,
+        *[F.col(f"g_{c}").alias(f"__ng_{c}") for c in dims],
+        F.col("n").alias("__n_viol"),
+    )
+    cond = None
+    for c in dims:
+        clause = F.col(f"den.{c}").eqNullSafe(F.col(f"num.{c}")) & (
+            F.col(f"den.g_{c}") == F.col(f"num.__ng_{c}")
+        )
+        cond = clause if cond is None else (cond & clause)
+    joined = (
+        den_s.alias("den")
+        .join(num_s.alias("num"), cond, "left")
+        .select(
+            *[F.col(f"den.{c}").alias(c) for c in dims],
+            *[F.col(f"den.g_{c}").alias(f"g_{c}") for c in dims],
+            F.col("den.slice_order").alias("slice_order"),
+            F.col("den.n").alias("n_rows"),
+            F.coalesce(F.col("num.__n_viol"), F.lit(0)).alias("n_viol"),
+        )
+    )
+    viol_rate = F.col("n_viol").cast("double") / F.col("n_rows")
+    return (
+        joined.withColumn("viol_rate", viol_rate)
+        .withColumn("base_rate", F.lit(base))
+        .withColumn(
+            "lift",
+            F.when(
+                F.col("base_rate") > 0, F.col("viol_rate") / F.col("base_rate")
+            ),
+        )
+        .withColumn(
+            "excess",
+            F.col("n_viol").cast("double")
+            - F.col("n_rows") * F.col("base_rate"),
+        )
+    )

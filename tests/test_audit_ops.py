@@ -571,3 +571,140 @@ def test_cross_modal_consistency(spark):
     assert s2["n_dup_audio_groups"] == 5
     assert s2["n_conflicting_groups"] == 4
     assert s2["n_conflicting_clips"] == 8
+
+
+# --------------------------------------------------------------------------
+# violation slice attribution
+# --------------------------------------------------------------------------
+
+
+def _slice_replay(rows, dims, flag, max_order):
+    """Local itertools replay of violation_slice_report: every dim
+    combination of order 1..max_order, counts over the raw rows."""
+    import itertools
+
+    out = {}
+    t_rows = len(rows)
+    t_viol = sum(1 for r in rows if flag(r))
+    base = t_viol / t_rows
+    for order in range(1, max_order + 1):
+        for combo in itertools.combinations(range(len(dims)), order):
+            groups = {}
+            for r in rows:
+                key = tuple(r[dims[i]] if i in combo else "__ANY__" for i in range(len(dims)))
+                n, v = groups.get(key, (0, 0))
+                groups[key] = (n + 1, v + (1 if flag(r) else 0))
+            for key, (n, v) in groups.items():
+                out[key] = {
+                    "n_rows": n,
+                    "n_viol": v,
+                    "viol_rate": v / n,
+                    "base_rate": base,
+                    "lift": (v / n) / base if base > 0 else None,
+                    "excess": v - n * base,
+                }
+    return out
+
+
+def test_violation_slices_planted_and_null_dim(spark):
+    """A planted bad slice tops the excess ranking; a genuine NULL dim
+    value stays distinct from the aggregated-out 'any' slice via the
+    g_ flags; counts/rates match a local replay exactly."""
+    from drivel_spark.ops import top_violation_slices, violation_slice_report
+
+    rows = (
+        # healthy bulk: 60 rows, 10% violations across (wav, s1)
+        [{"codec": "wav", "shard": "s1", "bad": i % 10 == 0} for i in range(60)]
+        # planted: amr x s2 violates 90%
+        + [{"codec": "amr", "shard": "s2", "bad": i % 10 != 0} for i in range(30)]
+        # NULL codec rows — a real NULL value, not "any"
+        + [{"codec": None, "shard": "s1", "bad": True} for _ in range(5)]
+        + [{"codec": None, "shard": "s1", "bad": False} for _ in range(5)]
+    )
+    df = spark.createDataFrame(
+        [(r["codec"], r["shard"], r["bad"]) for r in rows],
+        "codec string, shard string, bad boolean",
+    )
+    rep = violation_slice_report(
+        df, F.col("bad"), ["codec", "shard"], max_order=2
+    )
+    got = {
+        tuple(
+            ("__ANY__" if r[f"g_{d}"] == 1 else r[d]) for d in ("codec", "shard")
+        ): r
+        for r in rep.collect()
+    }
+    want = _slice_replay(rows, ["codec", "shard"], lambda r: r["bad"], 2)
+    assert set(got) == set(want)
+    for key, w in want.items():
+        g = got[key]
+        assert g["n_rows"] == w["n_rows"], key
+        assert g["n_viol"] == w["n_viol"], key
+        assert g["viol_rate"] == pytest.approx(w["viol_rate"], abs=1e-12)
+        assert g["base_rate"] == pytest.approx(w["base_rate"], abs=1e-12)
+        assert g["excess"] == pytest.approx(w["excess"], abs=1e-9)
+    # the NULL-codec slice is its own row, distinct from (any, s1)
+    assert got[(None, "s1")]["n_viol"] == 5 and got[(None, "s1")]["n_rows"] == 10
+    assert got[("__ANY__", "s1")]["n_rows"] == 70
+    # planted slice tops the excess ranking among order-2 slices
+    top = top_violation_slices(rep.where("slice_order = 2"), 1).collect()[0]
+    assert top["codec"] == "amr" and top["shard"] == "s2"
+    assert top["n_viol"] == 27
+
+
+def test_violation_slices_order_and_support_filters(spark):
+    """max_order=1 drops pair slices; min_rows prunes thin slices; an
+    all-false flag yields zero excess everywhere and NULL-safe lift."""
+    from drivel_spark.ops import violation_slice_report
+
+    df = spark.createDataFrame(
+        [("a", "x", False)] * 4 + [("b", "y", False)],
+        "c1 string, c2 string, bad boolean",
+    )
+    rep = violation_slice_report(df, "bad", ["c1", "c2"], max_order=1)
+    rows = rep.collect()
+    assert all(r["slice_order"] == 1 for r in rows)
+    assert len(rows) == 4  # c1 in {a,b}, c2 in {x,y}
+    assert all(r["n_viol"] == 0 and r["excess"] == 0.0 for r in rows)
+    assert all(r["lift"] is None for r in rows)  # base_rate 0
+    thick = violation_slice_report(
+        df, "bad", ["c1", "c2"], max_order=1, min_rows=2
+    ).collect()
+    assert {(r["c1"], r["c2"]) for r in thick} == {("a", None), (None, "x")}
+
+
+def test_violation_slices_from_tables_identical(spark):
+    """violation_slice_report_from_tables(full, full.where(flag)) is
+    row-for-row identical to violation_slice_report(full, flag) —
+    including slices with ZERO violations (left join + coalesce) and a
+    NULL dim value present on both the full and violation side."""
+    from drivel_spark.ops import (
+        violation_slice_report,
+        violation_slice_report_from_tables,
+    )
+
+    df = spark.createDataFrame(
+        [("wav", "s1", i % 10 == 0) for i in range(40)]
+        + [("amr", "s2", i % 10 != 0) for i in range(20)]
+        + [(None, "s2", True) for _ in range(4)]
+        + [("ogg", "s3", False) for _ in range(6)],  # zero-violation slice
+        "codec string, shard string, bad boolean",
+    )
+    direct = violation_slice_report(
+        df, "bad", ["codec", "shard"], max_order=2
+    )
+    split = violation_slice_report_from_tables(
+        df, df.where("bad"), ["codec", "shard"], max_order=2
+    )
+    key = lambda r: (r["g_codec"], r["g_shard"], r["codec"], r["shard"])  # noqa: E731
+    a = {key(r): r for r in direct.collect()}
+    b = {key(r): r for r in split.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        for c in ("slice_order", "n_rows", "n_viol"):
+            assert a[k][c] == b[k][c], (k, c)
+        for c in ("viol_rate", "base_rate", "excess"):
+            assert a[k][c] == pytest.approx(b[k][c], abs=1e-12), (k, c)
+    # the zero-violation slice exists and reports negative excess
+    assert b[(0, 0, "ogg", "s3")]["n_viol"] == 0
+    assert b[(0, 0, "ogg", "s3")]["excess"] < 0

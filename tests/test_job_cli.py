@@ -985,3 +985,59 @@ def test_screen_verb_checkpoint_resume(spark, tmp_path):
                                flag=None, where="sr_hz = 8000", out=None,
                                run_id=None, checkpoint=ck)
         )
+
+
+def test_validate_slice_dims_attribution(spark, tmp_path):
+    """validate --slice-dims: the returned top-10 slice attribution
+    matches an independent recomputation from the written report
+    artifacts (violations parquet + clips table), and the full slice
+    report lands under <report>/slices."""
+    from drivel_spark.fixtures import build_transcripts
+    from drivel_spark.job import cmd_validate
+    from drivel_spark.ops import (
+        top_violation_slices,
+        violation_slice_report_from_tables,
+    )
+
+    spec = ClipFixtureSpec(with_audio=False)
+    n = 600
+    db = tmp_path / "db"
+    build_clips(spark, n, 4, spec).write.parquet(f"{db}/clips")
+    build_transcripts(spark, n, 4, spec).write.parquet(f"{db}/transcripts")
+    (db / "meta.json").write_text(json.dumps(
+        {"n_rows": n, "partitions": 4, "seed": 42,
+         "variant": "default", "with_audio": False}
+    ))
+    rep = tmp_path / "rep"
+    out = cmd_validate(argparse.Namespace(
+        data=str(db), where=None, baseline=None, checkpoint=None,
+        run_id="r", check_audio=False, n_scopes=8, report=str(rep),
+        clips=None, transcripts=None, slice_dims="codec,sr_hz"))
+    sl = out["violation_slices"]
+    assert sl is not None and 0 < len(sl) <= 10
+    viol = spark.read.parquet(f"{rep}/violations")
+    clips = spark.read.parquet(f"{db}/clips")
+    expect = top_violation_slices(
+        violation_slice_report_from_tables(
+            clips, viol, ["codec", "sr_hz"], max_order=2
+        ),
+        10,
+    ).collect()
+    assert [
+        (r["codec"], r["sr_hz"], r["n_rows"], r["n_viol"]) for r in expect
+    ] == [
+        (d["codec"], d["sr_hz"], d["n_rows"], d["n_viol"]) for d in sl
+    ]
+    full_rep = spark.read.parquet(f"{rep}/slices")
+    assert full_rep.count() >= len(sl)
+    assert set(
+        c for c in ("codec", "sr_hz", "n_rows", "n_viol", "lift", "excess")
+    ) <= set(full_rep.columns)
+    # unknown dim is rejected with a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cmd_validate(argparse.Namespace(
+            data=str(db), where=None, baseline=None, checkpoint=None,
+            run_id="r", check_audio=False, n_scopes=8, report=None,
+            clips=None, transcripts=None, slice_dims="codec,no_such"))

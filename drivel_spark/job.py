@@ -1049,6 +1049,7 @@ def cmd_validate(args) -> dict:
     slices_out: list | None = None
     if getattr(args, "slice_dims", None):
         from drivel_spark.ops import (
+            constraint_slice_report,
             top_violation_slices,
             violation_slice_report_from_tables,
         )
@@ -1061,9 +1062,16 @@ def cmd_validate(args) -> dict:
                 f"kept columns {res.violations.columns}; add them to "
                 "keep_columns or pick from those"
             )
-        srep = violation_slice_report_from_tables(
-            clips, res.violations, dims, max_order=min(2, len(dims))
-        )
+        if getattr(args, "slice_per_constraint", False):
+            # each failed constraint scored against its OWN base rate
+            srep = constraint_slice_report(
+                clips, res.violations, dims, failed_col="failed",
+                max_order=min(2, len(dims)),
+            )
+        else:
+            srep = violation_slice_report_from_tables(
+                clips, res.violations, dims, max_order=min(2, len(dims))
+            )
         top = top_violation_slices(srep, 10)
         if args.report:
             srep.coalesce(1).write.mode("overwrite").parquet(
@@ -1071,6 +1079,11 @@ def cmd_validate(args) -> dict:
             )
         slices_out = [
             {
+                **(
+                    {"constraint": r["constraint"]}
+                    if "constraint" in top.columns
+                    else {}
+                ),
                 **{d: r[d] for d in dims},
                 # 1 = dim aggregated out ("any"), disambiguating a
                 # genuine NULL dim value in the row above
@@ -1766,6 +1779,10 @@ def main(argv=None) -> None:
                          "attribute row-level violations to dim slices "
                          "(ops/audit.py violation_slice_report); top-10 on "
                          "stdout, full report to <report>/slices")
+    sv.add_argument("--slice-per-constraint", action="store_true",
+                    help="with --slice-dims: score each failed constraint "
+                         "against its own base rate (constraint_slice_report) "
+                         "instead of the pooled any-violation rate")
 
     svd = sub.add_parser("validate-delta")
     svd.add_argument("--data", required=True, help="NEW snapshot db dir")

@@ -907,13 +907,16 @@ def violation_slice_report(
 
 
 def top_violation_slices(report: DataFrame, k: int = 20) -> DataFrame:
-    """Deterministic top-``k`` of a :func:`violation_slice_report` by
-    contributed excess violations (desc), tie-broken by the grouping
-    flags then the dim values (NULLS FIRST, matching the flags).  Plans
-    as TakeOrdered — no global sort."""
+    """Deterministic top-``k`` of a :func:`violation_slice_report` (or
+    :func:`constraint_slice_report`) by contributed excess violations
+    (desc), tie-broken by the constraint name when present, then the
+    grouping flags, then the dim values (NULLS FIRST, matching the
+    flags).  Plans as TakeOrdered — no global sort."""
     dims = [c[2:] for c in report.columns if c.startswith("g_")]
+    ties = ["constraint"] if "constraint" in report.columns else []
     return report.orderBy(
         F.desc("excess"),
+        *ties,
         *[F.col(f"g_{c}") for c in dims],
         *[F.col(c).asc_nulls_first() for c in dims],
     ).limit(k)
@@ -1004,6 +1007,120 @@ def violation_slice_report_from_tables(
     return (
         joined.withColumn("viol_rate", viol_rate)
         .withColumn("base_rate", F.lit(base))
+        .withColumn(
+            "lift",
+            F.when(
+                F.col("base_rate") > 0, F.col("viol_rate") / F.col("base_rate")
+            ),
+        )
+        .withColumn(
+            "excess",
+            F.col("n_viol").cast("double")
+            - F.col("n_rows") * F.col("base_rate"),
+        )
+    )
+
+
+def constraint_slice_report(
+    full_df: DataFrame,
+    viol_df: DataFrame,
+    dims,
+    failed_col: str = "failed",
+    max_order: int = 2,
+    min_rows: int = 1,
+) -> DataFrame:
+    """Per-CONSTRAINT slice attribution: the violations table that
+    ``validate()`` emits carries the list of failed constraints per
+    row (``failed_col``, array<string>), so one report can answer
+    "codec='amr' concentrates the SNR failures while shard 7
+    concentrates the uniqueness ones" — lift/excess computed per
+    (constraint, slice) against that CONSTRAINT's own table-wide base
+    rate, not the pooled any-violation rate (a rare constraint's hot
+    slice would drown in the pooled base).
+
+    Output adds a leading ``constraint`` column to the
+    :func:`violation_slice_report` schema.
+
+    Scale shape: denominators are the same persisted grouping-sets
+    count table (dims-only narrow scan of the full table).
+    Numerators explode ``failed_col`` (bounded fan-out: ≤ #constraints
+    per violating row, and violating rows are the rare ones) into
+    grouping sets that ALWAYS bind the constraint name — so per-set
+    cardinality stays #constraints × slices.  Per-constraint totals
+    are the numerator's order-0 rows, driver-bounded O(#constraints),
+    folded back in as a broadcast-joined literal table; everything
+    else is the null-safe slice-granularity join of two report-sized
+    tables.
+    """
+    import itertools
+
+    dims = list(dims)
+    den = _slice_counts(full_df.select(*dims), dims, max_order)
+    t_den = den.where(F.col("slice_order") == 0).first()
+    t_rows = int(t_den["n"]) if t_den is not None else 0
+
+    exploded = viol_df.select(
+        F.explode(F.col(failed_col)).alias("constraint"), *dims
+    )
+    sets = [["constraint"]] + [
+        ["constraint"] + list(combo)
+        for k in range(1, min(int(max_order), len(dims)) + 1)
+        for combo in itertools.combinations(dims, k)
+    ]
+    num = (
+        exploded.groupingSets(sets, "constraint", *dims)
+        .agg(
+            F.count(F.lit(1)).alias("__n_viol"),
+            *[F.grouping(c).cast("int").alias(f"__ng_{c}") for c in dims],
+        )
+    )
+    order_expr = F.lit(len(dims))
+    for c in dims:
+        order_expr = order_expr - F.col(f"__ng_{c}")
+    num = num.withColumn("__order", order_expr.cast("int")).persist()
+
+    # per-constraint table-wide violation totals: O(#constraints) rows
+    totals = {
+        r["constraint"]: int(r["__n_viol"])
+        for r in num.where(F.col("__order") == 0).collect()
+    }
+    base_map = F.create_map(
+        *[
+            x
+            for c, v in sorted(totals.items())
+            for x in (
+                F.lit(c),
+                F.lit(float(v) / float(t_rows) if t_rows else 0.0),
+            )
+        ]
+    )
+
+    den_s = den.where(
+        (F.col("slice_order") >= 1) & (F.col("n") >= int(min_rows))
+    )
+    num_s = num.where(F.col("__order") >= 1)
+    cond = None
+    for c in dims:
+        clause = F.col(f"den.{c}").eqNullSafe(F.col(f"num.{c}")) & (
+            F.col(f"den.g_{c}") == F.col(f"num.__ng_{c}")
+        )
+        cond = clause if cond is None else (cond & clause)
+    joined = (
+        num_s.alias("num")
+        .join(den_s.alias("den"), cond, "inner")
+        .select(
+            F.col("num.constraint").alias("constraint"),
+            *[F.col(f"den.{c}").alias(c) for c in dims],
+            *[F.col(f"den.g_{c}").alias(f"g_{c}") for c in dims],
+            F.col("den.slice_order").alias("slice_order"),
+            F.col("den.n").alias("n_rows"),
+            F.col("num.__n_viol").alias("n_viol"),
+        )
+    )
+    viol_rate = F.col("n_viol").cast("double") / F.col("n_rows")
+    return (
+        joined.withColumn("viol_rate", viol_rate)
+        .withColumn("base_rate", base_map[F.col("constraint")])
         .withColumn(
             "lift",
             F.when(

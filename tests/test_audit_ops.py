@@ -708,3 +708,55 @@ def test_violation_slices_from_tables_identical(spark):
     # the zero-violation slice exists and reports negative excess
     assert b[(0, 0, "ogg", "s3")]["n_viol"] == 0
     assert b[(0, 0, "ogg", "s3")]["excess"] < 0
+
+
+def test_constraint_slice_report(spark):
+    """Per-constraint attribution: each constraint scored against its
+    OWN base rate; a multi-failure row contributes to every failed
+    constraint; per-constraint report rows equal the single-constraint
+    violation_slice_report run on that constraint's rows alone."""
+    from drivel_spark.ops import (
+        constraint_slice_report,
+        violation_slice_report,
+    )
+
+    # c_rare fails only in (amr, s2); c_common fails 1-in-5 everywhere
+    rows = []
+    for i in range(50):
+        codec = "amr" if i < 10 else "wav"
+        shard = "s2" if i < 10 else "s1"
+        failed = []
+        if codec == "amr" and i % 2 == 0:
+            failed.append("c_rare")
+        if i % 5 == 0:
+            failed.append("c_common")
+        rows.append((codec, shard, failed))
+    df = spark.createDataFrame(
+        rows, "codec string, shard string, failed array<string>"
+    )
+    viol = df.where(F.size("failed") > 0)
+    rep = constraint_slice_report(
+        df, viol, ["codec", "shard"], max_order=2
+    ).collect()
+    key = lambda r: (r["constraint"], r["g_codec"], r["g_shard"], r["codec"], r["shard"])  # noqa: E731
+    got = {key(r): r for r in rep}
+
+    for cname in ("c_rare", "c_common"):
+        single = violation_slice_report(
+            df, F.array_contains("failed", cname), ["codec", "shard"], max_order=2
+        ).collect()
+        for r in single:
+            if r["n_viol"] == 0:
+                # per-constraint report keeps only slices where the
+                # constraint actually fired (inner join by design)
+                assert (cname, r["g_codec"], r["g_shard"], r["codec"], r["shard"]) not in got
+                continue
+            g = got[(cname, r["g_codec"], r["g_shard"], r["codec"], r["shard"])]
+            assert g["n_rows"] == r["n_rows"]
+            assert g["n_viol"] == r["n_viol"]
+            assert g["base_rate"] == pytest.approx(r["base_rate"], abs=1e-12)
+            assert g["excess"] == pytest.approx(r["excess"], abs=1e-9)
+    # the rare constraint's hot slice shows a high per-constraint lift
+    hot = got[("c_rare", 0, 0, "amr", "s2")]
+    assert hot["n_viol"] == 5 and hot["n_rows"] == 10
+    assert hot["lift"] == pytest.approx((5 / 10) / (5 / 50), abs=1e-9)

@@ -1041,3 +1041,50 @@ def test_validate_slice_dims_attribution(spark, tmp_path):
             data=str(db), where=None, baseline=None, checkpoint=None,
             run_id="r", check_audio=False, n_scopes=8, report=None,
             clips=None, transcripts=None, slice_dims="codec,no_such"))
+
+
+def test_validate_slice_per_constraint(spark, tmp_path):
+    """validate --slice-dims --slice-per-constraint: stdout rows carry
+    the constraint name and match an independent recomputation via
+    constraint_slice_report on the written violations table."""
+    from drivel_spark.fixtures import build_transcripts
+    from drivel_spark.job import cmd_validate
+    from drivel_spark.ops import constraint_slice_report, top_violation_slices
+
+    spec = ClipFixtureSpec(with_audio=False)
+    n = 600
+    db = tmp_path / "db"
+    build_clips(spark, n, 4, spec).write.parquet(f"{db}/clips")
+    build_transcripts(spark, n, 4, spec).write.parquet(f"{db}/transcripts")
+    (db / "meta.json").write_text(json.dumps(
+        {"n_rows": n, "partitions": 4, "seed": 42,
+         "variant": "default", "with_audio": False}
+    ))
+    rep = tmp_path / "rep"
+    out = cmd_validate(argparse.Namespace(
+        data=str(db), where=None, baseline=None, checkpoint=None,
+        run_id="r", check_audio=False, n_scopes=8, report=str(rep),
+        clips=None, transcripts=None, slice_dims="codec,sr_hz",
+        slice_per_constraint=True))
+    sl = out["violation_slices"]
+    assert sl is not None and 0 < len(sl) <= 10
+    assert all("constraint" in d for d in sl)
+    viol = spark.read.parquet(f"{rep}/violations")
+    clips = spark.read.parquet(f"{db}/clips")
+    expect = top_violation_slices(
+        constraint_slice_report(
+            clips, viol, ["codec", "sr_hz"], max_order=2
+        ),
+        10,
+    ).collect()
+    assert [
+        (r["constraint"], r["codec"], r["sr_hz"], r["n_rows"], r["n_viol"])
+        for r in expect
+    ] == [
+        (d["constraint"], d["codec"], d["sr_hz"], d["n_rows"], d["n_viol"])
+        for d in sl
+    ]
+    # the full per-constraint report landed under <report>/slices
+    full_rep = spark.read.parquet(f"{rep}/slices")
+    assert "constraint" in full_rep.columns
+    assert full_rep.count() >= len(sl)

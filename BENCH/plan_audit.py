@@ -1843,6 +1843,41 @@ def main() -> None:
         )
     )
 
+    # 28. metric-history anomaly report: the history table is
+    # O(runs × metrics) metadata, so the whole audit must be ONE window
+    # shuffle partitioned by metric with the trailing median/MAD folded
+    # through Catalyst array lambdas — no Python, no second Exchange
+    from drivel_spark.constraints import metric_anomaly_report
+
+    hist_src = "/tmp/plan_audit_metric_hist"
+    spark.createDataFrame(
+        [("n_rows", i, 100.0 + i % 7) for i in range(40)],
+        "metric string, run_seq long, value double",
+    ).write.mode("overwrite").parquet(hist_src)
+    p = fmt(
+        metric_anomaly_report(
+            spark.read.parquet(hist_src), window=10, max_rel_change=0.5
+        )
+    )
+    sections.append(
+        (
+            "Metric-history anomaly report (trailing median/MAD fences)",
+            p,
+            [
+                "exactly ONE Exchange (the window partitioning on "
+                "metric; both Window nodes — fences + lag — share it): "
+                + ("PASS" if len(re.findall(r"\(\d+\) Exchange", p)) == 1
+                   else "FAIL"),
+                "trailing stats are pure Catalyst array lambdas "
+                "(no Python anywhere): "
+                + ("PASS" if "EvalPython" not in p else "FAIL"),
+                "single scan of the history table: "
+                + ("PASS" if len(set(re.findall(r"Scan parquet\s+\((\d+)\)", p))) <= 1
+                   else "FAIL"),
+            ],
+        )
+    )
+
     out = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     out.append(
         "Generated by `python BENCH/plan_audit.py` against "

@@ -5636,6 +5636,45 @@ def q_constraint_slices_lineitem(spark, sf_dir):
     )
 
 
+def q_metric_anomaly_orders(spark, sf_dir):
+    """Run-over-run metric anomaly detection (constraints/history.py
+    metric_anomaly_report): the per-month order count plays a nightly
+    validation run's n_rows metric; every month is scored against the
+    trailing 6 months' interpolated median/MAD fences (k=3) plus a
+    50% relative-change guard.  TPC-H's partial final month (orders
+    end 1998-08-02) is the naturally planted anomaly.  DuckDB
+    re-derives with list() window frames + list_aggregate
+    median/mad (interpolated on DOUBLE, verified identical) and the
+    same NULL-judgment gating."""
+    from drivel_spark.constraints import metric_anomaly_report
+
+    o = _t(spark, sf_dir, "orders")
+    hist = (
+        o.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("run_seq")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn("metric", F.lit("orders_per_month"))
+    )
+    rep = metric_anomaly_report(
+        hist, window=6, k=3.0, min_history=3, max_rel_change=0.5
+    )
+    return rep.select(
+        "metric",
+        "run_seq",
+        "value",
+        "n_hist",
+        "hist_median",
+        "hist_mad",
+        "robust_z",
+        F.col("is_anomaly").cast("long").alias("is_anomaly"),
+        "rel_change",
+        F.col("rel_anomaly").cast("long").alias("rel_anomaly"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5653,12 +5692,13 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 79 never-driver-verified queries
-    (round 0) compete for the 50-row window, so 29 round-0 queries
+    r05 arithmetic (deliberate): 80 never-driver-verified queries
+    (round 0) compete for the 50-row window, so 30 round-0 queries
     spill (the 26-query demoted cohort below plus screen_stream_clips,
-    violation_slices_documents and constraint_slices_lineitem, added
-    at the canonical tail precisely so they ride the pytest oracle
-    without displacing the hand-tuned window); the registry
+    violation_slices_documents, constraint_slices_lineitem and
+    metric_anomaly_orders, added at the canonical tail precisely so
+    they ride the pytest oracle without displacing the hand-tuned
+    window); the registry
     demotes a cohort of one-window-function/
     groupBy/quantile/CASE-WHEN/contingency-table shapes (iqr_outliers /
     conditional_validation / group_bounds / grouping_sets /
@@ -5878,6 +5918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "screen_stream_clips": q_screen_stream_clips,
         "violation_slices_documents": q_violation_slices_documents,
         "constraint_slices_lineitem": q_constraint_slices_lineitem,
+        "metric_anomaly_orders": q_metric_anomaly_orders,
     }
     last = _last_verified_round()
     pos = {name: i for i, name in enumerate(registry)}
@@ -8802,4 +8843,44 @@ def oracle_sql() -> dict[str, str]:
          AND n.g_rf = d.g_rf AND n.g_ls = d.g_ls
         JOIN tot ON tot.cname = n.cname
         WHERE (2 - n.g_rf - n.g_ls) BETWEEN 1 AND 2"""
+    # run-over-run metric anomaly: list() window frames carry the
+    # trailing 6 values; list_aggregate median/mad on DOUBLE interpolate
+    # exactly as the Spark array-lambda fold; same NULL-judgment gating
+    sqls["metric_anomaly_orders"] = """
+        WITH hist AS (
+          SELECT 'orders_per_month' AS metric,
+                 (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT
+                   AS run_seq,
+                 COUNT(*)::DOUBLE AS value
+          FROM orders GROUP BY 2
+        ),
+        w AS (
+          SELECT metric, run_seq, value,
+                 list(value) OVER (PARTITION BY metric ORDER BY run_seq
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS vals,
+                 lag(value) OVER (PARTITION BY metric ORDER BY run_seq)
+                   AS prev
+          FROM hist
+        ),
+        s AS (
+          SELECT metric, run_seq, value,
+                 COALESCE(len(vals), 0)::BIGINT AS n_hist,
+                 list_aggregate(vals, 'median') AS hist_median,
+                 list_aggregate(vals, 'mad') AS hist_mad,
+                 CASE WHEN prev IS NOT NULL AND prev != 0
+                      THEN (value - prev) / abs(prev) END AS rel_change
+          FROM w
+        )
+        SELECT metric, run_seq, value, n_hist, hist_median, hist_mad,
+               CASE WHEN hist_mad > 0
+                    THEN abs(value - hist_median) / (1.4826 * hist_mad)
+               END AS robust_z,
+               (CASE WHEN n_hist < 3 THEN NULL
+                     WHEN hist_mad > 0 THEN
+                       abs(value - hist_median) / (1.4826 * hist_mad) > 3.0
+                     ELSE value != hist_median
+                END)::BIGINT AS is_anomaly,
+               rel_change,
+               (abs(rel_change) > 0.5)::BIGINT AS rel_anomaly
+        FROM s"""
     return sqls

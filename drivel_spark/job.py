@@ -1121,6 +1121,83 @@ def cmd_validate(args) -> dict:
     }
 
 
+def cmd_history(args) -> dict:
+    """Run-over-run metric anomaly audit (constraints/history.py): read
+    the checkpoint commit table accumulated by repeated ``validate
+    --checkpoint`` / resumable-profile runs, flatten each run's
+    committed metrics (n_rows, n_any_violation, per-column null
+    counts), and score EVERY run's metrics against the trailing window
+    of its own history — robust median/MAD fences plus an optional
+    relative-change guard.  Answers the question thresholds can't:
+    "is tonight's run normal for this pipeline?"  One window shuffle
+    over a metadata-scale table; the pickled accumulator blobs are
+    pruned out of the scan."""
+    from drivel_spark.constraints import (
+        load_metrics_history,
+        metric_anomalies,
+        metric_anomaly_report,
+    )
+
+    spark = build_session("drivel-history")
+    t0 = time.time()
+    hist = load_metrics_history(spark, args.checkpoint)
+    if args.metrics:
+        wanted = [m.strip() for m in args.metrics.split(",") if m.strip()]
+        hist = hist.where(F.col("metric").isin(wanted))
+    rep = metric_anomaly_report(
+        hist,
+        window=args.window,
+        k=args.k,
+        min_history=args.min_history,
+        max_rel_change=args.max_rel_change,
+        seq_col="run_seq",
+    ).persist()
+    n_scored = rep.count()
+    if n_scored == 0:
+        raise SystemExit(
+            f"history: no committed metrics under {args.checkpoint}"
+        )
+    n_runs = rep.select("run_id").distinct().count()
+    n_metrics = rep.select("metric").distinct().count()
+    flagged = (
+        metric_anomalies(rep)
+        .orderBy(F.desc_nulls_last("robust_z"), "metric", "run_seq")
+        .limit(50)
+        .collect()
+    )
+    if args.out:
+        rep.coalesce(1).write.mode("overwrite").parquet(args.out)
+    return {
+        "job": "history",
+        "checkpoint": args.checkpoint,
+        "n_runs": n_runs,
+        "n_metrics": n_metrics,
+        "n_scored": n_scored,
+        "n_anomalies": len(flagged),
+        "window": args.window,
+        "k": args.k,
+        "max_rel_change": args.max_rel_change,
+        "anomalies": [
+            {
+                "run_id": r["run_id"],
+                "metric": r["metric"],
+                "value": r["value"],
+                "hist_median": r["hist_median"],
+                "robust_z": None
+                if r["robust_z"] is None
+                else round(r["robust_z"], 4),
+                "rel_change": None
+                if r["rel_change"] is None
+                else round(r["rel_change"], 4),
+                "is_anomaly": r["is_anomaly"],
+                "rel_anomaly": r["rel_anomaly"],
+            }
+            for r in flagged
+        ],
+        "wall_s": round(time.time() - t0, 3),
+    }
+
+
 def cmd_validate_delta(args) -> dict:
     """Delta validation (constraints/delta.py): validate a refreshed
     snapshot by re-running the row-level pass ONLY over the scopes
@@ -1784,6 +1861,23 @@ def main(argv=None) -> None:
                          "against its own base rate (constraint_slice_report) "
                          "instead of the pooled any-violation rate")
 
+    shy = sub.add_parser("history")
+    shy.add_argument("--checkpoint", required=True,
+                     help="commit-table dir accumulated by validate/profile "
+                          "--checkpoint runs")
+    shy.add_argument("--window", type=int, default=10,
+                     help="trailing runs in the reference window")
+    shy.add_argument("--k", type=float, default=3.0,
+                     help="robust fence multiplier (median +/- k*1.4826*MAD)")
+    shy.add_argument("--min-history", type=int, default=3,
+                     help="runs required before a verdict (younger -> NULL)")
+    shy.add_argument("--max-rel-change", type=float, default=None,
+                     help="also flag |value - prev| / |prev| above this")
+    shy.add_argument("--metrics", default=None,
+                     help="comma-separated metric-name subset")
+    shy.add_argument("--out", default=None,
+                     help="write the full scored report parquet here")
+
     svd = sub.add_parser("validate-delta")
     svd.add_argument("--data", required=True, help="NEW snapshot db dir")
     svd.add_argument("--old-data", required=True, help="previous snapshot db dir")
@@ -1913,6 +2007,7 @@ def main(argv=None) -> None:
         "mix": cmd_mix,
         "baseline": cmd_baseline,
         "validate": cmd_validate,
+        "history": cmd_history,
         "validate-delta": cmd_validate_delta,
         "diff": cmd_diff,
         "describe": cmd_describe,

@@ -1088,3 +1088,46 @@ def test_validate_slice_per_constraint(spark, tmp_path):
     full_rep = spark.read.parquet(f"{rep}/slices")
     assert "constraint" in full_rep.columns
     assert full_rep.count() >= len(sl)
+
+
+def test_history_verb(spark, tmp_path, capsys):
+    """history verb: scores a checkpoint store's committed run metrics
+    against their own trailing history and surfaces the collapsed run."""
+    import pickle
+    import time as _time
+
+    from drivel_spark.checkpoint.store import CheckpointStore, make_commit_row
+    from drivel_spark.job import main
+
+    store = CheckpointStore(str(tmp_path / "ck"))
+    blob = pickle.dumps({})
+    t0 = _time.time()
+    rows = []
+    counts = [1000, 1010, 990, 1005, 995, 400]  # run 5 collapses
+    for seq, n in enumerate(counts):
+        for u in range(2):
+            row = make_commit_row(
+                f"run{seq}", f"f{u}", "snap", blob,
+                {"n_rows": n // 2, "n_any_violation": seq},
+            )
+            row["committed_at"] = t0 + seq * 60 + u
+            rows.append(row)
+    store.append(rows)
+
+    main([
+        "history", "--checkpoint", str(tmp_path / "ck"),
+        "--window", "5", "--min-history", "3",
+        "--max-rel-change", "0.5", "--metrics", "n_rows",
+        "--out", str(tmp_path / "rep"),
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["job"] == "history"
+    assert out["n_runs"] == 6 and out["n_metrics"] == 1
+    assert out["n_scored"] == 6
+    anomalies = out["anomalies"]
+    assert [a["run_id"] for a in anomalies] == ["run5"]
+    assert anomalies[0]["is_anomaly"] is True
+    assert anomalies[0]["rel_anomaly"] is True
+    assert anomalies[0]["value"] == 400.0
+    rep = spark.read.parquet(str(tmp_path / "rep"))
+    assert rep.count() == 6 and "robust_z" in rep.columns

@@ -1097,6 +1097,48 @@ def cmd_validate(args) -> dict:
             for r in top.collect()
         ]
 
+    history_out = None
+    if getattr(args, "history_window", None):
+        # close the loop on a checkpointed run: after this run's
+        # commits land, score THIS run's metrics against the trailing
+        # runs already in the store (constraints/history.py) — "the
+        # data passed its constraints, but is tonight's run normal?"
+        if not args.checkpoint:
+            raise SystemExit("--history-window requires --checkpoint")
+        from drivel_spark.constraints import (
+            load_metrics_history,
+            metric_anomaly_report,
+        )
+
+        hist = load_metrics_history(spark, args.checkpoint)
+        hrep = metric_anomaly_report(
+            hist,
+            window=int(args.history_window),
+            k=3.0,
+            min_history=2,
+            max_rel_change=getattr(args, "history_max_rel", None),
+        )
+        mine = hrep.where(F.col("run_id") == args.run_id).collect()
+        history_out = {
+            "n_metrics": len(mine),
+            "n_hist_runs": int(max((r["n_hist"] for r in mine), default=0)),
+            "anomalies": [
+                {
+                    "metric": r["metric"],
+                    "value": r["value"],
+                    "hist_median": r["hist_median"],
+                    "robust_z": None
+                    if r["robust_z"] is None
+                    else round(r["robust_z"], 4),
+                    "rel_change": None
+                    if r["rel_change"] is None
+                    else round(r["rel_change"], 4),
+                }
+                for r in mine
+                if (r["is_anomaly"] or r["rel_anomaly"])
+            ],
+        }
+
     return {
         "job": "validate",
         "master": spark.sparkContext.master,
@@ -1118,6 +1160,7 @@ def cmd_validate(args) -> dict:
         "phases": phases,
         "enforce": enforce,
         "violation_slices": slices_out,
+        "history": history_out,
     }
 
 
@@ -1856,6 +1899,14 @@ def main(argv=None) -> None:
                          "attribute row-level violations to dim slices "
                          "(ops/audit.py violation_slice_report); top-10 on "
                          "stdout, full report to <report>/slices")
+    sv.add_argument("--history-window", type=int, default=None,
+                    help="with --checkpoint: after the run commits, score "
+                         "THIS run's metrics against the trailing N runs in "
+                         "the store (constraints/history.py) and report "
+                         "anomalies in the output JSON")
+    sv.add_argument("--history-max-rel", type=float, default=None,
+                    help="with --history-window: also flag metrics whose "
+                         "run-over-run relative change exceeds this")
     sv.add_argument("--slice-per-constraint", action="store_true",
                     help="with --slice-dims: score each failed constraint "
                          "against its own base rate (constraint_slice_report) "

@@ -1131,3 +1131,48 @@ def test_history_verb(spark, tmp_path, capsys):
     assert anomalies[0]["value"] == 400.0
     rep = spark.read.parquet(str(tmp_path / "rep"))
     assert rep.count() == 6 and "robust_z" in rep.columns
+
+
+def test_validate_history_window(spark, tmp_path, capsys):
+    """validate --checkpoint --history-window: after two normal runs, a
+    third run on a collapsed snapshot flags its own n_rows against the
+    trailing history in the SAME invocation's output JSON."""
+    from drivel_spark.fixtures import build_transcripts
+    from drivel_spark.job import cmd_validate
+
+    def mkdb(path, n):
+        spec = ClipFixtureSpec(with_audio=False)
+        build_clips(spark, n, 4, spec).write.parquet(f"{path}/clips")
+        build_transcripts(spark, n, 4, spec).write.parquet(
+            f"{path}/transcripts"
+        )
+        (path / "meta.json").write_text(json.dumps(
+            {"n_rows": n, "partitions": 4, "seed": 42,
+             "variant": "default", "with_audio": False}
+        ))
+
+    db, db2 = tmp_path / "db", tmp_path / "db2"
+    mkdb(db, 600)
+    mkdb(db2, 200)
+    ck = str(tmp_path / "ck")
+
+    def run(data, rid, hw=None):
+        return cmd_validate(argparse.Namespace(
+            data=str(data), where=None, baseline=None, checkpoint=ck,
+            run_id=rid, check_audio=False, n_scopes=8, report=None,
+            clips=None, transcripts=None, slice_dims=None,
+            history_window=hw, history_max_rel=0.5))
+
+    assert run(db, "day1")["history"] is None
+    out2 = run(db, "day2", hw=5)
+    # day2 vs [day1]: below min_history=2 -> judged but history thin;
+    # identical data must produce ZERO anomalies either way
+    assert out2["history"]["anomalies"] == []
+    out3 = run(db2, "day3", hw=5)
+    hist = out3["history"]
+    assert hist["n_hist_runs"] == 2
+    flagged = {a["metric"]: a for a in hist["anomalies"]}
+    assert "n_rows" in flagged
+    assert flagged["n_rows"]["value"] == 200.0
+    assert flagged["n_rows"]["hist_median"] == 600.0
+    assert flagged["n_rows"]["rel_change"] == pytest.approx(-0.6667, abs=1e-3)

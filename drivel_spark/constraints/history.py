@@ -43,6 +43,7 @@ __all__ = [
     "metric_anomaly_report",
     "metric_anomalies",
     "load_metrics_history",
+    "load_stream_batch_history",
 ]
 
 
@@ -233,3 +234,48 @@ def load_metrics_history(
         F.min("committed_at").alias("run_seq"),
         F.sum("value").alias("value"),
     )
+
+
+def load_stream_batch_history(
+    spark: SparkSession, report_dir: str
+) -> DataFrame:
+    """Per-micro-batch metric history from a ``validate-stream`` report
+    directory (``batch_id=N`` partitions of (partition_id, constraint,
+    n_rows, n_violations) delta rows — streaming/validate_stream.py):
+    one row per (batch, metric), where each constraint becomes a
+    ``viol.<name>`` metric (violations summed over the batch's scope
+    partitions) and the ``_rows_any_violation`` counter also yields the
+    batch's ``n_rows``.  ``run_seq`` is the batch id, so the result
+    feeds :func:`metric_anomaly_report` directly — the streaming
+    canary: "did batch 17 suddenly violate 100x more than the trailing
+    batches?"  The reserved ``batch_id=-1`` reconciliation snapshot
+    (cmd_reconcile) is excluded: it is a point-in-time table audit,
+    not a batch in the sequence.
+
+    Scale shape: reads only the report table (O(batches × scopes ×
+    constraints) metadata rows, never the data), one partial+final
+    aggregation.
+    """
+    rep = (
+        spark.read.option("basePath", report_dir)
+        .parquet(f"{report_dir}/batch_id=*")
+        .where(F.col("batch_id") >= 0)
+    )
+    per = rep.groupBy("batch_id", "constraint").agg(
+        F.sum("n_violations").cast("double").alias("n_viol"),
+        F.sum("n_rows").cast("double").alias("n_rows"),
+    )
+    run_id = F.concat(F.lit("batch="), F.col("batch_id").cast("string"))
+    viol = per.select(
+        run_id.alias("run_id"),
+        F.col("batch_id").cast("long").alias("run_seq"),
+        F.concat(F.lit("viol."), F.col("constraint")).alias("metric"),
+        F.col("n_viol").alias("value"),
+    )
+    rows = per.where(F.col("constraint") == "_rows_any_violation").select(
+        run_id.alias("run_id"),
+        F.col("batch_id").cast("long").alias("run_seq"),
+        F.lit("n_rows").alias("metric"),
+        F.col("n_rows").alias("value"),
+    )
+    return viol.unionByName(rows)

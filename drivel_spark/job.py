@@ -1177,13 +1177,27 @@ def cmd_history(args) -> dict:
     pruned out of the scan."""
     from drivel_spark.constraints import (
         load_metrics_history,
+        load_stream_batch_history,
         metric_anomalies,
         metric_anomaly_report,
     )
 
     spark = build_session("drivel-history")
     t0 = time.time()
-    hist = load_metrics_history(spark, args.checkpoint)
+    stream_report = getattr(args, "stream_report", None)
+    if stream_report and args.checkpoint:
+        raise SystemExit(
+            "history: pass --checkpoint (batch commit table) OR "
+            "--stream-report (validate-stream report dir), not both"
+        )
+    if stream_report:
+        # per-micro-batch canary: each batch's viol.<constraint> /
+        # n_rows scored against the trailing batches
+        hist = load_stream_batch_history(spark, stream_report)
+    elif args.checkpoint:
+        hist = load_metrics_history(spark, args.checkpoint)
+    else:
+        raise SystemExit("history: --checkpoint or --stream-report required")
     if args.metrics:
         wanted = [m.strip() for m in args.metrics.split(",") if m.strip()]
         hist = hist.where(F.col("metric").isin(wanted))
@@ -1212,7 +1226,8 @@ def cmd_history(args) -> dict:
         rep.coalesce(1).write.mode("overwrite").parquet(args.out)
     return {
         "job": "history",
-        "checkpoint": args.checkpoint,
+        "source": stream_report or args.checkpoint,
+        "mode": "stream-batches" if stream_report else "checkpoint-runs",
         "n_runs": n_runs,
         "n_metrics": n_metrics,
         "n_scored": n_scored,
@@ -1913,9 +1928,13 @@ def main(argv=None) -> None:
                          "instead of the pooled any-violation rate")
 
     shy = sub.add_parser("history")
-    shy.add_argument("--checkpoint", required=True,
+    shy.add_argument("--checkpoint", default=None,
                      help="commit-table dir accumulated by validate/profile "
                           "--checkpoint runs")
+    shy.add_argument("--stream-report", default=None,
+                     help="validate-stream report dir (batch_id=N passfail "
+                          "partitions): score each micro-batch's violation "
+                          "counts + row count against the trailing batches")
     shy.add_argument("--window", type=int, default=10,
                      help="trailing runs in the reference window")
     shy.add_argument("--k", type=float, default=3.0,

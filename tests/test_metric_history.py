@@ -170,3 +170,72 @@ def test_load_metrics_history_roundtrip(spark, tmp_path):
     )
     by_run = {r["run_id"]: r for r in rep.collect()}
     assert by_run["r3"]["rel_anomaly"] is True  # 200 -> 60
+
+
+def _write_stream_report(spark, out, batches):
+    """batches: {batch_id: [(partition_id, constraint, n_rows, n_viol)]}"""
+    schema = ("partition_id long, constraint string, "
+              "n_rows long, n_violations long, passed boolean")
+    for bid, rows in batches.items():
+        spark.createDataFrame(
+            [(p, c, n, v, v == 0) for p, c, n, v in rows], schema
+        ).write.mode("overwrite").parquet(f"{out}/batch_id={bid}")
+
+
+def test_load_stream_batch_history(spark, tmp_path):
+    """Stream-report loader: constraints become viol.* metrics summed
+    over scope partitions, _rows_any_violation also yields n_rows, and
+    the reserved batch_id=-1 reconciliation snapshot is excluded."""
+    from drivel_spark.constraints import (
+        load_stream_batch_history,
+        metric_anomaly_report,
+        metric_anomalies,
+    )
+
+    out = str(tmp_path / "rep")
+    batches = {}
+    for b in range(6):
+        dur_v = 1 if b < 5 else 40  # batch 5: violation burst
+        batches[b] = [
+            (0, "dur_range", 50, dur_v),
+            (1, "dur_range", 50, 0),
+            (0, "_rows_any_violation", 50, dur_v),
+            (1, "_rows_any_violation", 50, 0),
+        ]
+    batches[-1] = [(0, "clip_id_unique", 600, 99)]  # reconcile snapshot
+    _write_stream_report(spark, out, batches)
+
+    hist = load_stream_batch_history(spark, out)
+    got = {(r["metric"], r["run_seq"]): r["value"] for r in hist.collect()}
+    assert got[("viol.dur_range", 0)] == 1.0
+    assert got[("viol.dur_range", 5)] == 40.0
+    assert got[("n_rows", 3)] == 100.0
+    assert all(seq >= 0 for _, seq in got)  # batch -1 excluded
+    assert ("viol.clip_id_unique", -1) not in got
+
+    rep = metric_anomaly_report(hist, window=5, min_history=3, k=3.0)
+    flagged = metric_anomalies(rep).collect()
+    assert {(r["metric"], r["run_seq"]) for r in flagged} == {
+        ("viol.dur_range", 5),
+        ("viol._rows_any_violation", 5),
+    }
+
+
+def test_history_verb_stream_report(spark, tmp_path, capsys):
+    """history --stream-report: the CLI arm surfaces the bursty batch."""
+    from drivel_spark.job import main
+
+    out = str(tmp_path / "rep")
+    batches = {
+        b: [(0, "dur_range", 100, 2 if b < 4 else 60),
+            (0, "_rows_any_violation", 100, 2 if b < 4 else 60)]
+        for b in range(5)
+    }
+    _write_stream_report(spark, out, batches)
+    main(["history", "--stream-report", out,
+          "--window", "5", "--min-history", "3"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["mode"] == "stream-batches"
+    assert res["n_runs"] == 5
+    flagged = {(a["metric"], a["run_id"]) for a in res["anomalies"]}
+    assert ("viol.dur_range", "batch=4") in flagged

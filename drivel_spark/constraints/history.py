@@ -279,3 +279,39 @@ def load_stream_batch_history(
         F.col("n_rows").alias("value"),
     )
     return viol.unionByName(rows)
+
+
+def dead_constraints(history: DataFrame, min_runs: int = 3) -> DataFrame:
+    """Constraints that have NEVER fired: ``viol.*`` metrics (as loaded
+    by :func:`load_stream_batch_history`) whose violation count is zero
+    in every observed run, once at least ``min_runs`` runs exist.
+
+    A check that hasn't fired across a month of runs is either
+    guaranteed by construction upstream (drop it — it costs a predicate
+    in every scan and audits nothing) or mis-specified so its predicate
+    CANNOT fire (fix it — it silently audits nothing).  Either way the
+    suite owner should know; this is the coverage complement of the
+    anomaly report.
+
+    The synthetic ``_rows_any_violation`` counter is excluded — it is
+    the report's row accounting, not a user constraint.  One
+    partial+final aggregation over the metadata-scale history table.
+    """
+    return (
+        history.where(
+            F.col("metric").startswith("viol.")
+            & (F.col("metric") != "viol._rows_any_violation")
+        )
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("value").alias("max_value"),
+        )
+        .where(
+            (F.col("n_runs") >= int(min_runs)) & (F.col("max_value") == 0)
+        )
+        .select(
+            F.expr("substring(metric, 6)").alias("constraint"),
+            "n_runs",
+        )
+    )

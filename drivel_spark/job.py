@@ -1176,6 +1176,7 @@ def cmd_history(args) -> dict:
     over a metadata-scale table; the pickled accumulator blobs are
     pruned out of the scan."""
     from drivel_spark.constraints import (
+        dead_constraints,
         load_metrics_history,
         load_stream_batch_history,
         metric_anomalies,
@@ -1224,10 +1225,19 @@ def cmd_history(args) -> dict:
     )
     if args.out:
         rep.coalesce(1).write.mode("overwrite").parquet(args.out)
+    dead = None
+    if stream_report:
+        # coverage complement: checks that never fired across the
+        # observed batches are either redundant or mis-specified
+        dead = sorted(
+            {r["constraint"]: r["n_runs"] for r in
+             dead_constraints(hist).collect()}.items()
+        )
     return {
         "job": "history",
         "source": stream_report or args.checkpoint,
         "mode": "stream-batches" if stream_report else "checkpoint-runs",
+        "dead_constraints": dead,
         "n_runs": n_runs,
         "n_metrics": n_metrics,
         "n_scored": n_scored,

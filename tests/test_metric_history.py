@@ -239,3 +239,29 @@ def test_history_verb_stream_report(spark, tmp_path, capsys):
     assert res["n_runs"] == 5
     flagged = {(a["metric"], a["run_id"]) for a in res["anomalies"]}
     assert ("viol.dur_range", "batch=4") in flagged
+
+
+def test_dead_constraints(spark, tmp_path):
+    """A constraint with zero violations in every batch is reported
+    dead once min_runs is met; firing once anywhere clears it; the
+    synthetic _rows_any_violation counter is never listed."""
+    from drivel_spark.constraints import (
+        dead_constraints,
+        load_stream_batch_history,
+    )
+
+    out = str(tmp_path / "rep")
+    batches = {
+        b: [
+            (0, "never_fires", 100, 0),
+            (0, "fires_once", 100, 1 if b == 2 else 0),
+            (0, "_rows_any_violation", 100, 1 if b == 2 else 0),
+        ]
+        for b in range(4)
+    }
+    _write_stream_report(spark, out, batches)
+    hist = load_stream_batch_history(spark, out)
+    dead = {r["constraint"]: r["n_runs"] for r in dead_constraints(hist).collect()}
+    assert dead == {"never_fires": 4}
+    # below the min_runs gate nothing is judged
+    assert dead_constraints(hist, min_runs=5).count() == 0

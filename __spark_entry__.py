@@ -5675,6 +5675,35 @@ def q_metric_anomaly_orders(spark, sf_dir):
     )
 
 
+def q_dead_constraints_lineitem(spark, sf_dir):
+    """Dead-constraint coverage report (constraints/history.py
+    dead_constraints): per-month violation counts for two synthetic
+    lineitem constraints play a run history; qty_negative is impossible
+    (quantities are positive) so it must be reported dead, while
+    disc_high fires and must not.  DuckDB re-derives with the same
+    unpivot + HAVING max=0 / count>=min_runs gate."""
+    from drivel_spark.constraints import dead_constraints
+
+    li = _t(spark, sf_dir, "lineitem")
+    month = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+    wide = li.groupBy(month.alias("run_seq")).agg(
+        F.sum((F.col("l_quantity") < 0).cast("long"))
+        .cast("double")
+        .alias("qty_negative"),
+        F.sum((F.col("l_discount") > 0.05).cast("long"))
+        .cast("double")
+        .alias("disc_high"),
+    )
+    hist = wide.selectExpr(
+        "run_seq",
+        "stack(2, 'viol.qty_negative', qty_negative, "
+        "'viol.disc_high', disc_high) AS (metric, value)",
+    )
+    return dead_constraints(hist, min_runs=3).select(
+        "constraint", F.col("n_runs").cast("long").alias("n_runs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5692,13 +5721,13 @@ def _last_verified_round() -> dict[str, int]:
     canonical registry order.  Net effect: every query regains a hard
     driver-oracle row at least every ceil(len(registry)/50)+ rounds.
 
-    r05 arithmetic (deliberate): 80 never-driver-verified queries
-    (round 0) compete for the 50-row window, so 30 round-0 queries
+    r05 arithmetic (deliberate): 81 never-driver-verified queries
+    (round 0) compete for the 50-row window, so 31 round-0 queries
     spill (the 26-query demoted cohort below plus screen_stream_clips,
-    violation_slices_documents, constraint_slices_lineitem and
-    metric_anomaly_orders, added at the canonical tail precisely so
-    they ride the pytest oracle without displacing the hand-tuned
-    window); the registry
+    violation_slices_documents, constraint_slices_lineitem,
+    metric_anomaly_orders and dead_constraints_lineitem, added at the
+    canonical tail precisely so they ride the pytest oracle without
+    displacing the hand-tuned window); the registry
     demotes a cohort of one-window-function/
     groupBy/quantile/CASE-WHEN/contingency-table shapes (iqr_outliers /
     conditional_validation / group_bounds / grouping_sets /
@@ -5919,6 +5948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_slices_documents": q_violation_slices_documents,
         "constraint_slices_lineitem": q_constraint_slices_lineitem,
         "metric_anomaly_orders": q_metric_anomaly_orders,
+        "dead_constraints_lineitem": q_dead_constraints_lineitem,
     }
     last = _last_verified_round()
     pos = {name: i for i, name in enumerate(registry)}
@@ -8883,4 +8913,24 @@ def oracle_sql() -> dict[str, str]:
                rel_change,
                (abs(rel_change) > 0.5)::BIGINT AS rel_anomaly
         FROM s"""
+    # dead-constraint coverage: unpivot the per-month counts, then the
+    # same count>=min_runs AND max=0 gate as the Spark op
+    sqls["dead_constraints_lineitem"] = """
+        WITH hist AS (
+          SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS run_seq,
+                 SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)::DOUBLE
+                   AS qty_negative,
+                 SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::DOUBLE
+                   AS disc_high
+          FROM lineitem GROUP BY 1
+        ),
+        u AS (
+          SELECT run_seq, 'qty_negative' AS cname, qty_negative AS value
+          FROM hist
+          UNION ALL
+          SELECT run_seq, 'disc_high', disc_high FROM hist
+        )
+        SELECT cname AS "constraint", COUNT(*)::BIGINT AS n_runs
+        FROM u GROUP BY 1
+        HAVING COUNT(*) >= 3 AND MAX(value) = 0"""
     return sqls

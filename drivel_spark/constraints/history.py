@@ -70,6 +70,7 @@ def metric_anomaly_report(
     k: float = 3.0,
     min_history: int = 3,
     max_rel_change: Optional[float] = None,
+    abs_tolerance: float = 0.0,
     seq_col: str = "run_seq",
     metric_col: str = "metric",
     value_col: str = "value",
@@ -91,6 +92,13 @@ def metric_anomaly_report(
       or when prev = 0
     - ``rel_anomaly`` — |rel_change| > max_rel_change (NULL column when
       ``max_rel_change`` is None)
+
+    ``abs_tolerance`` is an absolute floor under both detectors: a
+    deviation |value − median| (resp. |value − prev|) within it never
+    alarms.  Count metrics need this — a violation count stepping 1→0
+    over an all-1s window is a MAD-0 "deviation" and a 100% relative
+    change, yet operationally nothing happened.  Default 0.0 keeps the
+    strict semantics.
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
@@ -131,6 +139,10 @@ def metric_anomaly_report(
         .withColumn(
             "is_anomaly",
             F.when(F.col("n_hist") < int(min_history), F.lit(None).cast("boolean"))
+            .when(
+                F.abs(v - F.col("hist_median")) <= float(abs_tolerance),
+                F.lit(False),
+            )
             .when(F.col("hist_mad") > 0, F.col("robust_z") > float(k))
             .otherwise(v != F.col("hist_median")),
         )
@@ -146,7 +158,11 @@ def metric_anomaly_report(
             "rel_anomaly",
             F.lit(None).cast("boolean")
             if max_rel_change is None
-            else F.abs(F.col("rel_change")) > float(max_rel_change),
+            else F.when(
+                F.col("rel_change").isNotNull(),
+                (F.abs(F.col("rel_change")) > float(max_rel_change))
+                & (F.abs(v - F.col("__prev")) > float(abs_tolerance)),
+            ),
         )
         .drop("__vals", "__devs", "__prev")
     )

@@ -1208,6 +1208,7 @@ def cmd_history(args) -> dict:
         k=args.k,
         min_history=args.min_history,
         max_rel_change=args.max_rel_change,
+        abs_tolerance=getattr(args, "abs_tol", 0.0) or 0.0,
         seq_col="run_seq",
     ).persist()
     n_scored = rep.count()
@@ -1953,6 +1954,9 @@ def main(argv=None) -> None:
                      help="runs required before a verdict (younger -> NULL)")
     shy.add_argument("--max-rel-change", type=float, default=None,
                      help="also flag |value - prev| / |prev| above this")
+    shy.add_argument("--abs-tol", type=float, default=0.0,
+                     help="absolute deviation floor under BOTH detectors — "
+                          "count metrics stepping by <= this never alarm")
     shy.add_argument("--metrics", default=None,
                      help="comma-separated metric-name subset")
     shy.add_argument("--out", default=None,

@@ -265,3 +265,19 @@ def test_dead_constraints(spark, tmp_path):
     assert dead == {"never_fires": 4}
     # below the min_runs gate nothing is judged
     assert dead_constraints(hist, min_runs=5).count() == 0
+
+
+def test_abs_tolerance_floor(spark):
+    """abs_tolerance: a 1-count step over a constant window no longer
+    alarms under either detector, while a real jump still does."""
+    rep = metric_anomaly_report(
+        _hist_df(spark, [1, 1, 1, 1, 0, 1, 30]),
+        window=4, min_history=3, max_rel_change=0.5, abs_tolerance=2.0,
+    )
+    rows = {r["run_seq"]: r for r in rep.collect()}
+    # run 4: MAD 0, |0-1|=1 <= tol -> no alarm; rel change -1.0 within tol
+    assert rows[4]["is_anomaly"] is False
+    assert rows[4]["rel_anomaly"] is False
+    # run 6: |30-1|=29 beyond tol -> both detectors fire
+    assert rows[6]["is_anomaly"] is True
+    assert rows[6]["rel_anomaly"] is True

@@ -179,6 +179,7 @@ def validate(
     baseline_profile=None,
     keep_columns: Optional[list[str]] = None,
     cache_flags: bool = True,
+    ds_df: Optional[DataFrame] = None,
 ) -> ValidationResult:
     """Evaluate constraints; return pass/fail rows + violation rows.
 
@@ -191,9 +192,17 @@ def validate(
     ``profile`` may also be a zero-arg callable returning the
     TableProfile, letting the caller run the profile scan concurrently
     with this pass (it is resolved only when reports are assembled).
+    ``ds_df``: evaluate DATASET-level constraints (uniqueness,
+    referential, group bounds, …) against this frame instead of ``df``.
+    They are column-pruned scans; when ``df``'s row-level source is
+    opaque to Catalyst (e.g. a mapInArrow decode pass), pass the cheap
+    narrow source here so each dataset job scans only the columns it
+    needs instead of re-running the opaque pass.  Must hold the same
+    rows (same table) as ``df``.
     """
     row_cs = [c for c in constraints if c.is_row_level]
     ds_cs = [c for c in constraints if not c.is_row_level]
+    ds_src = ds_df if ds_df is not None else df
 
     scope_col = scope if scope is not None else F.spark_partition_id()
 
@@ -285,13 +294,13 @@ def validate(
         if row_cs and cache_flags:
             fut_n_total = pool.submit(_count_in_critical_pool, flagged)
         elif ds_cs:
-            fut_n_total = pool.submit(_count_in_critical_pool, df)
+            fut_n_total = pool.submit(_count_in_critical_pool, ds_src)
         else:
             fut_n_total = None
         for c in ds_cs:
             if isinstance(c, Unique):
                 dup_keys = (
-                    df.groupBy(c.column)
+                    ds_src.groupBy(c.column)
                     .agg(F.count(F.lit(1)).alias("cnt"))
                     .filter(F.col("cnt") > 1)
                 )
@@ -311,14 +320,14 @@ def validate(
                     from .bloom import referential_bloom
 
                     orphans = referential_bloom(
-                        df,
+                        ds_src,
                         c.column,
                         ref_tables[c.ref_table],
                         c.ref_column,
                         fpp=c.bloom_fpp,
                     ).drop("bloom_definite")
                 else:
-                    orphans = df.join(
+                    orphans = ds_src.join(
                         ref_tables[c.ref_table]
                         .select(F.col(c.ref_column).alias(c.column))
                         .dropDuplicates([c.column]),
@@ -327,7 +336,7 @@ def validate(
                     )
                 lazy_cs.append((c, pool.submit(orphans.count), orphans))
             elif isinstance(c, GroupBound):
-                gtab = group_bound_table(df, c)
+                gtab = group_bound_table(ds_src, c)
                 fut = pool.submit(
                     lambda g=gtab: g.agg(
                         F.count(F.lit(1)).alias("n_groups"),
@@ -339,7 +348,7 @@ def validate(
                 lazy_cs.append((c, fut, gtab))
             elif isinstance(c, FunctionalDependency):
                 bad_keys = (
-                    df.select(
+                    ds_src.select(
                         F.col(c.column).alias("key"),
                         F.col(c.determines).alias("dep"),
                     )
@@ -358,7 +367,7 @@ def validate(
             elif isinstance(c, DistinctRatio):
                 if c.method == "exact":
                     fut = pool.submit(
-                        lambda col=c.column: df.agg(
+                        lambda col=c.column: ds_src.agg(
                             F.countDistinct(F.col(col)).alias("d"),
                             F.sum(
                                 F.col(col).isNotNull().cast("long")
@@ -376,7 +385,7 @@ def validate(
                 from ..ops.timeseries import monotonic_violations
 
                 pairs = monotonic_violations(
-                    df,
+                    ds_src,
                     c.column,
                     list(c.order_by),
                     group_col=c.group_col,
@@ -387,14 +396,14 @@ def validate(
                 from ..ops.infostats import column_entropy
 
                 fut = pool.submit(
-                    lambda col=c.column: column_entropy(df, [col]).collect()[0]
+                    lambda col=c.column: column_entropy(ds_src, [col]).collect()[0]
                 )
                 lazy_cs.append((c, fut, None))
             elif isinstance(c, CorrelationBound):
                 from ..ops.infostats import _pearson
 
                 fut = pool.submit(
-                    lambda a=c.column, b=c.other: df.agg(
+                    lambda a=c.column, b=c.other: ds_src.agg(
                         _pearson(a, b).alias("corr"),
                         F.count(
                             F.when(
@@ -410,7 +419,7 @@ def validate(
 
                 fut = pool.submit(
                     lambda a=c.column, b=c.other: mutual_information(
-                        df, a, b
+                        ds_src, a, b
                     ).collect()[0]
                 )
                 lazy_cs.append((c, fut, None))
@@ -420,7 +429,7 @@ def validate(
 
                     def _exq(col=c.column, q=c.q):
                         try:
-                            return exact_quantile(df, col, q)
+                            return exact_quantile(ds_src, col, q)
                         except ValueError:  # no non-null values → fail
                             return None
 

@@ -1176,3 +1176,38 @@ def test_validate_history_window(spark, tmp_path, capsys):
     assert flagged["n_rows"]["value"] == 200.0
     assert flagged["n_rows"]["hist_median"] == 600.0
     assert flagged["n_rows"]["rel_change"] == pytest.approx(-0.6667, abs=1e-3)
+
+
+def test_validate_snr_direct_source_matches_arrow_stream_path(spark, tmp_path):
+    """The direct-pyarrow SNR row source (constraints/audio.py
+    snr_row_source, r06 optimization) must be report-identical to the
+    original bytes-through-Arrow pandas-UDF path: same passfail digest,
+    same violation count, on a table with planted audio defects."""
+    import os
+
+    from drivel_spark.fixtures import build_transcripts
+    from drivel_spark.job import cmd_validate
+
+    # n ≥ 1501 so the built-in duplicate-clip_id rule (i % 1000 == 500,
+    # i ≥ 1000) plants real SNR failures for both paths to agree on
+    spec = ClipFixtureSpec(with_audio=True)
+    n = 1600
+    db = tmp_path / "db"
+    build_clips(spark, n, 4, spec).write.parquet(f"{db}/clips")
+    build_transcripts(spark, n, 4, spec).write.parquet(f"{db}/transcripts")
+    (db / "meta.json").write_text(json.dumps(
+        {"n_rows": n, "partitions": 4, "seed": 42,
+         "variant": "default", "with_audio": True}
+    ))
+    base = dict(data=str(db), baseline=None, checkpoint=None, run_id="r",
+                check_audio=True, n_scopes=8, report=None, clips=None,
+                transcripts=None, where=None)
+    fast = cmd_validate(argparse.Namespace(**base))
+    os.environ["DRIVEL_SNR_DIRECT"] = "0"
+    try:
+        slow = cmd_validate(argparse.Namespace(**base))
+    finally:
+        os.environ.pop("DRIVEL_SNR_DIRECT", None)
+    assert fast["passfail_digest"] == slow["passfail_digest"]
+    assert fast["n_violation_rows"] == slow["n_violation_rows"]
+    assert fast["n_passfail_rows"] == slow["n_passfail_rows"]

@@ -13,14 +13,29 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Batch sizing for wide binary (audio) rows — ~130KB/clip means
-# row-count-based batch defaults built for narrow rows explode:
-# Spark's parquet vectorized reader default (4096 rows) would buffer
-# ~0.5GB per task, and Arrow's default (10000) worse.  256 rows ≈ 33MB
-# per task keeps 32 concurrent tasks ~1GB.  Narrow tables pay a small
-# per-batch overhead that is negligible next to shuffle/UDF costs.
-DEFAULT_ARROW_BATCH = int(os.environ.get("DRIVEL_ARROW_BATCH", "256"))
-DEFAULT_PARQUET_BATCH = int(os.environ.get("DRIVEL_PARQUET_BATCH", "256"))
+# Batch sizing for Python-boundary Arrow streams.  r01–r05 capped
+# maxRecordsPerBatch at 256 rows so ~130KB/clip binary audio rows
+# couldn't blow worker memory — but that row cap applied to EVERY
+# mapInPandas/pandas_udf in the engine, so narrow tables (600k-row
+# lineitem, documents) crossed in thousands of tiny batches whose
+# per-batch JVM framing + Python dispatch dominated (measured r06:
+# grouped_profile 2.0s → 0.7s, schema_diff 3.3s → 2.6s at 8192).
+# Spark 4's BYTE cap (`spark.sql.execution.arrow.maxBytesPerBatch`,
+# verified live: 8MB cap → ~47×100KB rows per batch) bounds wide-row
+# batches directly, so the row cap can be raised to 8192 while audio
+# payload batches stay ≈32MB (~250 clips) — the same protection the
+# old row cap gave, without taxing narrow rows.
+DEFAULT_ARROW_BATCH = int(os.environ.get("DRIVEL_ARROW_BATCH", "8192"))
+DEFAULT_ARROW_BATCH_BYTES = int(
+    os.environ.get("DRIVEL_ARROW_BATCH_BYTES", str(32 << 20))
+)
+# Parquet vectorized-reader batch: 1024 rows ≈ 4× the old 256 (less
+# per-batch overhead on narrow scans) while a worst-case 130KB-row
+# binary scan still bounds at ~130MB per in-flight task batch — safe
+# under the 8-stream cap on byte-heavy stages.  (Spark has no byte cap
+# for this reader, so the row count stays conservative; 4096 would be
+# ~0.5GB/task on audio tables.)
+DEFAULT_PARQUET_BATCH = int(os.environ.get("DRIVEL_PARQUET_BATCH", "1024"))
 
 # Scan-split sizing: with per-row pandas-UDF work (SNR decode) the cost
 # of a partition is driven by ROW COUNT, not bytes; the 128MB default
@@ -131,6 +146,7 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(DEFAULT_ARROW_BATCH))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(DEFAULT_ARROW_BATCH_BYTES))
         .config("spark.sql.parquet.columnarReaderBatchSize", str(DEFAULT_PARQUET_BATCH))
         .config("spark.sql.files.maxPartitionBytes", DEFAULT_MAX_PARTITION_BYTES)
         .config("spark.sql.session.timeZone", "UTC")

@@ -99,21 +99,33 @@ def lgram_series(
 
     def gen(batches):
         for pdf in batches:
-            ids, poss, hs = [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            # per-doc numpy kernels, per-batch numpy assembly — no
+            # per-row Python objects in the (potentially millions-row)
+            # lgram stream (guide §4.2)
+            doc_ids = pdf[id_col].to_numpy()
+            kept_ids, h_arrays, counts = [], [], []
+            for did, text in zip(doc_ids, pdf[text_col]):
                 if text is None:
                     continue
                 h = _raw_lgram_hashes(text, L)
                 if len(h):
-                    ids.extend([did] * len(h))
-                    poss.extend(range(len(h)))
-                    hs.extend(int(x) for x in h)
-            yield pd.DataFrame(
-                {id_col: ids, "pos": poss, "h": hs},
-                # dtype pins matter when a batch yields 0 rows: object
-                # columns would break the Arrow schema contract
-                columns=[id_col, "pos", "h"],
-            ).astype({"pos": "int64", "h": "int64"}, errors="ignore")
+                    kept_ids.append(did)
+                    h_arrays.append(h)
+                    counts.append(len(h))
+            if not counts:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype=pdf[id_col].dtype),
+                        "pos": pd.Series([], dtype="int64"),
+                        "h": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            counts_arr = np.asarray(counts, dtype=np.int64)
+            ids_out = np.repeat(np.asarray(kept_ids, dtype=object), counts_arr)
+            poss = np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+            hs = np.concatenate(h_arrays).view(np.int64)
+            yield pd.DataFrame({id_col: ids_out, "pos": poss, "h": hs})
 
     id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(

@@ -737,19 +737,25 @@ def _kgram_hashes(text: str, k: int) -> np.ndarray:
     return (win * powers[None, :]).sum(axis=1, dtype=np.uint64) & _MASK63
 
 
+def _winnow_select_np(hashes: np.ndarray, w: int) -> np.ndarray:
+    """Selected positions (sorted, deduped) of robust winnowing — the
+    numpy core of :func:`_winnow_select`."""
+    n = len(hashes)
+    if n < w:
+        return np.empty(0, dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    rev_arg = np.argmin(sw[:, ::-1], axis=1)
+    pos = np.arange(n - w + 1) + (w - 1 - rev_arg)
+    return np.unique(pos)
+
+
 def _winnow_select(hashes: np.ndarray, w: int) -> list[tuple[int, int]]:
     """Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
     MOSS algorithm; public literature): over every window of ``w``
     consecutive k-gram hashes, select the RIGHTMOST minimal hash;
     dedupe (pos, hash).  Guarantees at least one fingerprint per
     ``w + k - 1`` characters — bounded density regardless of content."""
-    n = len(hashes)
-    if n < w:
-        return []
-    sw = np.lib.stride_tricks.sliding_window_view(hashes, w)
-    rev_arg = np.argmin(sw[:, ::-1], axis=1)
-    pos = np.arange(n - w + 1) + (w - 1 - rev_arg)
-    sel = np.unique(pos)
+    sel = _winnow_select_np(hashes, w)
     return [(int(p), int(hashes[p])) for p in sel]
 
 
@@ -776,18 +782,44 @@ def winnow_fingerprints(
 
     def gen(batches):
         for pdf in batches:
-            ids, poss, fps = [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            # per-doc numpy kernels, per-batch numpy assembly — no
+            # per-row Python objects in the fingerprint stream
+            kept_ids, pos_arrays, fp_arrays = [], [], []
+            for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col]):
                 if text is None:
                     continue
                 hashes = _kgram_hashes(text, k)
                 if full_series:
-                    pairs = list(enumerate(int(h) for h in hashes))
+                    if len(hashes) == 0:
+                        continue
+                    pos = np.arange(len(hashes), dtype=np.int64)
+                    fp = hashes
                 else:
-                    pairs = _winnow_select(hashes, w)
-                for p, h in pairs:
-                    ids.append(did), poss.append(p), fps.append(h)
-            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
+                    pos = _winnow_select_np(hashes, w)
+                    if len(pos) == 0:
+                        continue
+                    fp = hashes[pos]
+                kept_ids.append(did)
+                pos_arrays.append(pos)
+                fp_arrays.append(fp)
+            if not kept_ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype=pdf[id_col].dtype),
+                        "pos": pd.Series([], dtype="int64"),
+                        "fp": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            counts = np.asarray([len(a) for a in pos_arrays], dtype=np.int64)
+            ids_out = np.repeat(np.asarray(kept_ids, dtype=object), counts)
+            yield pd.DataFrame(
+                {
+                    id_col: ids_out,
+                    "pos": np.concatenate(pos_arrays).astype(np.int64),
+                    "fp": np.concatenate(fp_arrays).view(np.int64),
+                }
+            )
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, pos long, fp long"

@@ -20,6 +20,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Arrow local relation for small driver-side result tables
+    (drivel_spark.io.local_df): collect costs no Spark jobs, vs the
+    ~32 pickled python slices a plain createDataFrame(list) schedules
+    per action at local[32]."""
+    from drivel_spark.io import local_df
+
+    return local_df(spark, rows, schema)
+
+
 # Side-tables for oracles of engine-specific results (LSH bucket / band
 # assignments, sketch estimates, synthesized-audio features): the query
 # exports the engine-chosen assignment as a parquet side-table and the
@@ -994,7 +1004,7 @@ def q_schema_diff_orders(spark, sf_dir):
 
     cur_prof, base_prof = _schema_diff_profile_pair(spark, sf_dir)
     rows = diff_profiles(cur_prof, base_prof)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (r["column"], r["change"], r["before"], r["after"], r["detail"])
             for r in rows
@@ -1050,7 +1060,7 @@ def q_compat_gate_orders(spark, sf_dir):
 
     cur_prof, base_prof = _schema_diff_profile_pair(spark, sf_dir)
     rows = compat_report(cur_prof, base_prof)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 r["column"], r["change"], r["before"], r["after"],
@@ -1325,7 +1335,12 @@ def q_iqr_outliers_lineitem(spark, sf_dir):
     from drivel_spark.ops import iqr_bounds
 
     li = _t(spark, sf_dir, "lineitem")
-    lo, hi = iqr_bounds(li, "l_extendedprice", n_buckets=8, leaf_limit=1024)
+    # exact for ANY bucket/leaf sizing (the oracle pins the ORDER BY
+    # order statistics); 512 buckets localize each quartile of the
+    # 600k-row column in one histogram round instead of three, and the
+    # leaf stays a bounded ≤8k-row collect (r06: 3.6s → fewer
+    # sequential driver-job rounds)
+    lo, hi = iqr_bounds(li, "l_extendedprice", n_buckets=512, leaf_limit=8192)
     out = F.col("l_extendedprice").isNotNull() & (
         (F.col("l_extendedprice") < F.lit(lo)) | (F.col("l_extendedprice") > F.lit(hi))
     )
@@ -1508,7 +1523,7 @@ def q_fd_ratio_documents(spark, sf_dir):
         (d["constraint"], int(d["n_violations"]), bool(d["passed"]))
         for d in res.dataset
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows), "constraint string, n_violations int, passed boolean"
     )
 
@@ -1582,7 +1597,7 @@ def q_quantile_gate_lineitem(spark, sf_dir):
         )
         for d in res.dataset
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows),
         "constraint string, column string, q double, value double, passed boolean",
     )
@@ -1779,8 +1794,18 @@ def q_referential_bloom_lineitem(spark, sf_dir):
     from drivel_spark.constraints.bloom import referential_bloom
 
     li = _t(spark, sf_dir, "lineitem")
-    dim = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") < 400000)
-    orphans = referential_bloom(li, "l_orderkey", dim, "o_orderkey", fpp=0.01)
+    orders = _t(spark, sf_dir, "orders")
+    dim = orders.where(F.col("o_totalprice") < 400000)
+    # size the bloom from the parquet row-count metadata (an upper
+    # bound on the filtered dim's distinct keys) instead of a separate
+    # approx_count_distinct sizing scan (VERDICT r05 #5): the orphan
+    # set — and thus the query result — is exact for ANY m, only the
+    # bitmap is ~30% roomier.  count() on the unfiltered parquet is a
+    # footer-metadata job, not a data scan.
+    orphans = referential_bloom(
+        li, "l_orderkey", dim, "o_orderkey", fpp=0.01,
+        expected_n=max(int(orders.count()), 1),
+    )
     return (
         orphans.groupBy(F.col("l_returnflag").alias("returnflag"))
         .agg(
@@ -1911,11 +1936,20 @@ def q_wasserstein_orders_price(spark, sf_dir):
     base = o.filter(F.pmod("o_orderkey", F.lit(2)) == 0)
     same = o.filter(F.pmod("o_orderkey", F.lit(2)) == 1)
     shifted = same.withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
-    rows = []
-    for pair, df_b in (("same", same), ("shifted", shifted)):
-        out = wasserstein_exact(base, df_b, "o_totalprice", n_buckets=64)
-        rows.append((pair, round(out["w1"], 4), out["n_a"], out["n_b"]))
-    return spark.createDataFrame(rows, "pair string, w1 double, n_a long, n_b long")
+    # the two pair computations are independent job chains — overlap
+    # them on driver threads (guide §2.6); row order stays fixed
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            (pair, pool.submit(wasserstein_exact, base, df_b, "o_totalprice", n_buckets=64))
+            for pair, df_b in (("same", same), ("shifted", shifted))
+        ]
+        rows = [
+            (pair, round(f.result()["w1"], 4), f.result()["n_a"], f.result()["n_b"])
+            for pair, f in futs
+        ]
+    return _local_df(spark, rows, "pair string, w1 double, n_a long, n_b long")
 
 
 def q_chisq_drift_orders(spark, sf_dir):
@@ -2038,7 +2072,7 @@ def q_profile_sketches_lineitem(spark, sf_dir):
         sf_dir,
     )
     rows = [(name, n, hll, kll) for name, (n, hll, kll) in est.items()]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "column string, n long, hll_est double, kll_median double"
     ).select(
         "column",
@@ -2179,7 +2213,7 @@ def q_profile_tdigest_lineitem(spark, sf_dir):
         "tdigest_estimates",
         sf_dir,
     )
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(float(q), v) for q, v in est.items()], "q double, estimate double"
     ).select("q", F.round("estimate", 6).alias("estimate"))
 
@@ -2260,7 +2294,7 @@ def q_drift_lineitem_halves(spark, sf_dir):
             1.0 if est[("shifted", "ks")] > 0.05 > est[("same", "ks")] else 0.0,
         )
     )
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows), "pair string, metric string, value double"
     ).select("pair", "metric", F.round("value", 6).alias("value"))
 
@@ -2319,7 +2353,7 @@ def q_json_schema_events_props(spark, sf_dir):
         (k, v.kind, bool(v.nullable), v.str_type if v.kind == "string" else "")
         for k, v in sorted({**node.required, **node.optional}.items())
     ]
-    return spark.createDataFrame(rows, "field string, kind string, nullable boolean, str_type string")
+    return _local_df(spark, rows, "field string, kind string, nullable boolean, str_type string")
 
 
 def q_clips_validation_passfail(spark, sf_dir):
@@ -3485,7 +3519,7 @@ def q_embedding_drift_halves(spark, sf_dir):
             round(norm_a, 6), round(norm_b, 6),
         )
 
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [pair("raw", sa, sb), pair("shifted", sa, ss)],
         "scenario string, n_a long, n_b long, cos double, l2 double, "
         "norm_a double, norm_b double",
@@ -4447,13 +4481,13 @@ def q_retrieval_recall_embeddings(spark, sf_dir):
     query (its own list_dot_product cosine) and the recall arithmetic
     from that export."""
     from drivel_spark.ops import (
-        ann_topk,
+        ann_topk_batch,
         assign_ivf,
         assign_pq,
         build_lsh_index,
-        ivf_topk,
-        pq_topk,
-        retrieval_recall_report,
+        ivf_topk_batch,
+        pq_topk_batch,
+        retrieval_recall_report_batched,
         train_ivf_centroids,
         train_pq_codebooks,
     )
@@ -4486,18 +4520,21 @@ def q_retrieval_recall_embeddings(spark, sf_dir):
 
     qrows = e.select("vec_id", "emb_d").orderBy("vec_id").limit(3).collect()
     query_vecs = [(r["vec_id"], list(r["emb_d"])) for r in qrows]
+    # batched evaluator (VERDICT r05 #2): ONE distributed job per
+    # method for the whole query set (the per-query state rides a
+    # broadcast table), identical report rows and returned-id order
     methods = {
-        "ann_lsh": lambda qv, k: ann_topk(
-            indexed, planes, qv, k=k, probes=2, vec_col="emb_d"
+        "ann_lsh": lambda qvs, k: ann_topk_batch(
+            indexed, planes, qvs, k=k, probes=2, vec_col="emb_d"
         ),
-        "ivf": lambda qv, k: ivf_topk(
-            assigned, cents, qv, k=k, nprobe=2, vec_col="emb_d"
+        "ivf": lambda qvs, k: ivf_topk_batch(
+            assigned, cents, qvs, k=k, nprobe=2, vec_col="emb_d"
         ),
-        "pq_adc": lambda qv, k: pq_topk(
-            coded, books, qv, k=k, rerank=4, vec_col="emb_d"
+        "pq_adc": lambda qvs, k: pq_topk_batch(
+            coded, books, qvs, k=k, rerank=4, vec_col="emb_d"
         ),
     }
-    rep = retrieval_recall_report(
+    rep = retrieval_recall_report_batched(
         e, methods, query_vecs, k=10, vec_col="emb_d", include_ids=True
     )
     if not _engine_only():
@@ -5004,7 +5041,7 @@ def q_grouped_profile_events(spark, sf_dir):
                 round(acc.sum_v / nv, 6) if nv else None,
             )
         )
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows,
         "event_type string, n long, n_null long, "
         "min_value double, max_value double, mean_value double",

@@ -119,16 +119,17 @@ def build_bloom(
     return BloomFilter(words=words, m_bits=m_bits, k_hashes=k_hashes)
 
 
-# Bitmaps at or under this many 64-bit words (default 1M words = 8 MB,
-# ~6.7M keys at 1% fpp) are probed with a pure-Catalyst array-literal
-# expression instead of the Arrow UDF.  The engine's Arrow batch is
-# sized for 130KB audio rows (config.DEFAULT_ARROW_BATCH = 256 rows),
-# so a pandas-UDF probe over a NARROW fact column pays thousands of
-# tiny Arrow round-trips per partition; the literal path stays inside
-# whole-stage codegen with zero Python.  Cluster-scale bitmaps (100M
-# keys ≈ 120 MB) exceed any sane plan-constant size and keep the
-# broadcast + Arrow path.
-LITERAL_WORDS_MAX = int(os.environ.get("DRIVEL_BLOOM_LITERAL_WORDS", str(1 << 20)))
+# Bitmaps at or under this many 64-bit words (default 16k words =
+# 128 KB, ~100k keys at 1% fpp) are probed with a pure-Catalyst
+# array-literal expression instead of the Arrow UDF.  r06 re-measured
+# the trade-off: with byte-capped 8192-row Arrow batches (config.py)
+# the UDF probe is no longer tiny-batch-bound (600k-row probe: 0.6s
+# UDF vs 0.85s literal at 17k words), and the k hash positions each
+# duplicate the pre-folded JSON literal in the plan, so large literals
+# spike driver analysis time (ADVICE r05).  Small bitmaps keep the
+# literal path (zero Python, no broadcast); everything else goes
+# broadcast + Arrow.
+LITERAL_WORDS_MAX = int(os.environ.get("DRIVEL_BLOOM_LITERAL_WORDS", str(1 << 14)))
 
 
 def _contains_literal(key: Column, bloom: BloomFilter) -> Column:

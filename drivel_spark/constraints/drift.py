@@ -203,7 +203,9 @@ def wasserstein_exact(df_a, df_b, col: str, n_buckets: int = 64) -> dict[str, An
         cum_b += row["sb"]
         prev = row
     spark = df_a.sparkSession
-    off_df = spark.createDataFrame(offsets, "bkt int, off_a long, off_b long")
+    from ..io import local_df
+
+    off_df = local_df(spark, offsets, "bkt int, off_a long, off_b long")
     w = Window.partitionBy("bkt").orderBy("v")
     inner = (
         pts.join(F.broadcast(off_df), "bkt")

@@ -256,8 +256,10 @@ def validate(
         )
     else:
         spark = df.sparkSession
-        passfail = spark.createDataFrame(
-            [], "partition_id long, constraint string, n_rows long, n_violations long, passed boolean"
+        from ..io import local_df
+
+        passfail = local_df(
+            spark, [], "partition_id long, constraint string, n_rows long, n_violations long, passed boolean"
         )
         violations = df.limit(0).withColumn("failed", F.array().cast("array<string>"))
 
@@ -504,7 +506,10 @@ def validate(
 
     if extra_passfail_rows:
         spark = df.sparkSession
-        extra = spark.createDataFrame(
+        from ..io import local_df
+
+        extra = local_df(
+            spark,
             extra_passfail_rows,
             "partition_id long, constraint string, n_rows long, n_violations long, passed boolean",
         )

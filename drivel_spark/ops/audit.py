@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import local_df
+
 # --------------------------------------------------------------------------
 # join preflight
 # --------------------------------------------------------------------------
@@ -465,7 +467,7 @@ def file_layout_report(spark: SparkSession, path: str) -> DataFrame:
         name = st.getPath().getName()
         if name.endswith(".parquet"):
             sizes.append((name, int(st.getLen())))
-    size_df = spark.createDataFrame(sizes, "file string, bytes long")
+    size_df = local_df(spark, sizes, "file string, bytes long")
     return rows.join(F.broadcast(size_df), "file", "left")
 
 
@@ -652,7 +654,8 @@ def candidate_key_report(
 
     exact_parts = []
     for name, cols, n_rows, approx, ratio in rows:
-        base = spark.createDataFrame(
+        base = local_df(
+            spark,
             [(name, n_rows, approx)],
             "key string, n_rows long, approx_distinct long",
         )

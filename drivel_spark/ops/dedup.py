@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..io import local_df
 from pyspark.sql.types import LongType
 
 from .text import normalize_text, tokens
@@ -951,8 +953,8 @@ def semantic_dedup_assign(
     _assign = _assign.asNondeterministic()
 
     cent_rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
-    cent_df = df.sparkSession.createDataFrame(
-        cent_rows, "cluster int, __cent array<double>"
+    cent_df = local_df(
+        df.sparkSession, cent_rows, "cluster int, __cent array<double>"
     )
     vd = F.transform(F.col("v"), lambda x: x.cast("double"))
     return (

@@ -32,6 +32,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..io import local_df
+
 __all__ = ["column_entropy", "mutual_information", "correlation_matrix", "benford_report"]
 
 
@@ -87,8 +89,8 @@ def column_entropy(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     )
     # all-null / empty columns produce no count rows; reinstate them so
     # the report's row set is exactly the requested columns
-    spine = df.sparkSession.createDataFrame(
-        [(c,) for c in cols], "column string"
+    spine = local_df(
+        df.sparkSession, [(c,) for c in cols], "column string"
     )
     return (
         spine.join(F.broadcast(observed), "column", "left")
@@ -267,8 +269,8 @@ def benford_report(df: DataFrame, column: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     spark = df.sparkSession
-    spine = spark.createDataFrame(
-        [(d, BENFORD_P[d]) for d in range(1, 10)], "digit int, expected_p double"
+    spine = local_df(
+        spark, [(d, BENFORD_P[d]) for d in range(1, 10)], "digit int, expected_p double"
     )
     w = Window.partitionBy()
     joined = (

@@ -29,6 +29,8 @@ from typing import Mapping, NamedTuple, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import local_df
+
 from .splits import split_bucket
 
 __all__ = ["MixturePlan", "mixture_plan", "mix_corpora", "mixture_report"]
@@ -149,7 +151,8 @@ def mixture_report(
         measure.alias("kept")
     )
     spark = df.sparkSession
-    plan_df = spark.createDataFrame(
+    plan_df = local_df(
+        spark,
         [
             (s, plan.available[s], plan.shares[s], plan.rates[s])
             for s in plan.shares

@@ -2685,7 +2685,10 @@ def audio_feature_drift(
     finally:
         fa.unpersist()
         fb.unpersist()
-    return df_a.sparkSession.createDataFrame(
+    from ..io import local_df
+
+    return local_df(
+        df_a.sparkSession,
         rows,
         "feature string, w1 double, mean_a double, mean_b double, "
         "n_a long, n_b long",

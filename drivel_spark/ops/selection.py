@@ -33,6 +33,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import local_df
+
 __all__ = [
     "top_fraction_threshold",
     "top_fraction_filter",
@@ -217,7 +219,7 @@ def exact_percent_rank(
         offsets.append((b, cum))
         cum += c
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__pr_bkt int, __pr_off long")
+    off_df = local_df(spark, offsets, "__pr_bkt int, __pr_off long")
     w = Window.partitionBy("__pr_bkt").orderBy(v)
     ranked = (
         tagged.join(F.broadcast(off_df), "__pr_bkt", "left")
@@ -329,8 +331,8 @@ def assign_row_ids(
     for p, c in counts:
         offsets.append((p, cum))
         cum += c
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], f"{part_col} int, __rid_off long"
+    off_df = local_df(
+        spark, offsets or [(0, 0)], f"{part_col} int, __rid_off long"
     )
     w = Window.partitionBy(part_col).orderBy(*order_exprs)
     return (
@@ -368,8 +370,14 @@ def iqr_bounds(
     q3 + w·IQR).  Two refinement searches, no sort — the robust
     complement of from_profile's min/max envelope (a single wild value
     poisons min/max; it cannot move a quartile)."""
-    q1 = exact_quantile(df, col, 0.25, **kw)
-    q3 = exact_quantile(df, col, 0.75, **kw)
+    # the two refinement searches are independent Spark-job chains:
+    # run them on driver threads so their jobs interleave (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(exact_quantile, df, col, 0.25, **kw)
+        f3 = pool.submit(exact_quantile, df, col, 0.75, **kw)
+        q1, q3 = f1.result(), f3.result()
     iqr = q3 - q1
     return q1 - whisker * iqr, q3 + whisker * iqr
 
@@ -459,10 +467,10 @@ def value_histogram(
     lo, hi, n = stats[0], stats[1], int(stats[2])
     spark = df.sparkSession
     if n == 0:
-        return spark.createDataFrame([], "bucket int, lo double, hi double, n long")
+        return local_df(spark, [], "bucket int, lo double, hi double, n long")
     if lo == hi:
-        return spark.createDataFrame(
-            [(0, float(lo), float(hi), n)], "bucket int, lo double, hi double, n long"
+        return local_df(
+            spark, [(0, float(lo), float(hi), n)], "bucket int, lo double, hi double, n long"
         )
     width = (hi - lo) / n_buckets
     bucket = F.least(

@@ -505,6 +505,243 @@ def pq_topk(
     )
 
 
+def _query_table(spark, query_vecs):
+    """Broadcastable (query_id, __q) table from the bounded eval set —
+    the per-query state travels as DATA, not as per-query plan
+    literals, so 1k query vectors are 1k rows, not 1k plan nodes."""
+    from ..io import local_df
+
+    rows = [
+        (int(qid), [float(x) for x in np.asarray(qv, dtype=np.float64)])
+        for qid, qv in query_vecs
+    ]
+    return local_df(spark, rows, "query_id long, __q array<double>")
+
+
+def _topk_per_query(scored, k: int, id_col: str, nulls_last: bool = False):
+    """row_number window replicating ``orderBy(desc[_nulls_last](cosine),
+    id).limit(k)`` per query — identical ids under the same total order."""
+    from pyspark.sql import Window
+
+    score_order = (
+        F.desc_nulls_last("cosine") if nulls_last else F.desc("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(score_order, F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    query_vecs: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k for EVERY query of a bounded eval set in ONE
+    distributed pass (VERDICT r05 #2): broadcast the Q-row query table,
+    score each (row, query) pair, window top-k per query.  Returns
+    (query_id, id, cosine, __rn) with __rn = 1..k in retrieval order —
+    row-identical per query to :func:`cosine_topk`."""
+    qdf = _query_table(df.sparkSession, query_vecs)
+    scored = df.crossJoin(F.broadcast(qdf)).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col("__q")), 6).alias("cosine"),
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
+def ann_topk_batch(
+    indexed: DataFrame,
+    planes: np.ndarray,
+    query_vecs: list,
+    k: int = 10,
+    probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched :func:`ann_topk`: the (query_id, probe bucket) pairs are
+    a small broadcast table joined on the precomputed bucket column —
+    one job for all queries, same candidate sets per query."""
+    from ..io import local_df
+
+    pairs = []
+    for qid, qv in query_vecs:
+        q = np.asarray(qv, dtype=np.float64)
+        qbits = [1 if float(p @ q) >= 0 else 0 for p in planes]
+        for b in _probe_buckets(qbits, probes):
+            pairs.append((int(qid), int(b), [float(x) for x in q]))
+    pdf = local_df(
+        indexed.sparkSession, pairs,
+        "query_id long, lsh_bucket int, __q array<double>",
+    )
+    scored = indexed.join(F.broadcast(pdf), "lsh_bucket").select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col("__q")), 6).alias("cosine"),
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
+def ivf_topk_batch(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vecs: list,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """Batched :func:`ivf_topk`: (query_id, probed list) pairs join on
+    the inverted-list column — one job for all queries."""
+    from ..io import local_df
+
+    pairs = []
+    for qid, qv in query_vecs:
+        for l in ivf_probe_lists(centroids, qv, nprobe):
+            pairs.append((int(qid), int(l), [float(x) for x in np.asarray(qv, dtype=np.float64)]))
+    pdf = local_df(
+        assigned.sparkSession, pairs,
+        f"query_id long, {list_col} int, __q array<double>",
+    )
+    scored = assigned.join(F.broadcast(pdf), list_col).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col("__q")), 6).alias("cosine"),
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
+def pq_topk_batch(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    query_vecs: list,
+    k: int = 10,
+    rerank: int = 4,
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched :func:`pq_topk`: each query's ADC lookup table rides the
+    broadcast query table as an array<array<double>> COLUMN (data, not
+    a per-query plan literal), the two-stage select (ADC top k·rerank →
+    exact cosine top-k) runs once for all queries via per-query
+    windows.  Candidate sets and ordering match pq_topk per query."""
+    from ..io import local_df
+
+    m, kk, dsub = codebooks.shape
+    rows = []
+    for qid, qv in query_vecs:
+        q = np.asarray(qv, dtype=np.float64)
+        if len(q) != m * dsub:
+            raise ValueError(f"query dim {len(q)} != m*dsub {m * dsub}")
+        lut = [
+            [float(x) for x in codebooks[j] @ q[j * dsub : (j + 1) * dsub]]
+            for j in range(m)
+        ]
+        rows.append((int(qid), [float(x) for x in q], lut))
+    qdf = local_df(
+        coded.sparkSession, rows,
+        "query_id long, __q array<double>, __lut array<array<double>>",
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col(code_col), F.col("__lut"),
+            lambda c, l: F.element_at(l, c.cast("int") + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("adc_score"), F.col(id_col)
+    )
+    cand = (
+        coded.crossJoin(F.broadcast(qdf))
+        .withColumn("adc_score", adc)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= k * rerank)
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col("__q")), 6).alias("cosine"),
+    )
+    return _topk_per_query(scored, k, id_col, nulls_last=True)
+
+
+def retrieval_recall_report_batched(
+    df: DataFrame,
+    batched_methods: dict,
+    query_vecs: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    include_ids: bool = False,
+) -> DataFrame:
+    """Recall@k evaluation with ONE distributed job per method plus one
+    for the exact ground truth (VERDICT r05 #2) — replaces the
+    per-(query, method) driver fan-out: 1k query vectors are 1k rows of
+    a broadcast table, not 1k ThreadPool jobs.  ``batched_methods``
+    maps a method name to ``callable(query_vecs, k) -> DataFrame``
+    carrying (query_id, id_col, __rn) with __rn the per-query retrieval
+    order.  Report rows (and returned-id order) are identical to
+    :func:`retrieval_recall_report` over per-query methods."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..io import local_df
+
+    spark = df.sparkSession
+
+    def _collect_ordered(out: DataFrame):
+        got: dict[int, list] = {}
+        for r in out.select("query_id", id_col, "__rn").collect():
+            got.setdefault(int(r["query_id"]), []).append(
+                (int(r["__rn"]), r[id_col])
+            )
+        return {qid: [i for _, i in sorted(v)] for qid, v in got.items()}
+
+    with ThreadPoolExecutor(max_workers=1 + len(batched_methods)) as pool:
+        truth_f = pool.submit(
+            lambda: _collect_ordered(
+                cosine_topk_batch(df, query_vecs, k, vec_col, id_col)
+            )
+        )
+        got_f = {
+            name: pool.submit(lambda fn=fn: _collect_ordered(fn(query_vecs, k)))
+            for name, fn in batched_methods.items()
+        }
+        truth = truth_f.result()
+        got_all = {name: f.result() for name, f in got_f.items()}
+    rows = []
+    for qid, _ in query_vecs:
+        tset = set(truth.get(int(qid), []))
+        for name in batched_methods:
+            got = got_all[name].get(int(qid), [])
+            n_hit = len(set(got) & tset)
+            row = (
+                name,
+                int(qid),
+                len(tset),
+                len(got),
+                n_hit,
+                round(n_hit / float(k), 6),
+            )
+            rows.append(row + (got,) if include_ids else row)
+    schema = (
+        "method string, query_id long, n_truth int, n_returned int, "
+        "n_hit int, recall double"
+    )
+    if include_ids:
+        schema += ", returned_ids array<long>"
+    return local_df(spark, rows, schema).orderBy("method", "query_id")
+
+
 def retrieval_recall_report(
     df: DataFrame,
     methods: dict,
@@ -581,7 +818,9 @@ def retrieval_recall_report(
     )
     if include_ids:
         schema += ", returned_ids array<long>"
-    return spark.createDataFrame(rows, schema).orderBy("method", "query_id")
+    from ..io import local_df
+
+    return local_df(spark, rows, schema).orderBy("method", "query_id")
 
 
 def projection_matrix(in_dim: int, out_dim: int, seed: int = 42) -> np.ndarray:

@@ -14,6 +14,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..io import local_df
+
 # tiny per-language stopword lists for the n-gram/common-word heuristic;
 # enough to separate the fixture languages deterministically
 STOPWORDS = {
@@ -610,7 +612,7 @@ def repetition_metrics(
     zeros = (
         df.select(F.col(id_col).alias("id"), F.size(toks).alias("__sz"))
         .crossJoin(
-            F.broadcast(df.sparkSession.createDataFrame([(n,) for n in ns], "n int"))
+            F.broadcast(local_df(df.sparkSession, [(n,) for n in ns], "n int"))
         )
         .filter(F.col("__sz") < F.col("n"))
         .select(

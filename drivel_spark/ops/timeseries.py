@@ -30,6 +30,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..io import local_df
+
 __all__ = [
     "cusum_scores",
     "cusum_alarms",
@@ -170,8 +172,8 @@ def coverage_gaps(
     lo, hi = buckets.agg(F.min("bucket"), F.max("bucket")).first()
     spark = df.sparkSession
     if lo is None:
-        return spark.createDataFrame(
-            [], "gap_start timestamp, gap_end timestamp, n_missing long"
+        return local_df(
+            spark, [], "gap_start timestamp, gap_end timestamp, n_missing long"
         )
     spine = spark.range(1).select(
         F.explode(

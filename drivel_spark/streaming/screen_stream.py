@@ -201,7 +201,14 @@ def screen_stream(
                             *ids, F.lit(kind).alias("kind")
                         )
                     )
-            report = spark.createDataFrame(
+            from ..io import local_df
+
+            # Arrow local relation (io.local_df): a list-createDataFrame
+            # + coalesce(1) here cost ~3.2s/batch at local[32] (its 32
+            # pickled slices evaluate sequentially through one Python
+            # runner each); the arrow relation writes in ~0.1s
+            report = local_df(
+                spark,
                 [(kind, *counts[kind]) for kind, _, _ in screens],
                 SCREEN_REPORT_SCHEMA,
             )
@@ -240,7 +247,9 @@ def cumulative_screen(spark: SparkSession, report_dir: str) -> DataFrame:
     import os
 
     if not glob.glob(os.path.join(report_dir, "batch_id=*")):
-        return spark.createDataFrame([], SCREEN_REPORT_SCHEMA)
+        from ..io import local_df
+
+        return local_df(spark, [], SCREEN_REPORT_SCHEMA)
     rep = (
         spark.read.option("basePath", report_dir)
         .parquet(f"{report_dir}/batch_id=*")

@@ -227,7 +227,9 @@ def load_windowed_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     import os
 
     if not glob.glob(os.path.join(out_dir, "batch_id=*")):
-        return spark.createDataFrame([], WINDOWED_STATS_FIELDS)
+        from ..io import local_df
+
+        return local_df(spark, [], WINDOWED_STATS_FIELDS)
     return (
         spark.read.option("basePath", out_dir)
         .parquet(f"{out_dir}/batch_id=*")

@@ -4678,3 +4678,59 @@ def test_screen_report_rejects_bad_kinds(spark):
         screen_report(clips, ["quality", "truepeak"])
     with pytest.raises(ValueError, match="duplicate"):
         screen_report(clips, ["quality", "quality"])
+
+
+def test_retrieval_recall_batched_matches_per_query(emb, emb_pd):
+    """The one-job-per-method batched evaluator (r06, VERDICT r05 #2)
+    must reproduce the per-query fan-out's report rows AND returned-id
+    lists exactly, across exhaustive and starved regimes."""
+    from drivel_spark.ops import (
+        ann_topk,
+        ann_topk_batch,
+        assign_ivf,
+        assign_pq,
+        build_lsh_index,
+        ivf_topk,
+        ivf_topk_batch,
+        pq_topk,
+        pq_topk_batch,
+        retrieval_recall_report,
+        retrieval_recall_report_batched,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    n_planes = 4
+    indexed, planes = build_lsh_index(emb, dim=64, n_planes=n_planes)
+    indexed = indexed.cache()
+    cents = train_ivf_centroids(emb, n_centroids=8, sample_n=500, iters=5)
+    assigned = assign_ivf(emb, cents).cache()
+    books = train_pq_codebooks(emb, dim=64, m=8, k=16, sample_n=500, iters=4)
+    coded = assign_pq(emb, books).cache()
+
+    k = 5
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(3).collect()
+    ]
+    per_query = {
+        "ann": lambda qv, kk: ann_topk(indexed, planes, qv, k=kk, probes=2),
+        "ivf": lambda qv, kk: ivf_topk(assigned, cents, qv, k=kk, nprobe=2),
+        "pq": lambda qv, kk: pq_topk(coded, books, qv, k=kk, rerank=4),
+    }
+    batched = {
+        "ann": lambda qvs, kk: ann_topk_batch(indexed, planes, qvs, k=kk, probes=2),
+        "ivf": lambda qvs, kk: ivf_topk_batch(assigned, cents, qvs, k=kk, nprobe=2),
+        "pq": lambda qvs, kk: pq_topk_batch(coded, books, qvs, k=kk, rerank=4),
+    }
+    a = retrieval_recall_report(
+        emb, per_query, queries, k=k, include_ids=True
+    ).toPandas()
+    b = retrieval_recall_report_batched(
+        emb, batched, queries, k=k, include_ids=True
+    ).toPandas()
+    a["returned_ids"] = a["returned_ids"].map(list)
+    b["returned_ids"] = b["returned_ids"].map(list)
+    assert a.to_dict("records") == b.to_dict("records")
+    for c in (indexed, assigned, coded):
+        c.unpersist()

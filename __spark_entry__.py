@@ -2251,11 +2251,24 @@ def q_drift_lineitem_halves(spark, sf_dir):
         "l_extendedprice", F.col("l_extendedprice") * 1.1
     )
 
-    pb = profile(base_df, columns=["l_extendedprice", "l_returnflag"], arrow_batch=8192)
-    p_same = profile(
-        same_df, columns=["l_extendedprice", "l_returnflag"], arrow_batch=8192
-    )
-    p_shift = profile(shift_df, columns=["l_extendedprice"], arrow_batch=8192)
+    # three independent sketch scans — overlap on driver threads
+    # (guide §2.6; the arrow_batch override is now a no-op against the
+    # 8192-row session default, so no lock serialization)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_b = pool.submit(
+            profile, base_df, columns=["l_extendedprice", "l_returnflag"],
+            arrow_batch=8192,
+        )
+        f_same = pool.submit(
+            profile, same_df, columns=["l_extendedprice", "l_returnflag"],
+            arrow_batch=8192,
+        )
+        f_shift = pool.submit(
+            profile, shift_df, columns=["l_extendedprice"], arrow_batch=8192,
+        )
+        pb, p_same, p_shift = f_b.result(), f_same.result(), f_shift.result()
 
     kb = pb.column("l_extendedprice").kll
     import numpy as np

@@ -188,13 +188,20 @@ def _jaccard_pairs_from_shingle_table(
     the ``exact_first`` MinHash verification strategy."""
     inv = sh.select("id", F.explode("sh").alias("g"))
     if max_shingle_df is not None:
-        rare = (
-            inv.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("__df"))
+        # df cap as a count-over-window instead of groupBy + semi-join:
+        # one exchange on g gives BOTH the per-shingle df filter and a
+        # g-hash-partitioned output the self-join below consumes
+        # without reshuffling (r06, guide §2.4 — 2 exchanges + a join
+        # shuffle collapse into 1; measured 3.5s → 1.8s at sf0.1,
+        # row-identical pairs)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("g")
+        inv = (
+            inv.withColumn("__df", F.count(F.lit(1)).over(w))
             .filter(F.col("__df") <= max_shingle_df)
-            .select("g")
+            .drop("__df")
         )
-        inv = inv.join(rare, "g", "left_semi")
         sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("card"))
     else:
         sizes = sh.select("id", F.size("sh").alias("card"))

@@ -190,14 +190,18 @@ def duplicate_spans_from_series(
             .filter(F.col("n_docs") >= 2)
             .select("h")
         )
+        flagged = s.join(dup, "h", "left_semi")
     else:
-        dup = (
-            s.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("n_occ"))
-            .filter(F.col("n_occ") >= min_count)
-            .select("h")
+        # occurrence-count flag as count-over-window: ONE exchange of
+        # the (large) lgram stream on h instead of a groupBy + semi-join
+        # that shuffles it twice (r06, guide §2.4); row-identical flags
+        flagged = (
+            s.withColumn(
+                "__occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+            )
+            .filter(F.col("__occ") >= min_count)
+            .drop("__occ")
         )
-    flagged = s.join(dup, "h", "left_semi")
 
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) <= L, F.lit(0)).otherwise(

@@ -859,13 +859,16 @@ def winnow_containment_pairs(
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
     idx = fps.select(F.col(id_col).alias("id"), "fp").distinct()
     if max_fp_df is not None:
-        rare = (
-            idx.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
+        # count-over-window df cap (same rewrite as ngram_jaccard's
+        # shingle cap, r06): one exchange on fp replaces the groupBy +
+        # semi-join pair AND pre-partitions the self-join's input
+        from pyspark.sql import Window as _W
+
+        idx = (
+            idx.withColumn("__df", F.count(F.lit(1)).over(_W.partitionBy("fp")))
             .filter(F.col("__df") <= max_fp_df)
-            .select("fp")
+            .drop("__df")
         )
-        idx = idx.join(rare, "fp", "left_semi")
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     shared = (
         idx.alias("a")

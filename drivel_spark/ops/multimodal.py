@@ -2667,21 +2667,39 @@ def audio_feature_drift(
     fa = fa.persist(StorageLevel.MEMORY_AND_DISK)
     fb = fb.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        mean_a = fa.agg(*[F.avg(f).alias(f) for f in feats]).first()
-        mean_b = fb.agg(*[F.avg(f).alias(f) for f in feats]).first()
-        rows = []
-        for f in feats:
-            d = wasserstein_exact(fa, fb, f, n_buckets=n_buckets)
-            rows.append(
-                (
-                    f,
-                    float(d["w1"]),
-                    float(mean_a[f]) if mean_a[f] is not None else None,
-                    float(mean_b[f]) if mean_b[f] is not None else None,
-                    int(d["n_a"]),
-                    int(d["n_b"]),
-                )
+        # the two decode scans, the two mean aggs, and the per-feature
+        # W1 chains are independent job chains over the persisted
+        # feature tables — overlap them on driver threads (guide §2.6):
+        # first materialize both caches concurrently, then fan out
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2 + len(feats)) as pool:
+            for f_mat in [pool.submit(fa.count), pool.submit(fb.count)]:
+                f_mat.result()
+            f_ma = pool.submit(
+                lambda: fa.agg(*[F.avg(f).alias(f) for f in feats]).first()
             )
+            f_mb = pool.submit(
+                lambda: fb.agg(*[F.avg(f).alias(f) for f in feats]).first()
+            )
+            f_w1 = {
+                f: pool.submit(wasserstein_exact, fa, fb, f, n_buckets)
+                for f in feats
+            }
+            mean_a, mean_b = f_ma.result(), f_mb.result()
+            rows = []
+            for f in feats:
+                d = f_w1[f].result()
+                rows.append(
+                    (
+                        f,
+                        float(d["w1"]),
+                        float(mean_a[f]) if mean_a[f] is not None else None,
+                        float(mean_b[f]) if mean_b[f] is not None else None,
+                        int(d["n_a"]),
+                        int(d["n_b"]),
+                    )
+                )
     finally:
         fa.unpersist()
         fb.unpersist()

@@ -45,15 +45,6 @@ DEFAULT_PARQUET_BATCH = int(os.environ.get("DRIVEL_PARQUET_BATCH", "1024"))
 # splits to 100TB tables on a 1000-executor cluster (tune per deploy).
 DEFAULT_MAX_PARTITION_BYTES = os.environ.get("DRIVEL_MAX_PARTITION_BYTES", "33554432")
 
-# Per-file open-cost charge for split packing.  Spark's 4MB default
-# caps a small file's scan parallelism at totalBytes/4MB tasks (split
-# size = min(maxPartitionBytes, max(openCost, bytes/defaultParallelism)))
-# — a 10MB single-file table scans on 3 cores of 32 (r06 measurement:
-# entropy_report 1.8s → 0.8s at 512KB).  512KB reflects per-file open
-# overhead on local SSD / page cache and modern object stores; at
-# cluster scale files exceed maxPartitionBytes and this knob is inert.
-DEFAULT_OPEN_COST_BYTES = os.environ.get("DRIVEL_OPEN_COST_BYTES", str(512 * 1024))
-
 
 # Job-scheduling policy, MEASURED on the validation workload
 # (48k-clip table, local[32], back-to-back A/B via spark-submit):
@@ -158,7 +149,6 @@ def build_session(
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(DEFAULT_ARROW_BATCH_BYTES))
         .config("spark.sql.parquet.columnarReaderBatchSize", str(DEFAULT_PARQUET_BATCH))
         .config("spark.sql.files.maxPartitionBytes", DEFAULT_MAX_PARTITION_BYTES)
-        .config("spark.sql.files.openCostInBytes", DEFAULT_OPEN_COST_BYTES)
         .config("spark.sql.session.timeZone", "UTC")
         # FAIR job scheduling: the validate pass runs its independent
         # actions (row-flag materialization, uniqueness shuffle,

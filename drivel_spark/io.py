@@ -324,3 +324,19 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         return spark.createDataFrame(pdf, schema)
     except Exception:
         return spark.createDataFrame(rows, schema)
+
+
+def ensure_map_parallelism(df: DataFrame, min_rows: int = 0) -> DataFrame:
+    """Round-robin repartition a NARROW frame up to the session's core
+    count when its physical partitioning is below it — the guide-§2.5
+    fix for unsplittable inputs (a single-row-group parquet file scans
+    as ONE task no matter how many byte-splits Spark makes, so any
+    heavy per-row work downstream runs single-core).  Call AFTER
+    column pruning, immediately before an expensive Arrow-map /
+    expression stage.  No-op whenever the input already has enough
+    partitions (a table at cluster scale always does), so the added
+    exchange exists exactly when it buys parallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

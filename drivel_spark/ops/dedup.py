@@ -746,7 +746,11 @@ def simhash_near_dup_pairs(
     expressions; only the signature itself is a pandas UDF.
     """
     w = 64 // bands
-    sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
+    from ..io import ensure_map_parallelism
+
+    sig = ensure_map_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")
+    )
     chunks = sig.select(
         "id",
         "sig",

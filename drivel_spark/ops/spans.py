@@ -128,9 +128,12 @@ def lgram_series(
             yield pd.DataFrame({id_col: ids_out, "pos": poss, "h": hs})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        gen, f"{id_col} {id_type}, pos long, h long"
-    )
+    from ..io import ensure_map_parallelism
+
+    # unsplittable single-file inputs otherwise run the whole lgram
+    # kernel on one task (guide §2.5); no-op when already parallel
+    src = ensure_map_parallelism(df.select(id_col, text_col))
+    return src.mapInPandas(gen, f"{id_col} {id_type}, pos long, h long")
 
 
 def duplicate_spans(

@@ -699,7 +699,9 @@ def _repetition_local(df: DataFrame, text_col: str, id_col: str,
                         out[k].append(v)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(fn, schema)
+    from ..io import ensure_map_parallelism
+
+    return ensure_map_parallelism(df.select(id_col, text_col)).mapInPandas(fn, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -825,7 +827,10 @@ def winnow_fingerprints(
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, pos long, fp long"
-    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+    from ..io import ensure_map_parallelism
+
+    src = ensure_map_parallelism(df.select(id_col, text_col))
+    return src.mapInPandas(gen, out_schema)
 
 
 def winnow_containment_pairs(

@@ -242,10 +242,24 @@ def partition_accumulators(
     df: DataFrame,
     columns: Optional[list[str]] = None,
     opts: ProfilerOptions = ProfilerOptions(),
+    min_parallelism: bool = False,
 ) -> DataFrame:
-    """One pickled :class:`TableAccumulator` row per input partition."""
+    """One pickled :class:`TableAccumulator` row per input partition.
+
+    ``min_parallelism=True`` round-robin repartitions the (pruned,
+    narrow) input up to the core count when the scan gives fewer
+    partitions — a single-row-group parquet file is UNSPLITTABLE, so
+    without it the whole accumulator pass runs on one task (guide
+    §2.5).  Off by default: streaming micro-batch profiling calls this
+    per tiny batch, where an extra exchange costs more than it buys.
+    The profile itself is partitioning-independent (mergeable-monoid
+    accumulators, pinned by test_profiler)."""
     if columns is not None:
         df = df.select(*columns)
+    if min_parallelism:
+        from ..io import ensure_map_parallelism
+
+        df = ensure_map_parallelism(df)
     col_types = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     return df.mapInPandas(_partition_profiler(col_types, opts), _ACC_SCHEMA)
 
@@ -299,7 +313,8 @@ def profile(
 
     def _run():
         acc_df = tree_combine(
-            partition_accumulators(df, columns, opts), fanin=tree_fanin
+            partition_accumulators(df, columns, opts, min_parallelism=True),
+            fanin=tree_fanin,
         )
         return acc_df.collect()
 

@@ -176,8 +176,14 @@ def q_quantiles_lineitem(spark, sf_dir):
     # ONE array-percentile aggregation: four scalar percentile() calls
     # each buffer the full column in their own aggregation state (4×
     # the memory and 10.9s vs 3.7s at sf0.1); the array form shares
-    # one buffer for all four ranks
-    ps = li.select(
+    # one buffer for all four ranks.  The narrow column is repartitioned
+    # up to core count first (io.ensure_map_parallelism): the test
+    # table is one unsplittable row group, so the scan + partial
+    # buffering otherwise run on a single task (guide §2.5); exact
+    # percentiles are partitioning-independent.
+    from drivel_spark.io import ensure_map_parallelism
+
+    ps = ensure_map_parallelism(li.select("l_extendedprice")).select(
         F.expr(
             "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))"
         ).alias("ps")
@@ -1122,7 +1128,13 @@ def q_corpus_prep_pipeline(spark, sf_dir):
     from drivel_spark.ops import exact_dedup, lang_id, pii_scrub, quality_score
     from drivel_spark.ops.text import token_count
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from drivel_spark.io import ensure_map_parallelism
+
+    # one unsplittable row group: without the repartition every
+    # quality/lang/PII regex below runs in a single scan task
+    d = ensure_map_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     dups = d.filter(F.col("doc_id") % 50 == 0).withColumn(
         "doc_id", F.col("doc_id") + 10000
     )

@@ -252,8 +252,12 @@ def partition_accumulators(
     without it the whole accumulator pass runs on one task (guide
     §2.5).  Off by default: streaming micro-batch profiling calls this
     per tiny batch, where an extra exchange costs more than it buys.
-    The profile itself is partitioning-independent (mergeable-monoid
-    accumulators, pinned by test_profiler)."""
+    The profile's exact fields (counts, min/max, sums, HLL registers)
+    are partitioning-independent mergeable monoids (pinned by
+    test_profiler); the BOUNDED sketches (SpaceSaving freq, KLL) are
+    merge-order-sensitive above capacity by design and only promise
+    their error contracts, so repartitioning here may legitimately
+    change their internals."""
     if columns is not None:
         df = df.select(*columns)
     if min_parallelism:

@@ -175,7 +175,18 @@ def test_stream_rejects_dataset_constraints(spark, tmp_path):
 def _assert_profiles_equal(a, b):
     """Field-level equality between two TableProfiles (same contract as
     test_partitioning_invariance: counts/min-max/HLL exact; KLL is
-    merge-order-sensitive internally so quantiles compare by band)."""
+    merge-order-sensitive internally so quantiles compare by band).
+
+    The SpaceSaving freq map is compared by ITS contract, not blanket
+    equality: counts are byte-equal only while both sides stayed in
+    the exact regime (distinct ≤ capacity, no eviction anywhere).
+    Above capacity the sketch is merge-order-sensitive by design —
+    the stream folds state file-by-file while the batch profiler
+    repartitions the scan to the core count (guide §2.5), so their
+    eviction histories legitimately differ; what both must still
+    satisfy is the structural contract (bounded size, mass ≤ column
+    non-null count).  The pre-r06 exact equality here only ever held
+    by coincidence of identical fold order."""
     import numpy as np
 
     assert a.n_rows == b.n_rows
@@ -188,7 +199,12 @@ def _assert_profiles_equal(a, b):
             assert np.array_equal(x.hll.registers, y.hll.registers), col
         if x.kind == "string":
             assert x.min_len == y.min_len and x.max_len == y.max_len, col
-            assert x.freq.counts == y.freq.counts, col
+            if x.freq.is_exact and y.freq.is_exact:
+                assert x.freq.counts == y.freq.counts, col
+            for s in (x.freq, y.freq):
+                assert len(s.counts) <= s.capacity, col
+                n_non_null = x.n - x.n_null
+                assert sum(s.counts.values()) <= n_non_null, col
 
 
 def test_profile_stream_matches_batch_and_resumes(spark, tmp_path):

@@ -1155,16 +1155,19 @@ def dedup_against_corpus(
     first (bloom.py): new rows whose key MISSES are definitely novel
     and keep with ZERO shuffle — since almost all ingest rows are
     novel, the confirm anti-join sees only the tiny hit set.  Result
-    identical either way (false positives are exact-confirmed)."""
+    identical either way (false positives are exact-confirmed).
+
+    The in-batch min-id survivor pass runs AFTER the corpus tier: the
+    two tiers commute (a key present in the corpus loses every batch
+    row either way; a novel key keeps exactly its min-id row either
+    way), and this order runs the per-key window ONCE over the
+    corpus-tier survivors instead of once under each bloom arm — one
+    exchange instead of a groupBy+semi-join pair upstream of both
+    arms.  The bloom is sized from the corpus ROW count (a narrow
+    count, no normalize/md5 pass) — an upper bound on its distinct
+    keys, so fpp only improves; results are exact for any sizing."""
     key = F.md5(normalize_text(F.col(text_col)))
     keyed = new_df.withColumn("__dkey", key)
-    if in_batch:
-        keep = (
-            keyed.select("__dkey", F.col(id_col).alias("__keep"))
-            .groupBy("__dkey")
-            .agg(F.min("__keep").alias(id_col))
-        )
-        keyed = keyed.join(keep, on=[id_col, "__dkey"], how="left_semi")
     corpus_keys = (
         corpus_df.select(key.alias("__dkey"))
         .where(F.col("__dkey").isNotNull())
@@ -1173,7 +1176,10 @@ def dedup_against_corpus(
     if use_bloom:
         from ..constraints.bloom import bloom_contains, build_bloom
 
-        bloom = build_bloom(corpus_keys, "__dkey", fpp=bloom_fpp)
+        expected = max(1, corpus_df.count())
+        bloom = build_bloom(
+            corpus_keys, "__dkey", expected_n=expected, fpp=bloom_fpp
+        )
         hit = bloom_contains(keyed, "__dkey", bloom)
         definite_new = keyed.where(~hit)
         confirmed_new = keyed.where(hit).join(
@@ -1182,6 +1188,19 @@ def dedup_against_corpus(
         out = definite_new.unionByName(confirmed_new)
     else:
         out = keyed.join(corpus_keys, on="__dkey", how="left_anti")
+    if in_batch:
+        from pyspark.sql import Window
+
+        # NULL keys are dropped here, matching the join-key semantics
+        # of the groupBy+semi-join formulation this replaces (a NULL
+        # key never equi-joins back to its group row)
+        w = Window.partitionBy("__dkey")
+        out = (
+            out.where(F.col("__dkey").isNotNull())
+            .withColumn("__minid", F.min(id_col).over(w))
+            .where(F.col(id_col) == F.col("__minid"))
+            .drop("__minid")
+        )
     return out.drop("__dkey")
 
 

@@ -2588,13 +2588,16 @@ def test_dedup_against_corpus_exact(spark):
     new = spark.createDataFrame(
         pd.DataFrame(
             {
-                "doc_id": [10, 11, 12, 13, 14],
+                "doc_id": [10, 11, 12, 13, 14, 15],
                 "text": [
                     "ALPHA   beta",     # normalized dup of corpus 1 -> dropped
                     "gamma delta",      # normalized dup of corpus 2 -> dropped
                     "zeta",             # novel -> kept
                     "zeta",             # in-batch dup -> dropped (min id 12 kept)
                     "eta",              # novel -> kept
+                    None,               # NULL text: dropped by the in-batch
+                                        # tier's key semantics (NULL never
+                                        # equi-joins), kept without it
                 ],
             }
         )
@@ -2605,11 +2608,12 @@ def test_dedup_against_corpus_exact(spark):
             for r in dedup_against_corpus(new, corpus, use_bloom=use_bloom).collect()
         )
         assert got == [12, 14], use_bloom
-    # in_batch=False keeps both zetas
+    # in_batch=False keeps both zetas and the NULL-text row (plain
+    # anti-join: a NULL key matches nothing corpus-side)
     got = sorted(
         r["doc_id"] for r in dedup_against_corpus(new, corpus, in_batch=False).collect()
     )
-    assert got == [12, 13, 14]
+    assert got == [12, 13, 14, 15]
 
 
 def test_near_dup_against_corpus(spark):

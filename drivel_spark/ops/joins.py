@@ -265,7 +265,11 @@ def edit_distance_join(
             )
             .select("n", "i", "key", "u")
         )
-        cands = probes.join(segs, ["n", "i", "key"]).select("u", "v").distinct()
+        # no distinct here: the union below is distinct'd once, and the
+        # aggregate's map-side partial pass already collapses same-
+        # partition duplicates — an inner distinct would only add a
+        # full extra Exchange for the cross-partition ones
+        cands = probes.join(segs, ["n", "i", "key"]).select("u", "v")
 
         # short-string arm: v with n < d+1 against u with m <= 2d
         shorts_v = vb.filter(F.length("v") < d + 1)

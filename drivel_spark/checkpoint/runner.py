@@ -274,10 +274,11 @@ def resumable_screen(
     restart reads only the files the commit table hasn't seen —
     skipped files are pruned at plan time, no wasted decode.
 
-    The kind set is part of the run key, so resuming with a DIFFERENT
-    set recomputes from scratch instead of mixing incompatible blobs.
-    Returns (per-kind totals frame in the screen-stream report shape,
-    stats dict).
+    The kind SET is part of the run key (sorted, so caller order does
+    not matter — per-kind counts in each blob are order-independent);
+    resuming with a DIFFERENT set recomputes from scratch instead of
+    mixing incompatible blobs.  Returns (per-kind totals frame in the
+    screen-stream report shape, stats dict).
     """
     from ..ops.multimodal import (
         AUDIO_SCREENS,
@@ -290,7 +291,7 @@ def resumable_screen(
     full = spark.read.parquet(table_path)
     units = sorted(full.inputFiles())
     snapshot = input_snapshot or _snapshot_id(units)
-    run = f"{run_id}:screen[{','.join(kinds)}]"
+    run = f"{run_id}:screen[{','.join(sorted(kinds))}]"
 
     done = store.committed(run, snapshot)
     done_units = set(done["unit"]) if not done.empty else set()
@@ -301,7 +302,10 @@ def resumable_screen(
             "__unit", F.input_file_name()
         )
         rep = screen_report(df, kinds, id_cols=["__unit"])
-        aggs = [F.count(F.lit(1)).alias("n_clips")]
+        aggs = [
+            F.count(F.lit(1)).alias("n_clips"),
+            F.count(F.when(F.expr("n_samples IS NULL"), 1)).alias("n_undec"),
+        ]
         for kind in kinds:
             flag = AUDIO_SCREENS[kind][1]
             bad = FUSED_SCREEN_BAD.get(kind, "n_samples IS NULL")
@@ -310,7 +314,8 @@ def resumable_screen(
         agg = rep.groupBy("__unit").agg(*aggs).toPandas()
         new_rows = []
         for _, rec in agg.iterrows():
-            counts = {"n_clips": int(rec["n_clips"])}
+            counts = {"n_clips": int(rec["n_clips"]),
+                      "n_undec": int(rec["n_undec"])}
             for kind in kinds:
                 counts[f"f_{kind}"] = int(rec[f"f_{kind}"])
                 counts[f"b_{kind}"] = int(rec[f"b_{kind}"])
@@ -327,7 +332,7 @@ def resumable_screen(
         seen = {r["unit"] for r in new_rows}
         for unit in todo:
             if unit not in seen:
-                zero = {"n_clips": 0}
+                zero = {"n_clips": 0, "n_undec": 0}
                 for kind in kinds:
                     zero[f"f_{kind}"] = zero[f"b_{kind}"] = 0
                 new_rows.append(
@@ -355,10 +360,23 @@ def resumable_screen(
         ],
         columns=["kind", "n_clips", "n_flagged", "n_undecodable"],
     )
+    todo_set = set(todo)
+    by_unit = dict(zip(units, parts))
+    undecs = [p.get("n_undec") for p in parts]
     stats = {
         "n_units": len(units),
         "n_recomputed": len(todo),
         "n_restored": len(units) - len(todo),
+        # clips actually decoded THIS call (restored blobs cost no
+        # decode) — the honest base for a throughput rate on resume
+        "n_clips_recomputed": sum(
+            by_unit[u]["n_clips"] for u in units if u in todo_set
+        ),
+        # corpus-wide undecodable count (fused-run output parity);
+        # None when a pre-upgrade store blob lacks the field
+        "n_undecodable": (
+            int(sum(undecs)) if all(u is not None for u in undecs) else None
+        ),
         "snapshot": snapshot,
     }
     return totals, stats

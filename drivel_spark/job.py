@@ -240,18 +240,24 @@ def _screen_resumable(args, kinds: list[str]) -> dict:
     )
     wall = time.time() - t0
     n = int(totals["n_clips"].max()) if len(totals) else 0
+    # rate over clips actually decoded this call — a mostly-resumed
+    # run must not report restored files as throughput (ADVICE r05)
+    n_rec = stats.get("n_clips_recomputed")
     return {
         "job": "screen",
         "kinds": kinds,
         "n_clips": n,
         "n_flagged_total": int(totals["n_flagged"].sum()),
+        "n_undecodable": stats.get("n_undecodable"),
         "per_kind": {
             r["kind"]: {"n_flagged": int(r["n_flagged"]),
                         "n_undecodable": int(r["n_undecodable"])}
             for _, r in totals.iterrows()
         },
         "wall_s": round(wall, 3),
-        "clips_per_sec": round(n / wall, 1) if wall > 0 else None,
+        "clips_per_sec": (
+            round(n_rec / wall, 1) if wall > 0 and n_rec else None
+        ),
         "resume": stats,
     }
 
@@ -1324,7 +1330,8 @@ def cmd_history(args) -> dict:
     n_scored = rep.count()
     if n_scored == 0:
         raise SystemExit(
-            f"history: no committed metrics under {args.checkpoint}"
+            "history: no committed metrics under "
+            f"{stream_report or args.checkpoint}"
         )
     n_runs = rep.select("run_id").distinct().count()
     n_metrics = rep.select("metric").distinct().count()

@@ -232,16 +232,29 @@ def test_resumable_screen_matches_oneshot_and_resumes(
     assert got == want
     assert any(v[1] >= 1 for v in want.values())  # planted defects fire
 
+    # stats carry the decode-throughput base and corpus undecodables
+    assert stats["n_clips_recomputed"] == int(totals["n_clips"].max())
+    assert stats["n_undecodable"] is not None
+
     # restart: zero recompute, identical totals
     totals2, stats2 = resumable_screen(
         spark, audio_clip_table, store, "s1", kinds=kinds
     )
     assert stats2["n_recomputed"] == 0 and totals2.equals(totals)
+    assert stats2["n_clips_recomputed"] == 0
+
+    # same SET in a different caller order: still the same run key,
+    # zero recompute (run key is built from sorted(kinds))
+    totals2b, stats2b = resumable_screen(
+        spark, audio_clip_table, store, "s1", kinds=list(reversed(kinds))
+    )
+    assert stats2b["n_recomputed"] == 0
+    assert sorted(totals2b["kind"]) == sorted(totals["kind"])
 
     # kill-after-k: seed a fresh store with half the commits, resume
     full = spark.read.parquet(audio_clip_table)
     snap_units = sorted(full.inputFiles())
-    run = "s1:screen[quality,dropout]"
+    run = f"s1:screen[{','.join(sorted(kinds))}]"
     committed = store._read_all()
     committed = committed[committed.run_id == run]
     k = len(committed) // 2

@@ -277,26 +277,33 @@ def validate(
 
     lazy_cs: list[tuple] = []  # (constraint, future(s) ...)
     with ThreadPoolExecutor(max_workers=8) as pool:
-        # warm the flagged cache first — it is the heaviest job (the
-        # audio-decode scan when present) and doubles as the exact row
-        # count.  It runs in the high-weight "critical" scheduler pool
-        # (config.py): FAIR between pools keeps its 8-stream scan
-        # core-rich for its whole span while the default pool's
-        # concurrent jobs backfill the remaining cores — plain FIFO
-        # instead serializes it behind whichever job got submitted
-        # first (measured 35.3s → 26.1s batch wall at local[32])
-        def _count_in_critical_pool(target):
-            sc = target.sparkSession.sparkContext
+        # run the per-scope aggregation first — it is the heaviest job
+        # (the audio-decode scan when present), it materializes the
+        # persisted flags cache as a side effect, and its per-scope
+        # n_rows sum IS the exact row count, so no separate count()
+        # pass over the flags is needed (r06: the old
+        # count-then-aggregate shape paid a second full 64-task pass
+        # over the cached flags in the serial tail).  It runs in the
+        # high-weight "critical" scheduler pool (config.py): FAIR
+        # between pools keeps its 8-stream scan core-rich for its
+        # whole span while the default pool's concurrent jobs backfill
+        # the remaining cores — plain FIFO instead serializes it
+        # behind whichever job got submitted first (measured 35.3s →
+        # 26.1s batch wall at local[32])
+        def _in_critical_pool(fn):
+            sc = df.sparkSession.sparkContext
             sc.setLocalProperty("spark.scheduler.pool", "critical")
             try:
-                return target.count()
+                return fn()
             finally:
                 sc.setLocalProperty("spark.scheduler.pool", None)
 
-        if row_cs and cache_flags:
-            fut_n_total = pool.submit(_count_in_critical_pool, flagged)
+        fut_agg_pdf = None
+        if row_cs:
+            fut_agg_pdf = pool.submit(_in_critical_pool, agg.toPandas)
+            fut_n_total = None
         elif ds_cs:
-            fut_n_total = pool.submit(_count_in_critical_pool, ds_src)
+            fut_n_total = pool.submit(_in_critical_pool, ds_src.count)
         else:
             fut_n_total = None
         for c in ds_cs:
@@ -451,12 +458,15 @@ def validate(
             else:
                 raise ValueError(f"unknown dataset constraint {type(c)}")
 
-        n_total = fut_n_total.result() if fut_n_total is not None else 0
-        # collect the per-scope aggregation now (cache is warm) so it
-        # overlaps the dataset-check tails; passfail_pdf() then costs
-        # nothing.  Submitted inside the pool — the with-exit join makes
-        # the result ready before validate() returns.
-        fut_agg_pdf = pool.submit(agg.toPandas) if row_cs else None
+        # exact row count: from the aggregation's per-scope n_rows when
+        # row constraints ran (one pass gives cache + count + report),
+        # else from the dedicated count
+        if fut_agg_pdf is not None:
+            n_total = int(fut_agg_pdf.result()["n_rows"].sum())
+        elif fut_n_total is not None:
+            n_total = fut_n_total.result()
+        else:
+            n_total = 0
 
     # `profile` may be a zero-arg callable (e.g. a Future's .result) so
     # the pass-1 profile scan can run CONCURRENTLY with the pass-2 jobs

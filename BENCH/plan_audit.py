@@ -1503,8 +1503,17 @@ def main() -> None:
     import pandas as _pd
 
     def _fake_decode(it):
+        # must return EXACTLY the declared schema columns: validate()
+        # now executes the per-scope aggregation eagerly (r06), so a
+        # sloppy fixture frame fails at runtime, not just in the plan
         for pdf in it:
-            yield pdf.assign(ok=_pd.Series([True] * len(pdf)))
+            yield _pd.DataFrame(
+                {
+                    "o_orderkey": pdf["o_orderkey"],
+                    "o_totalprice": pdf["o_totalprice"],
+                    "ok": [True] * len(pdf),
+                }
+            )
 
     s = scope_of("o_orderkey", 16)
     slice_df = orders.filter(s.isin([1, 2, 3])).mapInPandas(
